@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # CDC pipeline (the engine's reason to exist)
+    "cdc_commit_order",
+    "cdc_batch_dedup",
+    "cdc_apply_changes",
+    "cdc_debezium",
+    # relational coverage
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "customer_order_rank",
+    "events_hourly",
+    "events_sessionize",
+    # LLM-pipeline ops
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from oracdc_spark.session import get_spark
+
+    spark = get_spark("oracdc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers once (not timed per query)
+    qs["top_orders"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        # count() forces full execution without driver-side materialization
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "oracdc_spark headline suite wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,317 @@
+"""Deterministic structured change feed — the stand-in for a parsed redo
+stream.
+
+The reference parses Oracle redo into per-row change statements
+(``OraCdcStatementBase.java:45-80``: scn, rba, ssn, xid, operation,
+rollback flag, row_id, data) plus transaction-control records (commit=7,
+rollback=36, ``OraCdcV$LogmnrContents.java:38-54``).  We cannot run an
+Oracle instance here, so the feed is derived *deterministically by
+arithmetic* from the driver's ``orders``/``customer`` parquet tables.  The
+same derivation exists twice — as DataFrame ops (:func:`change_feed`) and
+as an ANSI-SQL CTE (:data:`CHANGE_FEED_CTE`) — so the DuckDB oracle can
+replay it bit-for-bit and every CDC operator downstream is hash-checkable.
+
+Feed recipe (all constants in :class:`FeedSpec`):
+
+* every order emits an INSERT (op=1) at ``scn = k*10``;
+* orders with ``k % 3 == 0`` emit an UPDATE (op=3) at ``scn = k*10+1``;
+  updates on ``k % 9 == 0`` are no-op updates (after == before) to
+  exercise F9 update-without-change suppression;
+* orders with ``k % 7 == 0`` emit a DELETE (op=2) at ``scn = k*10+2``;
+* updates on ``k % 13 == 5`` get a paired partial-rollback record
+  (rollback=true, same xid/row_id/scn) — G4 pairing must cancel both;
+* statements group into transactions by ``xid_n = k % 101``;
+* per xid one control record: ROLLBACK (op=36) when ``xid_n % 25 == 7``,
+  *no* control record (transaction still open) when ``xid_n % 25 == 11``,
+  COMMIT (op=7) otherwise, at ``scn = max(stmt scn)+5``;
+* a second table's worth of INSERTs derives from ``customer``
+  (owner AP vs SCOTT for orders) to exercise the F1 table include list.
+
+Columns are the flattened statement model: the before/after images carry
+typed columns (pk, totalprice, status) rather than the reference's
+hex-byte maps — the byte-level decode path is covered separately by
+``oracdc_spark.functions`` golden-vector tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from oracdc_spark.catalog import load_table
+
+OP_INSERT = 1
+OP_DELETE = 2
+OP_UPDATE = 3
+OP_DDL = 5
+OP_COMMIT = 7
+OP_ROLLBACK = 36
+
+
+@dataclass(frozen=True)
+class FeedSpec:
+    xid_mod: int = 101
+    update_mod: int = 3
+    noop_update_mod: int = 9
+    delete_mod: int = 7
+    partial_rb_mod: int = 13
+    partial_rb_rem: int = 5
+    txn_ctl_mod: int = 25
+    txn_rollback_rem: int = 7
+    txn_open_rem: int = 11
+    update_delta: float = 1000.0
+    commit_scn_gap: int = 5
+    cust_scn_base: int = 1_000_000_000
+
+
+SPEC = FeedSpec()
+
+# Canonical column order of the feed (both Spark and SQL sides emit this).
+FEED_COLS = [
+    "scn",
+    "ssn",
+    "rba",
+    "xid",
+    "op",
+    "rollback",
+    "owner",
+    "table_name",
+    "row_id",
+    "pk",
+    "totalprice",
+    "status",
+    "before_totalprice",
+    "before_status",
+]
+
+
+def _order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = SPEC
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % s.xid_mod).alias("xid_n"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def stmt(df, scn, ssn, op, rollback, totalprice, status, b_totalprice, b_status):
+        return df.select(
+            scn.cast("bigint").alias("scn"),
+            F.lit(ssn).cast("bigint").alias("ssn"),
+            F.col("xid_n").cast("bigint").alias("xid_n"),
+            F.lit(op).cast("int").alias("op"),
+            F.lit(rollback).alias("rollback"),
+            F.col("k").cast("bigint").alias("pk"),
+            totalprice.cast("double").alias("totalprice"),
+            status.cast("string").alias("status"),
+            b_totalprice.cast("double").alias("before_totalprice"),
+            b_status.cast("string").alias("before_status"),
+        )
+
+    inserts = stmt(
+        o, F.col("k") * 10, 0, OP_INSERT, False,
+        F.col("o_totalprice"), F.col("o_orderstatus"), null_d, null_s,
+    )
+    upd_base = o.filter(F.col("k") % s.update_mod == 0)
+    noop = F.col("k") % s.noop_update_mod == 0
+    updates = stmt(
+        upd_base, F.col("k") * 10 + 1, 1, OP_UPDATE, False,
+        F.when(noop, F.col("o_totalprice")).otherwise(F.col("o_totalprice") + s.update_delta),
+        F.when(noop, F.col("o_orderstatus")).otherwise(F.lit("U")),
+        F.col("o_totalprice"), F.col("o_orderstatus"),
+    )
+    partial_rb = stmt(
+        upd_base.filter(F.col("k") % s.partial_rb_mod == s.partial_rb_rem),
+        F.col("k") * 10 + 1, 2, OP_UPDATE, True,
+        null_d, null_s, null_d, null_s,
+    )
+    deletes = stmt(
+        o.filter(F.col("k") % s.delete_mod == 0),
+        F.col("k") * 10 + 2, 0, OP_DELETE, False,
+        null_d, null_s, F.col("o_totalprice"), F.col("o_orderstatus"),
+    )
+    return inserts.unionAll(updates).unionAll(partial_rb).unionAll(deletes)
+
+
+def change_feed(spark: SparkSession, sf_dir: str, with_customer: bool = False) -> DataFrame:
+    """The structured change feed as a DataFrame (see module docstring).
+
+    Scale note: every step is narrow except the per-xid max for control
+    records, which is one partial-aggregated shuffle on ``xid`` — the same
+    key the stateful assembly operator groups by downstream, so at scale the
+    exchange is reused rather than repeated.
+    """
+    s = SPEC
+    data = _order_rows(spark, sf_dir)
+
+    ctl = (
+        data.groupBy("xid_n")
+        .agg((F.max("scn") + s.commit_scn_gap).alias("scn"))
+        .filter(F.col("xid_n") % s.txn_ctl_mod != s.txn_open_rem)
+        .select(
+            F.col("scn").cast("bigint"),
+            F.lit(0).cast("bigint").alias("ssn"),
+            F.col("xid_n").cast("bigint"),
+            F.when(F.col("xid_n") % s.txn_ctl_mod == s.txn_rollback_rem, F.lit(OP_ROLLBACK))
+            .otherwise(F.lit(OP_COMMIT))
+            .cast("int")
+            .alias("op"),
+            F.lit(False).alias("rollback"),
+            F.lit(None).cast("bigint").alias("pk"),
+            F.lit(None).cast("double").alias("totalprice"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("double").alias("before_totalprice"),
+            F.lit(None).cast("string").alias("before_status"),
+        )
+    )
+
+    unioned = data.unionAll(ctl)
+    out = unioned.select(
+        "scn",
+        "ssn",
+        F.concat(F.lit("1."), F.col("scn"), F.lit("."), F.col("ssn")).alias("rba"),
+        F.concat(F.lit("XID"), F.lpad(F.col("xid_n").cast("string"), 3, "0")).alias("xid"),
+        "op",
+        "rollback",
+        F.lit("SCOTT").alias("owner"),
+        F.lit("ORDERS").alias("table_name"),
+        F.when(F.col("pk").isNotNull(), F.concat(F.lit("R"), F.col("pk"))).alias("row_id"),
+        "pk",
+        "totalprice",
+        "status",
+        "before_totalprice",
+        "before_status",
+    )
+    if with_customer:
+        out = out.unionAll(customer_feed(spark, sf_dir))
+    return out
+
+
+def customer_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT-only feed from ``customer`` under owner AP (multi-table cases)."""
+    s = SPEC
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        (F.lit(s.cust_scn_base) + F.col("c_custkey") * 10).cast("bigint").alias("scn"),
+        F.lit(0).cast("bigint").alias("ssn"),
+        F.concat(
+            F.lit("2."), F.lit(s.cust_scn_base) + F.col("c_custkey") * 10, F.lit(".0")
+        ).alias("rba"),
+        F.concat(F.lit("CXI"), F.lpad((F.col("c_custkey") % 53).cast("string"), 3, "0")).alias("xid"),
+        F.lit(OP_INSERT).cast("int").alias("op"),
+        F.lit(False).alias("rollback"),
+        F.lit("AP").alias("owner"),
+        F.lit("CUSTOMER").alias("table_name"),
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("row_id"),
+        F.col("c_custkey").cast("bigint").alias("pk"),
+        F.col("c_acctbal").cast("double").alias("totalprice"),
+        F.col("c_mktsegment").cast("string").alias("status"),
+        F.lit(None).cast("double").alias("before_totalprice"),
+        F.lit(None).cast("string").alias("before_status"),
+    )
+
+
+def commits(feed: DataFrame) -> DataFrame:
+    """Commit control records → (xid, commit_scn)."""
+    return feed.filter(F.col("op") == OP_COMMIT).select(
+        "xid", F.col("scn").alias("commit_scn")
+    )
+
+
+def _s(template: str) -> str:
+    return template.format(s=SPEC)
+
+
+# ---------------------------------------------------------------------------
+# The identical derivation in ANSI SQL, for the DuckDB oracle.  Prefix any
+# oracle query with CHANGE_FEED_CTE (a complete WITH clause producing the
+# `changes` and `commits` relations).
+# ---------------------------------------------------------------------------
+
+CHANGE_FEED_CTE = _s(
+    """
+WITH ord_base AS (
+  SELECT o_orderkey AS k, o_orderkey % {s.xid_mod} AS xid_n,
+         o_totalprice, o_orderstatus
+  FROM orders
+),
+data_rows AS (
+  SELECT CAST(k*10 AS BIGINT) AS scn, CAST(0 AS BIGINT) AS ssn,
+         CAST(xid_n AS BIGINT) AS xid_n, 1 AS op, FALSE AS rollback,
+         CAST(k AS BIGINT) AS pk,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         CAST(o_orderstatus AS VARCHAR) AS status,
+         CAST(NULL AS DOUBLE) AS before_totalprice,
+         CAST(NULL AS VARCHAR) AS before_status
+  FROM ord_base
+  UNION ALL
+  SELECT CAST(k*10+1 AS BIGINT), CAST(1 AS BIGINT), CAST(xid_n AS BIGINT),
+         3, FALSE, CAST(k AS BIGINT),
+         CAST(CASE WHEN k % {s.noop_update_mod} = 0 THEN o_totalprice
+              ELSE o_totalprice + {s.update_delta} END AS DOUBLE),
+         CAST(CASE WHEN k % {s.noop_update_mod} = 0 THEN o_orderstatus
+              ELSE 'U' END AS VARCHAR),
+         CAST(o_totalprice AS DOUBLE), CAST(o_orderstatus AS VARCHAR)
+  FROM ord_base WHERE k % {s.update_mod} = 0
+  UNION ALL
+  SELECT CAST(k*10+1 AS BIGINT), CAST(2 AS BIGINT), CAST(xid_n AS BIGINT),
+         3, TRUE, CAST(k AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+  FROM ord_base
+  WHERE k % {s.update_mod} = 0 AND k % {s.partial_rb_mod} = {s.partial_rb_rem}
+  UNION ALL
+  SELECT CAST(k*10+2 AS BIGINT), CAST(0 AS BIGINT), CAST(xid_n AS BIGINT),
+         2, FALSE, CAST(k AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(o_totalprice AS DOUBLE), CAST(o_orderstatus AS VARCHAR)
+  FROM ord_base WHERE k % {s.delete_mod} = 0
+),
+ctl_rows AS (
+  SELECT CAST(MAX(scn) + {s.commit_scn_gap} AS BIGINT) AS scn,
+         CAST(0 AS BIGINT) AS ssn, xid_n,
+         CASE WHEN xid_n % {s.txn_ctl_mod} = {s.txn_rollback_rem} THEN 36 ELSE 7 END AS op,
+         FALSE AS rollback, CAST(NULL AS BIGINT) AS pk,
+         CAST(NULL AS DOUBLE) AS totalprice, CAST(NULL AS VARCHAR) AS status,
+         CAST(NULL AS DOUBLE) AS before_totalprice, CAST(NULL AS VARCHAR) AS before_status
+  FROM data_rows
+  GROUP BY xid_n
+  HAVING xid_n % {s.txn_ctl_mod} <> {s.txn_open_rem}
+),
+changes AS (
+  SELECT scn, ssn,
+         '1.' || CAST(scn AS VARCHAR) || '.' || CAST(ssn AS VARCHAR) AS rba,
+         'XID' || LPAD(CAST(xid_n AS VARCHAR), 3, '0') AS xid,
+         op, rollback,
+         'SCOTT' AS owner, 'ORDERS' AS table_name,
+         CASE WHEN pk IS NULL THEN NULL ELSE 'R' || CAST(pk AS VARCHAR) END AS row_id,
+         pk, totalprice, status, before_totalprice, before_status
+  FROM (SELECT * FROM data_rows UNION ALL SELECT * FROM ctl_rows)
+),
+cust_changes AS (
+  SELECT CAST({s.cust_scn_base} + c_custkey*10 AS BIGINT) AS scn,
+         CAST(0 AS BIGINT) AS ssn,
+         '2.' || CAST({s.cust_scn_base} + c_custkey*10 AS VARCHAR) || '.0' AS rba,
+         'CXI' || LPAD(CAST(c_custkey % 53 AS VARCHAR), 3, '0') AS xid,
+         1 AS op, FALSE AS rollback,
+         'AP' AS owner, 'CUSTOMER' AS table_name,
+         'C' || CAST(c_custkey AS VARCHAR) AS row_id,
+         CAST(c_custkey AS BIGINT) AS pk,
+         CAST(c_acctbal AS DOUBLE) AS totalprice,
+         CAST(c_mktsegment AS VARCHAR) AS status,
+         CAST(NULL AS DOUBLE) AS before_totalprice,
+         CAST(NULL AS VARCHAR) AS before_status
+  FROM customer
+),
+all_changes AS (
+  SELECT * FROM changes UNION ALL SELECT * FROM cust_changes
+),
+commits AS (
+  SELECT xid, scn AS commit_scn FROM changes WHERE op = 7
+)
+"""
+)

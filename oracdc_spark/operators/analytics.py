@@ -1,0 +1,200 @@
+"""Declared relational operators (SURVEY §2.6): sort/limit/agg/window/
+set-op/join coverage over the testdata star schema, plus event-stream
+analytics (tumbling windows, sessionization, running totals) in their
+batch-parity form.
+
+Determinism contract with the DuckDB oracle: monetary aggregates are
+summed as DECIMAL (exact, order-independent) and only cast to double at
+the end; averages are derived as sum/count double division; running sums
+follow a total per-partition order so the fp addition sequence is
+identical in both engines.
+
+Scale notes inline — joins declare broadcast for dimension tables, aggs
+are partial-aggregated map-side by Catalyst, windows partition on the
+natural key (never a global sort except the declared top-k).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from oracdc_spark.catalog import load_table
+
+DEC = "decimal(18,2)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (filter → groupBy →
+    6 aggregates). Filter pushes to parquet; aggregation is one shuffle
+    with map-side partials."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join customer⨝orders⨝lineitem with selective filters + top-10 by
+    revenue. customer is a broadcast dimension; lineitem never shuffles
+    for the join (broadcast hash join), only for the final groupBy."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join (region→nation→customer→orders→lineitem) +
+    revenue per nation. All dimensions broadcast; the single shuffle is
+    the final groupBy on n_name."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Global top-k (sort+limit). Spark executes as TakeOrderedAndProject —
+    per-partition top-k then driver merge, no full sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def customer_order_rank(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Window function: top-k orders per customer by totalprice
+    (rank over partitioned window; one shuffle on o_custkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def customers_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers with open ('O') orders EXCEPT customers
+    with finished ('F') orders, UNION ALL marker for INTERSECT of P/O.
+    Declares except/intersect/union in one checkable result."""
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    part_c = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    only_open = open_c.subtract(fin_c).withColumn("tag", F.lit("open_only"))
+    both = part_c.intersect(open_c).withColumn("tag", F.lit("partial_and_open"))
+    return only_open.unionAll(both).select("o_custkey", "tag")
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch parity of the streaming windowed
+    agg): events per hour × type, sum(value) as exact-decimal."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total ordered by (ts, event_id) — the batch form
+    of a stateful running aggregate. Identical fp addition order in both
+    engines → exact match (still rounded defensively)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6).alias(
+            "running_value"
+        ),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a new session starts when the gap to the previous
+    event of the same user exceeds `gap_minutes` (batch parity of a
+    session-window stateful op). Output: per-session stats."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = (
+        F.when(prev_ts.isNull(), F.lit(1))
+        .when(F.unix_micros(F.col("ts")) - prev_ts > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sess = e.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(w)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )
+
+
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users + event counts per type; json extraction from props
+    (get_json_object — the OraJson/OSON query path, SURVEY §1.2)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

@@ -1,0 +1,186 @@
+"""CDC dataflow operators — the engine core (SURVEY §2.3/§2.5/§2.2).
+
+Each function is a declarative DataFrame transform over the structured
+change feed (``oracdc_spark.feed``); Catalyst chooses physical plans.
+Scale notes are inline: the feed shuffles at most once on ``xid`` (the
+transaction key) and once on ``pk`` (the merge key) — the two shuffles any
+CDC engine fundamentally needs; everything else is narrow.
+
+Reference semantics ported (file:line into /root/reference):
+
+* G1 transaction assembly       OraCdcLogMinerWorkerThread.java:345-530
+* G2 commit/rollback resolution OraCdcLogMinerWorkerThread.java:347-393
+* G3 commit-ordered emission    KafkaSourceLogMinerTask.java:291-427
+* G4 partial-rollback pairing   OraCdcTransaction.java:351-419,592-667
+* G9 restart-SCN watermark      OraCdcLogMinerWorkerThread.java:108,354-359
+* F2 operation-code predicate   KafkaSourceLogMinerTask.java:140-255
+* F4 SCN window predicate       OraDictSqlTexts.java:538-547
+* F5 commit-SCN replay filter   KafkaSourceLogMinerTask.java:320-354
+* F6 rolled-back suppression    OraCdcLogMinerWorkerThread.java:371-393
+* F9 update-without-change      Parameters.java:747
+* K2/K3 idempotent upsert/delete JdbcSinkTable.java:398-623
+* K6 batch PK dedup             JdbcSinkTable.java:829-858
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from oracdc_spark.feed import OP_COMMIT, OP_DELETE, OP_INSERT, OP_ROLLBACK, OP_UPDATE
+
+DML_OPS = (OP_INSERT, OP_DELETE, OP_UPDATE)
+
+
+def op_filter(feed: DataFrame, ops: Sequence[int] = DML_OPS) -> DataFrame:
+    """F2 — keep selected operation codes. A plain `isin` so Catalyst
+    pushes it into the parquet scan (PushedFilters: In(op, ...))."""
+    return feed.filter(F.col("op").isin(list(ops)))
+
+
+def scn_window(feed: DataFrame, lo: int, hi: int) -> DataFrame:
+    """F4 — bounded SCN window (the LogMiner STARTSCN..ENDSCN session
+    bound). Pushed to the scan; at scale this is partition pruning when the
+    feed is written SCN-partitioned."""
+    return feed.filter(F.col("scn").between(lo, hi))
+
+
+def partial_rollback_filter(feed: DataFrame) -> DataFrame:
+    """G4 — cancel partial-rollback pairs.
+
+    A change record flagged ``rollback=true`` cancels its original change
+    (the reference pairs on RBA + ROWID, OraCdcTransaction.java:411-419);
+    in the structured feed the pair key is (xid, row_id, scn).  One
+    left-anti join removes both sides of the pair: the original matches the
+    marker, and the marker matches itself.  The join key starts with xid,
+    so this co-partitions with the transaction-assembly shuffle.
+    """
+    pairs = feed.filter(F.col("rollback")).select("xid", "row_id", "scn").distinct()
+    return feed.join(F.broadcast(pairs), ["xid", "row_id", "scn"], "left_anti")
+
+
+def committed_changes(feed: DataFrame) -> DataFrame:
+    """G2 + F6 + G4 — DML records of committed transactions only.
+
+    Whole rolled-back transactions (op=36 control record) and open
+    transactions (no control record yet) are dropped via a semi-join with
+    the commit set; partial-rollback pairs are cancelled.  The commit set
+    is tiny relative to the feed (one row per txn) → broadcast semi-join,
+    no shuffle of the big side.
+    """
+    commit_xids = feed.filter(F.col("op") == OP_COMMIT).select("xid")
+    dml = feed.filter(F.col("op").isin(list(DML_OPS)))
+    dml = partial_rollback_filter(dml)
+    return dml.join(F.broadcast(commit_xids), "xid", "semi")
+
+
+def commit_ordered(feed: DataFrame) -> DataFrame:
+    """G3 — committed DML stamped with commit_scn, in total emission order
+    (commit_scn, scn, ssn): transactions drain FIFO by commit order,
+    statements within a transaction by (SCN, RBA, SSN).
+
+    At scale: the sort is only needed *per sink partition key* for
+    idempotence (see SURVEY §7 hard parts); the global orderBy here exists
+    for the batch-parity contract.  commit map is broadcast.
+    """
+    commit_map = feed.filter(F.col("op") == OP_COMMIT).select(
+        "xid", F.col("scn").alias("commit_scn")
+    )
+    dml = committed_changes(feed)
+    return (
+        dml.join(F.broadcast(commit_map), "xid")
+        .orderBy("commit_scn", "scn", "ssn")
+    )
+
+
+def replay_filter(
+    stamped: DataFrame, last_commit_scn: int, last_scn: int, last_ssn: int
+) -> DataFrame:
+    """F5 — exactly-once restart: drop everything at or before the stored
+    offset (commit_scn, scn, ssn); rewinds *within* a partially-emitted
+    transaction to the exact statement coordinates
+    (KafkaSourceTaskBase.java:267-281,460-485)."""
+    c, s, n = F.col("commit_scn"), F.col("scn"), F.col("ssn")
+    return stamped.filter(
+        (c > last_commit_scn)
+        | ((c == last_commit_scn) & (s > last_scn))
+        | ((c == last_commit_scn) & (s == last_scn) & (n > last_ssn))
+    )
+
+
+def txn_stats(feed: DataFrame) -> DataFrame:
+    """G1 — per-transaction assembly summary: statement count, SCN span,
+    distinct rows touched.  Map-side partial aggregation makes this one
+    efficient shuffle on xid."""
+    dml = feed.filter(F.col("op").isin(list(DML_OPS)) & ~F.col("rollback"))
+    return dml.groupBy("xid").agg(
+        F.count(F.lit(1)).alias("n_stmts"),
+        F.min("scn").alias("first_scn"),
+        F.max("scn").alias("last_scn"),
+        F.countDistinct("row_id").alias("n_rows"),
+    )
+
+
+def open_transactions(feed: DataFrame) -> DataFrame:
+    """Transactions with no commit/rollback control record yet (late/open
+    per SURVEY §2.7 — state kept indefinitely)."""
+    ctl = feed.filter(F.col("op").isin([OP_COMMIT, OP_ROLLBACK])).select("xid")
+    dml = feed.filter(F.col("op").isin(list(DML_OPS)))
+    return dml.join(F.broadcast(ctl), "xid", "anti")
+
+
+def restart_scn(feed: DataFrame) -> DataFrame:
+    """G9 — the safe restart watermark: min(first SCN) across open
+    transactions (the reference's TreeMap sortedByFirstScn,
+    OraCdcLogMinerWorkerThread.java:108)."""
+    return open_transactions(feed).agg(F.min("scn").alias("restart_scn"))
+
+
+def batch_pk_dedup(
+    stamped: DataFrame, pk_cols: Sequence[str] = ("owner", "table_name", "pk")
+) -> DataFrame:
+    """K6 — last-write-wins per PK inside an emission batch.
+
+    The reference flushes a JDBC batch when it detects a duplicate PK to
+    preserve ordering (JdbcSinkTable.java:829-858); in Spark the idiomatic
+    equivalent keeps only the newest change per key before MERGE:
+    row_number over (partition by pk order by commit_scn desc, scn desc,
+    ssn desc) = 1.  One shuffle on pk — the merge key, reused by the sink.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in pk_cols]).orderBy(
+        F.col("commit_scn").desc(), F.col("scn").desc(), F.col("ssn").desc()
+    )
+    return (
+        stamped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def apply_changes(feed: DataFrame) -> DataFrame:
+    """K2/K3 — materialize the replica: apply committed changes
+    last-write-wins per PK and drop rows whose latest change is a DELETE.
+
+    This is the batch-parity form of ``MERGE INTO replica USING batch ON
+    pk WHEN MATCHED AND op='d' THEN DELETE WHEN MATCHED THEN UPDATE WHEN
+    NOT MATCHED THEN INSERT`` (TargetDbSqlUtils.java:380-560).
+    """
+    latest = batch_pk_dedup(commit_ordered(feed))
+    return latest.filter(F.col("op") != OP_DELETE).select(
+        "owner", "table_name", "pk", "totalprice", "status"
+    )
+
+
+def suppress_unchanged_updates(feed: DataFrame) -> DataFrame:
+    """F9 — drop UPDATE records whose after-image equals the before-image
+    (``a2.process.all.update.statements=false`` behavior). Null-safe struct
+    equality via `eqNullSafe`."""
+    unchanged = (
+        (F.col("op") == OP_UPDATE)
+        & ~F.col("rollback")
+        & F.col("totalprice").eqNullSafe(F.col("before_totalprice"))
+        & F.col("status").eqNullSafe(F.col("before_status"))
+    )
+    return feed.filter(~unchanged)

@@ -1,0 +1,190 @@
+"""Document deduplication operators for training-data pipelines.
+
+Designed for 100 TB corpora:
+
+* exact dedup — one hash-groupBy shuffle on a 128-bit digest;
+* n-gram Jaccard — shingle explode → self-join on shingle → pair counts;
+  the join key is the shingle, so hot shingles are the skew risk — AQE
+  skew-join splitting plus the DISTINCT-per-doc shingle set bound the blow
+  up (stopword-only shingles are the classic failure; word-n-grams with
+  n≥5 keep group sizes small);
+* MinHash + LSH banding — signatures via per-seed min of md5(seed|shingle)
+  (md5 is deliberate: deterministic, identical in any engine, so the
+  DuckDB oracle reproduces signatures bit-for-bit); candidate pairs come
+  from a band-bucket self-join, i.e. the pair join never touches the full
+  document set, only band buckets;
+* SimHash — 60-bit majority-vote fingerprint over token hashes, Hamming
+  buckets for candidates (declared rows-only: bit ops aren't portable SQL).
+
+All operators return DataFrames keyed by doc_id and are shuffle-minimal:
+shingling is narrow, signatures aggregate map-side, and only candidate
+pairs (tiny) ever reach a wide join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate groups: md5(text) digest → group size + keeper
+    (min doc_id). One shuffle; at scale use this digest as the bucketing
+    key of the corpus table so re-runs are shuffle-free."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def exact_dedup_keep(docs: DataFrame) -> DataFrame:
+    """Corpus with exact duplicates removed (keep lowest doc_id)."""
+    keepers = exact_dedup_groups(docs).select(F.col("keeper_doc_id").alias("doc_id"))
+    return docs.join(keepers, "doc_id", "semi")
+
+
+def _tokens(col: str = "text"):
+    return F.filter(
+        F.split(F.trim(F.col(col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+    Narrow (per-row explode), no shuffle."""
+    w = _tokens()
+    # guard: F.sequence(1, k) with k < 1 would produce a DESCENDING sequence
+    sh = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|); intersection via shingle self-join,
+    set sizes via a broadcast-joined per-doc count. Output: (d1, d2,
+    common, jac) with d1 < d2.
+    """
+    sh = shingles(docs, n).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(c1), "d1")
+        .join(F.broadcast(c2), "d2")
+        .withColumn("jac", F.round(jac, 4))
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", "common", "jac")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 5, num_hashes: int = 8) -> DataFrame:
+    """(doc_id, seed, minhash): minhash = min over shingles of
+    md5('<seed>|'<shingle>), compared as hex strings — engine-portable and
+    deterministic. Map-side combinable aggregate; one shuffle on doc_id."""
+    sh = shingles(docs, n)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded.groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))).alias("mh"))
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, n: int = 5, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: signature split into `bands` bands of
+    num_hashes/bands rows; docs sharing any band value become candidates.
+
+    The final pair join runs per band-bucket — at 100 TB the bucket
+    groupBy is the only wide op and buckets are tiny (collision = near-dup
+    likelihood by design).  Output: (d1, d2, n_shared_bands).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s["mh"],
+                ),
+                "|",
+            ).alias("band_sig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit SimHash per document (rows-only check: bit twiddling is not
+    portable ANSI SQL).
+
+    token hash = first 15 hex chars of md5 (60 bits, fits a signed long);
+    fingerprint bit b = 1 iff the majority of token hashes set bit b.
+    Everything stays in JVM expressions (conv/shiftright) — no Python.
+    """
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    per_bit = (
+        toks.select("doc_id", h.alias("h"))
+        .select("doc_id", "h", bit)
+        .select("doc_id", "b", F.expr("shiftright(h, CAST(b AS INT)) & 1").alias("is_set"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("is_set").alias("ones"), F.count(F.lit(1)).alias("n"))
+        .withColumn("bit_val", (F.col("ones") * 2 > F.col("n")).cast("bigint"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.expr("shiftleft(bit_val, CAST(b AS INT))")).alias("simhash")
+    )
+
+
+def simhash_candidates(docs: DataFrame, prefix_bits: int = 12) -> DataFrame:
+    """Near-dup candidates: documents sharing the top `prefix_bits` of
+    their SimHash (one rotation; production would use 4 rotations)."""
+    sig = simhash(docs)
+    bucket = F.shiftright(F.col("simhash"), 60 - prefix_bits)
+    b = sig.select("doc_id", bucket.alias("bucket"))
+    a2, b2 = b.alias("a"), b.alias("b")
+    return a2.join(
+        b2,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), F.col("a.bucket").alias("bucket"))

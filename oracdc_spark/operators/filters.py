@@ -1,0 +1,72 @@
+"""F1 — table include/exclude lists (SCHEMA.TABLE patterns).
+
+Port of the semantics of OraSqlUtils.parseTableSchemaList
+(/root/reference/src/main/java/solutions/a2/cdc/oracle/utils/OraSqlUtils.java:62-140):
+a comma-separated list of ``OWNER.TABLE`` entries where TABLE may use
+``%``/``*`` wildcards; ``OWNER.%`` matches the whole schema; entries may be
+``"quoted"`` for exact case.  Produces both a Spark Column predicate and an
+equivalent ANSI-SQL predicate string (for the DuckDB oracle and for JDBC
+dictionary pushdown, mirroring the reference's generated
+``OWNER='…' AND OBJECT_NAME LIKE '…'`` fragments).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _parse_entry(entry: str) -> tuple[str, str]:
+    entry = entry.strip()
+    if not entry:
+        raise ValueError("empty table-list entry")
+    if "." in entry:
+        owner, table = entry.split(".", 1)
+    else:
+        owner, table = entry, "%"
+    owner = owner.strip().strip('"')
+    table = table.strip().strip('"')
+    if not table:
+        table = "%"
+    table = table.replace("*", "%")
+    return owner.upper() if '"' not in entry else owner, table.upper() if '"' not in entry else table
+
+
+def parse_table_list(list_str: str) -> list[tuple[str, str]]:
+    """'AP.% , SCOTT.TEST_IOT%' → [('AP','%'), ('SCOTT','TEST_IOT%')]."""
+    return [_parse_entry(e) for e in list_str.split(",") if e.strip()]
+
+
+def table_list_column(
+    list_str: str, owner_col: str = "owner", table_col: str = "table_name"
+) -> Column:
+    """Spark predicate for an include list; negate for exclude."""
+    pred: Column | None = None
+    for owner, table in parse_table_list(list_str):
+        c = F.col(owner_col) == owner
+        if table != "%":
+            c = c & (
+                F.col(table_col).like(table)
+                if "%" in table
+                else (F.col(table_col) == table)
+            )
+        pred = c if pred is None else (pred | c)
+    if pred is None:
+        raise ValueError("empty table list")
+    return pred
+
+
+def table_list_sql(
+    list_str: str, owner_col: str = "owner", table_col: str = "table_name"
+) -> str:
+    """ANSI-SQL predicate equivalent to :func:`table_list_column` —
+    same shape the reference generates for its dictionary queries."""
+    parts = []
+    for owner, table in parse_table_list(list_str):
+        if table == "%":
+            parts.append(f"{owner_col} = '{owner}'")
+        elif "%" in table:
+            parts.append(f"({owner_col} = '{owner}' AND {table_col} LIKE '{table}')")
+        else:
+            parts.append(f"({owner_col} = '{owner}' AND {table_col} = '{table}')")
+    return " OR ".join(parts)

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star operators (BASELINE.json): brute-force cosine top-k as the
+correctness baseline, and an IVF-style bucketed variant as the scale path
+(search only the probe's coarse cell — here the precomputed `label`
+assignment plays the centroid-assignment role; a real deployment would
+k-means its own centroids and broadcast them).
+
+Determinism design: floating-point summation order differs between
+engines, so scores use **quantized integer arithmetic** — each float is
+scaled to a bigint (round(x*1000)), dot products and norms are exact
+integer sums (order-independent), and the final score is one double
+division of identical integers — bit-identical in Spark and DuckDB.
+
+Scale notes: the unnested (id, i, q) layout makes the dot product a
+sum over a pair join on dimension index — for 100 TB the query side is
+tiny and broadcast; the corpus side stays columnar until the explode,
+which AQE pipelines with the partial aggregation.  Brute force is
+O(|Q|·|C|·d); the IVF variant divides |C| by the cell count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+SCALE = 1000
+
+
+def quantized(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Unnest embeddings to exact integer components: (id, i, q)."""
+    return vecs.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("i", "x"),
+    ).select(
+        id_col,
+        "i",
+        F.round(F.col("x").cast("double") * SCALE, 0).cast("bigint").alias("q"),
+    )
+
+
+def _norms(q: DataFrame, id_col: str) -> DataFrame:
+    return q.groupBy(id_col).agg(F.sum(F.col("q") * F.col("q")).alias("norm2"))
+
+
+def cosine_scores(
+    queries: DataFrame, corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All-pairs quantized-cosine scores.
+
+    score = sign(dot) * dot² / (|a|²·|b|²) — monotonic in cosine, exact
+    integers until one final double division. Output: (query_id,
+    neighbor_id, score).
+    """
+    qq = quantized(queries, id_col, vec_col).withColumnRenamed(id_col, "query_id")
+    cq = quantized(corpus, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    dots = (
+        F.broadcast(qq)
+        .join(cq, "i")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(qq["q"] * cq["q"]).alias("dot"))
+    )
+    qn = _norms(qq, "query_id").withColumnRenamed("norm2", "qn")
+    cn = _norms(cq, "neighbor_id").withColumnRenamed("norm2", "cn")
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+
+
+def brute_force_topk(
+    vecs: DataFrame, query_mod: int = 100, k: int = 5
+) -> DataFrame:
+    """Top-k cosine neighbors for the query subset (vec_id % query_mod == 0)
+    against the full corpus. Output: (query_id, neighbor_id, rank)."""
+    queries = vecs.filter(F.col("vec_id") % query_mod == 0)
+    scores = cosine_scores(queries, vecs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def ivf_topk(vecs: DataFrame, query_mod: int = 100, k: int = 3) -> DataFrame:
+    """IVF-bucketed ANN: search only the query's coarse cell (`label`).
+
+    At scale: corpus pre-partitioned (bucketed) by cell id → the candidate
+    join is co-located, no corpus shuffle per query batch.
+    """
+    queries = vecs.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("cell"), F.col("embedding").alias("qe")
+    )
+    cand = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cell"), "embedding"
+    )
+    pairs = F.broadcast(queries).join(cand, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qq = pairs.select(
+        "query_id", "neighbor_id",
+        F.posexplode(F.zip_with("qe", "embedding", lambda a, b: F.struct(a.alias("a"), b.alias("b")))).alias("i", "p"),
+    ).select(
+        "query_id", "neighbor_id",
+        F.round(F.col("p.a").cast("double") * SCALE, 0).cast("bigint").alias("qa"),
+        F.round(F.col("p.b").cast("double") * SCALE, 0).cast("bigint").alias("qb"),
+    )
+    agg = qq.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.col("qa") * F.col("qb")).alias("dot"),
+        F.sum(F.col("qa") * F.col("qa")).alias("qn"),
+        F.sum(F.col("qb") * F.col("qb")).alias("cn"),
+    )
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        agg.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def embedding_near_dups(vecs: DataFrame, threshold_score: float = 0.16) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a coarse cell.
+
+    threshold_score is in quantized-score space (cos² with sign), i.e.
+    0.16 ≈ |cos| ≥ 0.4. Output: (v1, v2) with v1 < v2."""
+    a = vecs.select(F.col("vec_id").alias("v1"), F.col("label").alias("cell"), F.col("embedding").alias("e1"))
+    b = vecs.select(F.col("vec_id").alias("v2"), F.col("label").alias("cell"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, "cell").filter(F.col("v1") < F.col("v2"))
+    comps = pairs.select(
+        "v1", "v2",
+        F.posexplode(F.zip_with("e1", "e2", lambda x, y: F.struct(x.alias("a"), y.alias("b")))).alias("i", "p"),
+    ).select(
+        "v1", "v2",
+        F.round(F.col("p.a").cast("double") * SCALE, 0).cast("bigint").alias("qa"),
+        F.round(F.col("p.b").cast("double") * SCALE, 0).cast("bigint").alias("qb"),
+    )
+    agg = comps.groupBy("v1", "v2").agg(
+        F.sum(F.col("qa") * F.col("qb")).alias("dot"),
+        F.sum(F.col("qa") * F.col("qa")).alias("n1"),
+        F.sum(F.col("qb") * F.col("qb")).alias("n2"),
+    )
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    return agg.select("v1", "v2", score.alias("score")).filter(
+        F.col("score") >= threshold_score
+    )

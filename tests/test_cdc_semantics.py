@@ -1,0 +1,109 @@
+"""Scenario tests for transaction-assembly semantics over hand-built
+change frames (the reference's pattern: small fixture sequences asserted
+record-by-record — PartialRollback_Test.java, OraCdcRollback*Test)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from oracdc_spark.operators import cdc
+
+SCHEMA = (
+    "scn bigint, ssn bigint, rba string, xid string, op int, rollback boolean, "
+    "owner string, table_name string, row_id string, pk bigint, "
+    "totalprice double, status string, before_totalprice double, before_status string"
+)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def row(scn, xid, op, pk=None, rollback=False, ssn=0, totalprice=None, status=None,
+        b_tp=None, b_st=None):
+    row_id = f"R{pk}" if pk is not None else None
+    return (scn, ssn, f"1.{scn}.{ssn}", xid, op, rollback, "SCOTT", "ORDERS",
+            row_id, pk, totalprice, status, b_tp, b_st)
+
+
+@pytest.fixture()
+def feed(spark):
+    return mk(
+        spark,
+        [
+            # txn A: insert + update, committed
+            row(10, "A", 1, pk=1, totalprice=100.0, status="O"),
+            row(11, "A", 3, pk=1, totalprice=200.0, status="U", b_tp=100.0, b_st="O"),
+            row(20, "A", 7),
+            # txn B: insert, rolled back entirely
+            row(12, "B", 1, pk=2, totalprice=50.0, status="O"),
+            row(21, "B", 36),
+            # txn C: insert + partial-rollback pair + delete, committed
+            row(13, "C", 1, pk=3, totalprice=70.0, status="O"),
+            row(14, "C", 3, pk=3, totalprice=80.0, status="U", b_tp=70.0, b_st="O"),
+            row(14, "C", 3, pk=3, rollback=True, ssn=1),
+            row(15, "C", 2, pk=3, b_tp=70.0, b_st="O"),
+            row(22, "C", 7),
+            # txn D: open (no control record)
+            row(16, "D", 1, pk=4, totalprice=10.0, status="O"),
+        ],
+    )
+
+
+def test_committed_drops_rollback_and_open(feed):
+    xids = {r.xid for r in cdc.committed_changes(feed).select("xid").collect()}
+    assert xids == {"A", "C"}
+
+
+def test_partial_rollback_cancels_both_sides(feed):
+    out = cdc.committed_changes(feed).filter("xid = 'C'").collect()
+    # the scn=14 update AND its rollback marker are both gone
+    assert sorted(r.scn for r in out) == [13, 15]
+
+
+def test_commit_order_stamps_commit_scn(feed):
+    out = cdc.commit_ordered(feed).collect()
+    assert [r.scn for r in out] == [10, 11, 13, 15]
+    assert [r.commit_scn for r in out] == [20, 20, 22, 22]
+
+
+def test_replay_filter_intra_txn_rewind(feed):
+    stamped = cdc.commit_ordered(feed)
+    out = cdc.replay_filter(stamped, 20, 10, 0).collect()
+    # (20,10,0) already emitted → resume at scn 11 of txn A
+    assert [r.scn for r in out] == [11, 13, 15]
+
+
+def test_apply_changes_last_write_wins(feed):
+    out = cdc.apply_changes(feed).collect()
+    # pk 1: update survives; pk 3: deleted; pk 2: rolled back; pk 4: open
+    assert len(out) == 1
+    assert out[0].pk == 1 and out[0].totalprice == 200.0
+
+
+def test_restart_scn_is_min_open(feed):
+    assert cdc.restart_scn(feed).collect()[0].restart_scn == 16
+
+
+def test_suppress_unchanged_updates(spark):
+    f = mk(
+        spark,
+        [
+            row(10, "A", 3, pk=1, totalprice=5.0, status="O", b_tp=5.0, b_st="O"),
+            row(11, "A", 3, pk=1, totalprice=6.0, status="O", b_tp=5.0, b_st="O"),
+        ],
+    )
+    out = cdc.suppress_unchanged_updates(f).collect()
+    assert [r.scn for r in out] == [11]
+
+
+def test_batch_pk_dedup_keeps_newest(spark):
+    f = mk(
+        spark,
+        [
+            row(10, "A", 1, pk=1, totalprice=1.0, status="O"),
+            row(11, "A", 3, pk=1, totalprice=2.0, status="U"),
+            row(20, "A", 7),
+        ],
+    )
+    out = cdc.batch_pk_dedup(cdc.commit_ordered(f)).collect()
+    assert len(out) == 1 and out[0].totalprice == 2.0

@@ -1,0 +1,112 @@
+"""Golden-vector tests for the Oracle byte-format decoders.
+
+Hex constants are the published fixtures from the reference test suite
+(OraDumpDecoderTest.java:52-120 — values documented as SELECT DUMP(col,16)
+output; see FIXTURES.md §3) — data constants, not code.
+"""
+
+import datetime
+import math
+from decimal import Decimal
+
+import pytest
+
+from oracdc_spark.functions.decoders import (
+    decode_binary_double,
+    decode_binary_float,
+    decode_charset,
+    decode_interval_ds,
+    decode_interval_ym,
+    decode_number,
+    decode_ora_date,
+    decode_ora_timestamp,
+    encode_number,
+)
+
+
+class TestNumber:
+    def test_golden_negative_fraction(self):
+        assert decode_number("3f534966") == Decimal("-0.1828")
+
+    def test_golden_sqrt3_scale7(self):
+        assert decode_number("c1024a153351") == Decimal("1.73205080")
+
+    def test_zero(self):
+        assert decode_number("80") == 0
+
+    def test_null(self):
+        assert decode_number(None) is None
+
+    @pytest.mark.parametrize(
+        "v",
+        ["0", "1", "-1", "99", "100", "-100", "0.5", "-0.01", "12345.6789",
+         "-98765.4321", "1e10", "3.14159265358979", "-2.718281828459045",
+         "1234567890123456789", "-0.000001"],
+    )
+    def test_roundtrip(self, v):
+        assert decode_number(encode_number(v)) == Decimal(v)
+
+    def test_accepts_bytes(self):
+        assert decode_number(bytes.fromhex("3f534966")) == Decimal("-0.1828")
+
+
+class TestBinaryFloats:
+    def test_golden_float(self):
+        assert abs(decode_binary_float("bfddb3d7") - math.sqrt(3)) < 1e-7
+
+    def test_golden_double(self):
+        assert decode_binary_double("bffbb67ae8584caa") == math.sqrt(3)
+
+    def test_negative_float(self):
+        # -1.0f: IEEE bf800000, negative stored as all-bits-flipped
+        raw = bytes(b ^ 0xFF for b in bytes.fromhex("bf800000"))
+        assert decode_binary_float(raw) == -1.0
+
+    def test_positive_one(self):
+        # +1.0f: IEEE 3f800000, stored with sign bit flipped
+        assert decode_binary_float("bf800000") == 1.0
+
+
+class TestCharset:
+    @pytest.mark.parametrize(
+        "hx,expected",
+        [
+            ("7468616e6b73", "thanks"),
+            ("e8ac9de8ac9de595a6", "謝謝啦"),
+            ("cea3ceb1cf8220ceb5cf85cf87ceb1cf81ceb9cf83cf84cf8e", "Σας ευχαριστώ"),
+            ("d0a1d0bfd0b0d181d0b8d0b1d0be", "Спасибо"),
+        ],
+    )
+    def test_utf8_goldens(self, hx, expected):
+        assert decode_charset(hx) == expected
+
+
+class TestDates:
+    def test_date(self):
+        # 2024-03-15 13:45:30 → cc=120 yy=124 m=3 d=15 h+1 mi+1 s+1
+        b = bytes([120, 124, 3, 15, 14, 46, 31])
+        assert decode_ora_date(b) == datetime.datetime(2024, 3, 15, 13, 45, 30)
+
+    def test_epoch(self):
+        b = bytes([119, 170, 1, 1, 1, 1, 1])
+        assert decode_ora_date(b) == datetime.datetime(1970, 1, 1, 0, 0, 0)
+
+    def test_timestamp_micros(self):
+        import struct
+
+        b = bytes([120, 124, 3, 15, 14, 46, 31]) + struct.pack(">I", 123456789)
+        ts = decode_ora_timestamp(b)
+        assert ts == datetime.datetime(2024, 3, 15, 13, 45, 30, 123456)
+
+
+class TestIntervals:
+    def test_ym_positive(self):
+        import struct
+
+        b = struct.pack(">i", 3 + (1 << 31) - (1 << 31) ^ 0) if False else None
+        raw = bytes([0x80, 0, 0, 3, 62])  # +3 years, +2 months
+        assert decode_interval_ym(raw) == "+3-2"
+
+    def test_ds_positive(self):
+        raw = bytes([0x80, 0, 0, 5, 70, 72, 74]) + bytes([0x80, 0, 0, 0])
+        assert decode_interval_ds(raw) == "+5 10:12:14.000000000"

@@ -1,0 +1,42 @@
+"""The local mirror of the driver's correctness gate: every queries()
+entry with an oracle must hash-match DuckDB at sf0.001 (fast smoke; the
+driver runs sf0.01)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.parity import compare, register_duck_views
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck_views(duck):
+    register_duck_views(duck, SF)
+    return duck
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(spark, duck_views, name):
+    r = compare(spark, duck_views, QUERIES[name], ORACLES[name], SF)
+    assert r["values_match"], r
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only(spark, name):
+    # rows-only declared ops must at least run and produce a stable schema
+    df = QUERIES[name](spark, SF)
+    assert df.columns
+    assert df.count() >= 0
