@@ -1,0 +1,252 @@
+"""Versioned table-schema registry with DDL-driven evolution.
+
+Reference semantics (SURVEY §1.1, G8, F8, S10):
+
+* schema discovered once per table, then *evolved* from DDL captured in
+  the change stream, with a monotonically increasing value-schema version
+  (OraCdcTableBase.java:404-530; doc/LogMinerConnector.adoc:127-131);
+* supported DDL verbs: ADD, DROP, MODIFY, RENAME COLUMN, SET UNUSED
+  (utils/OraSqlUtils.java:47-56, OraCdcAlterTablePreProcessorTest
+  fixtures);
+* dropping a key column is rejected (version unchanged);
+* guard/unused columns are hidden: functional-index guards ``SYS_NC\\d+$``
+  and set-unused ``SYS_C\\d+_<ts>$UNUSED`` (OraCdcColumn.java:93-94,
+  OraCdcTableBase.java:446-530);
+* key preference order: well-defined PK → NOT NULL unique index → ROWID
+  pseudo-key (OraDictSqlTexts.java:242-356, OraCdcTableBase flags).
+
+The registry is driver-side metadata (tiny); per-table StructTypes are
+broadcast implicitly when used in closures — no scale concern.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DataType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+GUARD_COL_RE = re.compile(r"^SYS_NC\d{5}\$$")
+# Oracle renames set-unused columns to SYS_C<n>_<yymmddhh:mi:ss>$
+UNUSED_COL_RE = re.compile(r"^SYS_C\d+_\d{8}:\d{2}:\d{2}\$$", re.IGNORECASE)
+
+KEY_WELL_DEFINED_PK = "pk"
+KEY_UNIQUE_NOT_NULL = "unique_index"
+KEY_ROWID_PSEUDO = "rowid"
+
+
+def oracle_type_to_spark(type_str: str) -> DataType:
+    """Oracle column-type text → Spark type, following the NUMBER tiering
+    rules of OraCdcColumn.java:462-501 (documented in SURVEY §1.2)."""
+    t = type_str.strip().upper()
+    m = re.match(r"NUMBER\s*\(\s*(\d+)\s*(?:,\s*(-?\d+)\s*)?\)", t)
+    if m:
+        p = int(m.group(1))
+        s = int(m.group(2) or 0)
+        if s <= 0:
+            # NUMBER(p,0) tiering: 1-2 → byte, 3-4 → short, 5-9 → int,
+            # 10-18 → long, else decimal (OraCdcColumn.java:484-496)
+            eff = p - s
+            if eff <= 2:
+                return ByteType()
+            if eff <= 4:
+                return ShortType()
+            if eff <= 9:
+                return IntegerType()
+            if eff <= 18:
+                return LongType()
+            return DecimalType(38, 0)
+        return DecimalType(min(p, 38), min(s, 38))
+    if t == "NUMBER" or t.startswith("FLOAT"):
+        return DoubleType()
+    if t in ("INTEGER", "INT", "SMALLINT"):
+        return DecimalType(38, 0)
+    if t == "BINARY_FLOAT":
+        return FloatType()
+    if t == "BINARY_DOUBLE":
+        return DoubleType()
+    if t == "BOOLEAN":
+        return BooleanType()
+    if t == "DATE" or t.startswith("TIMESTAMP"):
+        return TimestampNTZType()
+    if (
+        t.startswith("VARCHAR")
+        or t.startswith("NVARCHAR")
+        or t.startswith("CHAR")
+        or t.startswith("NCHAR")
+        or t in ("CLOB", "NCLOB", "XMLTYPE", "JSON", "ROWID")
+    ):
+        return StringType()
+    if t.startswith("RAW") or t == "BLOB":
+        from pyspark.sql.types import BinaryType
+
+        return BinaryType()
+    return StringType()
+
+
+@dataclass
+class TableDef:
+    owner: str
+    name: str
+    schema: StructType
+    key_cols: tuple[str, ...]
+    key_kind: str = KEY_WELL_DEFINED_PK
+    version: int = 1
+    history: list[tuple[int, str]] = field(default_factory=list)
+
+    @property
+    def fqn(self) -> str:
+        return f"{self.owner}.{self.name}"
+
+
+def choose_key(
+    pk_cols: tuple[str, ...],
+    unique_not_null_cols: tuple[str, ...],
+) -> tuple[tuple[str, ...], str]:
+    """S10 key preference: well-defined PK, else NOT NULL unique index,
+    else the ROWID pseudo-key (OraCdcTableBase FLG_PSEUDO_KEY path)."""
+    if pk_cols:
+        return pk_cols, KEY_WELL_DEFINED_PK
+    if unique_not_null_cols:
+        return unique_not_null_cols, KEY_UNIQUE_NOT_NULL
+    return ("ORA_ROW_ID",), KEY_ROWID_PSEUDO
+
+
+def strip_guard_columns(schema: StructType) -> StructType:
+    """F8 — hide functional-index guard and set-unused columns."""
+    return StructType(
+        [
+            f
+            for f in schema.fields
+            if not GUARD_COL_RE.match(f.name.upper())
+            and not UNUSED_COL_RE.match(f.name.upper())
+        ]
+    )
+
+
+_ADD_RE = re.compile(r"ADD\s*\(\s*(.+?)\s*\)\s*$", re.IGNORECASE | re.DOTALL)
+_ADD_BARE_RE = re.compile(r"ADD\s+(\w+)\s+(.+?)\s*$", re.IGNORECASE)
+_DROP_RE = re.compile(r"DROP\s+COLUMN\s+(\w+)", re.IGNORECASE)
+_DROP_PAREN_RE = re.compile(r"DROP\s*\(\s*([\w\s,]+?)\s*\)", re.IGNORECASE)
+_MODIFY_RE = re.compile(r"MODIFY\s*\(?\s*(\w+)\s+([^,)]+?)\s*\)?\s*$", re.IGNORECASE)
+_RENAME_RE = re.compile(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", re.IGNORECASE)
+_UNUSED_RE = re.compile(r"SET\s+UNUSED\s+(?:COLUMN\s+)?\(?\s*([\w\s,]+?)\s*\)?\s*$", re.IGNORECASE)
+
+
+def _parse_col_spec(spec: str) -> tuple[str, DataType, bool]:
+    spec = spec.strip()
+    mm = re.match(r"(\w+)\s+(.+)", spec)
+    name, rest = mm.group(1), mm.group(2)
+    nullable = "NOT NULL" not in rest.upper()
+    type_part = re.split(r"\s+DEFAULT\s+|\s+NOT\s+NULL", rest, flags=re.IGNORECASE)[0]
+    return name, oracle_type_to_spark(type_part), nullable
+
+
+class SchemaRegistry:
+    """In-memory versioned registry; every successful DDL application
+    bumps the table's value-schema version (key schema is immutable —
+    KafkaStructDataBinder.java:131-146)."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, TableDef] = {}
+
+    def register(self, td: TableDef) -> TableDef:
+        td = TableDef(
+            td.owner,
+            td.name,
+            strip_guard_columns(td.schema),
+            td.key_cols,
+            td.key_kind,
+            td.version,
+            list(td.history),
+        )
+        self._tables[td.fqn] = td
+        return td
+
+    def get(self, owner: str, name: str) -> TableDef:
+        return self._tables[f"{owner}.{name}"]
+
+    def apply_ddl(self, owner: str, name: str, ddl: str) -> TableDef:
+        """G8 — apply one ALTER TABLE statement; returns the (possibly
+        unchanged) table def. Key-column drops are rejected."""
+        td = self.get(owner, name)
+        body = re.sub(
+            r"^\s*ALTER\s+TABLE\s+[\w.\"$]+\s+", "", ddl.strip(), flags=re.IGNORECASE
+        )
+        fields = list(td.schema.fields)
+        changed = False
+        up = body.upper()
+
+        if up.startswith("ADD"):
+            m = _ADD_RE.match(body)
+            specs = (
+                [s for s in re.split(r",(?![^()]*\))", m.group(1))]
+                if m
+                else [f"{_ADD_BARE_RE.match(body).group(1)} {_ADD_BARE_RE.match(body).group(2)}"]
+            )
+            for spec in specs:
+                cname, dtype, nullable = _parse_col_spec(spec)
+                if any(f.name.upper() == cname.upper() for f in fields):
+                    continue
+                fields.append(StructField(cname, dtype, nullable))
+                changed = True
+        elif up.startswith("DROP"):
+            m = _DROP_RE.search(body) or _DROP_PAREN_RE.search(body)
+            names = [n.strip() for n in m.group(1).split(",")]
+            for cname in names:
+                if cname.upper() in (k.upper() for k in td.key_cols):
+                    raise ValueError(f"cannot drop key column {cname} of {td.fqn}")
+                before = len(fields)
+                fields = [f for f in fields if f.name.upper() != cname.upper()]
+                changed |= len(fields) != before
+        elif up.startswith("MODIFY"):
+            m = _MODIFY_RE.match(body)
+            cname, type_part = m.group(1), m.group(2)
+            nullable = "NOT NULL" not in type_part.upper()
+            newtype = oracle_type_to_spark(
+                re.split(r"\s+DEFAULT\s+|\s+NOT\s+NULL", type_part, flags=re.IGNORECASE)[0]
+            )
+            for i, f in enumerate(fields):
+                if f.name.upper() == cname.upper():
+                    fields[i] = StructField(f.name, newtype, nullable)
+                    changed = True
+        elif up.startswith("RENAME"):
+            m = _RENAME_RE.match(body)
+            old, new = m.group(1), m.group(2)
+            if old.upper() in (k.upper() for k in td.key_cols):
+                raise ValueError(f"cannot rename key column {old} of {td.fqn}")
+            for i, f in enumerate(fields):
+                if f.name.upper() == old.upper():
+                    fields[i] = StructField(new, f.dataType, f.nullable)
+                    changed = True
+        elif up.startswith("SET UNUSED"):
+            m = _UNUSED_RE.match(body)
+            names = [n.strip() for n in m.group(1).split(",")]
+            for cname in names:
+                if cname.upper() in (k.upper() for k in td.key_cols):
+                    raise ValueError(f"cannot set unused key column {cname} of {td.fqn}")
+                before = len(fields)
+                fields = [f for f in fields if f.name.upper() != cname.upper()]
+                changed |= len(fields) != before
+        else:
+            return td  # unsupported verb: no-op, version unchanged
+
+        if changed:
+            td.schema = StructType(fields)
+            td.version += 1
+            td.history.append((td.version, ddl.strip()))
+        return td

@@ -53,3 +53,39 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``oracdc_spark`` importable on executor Python workers.
+
+    Python UDF / applyInPandasWithState functions defined inside the
+    package are pickled *by reference*; workers must import the module.
+    A driver that merely did ``sys.path.insert`` (not PYTHONPATH) would
+    otherwise fail with ModuleNotFoundError on the first stateful stage.
+    Idempotent; ~50 KB zip shipped once per SparkContext.
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    import oracdc_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(oracdc_spark.__file__))
+    marker = f"_oracdc_pyfile_shipped_{spark.sparkContext.applicationId}"
+    if getattr(spark, marker, False):
+        return
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"oracdc_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        arc = os.path.join(
+                            "oracdc_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, arc)
+    spark.sparkContext.addPyFile(zpath)
+    setattr(spark, marker, True)

@@ -1,0 +1,80 @@
+"""Parquet-backed MERGE sink — the Spark-native materialization path
+(K2/K3 applied, used by the streaming pipeline's foreachBatch).
+
+Semantics of ``MERGE INTO target USING batch ON pk
+WHEN MATCHED AND op='d' THEN DELETE
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED AND op<>'d' THEN INSERT *``
+expressed as a read-union-dedup-overwrite cycle (this container has no
+Delta Lake; on a real deployment this function body is one
+``DeltaTable.merge`` call and the surrounding logic is identical).
+
+Idempotence: the batch is PK-deduped (K6) and carries
+(commit_scn, scn, ssn) version columns; replayed batches converge because
+last-write-wins comparison includes the version — the reference's
+replay-safety contract (F5 + K6).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from oracdc_spark.feed import OP_DELETE
+from oracdc_spark.operators.cdc import batch_pk_dedup
+
+VERSION_COLS = ("commit_scn", "scn", "ssn")
+
+
+def merge_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    pk_cols: Sequence[str] = ("owner", "table_name", "pk"),
+    value_cols: Sequence[str] = ("totalprice", "status"),
+) -> None:
+    """Apply one commit-stamped change batch to the parquet replica."""
+    deduped = batch_pk_dedup(batch, pk_cols)
+    cols = [*pk_cols, *value_cols, *VERSION_COLS, "op"]
+    incoming = deduped.select(*cols)
+
+    if os.path.exists(target_path):
+        current = spark.read.parquet(target_path)
+        merged = current.unionByName(incoming, allowMissingColumns=False)
+    else:
+        merged = incoming
+
+    w = Window.partitionBy(*[F.col(c) for c in pk_cols]).orderBy(
+        *[F.col(c).desc() for c in VERSION_COLS]
+    )
+    latest = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .filter(F.col("op") != OP_DELETE)
+    )
+    # write-then-swap so the read above never races the overwrite
+    tmp = target_path + ".staging"
+    latest.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(target_path + ".next")
+    _swap(target_path)
+
+
+def _swap(target_path: str) -> None:
+    import shutil
+
+    nxt = target_path + ".next"
+    stg = target_path + ".staging"
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(nxt, target_path)
+    if os.path.exists(stg):
+        shutil.rmtree(stg)
+
+
+def replica_state(spark: SparkSession, target_path: str) -> DataFrame:
+    return spark.read.parquet(target_path)

@@ -1,0 +1,66 @@
+"""End-to-end Structured Streaming CDC pipeline.
+
+One streaming DAG replaces the reference's threads and queues
+(SURVEY §3 "Spark restatement of the lifecycle"):
+
+    file/Kafka source (S1/S2-equivalent feed)
+      → stateful per-XID assembly (G1-G9, streaming/assembly.py)
+      → foreachBatch: PK dedup (K6) + MERGE into the replica (K2/K3)
+
+Offsets/exactly-once: the checkpoint directory carries source offsets
+and the state store; the MERGE sink is idempotent under replay because
+last-write-wins comparison includes (commit_scn, scn, ssn) — together
+the F5 replay contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from oracdc_spark.sinks.merge import merge_batch
+from oracdc_spark.streaming.assembly import assemble_transactions
+
+FEED_DDL = (
+    "scn bigint, ssn bigint, rba string, xid string, op int, rollback boolean, "
+    "owner string, table_name string, row_id string, pk bigint, "
+    "totalprice double, status string, before_totalprice double, before_status string"
+)
+
+
+def feed_stream(
+    spark: SparkSession, feed_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """S5-equivalent: tail the change-feed directory; micro-batch size is
+    the trigger bound (the reference's SCN-window sessions, F4)."""
+    return (
+        spark.readStream.schema(FEED_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    feed_dir: str,
+    replica_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Wire source → assembly → MERGE sink; returns the running query."""
+    stream = feed_stream(spark, feed_dir, max_files_per_trigger)
+    assembled = assemble_transactions(stream)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_batch(batch.sparkSession, batch, replica_path)
+
+    return (
+        assembled.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "cdc"))
+        .outputMode("append")
+        .start()
+    )

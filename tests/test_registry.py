@@ -1,0 +1,167 @@
+"""Schema registry / DDL evolution (fixtures per FIXTURES.md §4.3 —
+OraCdcAlterTablePreProcessorTest / OraCdcColumnFromTextTest /
+OraCdcGuardUnusedColumnTest patterns)."""
+
+import pytest
+from pyspark.sql.types import (
+    ByteType,
+    DecimalType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from oracdc_spark.registry import (
+    KEY_ROWID_PSEUDO,
+    KEY_UNIQUE_NOT_NULL,
+    KEY_WELL_DEFINED_PK,
+    SchemaRegistry,
+    TableDef,
+    choose_key,
+    oracle_type_to_spark,
+    strip_guard_columns,
+)
+
+
+class TestTypeMapping:
+    @pytest.mark.parametrize(
+        "ora,spark_t",
+        [
+            ("NUMBER(1,0)", ByteType()),
+            ("NUMBER(2,0)", ByteType()),
+            ("NUMBER(4,0)", ShortType()),
+            ("NUMBER(9,0)", IntegerType()),
+            ("NUMBER(18,0)", LongType()),
+            ("NUMBER(19,0)", DecimalType(38, 0)),
+            ("NUMBER(11,7)", DecimalType(11, 7)),
+            ("NUMBER", DoubleType()),
+            ("INTEGER", DecimalType(38, 0)),
+            ("BINARY_DOUBLE", DoubleType()),
+            ("VARCHAR2(200)", StringType()),
+            ("DATE", TimestampNTZType()),
+            ("TIMESTAMP(6)", TimestampNTZType()),
+            ("ROWID", StringType()),
+        ],
+    )
+    def test_number_tiering(self, ora, spark_t):
+        assert oracle_type_to_spark(ora) == spark_t
+
+
+class TestKeyPreference:
+    def test_pk_wins(self):
+        assert choose_key(("ID",), ("U1",)) == (("ID",), KEY_WELL_DEFINED_PK)
+
+    def test_unique_fallback(self):
+        assert choose_key((), ("U1", "U2")) == (("U1", "U2"), KEY_UNIQUE_NOT_NULL)
+
+    def test_rowid_pseudo_key(self):
+        assert choose_key((), ()) == (("ORA_ROW_ID",), KEY_ROWID_PSEUDO)
+
+
+def _dept() -> TableDef:
+    return TableDef(
+        owner="SCOTT",
+        name="DEPT",
+        schema=StructType(
+            [
+                StructField("DEPTNO", LongType(), False),
+                StructField("DNAME", StringType(), True),
+                StructField("LOC", StringType(), True),
+                StructField("SYS_NC00004$", StringType(), True),  # guard col
+            ]
+        ),
+        key_cols=("DEPTNO",),
+    )
+
+
+class TestRegistry:
+    def test_guard_columns_stripped_on_register(self):
+        reg = SchemaRegistry()
+        td = reg.register(_dept())
+        assert [f.name for f in td.schema.fields] == ["DEPTNO", "DNAME", "LOC"]
+
+    def test_add_column_bumps_version(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT ADD (BUDGET NUMBER(10,2) DEFAULT 0 NOT NULL)"
+        )
+        assert td.version == 2
+        f = td.schema["BUDGET"]
+        assert f.dataType == DecimalType(10, 2) and not f.nullable
+
+    def test_add_multiple_columns(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT ADD (A NUMBER(5), B VARCHAR2(10))"
+        )
+        assert td.version == 2
+        assert td.schema["A"].dataType == IntegerType()
+        assert td.schema["B"].dataType == StringType()
+
+    def test_drop_column(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        td = reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT DROP COLUMN LOC")
+        assert td.version == 2
+        assert "LOC" not in [f.name for f in td.schema.fields]
+
+    def test_drop_key_column_rejected(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        with pytest.raises(ValueError, match="key column"):
+            reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT DROP COLUMN DEPTNO")
+
+    def test_modify_column_type(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        td = reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT MODIFY DNAME VARCHAR2(200)")
+        assert td.version == 2
+        assert td.schema["DNAME"].dataType == StringType()
+
+    def test_rename_column(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT RENAME COLUMN LOC TO LOCATION"
+        )
+        assert td.version == 2
+        assert "LOCATION" in [f.name for f in td.schema.fields]
+
+    def test_set_unused(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        td = reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT SET UNUSED COLUMN LOC")
+        assert td.version == 2
+        assert "LOC" not in [f.name for f in td.schema.fields]
+
+    def test_noop_ddl_keeps_version(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        td = reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT ENABLE ROW MOVEMENT")
+        assert td.version == 1
+
+    def test_history_tracks_ddl(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT ADD (X NUMBER(3))")
+        reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT DROP COLUMN X")
+        td = reg.get("SCOTT", "DEPT")
+        assert td.version == 3 and len(td.history) == 2
+
+
+def test_strip_unused_suffix():
+    s = StructType(
+        [
+            StructField("A", LongType(), True),
+            StructField("SYS_C00002_23010100:00:00$", StringType(), True),
+        ]
+    )
+    out = strip_guard_columns(s)
+    assert [f.name for f in out.fields] == ["A"]

@@ -1,0 +1,94 @@
+"""Streaming stateful assembly: micro-batched feed must converge to the
+exact batch-operator result (transactions split across micro-batches,
+commits arriving after their statements)."""
+
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from oracdc_spark.feed import change_feed
+from oracdc_spark.operators.cdc import apply_changes, commit_ordered
+from oracdc_spark.sinks.merge import replica_state
+from oracdc_spark.streaming.assembly import assemble_transactions
+from oracdc_spark.streaming.pipeline import run_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_feed_chunks(spark, d: str, n_chunks: int = 4) -> str:
+    """Write the feed ordered by scn into n sequential files so commits
+    land in later micro-batches than their statements. Stays in Spark so
+    the parquet schema survives (pandas would float-ify nullable ints)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    feed = change_feed(spark, SF)
+    w = Window.orderBy("scn", "ssn")
+    chunked = feed.withColumn("chunk", F.ntile(n_chunks).over(w))
+    feed_dir = f"{d}/feed"
+    os.makedirs(feed_dir)
+    for i in range(1, n_chunks + 1):
+        tmp = f"{d}/stage_{i}"
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{feed_dir}/chunk_{i:03d}.parquet")
+        shutil.rmtree(tmp)
+    return feed_dir
+
+
+@pytest.mark.slow
+def test_streaming_assembly_matches_batch(spark):
+    with tempfile.TemporaryDirectory() as d:
+        feed_dir = _write_feed_chunks(spark, d)
+        stream = (
+            spark.readStream.schema(
+                "scn bigint, ssn bigint, rba string, xid string, op int, "
+                "rollback boolean, owner string, table_name string, row_id string, "
+                "pk bigint, totalprice double, status string, "
+                "before_totalprice double, before_status string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        out = assemble_transactions(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("assembled")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r.xid, r.scn, r.ssn, r.op, r.pk, r.totalprice, r.status, r.commit_scn)
+            for r in spark.sql("SELECT * FROM assembled").collect()
+        }
+        expected = {
+            (r.xid, r.scn, r.ssn, r.op, r.pk, r.totalprice, r.status, r.commit_scn)
+            for r in commit_ordered(change_feed(spark, SF)).collect()
+        }
+        assert got == expected
+
+
+@pytest.mark.slow
+def test_end_to_end_pipeline_replica(spark):
+    with tempfile.TemporaryDirectory() as d:
+        feed_dir = _write_feed_chunks(spark, d, n_chunks=3)
+        q = run_pipeline(spark, feed_dir, f"{d}/replica", f"{d}/ckpt2")
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.pk, r.totalprice, r.status)
+            for r in replica_state(spark, f"{d}/replica").collect()
+        }
+        expected = {
+            (r.pk, r.totalprice, r.status)
+            for r in apply_changes(change_feed(spark, SF)).collect()
+        }
+        assert got == expected
