@@ -16,10 +16,12 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from oracdc_spark import transforms
 from oracdc_spark.catalog import load_table
 from oracdc_spark.feed import CHANGE_FEED_CTE, SPEC, change_feed
 from oracdc_spark.operators import analytics, cdc, dedup, envelope, similarity, textops
 from oracdc_spark.operators.filters import table_list_column, table_list_sql
+from oracdc_spark.sources import initial_load, mvlog
 
 # ---------------------------------------------------------------------------
 # replay-filter restart coordinates (arbitrary fixed offsets, both engines)
@@ -110,6 +112,18 @@ def _q_cdc_single_mode(spark, sf_dir):
     return envelope.single_mode(change_feed(spark, sf_dir))
 
 
+def _q_mvlog_batch(spark, sf_dir):
+    return mvlog.mvlog_batch(spark, sf_dir, last_seq=1000, batch_size=500)
+
+
+def _q_initial_load(spark, sf_dir):
+    return initial_load.initial_load_union(spark, sf_dir)
+
+
+def _q_cdc_pseudo_columns(spark, sf_dir):
+    return transforms.add_pseudo_columns(cdc.commit_ordered(change_feed(spark, sf_dir)))
+
+
 def _q_dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -183,6 +197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium": _q_cdc_debezium,
         "cdc_tombstones": _q_cdc_tombstones,
         "cdc_single_mode": _q_cdc_single_mode,
+        "cdc_pseudo_columns": _q_cdc_pseudo_columns,
+        # --- sources (SURVEY §2.1: S6-S9) ---
+        "mvlog_batch": _q_mvlog_batch,
+        "initial_load_union": _q_initial_load,
         # --- declared relational operators (SURVEY §2.6) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -349,6 +367,17 @@ def oracle_sql() -> dict[str, str]:
         "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' WHEN 2 THEN 'd' END AS ora_op, "
         "scn AS ora_row_scn, commit_scn AS ora_commit_scn, xid AS ora_xid, "
         "owner, table_name FROM stamped"
+    )
+
+    sql["cdc_pseudo_columns"] = cte + ", " + _STAMPED + (
+        "SELECT s.*, scn AS ORA_ROW_SCN, commit_scn AS ORA_COMMIT_SCN, "
+        "xid AS ORA_XID, "
+        "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' ELSE 'd' END AS ORA_OP "
+        "FROM stamped s"
+    )
+    sql["mvlog_batch"] = mvlog.MVLOG_BATCH_SQL.format(last_seq=1000, batch_size=500)
+    sql["initial_load_union"] = initial_load.INITIAL_LOAD_SQL.format(
+        base=SPEC.cust_scn_base, cut=initial_load.DEFAULT_CUT
     )
 
     # --- relational operators ---

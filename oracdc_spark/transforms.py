@@ -1,0 +1,161 @@
+"""Single-message-transform library (SURVEY §2.8) + pseudo-columns +
+topic-name mappers — the pluggable surface of the reference, as plain
+Column/DataFrame transforms and callable registries.
+
+Reference files: kafka/transforms/OraNumberConverter.java:71-130,
+OraIntervalConverter.java, HeaderToFieldConverter.java:54-203,
+KeyToValueConverter.java:51-130, ToLowerCaseNameConverter.java:58-180;
+runtime/data/KafkaPseudoColumnsProcessor.java:88-241; topic mappers
+runtime/config/Kafka*TopicNameMapper.java (+ Parameters.java:213-221).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from oracdc_spark.functions.decoders import (
+    ora_interval_ds_str,
+    ora_interval_ym_str,
+    ora_number_to_decimal_udf,
+    ora_number_to_double,
+    ora_number_to_long,
+)
+
+# ---------------------------------------------------------------------------
+# OraNumberConverter / OraIntervalConverter SMTs
+# ---------------------------------------------------------------------------
+
+_NUMBER_TARGETS: dict[str, Callable[..., Column]] = {
+    "double": lambda c, **_: ora_number_to_double(c),
+    "float": lambda c, **_: ora_number_to_double(c).cast("float"),
+    "long": lambda c, **_: ora_number_to_long(c),
+    "int": lambda c, **_: ora_number_to_long(c).cast("int"),
+    "short": lambda c, **_: ora_number_to_long(c).cast("short"),
+    "byte": lambda c, **_: ora_number_to_long(c).cast("byte"),
+    "string": lambda c, **_: ora_number_to_double(c).cast("string"),
+    "decimal": lambda c, scale=10, **_: ora_number_to_decimal_udf(38, scale)(c),
+}
+
+
+def ora_number_convert(col: Column | str, target: str = "decimal", scale: int = 10) -> Column:
+    """NUMBER bytes/hex → the requested field type (per-field list in the
+    reference config; here applied per column)."""
+    c = F.col(col) if isinstance(col, str) else col
+    try:
+        return _NUMBER_TARGETS[target](c, scale=scale)
+    except KeyError:
+        raise ValueError(f"unknown NUMBER target {target!r}") from None
+
+
+def ora_interval_convert(col: Column | str, kind: str = "ds") -> Column:
+    """INTERVAL bytes → canonical string ('ym' or 'ds')."""
+    c = F.col(col) if isinstance(col, str) else col
+    if kind == "ym":
+        return ora_interval_ym_str(c)
+    if kind == "ds":
+        return ora_interval_ds_str(c)
+    raise ValueError(f"unknown interval kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# structural SMTs
+# ---------------------------------------------------------------------------
+
+
+def header_to_field(df: DataFrame, header_col: str, field_name: str) -> DataFrame:
+    """HeaderToFieldConverter: copy a record header into a value field.
+    In the Spark Kafka model headers are an array<struct<key,value>>;
+    scalar header columns copy directly."""
+    return df.withColumn(field_name, F.col(header_col))
+
+
+def key_to_value(df: DataFrame, key_cols: list[str], prefix: str = "") -> DataFrame:
+    """KeyToValueConverter: merge key fields into the value schema."""
+    out = df
+    for k in key_cols:
+        out = out.withColumn(f"{prefix}{k}", F.col(k))
+    return out
+
+
+def to_lowercase_names(df: DataFrame) -> DataFrame:
+    """ToLowerCaseNameConverter: lowercase every field name."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def sanitize_avro_names(df: DataFrame) -> DataFrame:
+    """P12 — Avro-illegal chars → '_', leading digit prefixed
+    (KafkaUtils.fixAvroFieldName semantics)."""
+    import re
+
+    def fix(name: str) -> str:
+        fixed = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        if fixed and fixed[0].isdigit():
+            fixed = "_" + fixed
+        return fixed
+
+    return df.toDF(*[fix(c) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# pseudo-columns (KafkaPseudoColumnsProcessor.java:88-241)
+# ---------------------------------------------------------------------------
+
+
+def add_pseudo_columns(
+    stamped: DataFrame,
+    row_scn: bool = True,
+    commit_scn: bool = True,
+    xid: bool = True,
+    operation: bool = True,
+) -> DataFrame:
+    """Append the requested ORA_* pseudo-columns to a commit-stamped
+    change DataFrame (plain withColumns — SURVEY §1.2)."""
+    out = stamped
+    if row_scn:
+        out = out.withColumn("ORA_ROW_SCN", F.col("scn"))
+    if commit_scn:
+        out = out.withColumn("ORA_COMMIT_SCN", F.col("commit_scn"))
+    if xid:
+        out = out.withColumn("ORA_XID", F.col("xid"))
+    if operation:
+        out = out.withColumn(
+            "ORA_OP",
+            F.when(F.col("op") == 1, "c").when(F.col("op") == 3, "u").otherwise("d"),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# topic / schema name mappers (callable registry)
+# ---------------------------------------------------------------------------
+
+
+def default_topic_mapper(prefix: str = "") -> Callable[[str | None, str, str], str]:
+    """KafkaDefaultSchemaNameMapper: [prefix][pdb_]owner_table."""
+
+    def f(pdb: str | None, owner: str, table: str) -> str:
+        parts = [p for p in (pdb, owner, table) if p]
+        return (prefix + "_" if prefix else "") + "_".join(parts)
+
+    return f
+
+
+def single_topic_mapper(topic: str) -> Callable[[str | None, str, str], str]:
+    """KafkaSingleTopicNameMapper: everything to one topic."""
+    return lambda pdb, owner, table: topic
+
+
+def flexible_topic_mapper(template: str) -> Callable[[str | None, str, str], str]:
+    """KafkaFlexibleTopicNameMapper: template with %PDB%/%OWNER%/%TABLE%."""
+
+    def f(pdb: str | None, owner: str, table: str) -> str:
+        return (
+            template.replace("%PDB%", pdb or "")
+            .replace("%OWNER%", owner)
+            .replace("%TABLE%", table)
+        )
+
+    return f
