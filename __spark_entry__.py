@@ -19,7 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 from oracdc_spark import transforms
 from oracdc_spark.catalog import load_table
 from oracdc_spark.feed import CHANGE_FEED_CTE, SPEC, change_feed
-from oracdc_spark.operators import analytics, cdc, dedup, envelope, similarity, textops
+from oracdc_spark.operators import (
+    analytics,
+    cdc,
+    dedup,
+    envelope,
+    lob,
+    multimodal,
+    similarity,
+    textops,
+)
 from oracdc_spark.operators.filters import table_list_column, table_list_sql
 from oracdc_spark.sources import initial_load, mvlog
 
@@ -124,6 +133,71 @@ def _q_cdc_pseudo_columns(spark, sf_dir):
     return transforms.add_pseudo_columns(cdc.commit_ordered(change_feed(spark, sf_dir)))
 
 
+def _q_lob_reassembly(spark, sf_dir):
+    return lob.lob_roundtrip(spark, sf_dir)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    media = multimodal.synthetic_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+def _q_cdc_wrapped_flat(spark, sf_dir):
+    """Wrapped tri-state mode, flattened for hashability: presence flag +
+    value per wrapped column (struct-null vs V-null distinction)."""
+    stamped = cdc.commit_ordered(change_feed(spark, sf_dir))
+    present = F.col("op") != 2
+    return stamped.select(
+        "owner",
+        "table_name",
+        "pk",
+        present.alias("totalprice_present"),
+        F.when(present, F.col("totalprice")).alias("totalprice_v"),
+        present.alias("status_present"),
+        F.when(present, F.col("status")).alias("status_v"),
+        "commit_scn",
+        "scn",
+    )
+
+
+# golden decode vectors (OraDumpDecoderTest.java constants, FIXTURES.md §3)
+_NUMBER_GOLDENS = [
+    (1, "3f534966", -0.1828),
+    (2, "c1024a153351", 1.7320508),
+    (3, "80", 0.0),
+    (4, "c202", 100.0),
+]
+_BF_BD_GOLDENS = [
+    (1, "bfddb3d7", "bffbb67ae8584caa"),
+]
+
+
+def _q_ora_number_decode(spark, sf_dir):
+    from oracdc_spark.functions.decoders import ora_number_to_double
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in _NUMBER_GOLDENS], "id bigint, hex string"
+    ).coalesce(1)
+    return df.select("id", ora_number_to_double(F.col("hex")).alias("val"))
+
+
+def _q_ora_binary_fp_decode(spark, sf_dir):
+    from oracdc_spark.functions.decoders import ora_binary_double, ora_binary_float
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [(i, bf, bd) for i, bf, bd in _BF_BD_GOLDENS], "id bigint, bf string, bd string"
+    ).coalesce(1)
+    return df.select(
+        "id",
+        ora_binary_float(F.col("bf")).cast("double").alias("bf_val"),
+        ora_binary_double(F.col("bd")).alias("bd_val"),
+    )
+
+
 def _q_dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -198,9 +272,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tombstones": _q_cdc_tombstones,
         "cdc_single_mode": _q_cdc_single_mode,
         "cdc_pseudo_columns": _q_cdc_pseudo_columns,
+        "cdc_wrapped_flat": _q_cdc_wrapped_flat,
+        "lob_reassembly": _q_lob_reassembly,
         # --- sources (SURVEY §2.1: S6-S9) ---
         "mvlog_batch": _q_mvlog_batch,
         "initial_load_union": _q_initial_load,
+        # --- type decoders (SURVEY §2.4: P3-P6) ---
+        "ora_number_decode": _q_ora_number_decode,
+        "ora_binary_fp_decode": _q_ora_binary_fp_decode,
+        # --- multimodal plumbing (rows-only: stubbed codecs) ---
+        "multimodal_features": _q_multimodal_features,
         # --- declared relational operators (SURVEY §2.6) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -374,6 +455,24 @@ def oracle_sql() -> dict[str, str]:
         "xid AS ORA_XID, "
         "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' ELSE 'd' END AS ORA_OP "
         "FROM stamped s"
+    )
+    sql["cdc_wrapped_flat"] = cte + ", " + _STAMPED + (
+        "SELECT owner, table_name, pk, "
+        "(op <> 2) AS totalprice_present, "
+        "CASE WHEN op <> 2 THEN totalprice END AS totalprice_v, "
+        "(op <> 2) AS status_present, "
+        "CASE WHEN op <> 2 THEN status END AS status_v, "
+        "commit_scn, scn FROM stamped"
+    )
+    sql["lob_reassembly"] = lob.LOB_ROUNDTRIP_SQL.format(chunk=lob.CHUNK)
+    sql["ora_number_decode"] = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS id, CAST({v!r} AS DOUBLE) AS val"
+        for i, _, v in _NUMBER_GOLDENS
+    )
+    sql["ora_binary_fp_decode"] = (
+        "SELECT CAST(1 AS BIGINT) AS id, "
+        "CAST(1.7320507764816284 AS DOUBLE) AS bf_val, "
+        "CAST(1.7320508075688772 AS DOUBLE) AS bd_val"
     )
     sql["mvlog_batch"] = mvlog.MVLOG_BATCH_SQL.format(last_seq=1000, batch_size=500)
     sql["initial_load_union"] = initial_load.INITIAL_LOAD_SQL.format(

@@ -52,6 +52,16 @@ def _tokens(col: str = "text"):
     )
 
 
+def _parallel(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row work across all cores.  Small corpora
+    arrive as one parquet file → one partition → one core does all the
+    shingling/hashing; a cheap round-robin repartition unlocks the rest.
+    (At real scale the source has many splits and AQE coalesces this
+    away — the explicit repartition only matters when files < cores.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
     Narrow (per-row explode), no shuffle."""
@@ -65,7 +75,8 @@ def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        _parallel(docs)
+        .select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -77,7 +88,9 @@ def jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataFr
     set sizes via a broadcast-joined per-doc count. Output: (d1, d2,
     common, jac) with d1 < d2.
     """
-    sh = shingles(docs, n).cache()
+    # no cache: the two self-join branches share one shuffle via
+    # ReusedExchange (cache materialization measured 4× slower at sf0.1)
+    sh = shingles(docs, n)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -99,19 +112,23 @@ def jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataFr
 
 
 def minhash_signatures(docs: DataFrame, n: int = 5, num_hashes: int = 8) -> DataFrame:
-    """(doc_id, seed, minhash): minhash = min over shingles of
-    md5('<seed>|'<shingle>), compared as hex strings — engine-portable and
-    deterministic. Map-side combinable aggregate; one shuffle on doc_id."""
+    """Wide MinHash signature: (doc_id, mh0..mh{k-1}) where
+    mh_i = min over shingles of md5('<i>|'<shingle>), compared as hex
+    strings — engine-portable and deterministic.
+
+    Layout rationale (100 TB): all k mins are computed as k aggregate
+    expressions over ONE groupBy(doc_id) — map-side partial aggregation,
+    a single shuffle, no k-fold row explosion.  (A seed-exploded layout
+    measured 3× slower at sf0.1.)
+    """
     sh = shingles(docs, n)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    return (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))).alias("mh"))
-    )
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -126,19 +143,15 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, n, num_hashes)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s["mh"],
-                ),
-                "|",
-            ).alias("band_sig")
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *members).alias("band_sig"))
         )
-    )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -161,7 +174,7 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     fingerprint bit b = 1 iff the majority of token hashes set bit b.
     Everything stays in JVM expressions (conv/shiftright) — no Python.
     """
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    toks = _parallel(docs).select("doc_id", F.explode(_tokens()).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
     per_bit = (

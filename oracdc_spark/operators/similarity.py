@@ -27,9 +27,15 @@ from pyspark.sql import DataFrame, Window
 SCALE = 1000
 
 
+def _parallel(df: DataFrame) -> DataFrame:
+    """Single-file corpora read as one partition — spread the explode/
+    multiply work across cores (see operators.dedup._parallel)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def quantized(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Unnest embeddings to exact integer components: (id, i, q)."""
-    return vecs.select(
+    return _parallel(vecs).select(
         F.col(id_col),
         F.posexplode(vec_col).alias("i", "x"),
     ).select(
@@ -101,7 +107,7 @@ def ivf_topk(vecs: DataFrame, query_mod: int = 100, k: int = 3) -> DataFrame:
     queries = vecs.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("cell"), F.col("embedding").alias("qe")
     )
-    cand = vecs.select(
+    cand = _parallel(vecs).select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cell"), "embedding"
     )
     pairs = F.broadcast(queries).join(cand, "cell").filter(
@@ -139,7 +145,7 @@ def embedding_near_dups(vecs: DataFrame, threshold_score: float = 0.16) -> DataF
 
     threshold_score is in quantized-score space (cos² with sign), i.e.
     0.16 ≈ |cos| ≥ 0.4. Output: (v1, v2) with v1 < v2."""
-    a = vecs.select(F.col("vec_id").alias("v1"), F.col("label").alias("cell"), F.col("embedding").alias("e1"))
+    a = _parallel(vecs).select(F.col("vec_id").alias("v1"), F.col("label").alias("cell"), F.col("embedding").alias("e1"))
     b = vecs.select(F.col("vec_id").alias("v2"), F.col("label").alias("cell"), F.col("embedding").alias("e2"))
     pairs = a.join(b, "cell").filter(F.col("v1") < F.col("v2"))
     comps = pairs.select(

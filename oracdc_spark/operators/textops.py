@@ -29,13 +29,19 @@ def _tokens(col: str = "text"):
     return F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda x: x != F.lit(""))
 
 
+def _parallel(df: DataFrame) -> DataFrame:
+    """Single-file corpora read as one partition — spread the regex/hash
+    work across cores (see operators.dedup._parallel)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish proxy (4 chars ≈ 1
     token, the common LLM heuristic) + alpha-token count."""
     toks = _tokens()
     n_tokens = F.size(toks)
     n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
-    return docs.select(
+    return _parallel(docs).select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
         n_nonspace.cast("bigint").alias("n_nonspace_chars"),
@@ -63,7 +69,7 @@ def quality_scores(docs: DataFrame, min_tokens: int = 20, max_stopword_ratio: fl
         F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double") / n_tokens
     )
     keep = (n_tokens >= min_tokens) & (stop_ratio <= max_stopword_ratio)
-    return docs.select(
+    return _parallel(docs).select(
         "doc_id",
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
@@ -105,7 +111,7 @@ def language_id(docs: DataFrame) -> DataFrame:
         for i, s in enumerate(scores)
     ]
     best = F.array_max(F.array(*scored))["lang"]
-    return docs.select(
+    return _parallel(docs).select(
         "doc_id",
         "lang",
         best.alias("pred_lang"),
@@ -119,7 +125,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     that exact hashing misses)."""
     toks = F.array_sort(F.array_distinct(_tokens()))
     norm = F.array_join(toks, " ")
-    return docs.select(
+    return _parallel(docs).select(
         "doc_id",
         F.md5(F.lower(norm)).alias("fingerprint"),
     )
