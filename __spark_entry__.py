@@ -24,6 +24,7 @@ from oracdc_spark.operators import (
     cdc,
     dedup,
     envelope,
+    fusion,
     lob,
     multimodal,
     similarity,
@@ -131,6 +132,14 @@ def _q_initial_load(spark, sf_dir):
 
 def _q_cdc_pseudo_columns(spark, sf_dir):
     return transforms.add_pseudo_columns(cdc.commit_ordered(change_feed(spark, sf_dir)))
+
+
+def _q_row_fusion(spark, sf_dir):
+    return fusion.row_fusion(spark, sf_dir)
+
+
+def _q_multirow_expansion(spark, sf_dir):
+    return fusion.multirow_expansion(spark, sf_dir)
 
 
 def _q_lob_reassembly(spark, sf_dir):
@@ -273,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_single_mode": _q_cdc_single_mode,
         "cdc_pseudo_columns": _q_cdc_pseudo_columns,
         "cdc_wrapped_flat": _q_cdc_wrapped_flat,
+        "cdc_row_fusion": _q_row_fusion,
+        "cdc_multirow_expansion": _q_multirow_expansion,
         "lob_reassembly": _q_lob_reassembly,
         # --- sources (SURVEY §2.1: S6-S9) ---
         "mvlog_batch": _q_mvlog_batch,
@@ -464,6 +475,8 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN op <> 2 THEN status END AS status_v, "
         "commit_scn, scn FROM stamped"
     )
+    sql["cdc_row_fusion"] = fusion.ROW_FUSION_SQL
+    sql["cdc_multirow_expansion"] = fusion.MULTIROW_SQL
     sql["lob_reassembly"] = lob.LOB_ROUNDTRIP_SQL.format(chunk=lob.CHUNK)
     sql["ora_number_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, CAST({v!r} AS DOUBLE) AS val"

@@ -1,0 +1,99 @@
+"""G5 fusion / G6 expansion semantics + metrics observation."""
+
+import pyspark.sql.functions as F
+
+from oracdc_spark.metrics import CdcQueryListener, observe_emission
+from oracdc_spark.operators import fusion
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestFusion:
+    def test_two_fragments_fuse_to_one_event(self, spark):
+        out = fusion.row_fusion(spark, SF)
+        rows = out.collect()
+        assert rows and all(r.n_fragments == 2 for r in rows)
+        # both columns resolved from their respective fragments
+        assert all(r.totalprice is not None and r.status == "F2" for r in rows)
+
+    def test_fragment_order_resolution(self, spark):
+        # first non-null wins: add a third fragment with a conflicting
+        # price at frag=2 — fused price must stay the frag-0 value
+        frags = fusion.fragment_feed(spark, SF)
+        extra = frags.filter("frag = 0").withColumn("frag", F.lit(2).cast("bigint")).withColumn(
+            "totalprice", F.col("totalprice") + 999
+        )
+        fused = fusion.fuse_fragments(frags.unionAll(extra))
+        base = {r.pk: r.totalprice for r in fusion.row_fusion(spark, SF).collect()}
+        got = {r.pk: r.totalprice for r in fused.collect()}
+        assert got == base  # frag-2 conflict ignored
+
+
+class TestMultirow:
+    def test_expansion_fan_and_ssn(self, spark):
+        qmi = fusion.multirow_feed(spark, SF)
+        out = fusion.expand_multirow(qmi)
+        n_records = qmi.count()
+        assert out.count() == n_records * fusion.MULTIROW_FAN
+        one = sorted(
+            out.filter(out.scn == out.agg(F.min("scn")).first()[0]).collect(),
+            key=lambda r: r.ssn,
+        )
+        assert [r.ssn for r in one] == [0, 1, 2]
+        assert one[1].totalprice == one[0].totalprice + 1.0
+
+
+class TestMetrics:
+    def test_observe_emission_counts(self, spark):
+        from oracdc_spark.feed import change_feed
+        from oracdc_spark.operators.cdc import commit_ordered
+
+        stamped = commit_ordered(change_feed(spark, SF))
+        observed, m = observe_emission(stamped)
+        n = observed.count()
+        vals = m.results()
+        assert vals["SentRecordsCount"] == n
+        assert vals["CommittedTransactionsCount"] > 0
+        assert vals["LastCommitScn"] >= vals["LastScn"] - 10**6
+        assert vals["ParsePerSecond"] > 0
+
+    def test_streaming_listener(self, spark):
+        import tempfile
+
+        from tests.test_streaming import _write_feed_chunks
+        from oracdc_spark.streaming.assembly import assemble_transactions
+
+        listener = CdcQueryListener()
+        spark.streams.addListener(listener)
+        try:
+            with tempfile.TemporaryDirectory() as d:
+                feed_dir = _write_feed_chunks(spark, d, n_chunks=2)
+                stream = (
+                    spark.readStream.schema(
+                        "scn bigint, ssn bigint, rba string, xid string, op int, "
+                        "rollback boolean, owner string, table_name string, "
+                        "row_id string, pk bigint, totalprice double, status string, "
+                        "before_totalprice double, before_status string"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(feed_dir)
+                )
+                q = (
+                    assemble_transactions(stream)
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", f"{d}/ck")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+            import time
+
+            for _ in range(20):  # listener events deliver asynchronously
+                if listener.snapshot()["SentBatchesCount"] >= 1:
+                    break
+                time.sleep(0.5)
+            snap = listener.snapshot()
+            assert snap["SentBatchesCount"] >= 1
+            assert snap["SentRecordsCount"] > 0
+        finally:
+            spark.streams.removeListener(listener)
