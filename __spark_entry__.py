@@ -300,6 +300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": analytics.top_orders,
         "customer_order_rank": analytics.customer_order_rank,
         "customers_set_ops": analytics.customers_set_ops,
+        "orders_rollup": analytics.orders_rollup,
+        "conditional_agg": analytics.conditional_agg,
+        "customers_without_orders": analytics.customers_without_orders,
+        "promo_revenue": analytics.promo_revenue,
+        "orders_above_cust_avg": analytics.orders_above_cust_avg,
         "events_hourly": analytics.events_hourly,
         "events_running_total": analytics.events_running_total,
         "events_sessionize": analytics.events_sessionize,
@@ -548,6 +553,39 @@ SELECT o_custkey, 'partial_and_open' AS tag FROM (
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
   INTERSECT
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') b
+"""
+    sql["orders_rollup"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {dec})) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+    sql["conditional_agg"] = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders GROUP BY o_orderstatus
+"""
+    sql["customers_without_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+    sql["promo_revenue"] = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST({_REV} AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST({_REV} AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+    sql["orders_above_cust_avg"] = f"""
+WITH a AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS {dec})) AS DOUBLE) / COUNT(*) AS avg_price
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+FROM orders o JOIN a ON o.o_custkey = a.o_custkey
+WHERE o.o_totalprice > a.avg_price
 """
     sql["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

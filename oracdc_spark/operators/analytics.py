@@ -131,6 +131,68 @@ def customers_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return only_open.unionAll(both).select("o_custkey", "tag")
 
 
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (status × priority hierarchy + subtotals +
+    grand total) — the grouping-sets operator family."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+    )
+
+
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation: priority-class counts per
+    order status (CASE inside SUM — no extra scan per class)."""
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered (NOT EXISTS). Broadcast
+    anti join — the orders key set is the small side after distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "anti").select("c_custkey", "c_name", "c_mktsegment")
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: LIKE-filtered revenue share (promo part revenue /
+    total revenue). Ratio = one double division of exact decimal sums."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(
+        "decimal(18,4)"
+    )
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern: orders exceeding their customer's
+    average order value (decorrelated to join-with-aggregate; avg derived
+    as exact-sum / count → engine-deterministic double)."""
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        o.join(F.broadcast(avg), "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch parity of the streaming windowed
     agg): events per hour × type, sum(value) as exact-decimal."""

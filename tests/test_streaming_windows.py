@@ -1,0 +1,77 @@
+"""Streaming windowed aggregation: emitted (watermark-closed) windows
+must exactly match the batch computation; open windows withhold."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from oracdc_spark.catalog import load_table
+from oracdc_spark.streaming.windows import session_windows, windowed_event_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+def _chunked_events(spark, d, n_chunks=3):
+    ev = load_table(spark, SF, "events")
+    from pyspark.sql import Window
+
+    chunked = ev.withColumn("chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")))
+    out = f"{d}/events"
+    os.makedirs(out)
+    for i in range(1, n_chunks + 1):
+        tmp = f"{d}/s{i}"
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{out}/c{i:02d}.parquet")
+        shutil.rmtree(tmp)
+    return out
+
+
+@pytest.mark.slow
+def test_windowed_counts_match_batch_for_closed_windows(spark):
+    with tempfile.TemporaryDirectory() as d:
+        src_dir = _chunked_events(spark, d)
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName("win_counts")
+            .option("checkpointLocation", f"{d}/ck")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r.hour, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        assert got, "no windows emitted"
+        batch = {
+            (r.hour, r.event_type): (r.n_events, r.sum_value)
+            for r in windowed_event_counts(load_table(spark, SF, "events")).collect()
+        }
+        # append mode: every emitted window is final → must equal batch
+        for k, v in got.items():
+            assert batch[k] == v, k
+        # windows newer than the final watermark are withheld, not wrong
+        assert len(got) < len(batch)
+
+
+def test_session_window_batch_parity(spark):
+    ev = load_table(spark, SF, "events")
+    sess = session_windows(ev).collect()
+    # session windows: end - start >= 0 and counts sum to all events
+    assert sum(r.n_events for r in sess) == ev.count()
+    assert all(r.end_us >= r.start_us for r in sess)
