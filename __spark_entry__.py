@@ -207,6 +207,72 @@ def _q_ora_binary_fp_decode(spark, sf_dir):
     )
 
 
+# charset golden vectors (OraDumpDecoderTest.java:55-66, FIXTURES.md §3.2)
+_CHARSET_GOLDENS = [
+    (1, "7468616e6b73", "thanks"),
+    (2, "e8ac9de8ac9de595a6", "謝謝啦"),
+    (3, "cea3ceb1cf8220ceb5cf85cf87ceb1cf81ceb9cf83cf84cf8e", "Σας ευχαριστώ"),
+    (4, "d0a1d0bfd0b0d181d0b8d0b1d0be", "Спасибо"),
+]
+
+# VECTOR float32 golden (VectorTest.java:64-67): decoded element values
+_VECTOR_F32_HEX = (
+    "00700001010c00800001000000010000002124ad00374890003100002d01db000012"
+    "02000000" "07" "c01d8d0d8958b5f2"
+    "c0066666c0333333ba83126fbb03126fc0600000c083d70ac067ae14"
+)
+_VECTOR_F32_VALS = [
+    2.0999999046325684, 2.799999952316284, 0.0010000000474974513,
+    0.0020000000949949026, 3.5, 4.119999885559082, 3.619999885559082,
+]
+
+
+def _q_ora_charset_decode(spark, sf_dir):
+    from oracdc_spark.functions.decoders import ora_charset_decode
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in _CHARSET_GOLDENS], "id bigint, hex string"
+    ).coalesce(1)
+    return df.select("id", ora_charset_decode("utf-8")(F.unhex(F.col("hex"))).alias("s"))
+
+
+def _q_ora_vector_decode(spark, sf_dir):
+    from oracdc_spark.functions.vector import ora_vector
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame([(1, _VECTOR_F32_HEX)], "id bigint, hex string").coalesce(1)
+    return df.select(
+        "id", F.posexplode(ora_vector(F.col("hex"))).alias("i", "val")
+    ).select("id", F.col("i").cast("bigint").alias("i"), "val")
+
+
+def _q_kafka_records(spark, sf_dir):
+    """K1 — Kafka record binding: topic (default mapper), JSON key/value,
+    op header; tombstone (null value) on delete."""
+    stamped = cdc.commit_ordered(change_feed(spark, sf_dir))
+    key_json = F.concat(F.lit('{"pk":'), F.col("pk").cast("string"), F.lit("}"))
+    value_json = F.when(
+        F.col("op") != 2,
+        F.concat(
+            F.lit('{"pk":'), F.col("pk").cast("string"),
+            F.lit(',"totalprice":'), F.col("totalprice").cast("string"),
+            F.lit(',"status":"'), F.col("status"), F.lit('"}'),
+        ),
+    )
+    return stamped.select(
+        F.concat_ws("_", F.col("owner"), F.col("table_name")).alias("topic"),
+        key_json.alias("key_json"),
+        value_json.alias("value_json"),
+        F.when(F.col("op") == 1, "c").when(F.col("op") == 3, "u").otherwise("d").alias("header_op"),
+        "commit_scn",
+        "scn",
+        "ssn",
+    )
+
+
 def _q_dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
@@ -288,9 +354,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sources (SURVEY §2.1: S6-S9) ---
         "mvlog_batch": _q_mvlog_batch,
         "initial_load_union": _q_initial_load,
-        # --- type decoders (SURVEY §2.4: P3-P6) ---
+        # --- type decoders (SURVEY §2.4: P3-P6, P9) ---
         "ora_number_decode": _q_ora_number_decode,
         "ora_binary_fp_decode": _q_ora_binary_fp_decode,
+        "ora_charset_decode": _q_ora_charset_decode,
+        "ora_vector_decode": _q_ora_vector_decode,
+        # --- K1 kafka record binding ---
+        "kafka_records": _q_kafka_records,
         # --- multimodal plumbing (rows-only: stubbed codecs) ---
         "multimodal_features": _q_multimodal_features,
         # --- declared relational operators (SURVEY §2.6) ---
@@ -491,6 +561,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(1 AS BIGINT) AS id, "
         "CAST(1.7320507764816284 AS DOUBLE) AS bf_val, "
         "CAST(1.7320508075688772 AS DOUBLE) AS bd_val"
+    )
+    sql["ora_charset_decode"] = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS id, '{s}' AS s" for i, _, s in _CHARSET_GOLDENS
+    )
+    sql["ora_vector_decode"] = " UNION ALL ".join(
+        f"SELECT CAST(1 AS BIGINT) AS id, CAST({i} AS BIGINT) AS i, "
+        f"CAST({v!r} AS DOUBLE) AS val"
+        for i, v in enumerate(_VECTOR_F32_VALS)
+    )
+    sql["kafka_records"] = cte + ", " + _STAMPED + (
+        "SELECT owner || '_' || table_name AS topic, "
+        "'{\"pk\":' || CAST(pk AS VARCHAR) || '}' AS key_json, "
+        "CASE WHEN op <> 2 THEN "
+        "'{\"pk\":' || CAST(pk AS VARCHAR) || ',\"totalprice\":' || "
+        "CAST(totalprice AS VARCHAR) || ',\"status\":\"' || status || '\"}' "
+        "END AS value_json, "
+        "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' ELSE 'd' END AS header_op, "
+        "commit_scn, scn, ssn FROM stamped"
     )
     sql["mvlog_batch"] = mvlog.MVLOG_BATCH_SQL.format(last_seq=1000, batch_size=500)
     sql["initial_load_union"] = initial_load.INITIAL_LOAD_SQL.format(
