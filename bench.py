@@ -20,6 +20,11 @@ BENCH_QUERIES = [
     "cdc_batch_dedup",
     "cdc_apply_changes",
     "cdc_debezium",
+    "cdc_row_fusion",
+    "kafka_records",
+    "mvlog_batch",
+    "initial_load_union",
+    "lob_reassembly",
     # relational coverage
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -32,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
     "text_quality",
     "text_fingerprint",
 ]

@@ -98,43 +98,58 @@ def _order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
 
-    def stmt(df, scn, ssn, op, rollback, totalprice, status, b_totalprice, b_status):
-        return df.select(
+    # Single parquet scan: each order emits its statements as an exploded
+    # array of structs (a 4-way union would scan orders once per branch).
+    def stmt(scn, ssn, op, rollback, totalprice, status, b_totalprice, b_status):
+        return F.struct(
             scn.cast("bigint").alias("scn"),
             F.lit(ssn).cast("bigint").alias("ssn"),
-            F.col("xid_n").cast("bigint").alias("xid_n"),
             F.lit(op).cast("int").alias("op"),
             F.lit(rollback).alias("rollback"),
-            F.col("k").cast("bigint").alias("pk"),
             totalprice.cast("double").alias("totalprice"),
             status.cast("string").alias("status"),
             b_totalprice.cast("double").alias("before_totalprice"),
             b_status.cast("string").alias("before_status"),
         )
 
-    inserts = stmt(
-        o, F.col("k") * 10, 0, OP_INSERT, False,
-        F.col("o_totalprice"), F.col("o_orderstatus"), null_d, null_s,
-    )
-    upd_base = o.filter(F.col("k") % s.update_mod == 0)
+    is_upd = F.col("k") % s.update_mod == 0
     noop = F.col("k") % s.noop_update_mod == 0
-    updates = stmt(
-        upd_base, F.col("k") * 10 + 1, 1, OP_UPDATE, False,
-        F.when(noop, F.col("o_totalprice")).otherwise(F.col("o_totalprice") + s.update_delta),
-        F.when(noop, F.col("o_orderstatus")).otherwise(F.lit("U")),
-        F.col("o_totalprice"), F.col("o_orderstatus"),
+    stmts = F.array(
+        stmt(F.col("k") * 10, 0, OP_INSERT, False,
+             F.col("o_totalprice"), F.col("o_orderstatus"), null_d, null_s),
+        F.when(
+            is_upd,
+            stmt(F.col("k") * 10 + 1, 1, OP_UPDATE, False,
+                 F.when(noop, F.col("o_totalprice")).otherwise(F.col("o_totalprice") + s.update_delta),
+                 F.when(noop, F.col("o_orderstatus")).otherwise(F.lit("U")),
+                 F.col("o_totalprice"), F.col("o_orderstatus")),
+        ),
+        F.when(
+            is_upd & (F.col("k") % s.partial_rb_mod == s.partial_rb_rem),
+            stmt(F.col("k") * 10 + 1, 2, OP_UPDATE, True,
+                 null_d, null_s, null_d, null_s),
+        ),
+        F.when(
+            F.col("k") % s.delete_mod == 0,
+            stmt(F.col("k") * 10 + 2, 0, OP_DELETE, False,
+                 null_d, null_s, F.col("o_totalprice"), F.col("o_orderstatus")),
+        ),
     )
-    partial_rb = stmt(
-        upd_base.filter(F.col("k") % s.partial_rb_mod == s.partial_rb_rem),
-        F.col("k") * 10 + 1, 2, OP_UPDATE, True,
-        null_d, null_s, null_d, null_s,
+    exploded = o.select(
+        "k", "xid_n", F.explode(F.filter(stmts, lambda x: x.isNotNull())).alias("st")
     )
-    deletes = stmt(
-        o.filter(F.col("k") % s.delete_mod == 0),
-        F.col("k") * 10 + 2, 0, OP_DELETE, False,
-        null_d, null_s, F.col("o_totalprice"), F.col("o_orderstatus"),
+    return exploded.select(
+        F.col("st.scn").alias("scn"),
+        F.col("st.ssn").alias("ssn"),
+        F.col("xid_n").cast("bigint").alias("xid_n"),
+        F.col("st.op").alias("op"),
+        F.col("st.rollback").alias("rollback"),
+        F.col("k").cast("bigint").alias("pk"),
+        F.col("st.totalprice").alias("totalprice"),
+        F.col("st.status").alias("status"),
+        F.col("st.before_totalprice").alias("before_totalprice"),
+        F.col("st.before_status").alias("before_status"),
     )
-    return inserts.unionAll(updates).unionAll(partial_rb).unionAll(deletes)
 
 
 def change_feed(spark: SparkSession, sf_dir: str, with_customer: bool = False) -> DataFrame:

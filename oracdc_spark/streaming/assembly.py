@@ -113,6 +113,41 @@ def _cancel_pairs(stmts: list[dict], markers: list[dict]) -> tuple[list[dict], l
     return stmts, remaining_markers
 
 
+SUSPICIOUS_XID_SUFFIX = "FFFFFFFF"
+
+
+def normalize_xid(changes: DataFrame) -> DataFrame:
+    """XID-prefix substitution (OraCdcLogMinerWorkerThread.java:398-431):
+    LogMiner occasionally reports a transaction's sequence part as
+    0xFFFFFFFF; such records belong to the open transaction with the same
+    undo-segment+slot prefix.  Substitution = rewrite the suspicious XID
+    to prefix + the prefix's current open sequence (join against the
+    distinct non-suspicious XIDs sharing the prefix).
+
+    Runs *before* the keyed shuffle so state groups see canonical XIDs.
+    """
+    import pyspark.sql.functions as F
+
+    prefix = F.substring(F.col("xid"), 1, 8)
+    suspicious = F.col("xid").endswith(SUSPICIOUS_XID_SUFFIX)
+    normal = (
+        changes.filter(~suspicious)
+        .select(prefix.alias("xid_prefix"), F.col("xid").alias("canonical_xid"))
+        .distinct()
+    )
+    return (
+        changes.withColumn("xid_prefix", prefix)
+        .join(F.broadcast(normal), "xid_prefix", "left")
+        .withColumn(
+            "xid",
+            F.when(
+                suspicious & F.col("canonical_xid").isNotNull(), F.col("canonical_xid")
+            ).otherwise(F.col("xid")),
+        )
+        .drop("xid_prefix", "canonical_xid")
+    )
+
+
 def assemble_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
