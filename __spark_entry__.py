@@ -86,7 +86,7 @@ def _q_cdc_commit_order(spark, sf_dir):
 
 
 def _q_cdc_replay_filter(spark, sf_dir):
-    stamped = cdc.commit_ordered(change_feed(spark, sf_dir))
+    stamped = cdc.commit_stamped(change_feed(spark, sf_dir))
     return cdc.replay_filter(stamped, REPLAY_COMMIT_SCN, REPLAY_SCN, REPLAY_SSN)
 
 
@@ -99,7 +99,7 @@ def _q_cdc_restart_scn(spark, sf_dir):
 
 
 def _q_cdc_batch_dedup(spark, sf_dir):
-    return cdc.batch_pk_dedup(cdc.commit_ordered(change_feed(spark, sf_dir)))
+    return cdc.batch_pk_dedup(cdc.commit_stamped(change_feed(spark, sf_dir)))
 
 
 def _q_cdc_apply_changes(spark, sf_dir):
@@ -131,7 +131,7 @@ def _q_initial_load(spark, sf_dir):
 
 
 def _q_cdc_pseudo_columns(spark, sf_dir):
-    return transforms.add_pseudo_columns(cdc.commit_ordered(change_feed(spark, sf_dir)))
+    return transforms.add_pseudo_columns(cdc.commit_stamped(change_feed(spark, sf_dir)))
 
 
 def _q_row_fusion(spark, sf_dir):
@@ -154,7 +154,7 @@ def _q_multimodal_features(spark, sf_dir):
 def _q_cdc_wrapped_flat(spark, sf_dir):
     """Wrapped tri-state mode, flattened for hashability: presence flag +
     value per wrapped column (struct-null vs V-null distinction)."""
-    stamped = cdc.commit_ordered(change_feed(spark, sf_dir))
+    stamped = cdc.commit_stamped(change_feed(spark, sf_dir))
     present = F.col("op") != 2
     return stamped.select(
         "owner",
@@ -252,7 +252,7 @@ def _q_ora_vector_decode(spark, sf_dir):
 def _q_kafka_records(spark, sf_dir):
     """K1 — Kafka record binding: topic (default mapper), JSON key/value,
     op header; tombstone (null value) on delete."""
-    stamped = cdc.commit_ordered(change_feed(spark, sf_dir))
+    stamped = cdc.commit_stamped(change_feed(spark, sf_dir))
     key_json = F.concat(F.lit('{"pk":'), F.col("pk").cast("string"), F.lit("}"))
     value_json = F.when(
         F.col("op") != 2,

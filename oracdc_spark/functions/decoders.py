@@ -29,7 +29,12 @@ from __future__ import annotations
 
 import datetime as _dt
 import struct
-from decimal import Decimal
+from decimal import Decimal, localcontext
+
+# Oracle NUMBER carries up to 40 significant decimal digits (20 base-100
+# mantissa bytes); the default Decimal context (prec=28) would silently
+# round — every conversion runs under this context.
+_PREC = 60
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
@@ -73,12 +78,14 @@ def decode_number(v: bytes | str | None) -> Decimal | None:
         if digits and digits[-1] == -1:  # trailing 0x66 terminator (101-102)
             digits = digits[:-1]
         sign = -1
-    val = Decimal(0)
-    scale = Decimal(100) ** exp
-    for d in digits:
-        val += Decimal(d) * scale
-        scale /= 100
-    return sign * val
+    with localcontext() as ctx:
+        ctx.prec = _PREC
+        val = Decimal(0)
+        scale = Decimal(100) ** exp
+        for d in digits:
+            val += Decimal(d) * scale
+            scale /= 100
+        return sign * val
 
 
 def encode_number(x: Decimal | int | float | str | None) -> bytes | None:
@@ -86,28 +93,30 @@ def encode_number(x: Decimal | int | float | str | None) -> bytes | None:
     round-trip checks (the reference relies on oracle.sql.NUMBER for this)."""
     if x is None:
         return None
-    d = Decimal(str(x))
-    if d == 0:
-        return b"\x80"
-    sign = 1 if d > 0 else -1
-    d = abs(d)
-    # normalize to base-100 digits: d = 0.d1 d2 ... * 100^(exp+1)
-    exp = 0
-    while d >= 100:
-        d /= 100
-        exp += 1
-    while d < 1:
-        d *= 100
-        exp -= 1
-    digits: list[int] = []
-    for _ in range(20):
-        intpart = int(d)
-        digits.append(intpart)
-        d = (d - intpart) * 100
+    with localcontext() as ctx:
+        ctx.prec = _PREC
+        d = Decimal(str(x))
         if d == 0:
-            break
-    while digits and digits[-1] == 0:
-        digits.pop()
+            return b"\x80"
+        sign = 1 if d > 0 else -1
+        d = abs(d)
+        # normalize to base-100 digits: d = d1.d2 d3 ... * 100^exp
+        exp = 0
+        while d >= 100:
+            d /= 100
+            exp += 1
+        while d < 1:
+            d *= 100
+            exp -= 1
+        digits: list[int] = []
+        for _ in range(20):
+            intpart = int(d)
+            digits.append(intpart)
+            d = (d - intpart) * 100
+            if d == 0:
+                break
+        while digits and digits[-1] == 0:
+            digits.pop()
     if sign > 0:
         return bytes([193 + exp] + [x + 1 for x in digits])
     out = bytes([62 - exp] + [101 - x for x in digits])

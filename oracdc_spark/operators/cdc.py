@@ -76,23 +76,26 @@ def committed_changes(feed: DataFrame) -> DataFrame:
     return dml.join(F.broadcast(commit_xids), "xid", "semi")
 
 
-def commit_ordered(feed: DataFrame) -> DataFrame:
-    """G3 — committed DML stamped with commit_scn, in total emission order
-    (commit_scn, scn, ssn): transactions drain FIFO by commit order,
-    statements within a transaction by (SCN, RBA, SSN).
-
-    At scale: the sort is only needed *per sink partition key* for
-    idempotence (see SURVEY §7 hard parts); the global orderBy here exists
-    for the batch-parity contract.  commit map is broadcast.
-    """
+def commit_stamped(feed: DataFrame) -> DataFrame:
+    """Committed DML stamped with commit_scn — *unordered*.  Downstream
+    operators (PK dedup window, MERGE, envelopes) impose their own
+    per-key ordering; skipping the global sort here saves a full
+    exchange for every consumer (SURVEY §7: global order is a sink
+    contract, not a pipeline invariant). commit map is broadcast."""
     commit_map = feed.filter(F.col("op") == OP_COMMIT).select(
         "xid", F.col("scn").alias("commit_scn")
     )
     dml = committed_changes(feed)
-    return (
-        dml.join(F.broadcast(commit_map), "xid")
-        .orderBy("commit_scn", "scn", "ssn")
-    )
+    return dml.join(F.broadcast(commit_map), "xid")
+
+
+def commit_ordered(feed: DataFrame) -> DataFrame:
+    """G3 — committed DML in total emission order (commit_scn, scn, ssn):
+    transactions drain FIFO by commit order, statements within a
+    transaction by (SCN, RBA, SSN). The ordered form is the declared
+    emission contract; use :func:`commit_stamped` when feeding further
+    operators."""
+    return commit_stamped(feed).orderBy("commit_scn", "scn", "ssn")
 
 
 def replay_filter(
@@ -167,7 +170,7 @@ def apply_changes(feed: DataFrame) -> DataFrame:
     pk WHEN MATCHED AND op='d' THEN DELETE WHEN MATCHED THEN UPDATE WHEN
     NOT MATCHED THEN INSERT`` (TargetDbSqlUtils.java:380-560).
     """
-    latest = batch_pk_dedup(commit_ordered(feed))
+    latest = batch_pk_dedup(commit_stamped(feed))
     return latest.filter(F.col("op") != OP_DELETE).select(
         "owner", "table_name", "pk", "totalprice", "status"
     )

@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from oracdc_spark.feed import OP_DELETE, OP_INSERT, OP_UPDATE
-from oracdc_spark.operators.cdc import commit_ordered
+from oracdc_spark.operators.cdc import commit_stamped
 
 def _op_char():
     return (
@@ -29,7 +29,7 @@ def debezium_flat(feed: DataFrame) -> DataFrame:
     """Debezium-style envelope, flattened: before_*/after_* columns,
     op ∈ {c,u,d}, source coordinates (owner, table, scn, xid, commit_scn).
     KafkaStructDataBinder.java:189-204,289-303."""
-    stamped = commit_ordered(feed)
+    stamped = commit_stamped(feed)
     return stamped.select(
         _op_char().alias("op_char"),
         "owner",
@@ -48,7 +48,7 @@ def debezium_flat(feed: DataFrame) -> DataFrame:
 def debezium_envelope(feed: DataFrame) -> DataFrame:
     """Struct form used by the streaming writer: before/after/source
     structs + op + ts_ms, mirroring the reference envelope field-for-field."""
-    stamped = commit_ordered(feed)
+    stamped = commit_stamped(feed)
     return stamped.select(
         F.when(
             F.col("op") != OP_INSERT,
@@ -83,7 +83,7 @@ def kafka_tombstones(feed: DataFrame) -> DataFrame:
     """kafka (std) mode on DELETE: key columns survive, value columns are
     NULL (the tombstone), op travels as a header
     (KafkaStructDataBinder.java:334-361)."""
-    stamped = commit_ordered(feed)
+    stamped = commit_stamped(feed)
     return stamped.filter(F.col("op") == OP_DELETE).select(
         "owner",
         "table_name",
@@ -100,7 +100,7 @@ def single_mode(feed: DataFrame) -> DataFrame:
     """single mode: one flat schema for all fields, value-only, op as a
     pseudo-column (KafkaStructSingleDataBinder.java:44 +
     KafkaPseudoColumnsProcessor.java:88-241)."""
-    stamped = commit_ordered(feed)
+    stamped = commit_stamped(feed)
     return stamped.select(
         "pk",
         "totalprice",
@@ -123,7 +123,7 @@ def wrapped_tristate(feed: DataFrame) -> DataFrame:
     In the structured feed UPDATEs always carry both columns, so presence
     is derived from the op: INSERT/UPDATE present all, DELETE presents none.
     """
-    stamped = commit_ordered(feed)
+    stamped = commit_stamped(feed)
     present = F.col("op") != OP_DELETE
     return stamped.select(
         "owner",
