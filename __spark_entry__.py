@@ -134,6 +134,39 @@ def _q_cdc_pseudo_columns(spark, sf_dir):
     return transforms.add_pseudo_columns(cdc.commit_stamped(change_feed(spark, sf_dir)))
 
 
+def _q_cdc_delete_all_cols(spark, sf_dir):
+    """Tombstone matrix, FLG_ALL_COLS_ON_DELETE=true: DELETE events emit
+    the full before-image instead of a key-only tombstone
+    (OraCdcTableBase.java:93, KafkaStructDataBinder.java:318-344)."""
+    stamped = cdc.commit_stamped(change_feed(spark, sf_dir))
+    return stamped.filter(F.col("op") == 2).select(
+        "owner",
+        "table_name",
+        F.col("pk").alias("key_pk"),
+        F.col("before_totalprice").alias("value_totalprice"),
+        F.col("before_status").alias("value_status"),
+        F.lit("d").alias("header_op"),
+        "commit_scn",
+        "scn",
+    )
+
+
+def _q_pipeline_curation(spark, sf_dir):
+    """End-to-end training-data curation: quality filter → exact-dedup
+    keep → embedding join — the composed LLM-pipeline showcase."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = textops.quality_scores(docs).filter(F.col("keep")).select("doc_id", "n_tokens")
+    deduped = dedup.exact_dedup_keep(docs).select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    return (
+        kept.join(deduped, "doc_id")
+        .join(emb, "doc_id", "left")
+        .select("doc_id", "n_tokens", "lang", "label")
+    )
+
+
 def _q_row_fusion(spark, sf_dir):
     return fusion.row_fusion(spark, sf_dir)
 
@@ -348,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_single_mode": _q_cdc_single_mode,
         "cdc_pseudo_columns": _q_cdc_pseudo_columns,
         "cdc_wrapped_flat": _q_cdc_wrapped_flat,
+        "cdc_delete_all_cols": _q_cdc_delete_all_cols,
+        "pipeline_curation": _q_pipeline_curation,
         "cdc_row_fusion": _q_row_fusion,
         "cdc_multirow_expansion": _q_multirow_expansion,
         "lob_reassembly": _q_lob_reassembly,
@@ -550,6 +585,33 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN op <> 2 THEN status END AS status_v, "
         "commit_scn, scn FROM stamped"
     )
+    sql["cdc_delete_all_cols"] = cte + ", " + _STAMPED + (
+        "SELECT owner, table_name, pk AS key_pk, "
+        "before_totalprice AS value_totalprice, "
+        "before_status AS value_status, "
+        "'d' AS header_op, commit_scn, scn FROM stamped WHERE op = 2"
+    )
+    sql["pipeline_curation"] = """
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+  FROM toks
+  WHERE len(w) >= 20
+    AND CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS DOUBLE) / len(w) <= 0.6
+),
+deduped AS (
+  SELECT doc_id, lang FROM documents
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+)
+SELECT k.doc_id, k.n_tokens, d.lang, e.label
+FROM kept k
+JOIN deduped d ON k.doc_id = d.doc_id
+LEFT JOIN embeddings e ON k.doc_id = e.vec_id
+"""
     sql["cdc_row_fusion"] = fusion.ROW_FUSION_SQL
     sql["cdc_multirow_expansion"] = fusion.MULTIROW_SQL
     sql["lob_reassembly"] = lob.LOB_ROUNDTRIP_SQL.format(chunk=lob.CHUNK)
