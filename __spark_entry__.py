@@ -406,6 +406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_rank": analytics.customer_order_rank,
         "customers_set_ops": analytics.customers_set_ops,
         "orders_rollup": analytics.orders_rollup,
+        "orders_cube": analytics.orders_cube,
+        "lineitem_distinct_stats": analytics.lineitem_distinct_stats,
+        "supplier_min_acctbal": analytics.supplier_min_acctbal,
+        "events_topk_per_type": analytics.events_topk_per_type,
+        "big_orders_having": analytics.big_orders_having,
         "conditional_agg": analytics.conditional_agg,
         "customers_without_orders": analytics.customers_without_orders,
         "promo_revenue": analytics.promo_revenue,
@@ -709,6 +714,37 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS {dec})) AS DOUBLE) AS sum_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+    sql["orders_cube"] = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+    sql["lineitem_distinct_stats"] = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+"""
+    sql["supplier_min_acctbal"] = """
+WITH m AS (SELECT s_nationkey, MIN(s_acctbal) AS min_bal FROM supplier GROUP BY s_nationkey)
+SELECT s.s_nationkey, s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s JOIN m ON s.s_nationkey = m.s_nationkey
+WHERE s.s_acctbal = m.min_bal
+"""
+    sql["events_topk_per_type"] = """
+SELECT event_type, event_id, ROUND(value, 6) AS value, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+  FROM events) t
+WHERE rk <= 5
+"""
+    sql["big_orders_having"] = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150.0
 """
     sql["conditional_agg"] = """
 SELECT o_orderstatus,

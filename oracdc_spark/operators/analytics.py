@@ -193,6 +193,58 @@ def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def lineitem_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact COUNT(DISTINCT) per group (expand-based plan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def supplier_min_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern: min-per-group subquery joined back (suppliers
+    holding their nation's minimum account balance)."""
+    s = load_table(spark, sf_dir, "supplier")
+    m = s.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(F.broadcast(m), "s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def events_topk_per_type(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Per-group top-k (window rank): highest-value events per type."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("event_type", "event_id", F.round("value", 6).alias("value"), F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 pattern: groups filtered by an aggregate (HAVING)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(qty.alias("total_qty"), F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch parity of the streaming windowed
     agg): events per hour × type, sum(value) as exact-decimal."""

@@ -1,0 +1,65 @@
+"""Robustness: empty feeds, single-row groups, null-heavy inputs."""
+
+import pyspark.sql.functions as F
+
+from oracdc_spark.operators import cdc
+from tests.test_cdc_semantics import SCHEMA, mk, row
+
+
+def test_empty_feed_all_operators(spark):
+    empty = mk(spark, [])
+    assert cdc.committed_changes(empty).count() == 0
+    assert cdc.commit_ordered(empty).count() == 0
+    assert cdc.apply_changes(empty).count() == 0
+    assert cdc.txn_stats(empty).count() == 0
+    r = cdc.restart_scn(empty).collect()
+    assert len(r) == 1 and r[0].restart_scn is None
+
+
+def test_commit_without_statements(spark):
+    feed = mk(spark, [row(20, "A", 7)])  # bare commit, no DML
+    assert cdc.committed_changes(feed).count() == 0
+    assert cdc.apply_changes(feed).count() == 0
+
+
+def test_only_rollback_marker(spark):
+    # a partial-rollback marker with no original and no control record:
+    # never emitted, but the transaction counts as open (the marker may
+    # pair with a change that arrives later — suspicious-first-record)
+    feed = mk(spark, [row(14, "A", 3, pk=1, rollback=True)])
+    assert cdc.committed_changes(feed).count() == 0
+    assert cdc.open_transactions(feed).count() == 1
+    assert cdc.restart_scn(feed).first().restart_scn == 14
+
+
+def test_delete_then_reinsert_same_pk(spark):
+    feed = mk(
+        spark,
+        [
+            row(10, "A", 1, pk=1, totalprice=1.0, status="O"),
+            row(11, "A", 2, pk=1, b_tp=1.0, b_st="O"),
+            row(12, "A", 1, pk=1, totalprice=2.0, status="N"),
+            row(20, "A", 7),
+        ],
+    )
+    out = cdc.apply_changes(feed).collect()
+    assert len(out) == 1 and out[0].totalprice == 2.0 and out[0].status == "N"
+
+
+def test_assemble_fn_empty_group(spark):
+    """The state function itself handles an empty pandas iterator."""
+    import pandas as pd
+
+    from oracdc_spark.streaming.assembly import _STMT_FIELDS, assemble_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.saved = v
+
+        def remove(self):
+            pass
+
+    out = list(assemble_fn(("A",), iter([pd.DataFrame(columns=_STMT_FIELDS)]), FakeState()))
+    assert out == []
