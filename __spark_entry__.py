@@ -318,6 +318,10 @@ def _q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), n=5, threshold=0.5)
 
 
+def _q_dedup_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"), n=5, num_hashes=8)
+
+
 def _q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"), n=5, num_hashes=8, bands=4
@@ -423,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,  # rows-only (bit ops not portable SQL)
         "similarity_bruteforce_topk": _q_sim_bruteforce,
@@ -834,6 +839,12 @@ JOIN counts c1 ON c1.doc_id = d1
 JOIN counts c2 ON c2.doc_id = d2
 WHERE ROUND(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 4) >= 0.5
 """
+    )
+    mh_cols = ", ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(8)
+    )
+    sql["dedup_minhash_signatures"] = (
+        "WITH " + _SHINGLES + f"\nSELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id"
     )
     sql["dedup_minhash_lsh"] = (
         "WITH "

@@ -113,12 +113,27 @@ class TableDef:
         return f"{self.owner}.{self.name}"
 
 
+# per-table key overrides (OraCdcKeyOverrideTypes.java:28 /
+# Parameters.java:358): NONE keeps the discovered key; ROWID forces the
+# pseudo-key; INDEX=<name>/COLUMNS=<list> force an explicit column set.
+OVERRIDE_NONE = "NONE"
+OVERRIDE_ROWID = "ROWID"
+OVERRIDE_COLUMNS = "COLUMNS"
+
+
 def choose_key(
     pk_cols: tuple[str, ...],
     unique_not_null_cols: tuple[str, ...],
+    override: str = OVERRIDE_NONE,
+    override_cols: tuple[str, ...] = (),
 ) -> tuple[tuple[str, ...], str]:
     """S10 key preference: well-defined PK, else NOT NULL unique index,
-    else the ROWID pseudo-key (OraCdcTableBase FLG_PSEUDO_KEY path)."""
+    else the ROWID pseudo-key (OraCdcTableBase FLG_PSEUDO_KEY path);
+    per-table overrides take precedence."""
+    if override == OVERRIDE_ROWID:
+        return ("ORA_ROW_ID",), KEY_ROWID_PSEUDO
+    if override == OVERRIDE_COLUMNS and override_cols:
+        return tuple(override_cols), KEY_WELL_DEFINED_PK
     if pk_cols:
         return pk_cols, KEY_WELL_DEFINED_PK
     if unique_not_null_cols:

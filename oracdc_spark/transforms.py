@@ -129,6 +129,26 @@ def add_pseudo_columns(
 
 
 # ---------------------------------------------------------------------------
+# LOB transformation plugin hook (OraCdcLobTransformationsIntf.java:50,
+# default impl OraCdcDefaultLobTransformationsImpl.java:42; wired at
+# KafkaStructDataBinder.java:148-155) — a user-supplied Column -> Column
+# rewrite per LOB column (e.g. extract text, hash, redact, externalize).
+# ---------------------------------------------------------------------------
+
+
+def apply_lob_transforms(
+    df: DataFrame, transforms_by_col: dict[str, Callable[[Column], Column]]
+) -> DataFrame:
+    """Apply registered per-column LOB transformations before envelope
+    binding; unregistered columns pass through (the default impl)."""
+    out = df
+    for col, fn in transforms_by_col.items():
+        if col in out.columns:
+            out = out.withColumn(col, fn(F.col(col)))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # topic / schema name mappers (callable registry)
 # ---------------------------------------------------------------------------
 
