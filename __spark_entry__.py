@@ -332,6 +332,15 @@ def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_candidates(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_decisions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_decisions(dedup.jaccard_pairs(docs, n=5, threshold=0.5))
+
+
+def _q_sim_centroids(spark, sf_dir):
+    return similarity.cell_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_sim_bruteforce(spark, sf_dir):
     return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 100, 5)
 
@@ -430,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,  # rows-only (bit ops not portable SQL)
+        "dedup_decisions": _q_dedup_decisions,
+        "similarity_cell_centroids": _q_sim_centroids,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
         "similarity_near_dups": _q_sim_near_dups,
@@ -867,6 +878,26 @@ JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.do
 GROUP BY a.doc_id, b.doc_id
 """
     )
+    sql["dedup_decisions"] = (
+        "WITH "
+        + _SHINGLES
+        + """,
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT d1, d2 FROM pairs
+  JOIN counts c1 ON c1.doc_id = d1
+  JOIN counts c2 ON c2.doc_id = d2
+  WHERE ROUND(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 4) >= 0.5
+)
+SELECT d2 AS doc_id, MIN(d1) AS keeper_doc_id FROM jac GROUP BY d2
+"""
+    )
+    sql["similarity_cell_centroids"] = similarity.CELL_CENTROIDS_SQL
     sql["similarity_bruteforce_topk"] = (
         "WITH "
         + _QUANT

@@ -166,6 +166,21 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_decisions(pairs: DataFrame) -> DataFrame:
+    """Near-dup pair list → per-document keep/drop decision: within each
+    pair the smaller doc_id is the keeper; a doc dropped by any pair is
+    dropped. Output: (doc_id, keeper_doc_id) for dropped docs — the
+    delete-list a curation pipeline applies.
+
+    One aggregation on d2 (the dropped side); at corpus scale the pair
+    list is tiny relative to the corpus so this never shuffles the
+    documents themselves."""
+    return (
+        pairs.groupBy(F.col("d2").alias("doc_id"))
+        .agg(F.min("d1").alias("keeper_doc_id"))
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     """60-bit SimHash per document (rows-only check: bit twiddling is not
     portable ANSI SQL).

@@ -140,6 +140,44 @@ def ivf_topk(vecs: DataFrame, query_mod: int = 100, k: int = 3) -> DataFrame:
     )
 
 
+def cell_centroids(vecs: DataFrame) -> DataFrame:
+    """IVF cell centroids: exact per-dimension mean over each coarse
+    cell — the (re)training step of the IVF index.  Quantized-integer
+    sums → double division keeps it engine-deterministic; output is the
+    unnested (cell, i, centroid) form, the layout the assignment join
+    consumes at scale (no array rebuild shuffle)."""
+    q = quantized(vecs)
+    lab = vecs.select(F.col("vec_id"), F.col("label").alias("cell"))
+    return (
+        q.join(F.broadcast(lab), "vec_id")
+        .groupBy("cell", "i")
+        .agg(
+            (F.sum("q").cast("double") / F.count(F.lit(1)) / SCALE).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            "cell",
+            # 1-based dimension index in the output (posexplode is 0-based)
+            (F.col("i") + 1).cast("bigint").alias("i"),
+            "centroid",
+            "n_vectors",
+        )
+    )
+
+
+CELL_CENTROIDS_SQL = """
+WITH qv AS (
+  SELECT vec_id, label AS cell, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT cell, CAST(i AS BIGINT) AS i,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000 AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM qv GROUP BY cell, i
+"""
+
+
 def embedding_near_dups(vecs: DataFrame, threshold_score: float = 0.16) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a coarse cell.
 
