@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_set_ops": analytics.customers_set_ops,
         "orders_rollup": analytics.orders_rollup,
         "orders_cube": analytics.orders_cube,
+        "orders_by_year": analytics.orders_by_year,
         "lineitem_distinct_stats": analytics.lineitem_distinct_stats,
         "supplier_min_acctbal": analytics.supplier_min_acctbal,
         "events_topk_per_type": analytics.events_topk_per_type,
@@ -730,6 +731,12 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS {dec})) AS DOUBLE) AS sum_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+    sql["orders_by_year"] = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {dec})) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1, 2
 """
     sql["orders_cube"] = """
 SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -193,6 +193,22 @@ def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension aggregation: orders per year × status with exact
+    decimal revenue (year extraction pushes into the scan's projection)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
 def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all grouping-set combinations."""
     o = load_table(spark, sf_dir, "orders")
