@@ -72,6 +72,16 @@ def _q_cdc_table_include(spark, sf_dir):
     return feed.filter(table_list_column(TABLE_LIST))
 
 
+def _q_cdc_container_filter(spark, sf_dir):
+    """F3 — CDB container filter (KafkaSourceLogMinerTask.java:252-255):
+    keep only selected PDB containers. The feed has no CON_ID; derive it
+    from the owning schema (SCOTT → PDB 3, AP → PDB 4) and filter —
+    the same `SRC_CON_UID IN (…)` pushdown shape."""
+    feed = change_feed(spark, sf_dir, with_customer=True)
+    con_id = F.when(F.col("owner") == "SCOTT", 3).otherwise(4).cast("int")
+    return feed.withColumn("con_id", con_id).filter(F.col("con_id").isin(3))
+
+
 def _q_cdc_partial_rollback(spark, sf_dir):
     feed = change_feed(spark, sf_dir)
     return cdc.partial_rollback_filter(cdc.op_filter(feed))
@@ -380,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_filter": _q_cdc_op_filter,
         "cdc_scn_window": _q_cdc_scn_window,
         "cdc_table_include": _q_cdc_table_include,
+        "cdc_container_filter": _q_cdc_container_filter,
         "cdc_partial_rollback": _q_cdc_partial_rollback,
         "cdc_committed": _q_cdc_committed,
         "cdc_commit_order": _q_cdc_commit_order,
@@ -539,6 +550,10 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["cdc_table_include"] = (
         cte + "SELECT * FROM all_changes WHERE " + table_list_sql(TABLE_LIST)
+    )
+    sql["cdc_container_filter"] = cte + (
+        "SELECT *, CAST(CASE WHEN owner = 'SCOTT' THEN 3 ELSE 4 END AS INT) AS con_id "
+        "FROM all_changes WHERE (CASE WHEN owner = 'SCOTT' THEN 3 ELSE 4 END) IN (3)"
     )
     sql["cdc_partial_rollback"] = cte + (
         "SELECT * FROM changes c WHERE c.op IN (1,2,3) "
