@@ -473,19 +473,33 @@ _FEED_COLS_SQL = (
     "totalprice, status, before_totalprice, before_status"
 )
 
-# committed DML (partial-rollback pairs cancelled, rolled-back/open txns
-# dropped) — reused by several oracles
-_COMMITTED = f"""
-committed AS (
-  SELECT {_FEED_COLS_SQL}
-  FROM changes c
-  WHERE c.op IN (1,2,3)
-    AND NOT EXISTS (SELECT 1 FROM changes r
-                    WHERE r.rollback AND r.xid = c.xid
-                      AND r.row_id = c.row_id AND r.scn = c.scn)
-    AND EXISTS (SELECT 1 FROM commits m WHERE m.xid = c.xid)
+# committed DML (partial-rollback pairs cancelled LIFO per occurrence,
+# rolled-back/open txns dropped) — reused by several oracles.  Mirrors
+# cdc.partial_rollback_filter: n markers per (xid,row_id,scn) cancel the
+# n latest (ssn desc) originals, not every original sharing the key.
+_RB_COUNTS = """
+rb_counts AS (
+  SELECT xid, row_id, scn, CAST(COUNT(*) AS BIGINT) AS n_m
+  FROM changes WHERE rollback GROUP BY xid, row_id, scn
 )
 """
+
+_COMMITTED = (
+    _RB_COUNTS
+    + f""",
+committed AS (
+  SELECT {_FEED_COLS_SQL}
+  FROM (
+    SELECT c.*, ROW_NUMBER() OVER (
+        PARTITION BY xid, row_id, scn ORDER BY ssn DESC) AS rb_rn
+    FROM changes c WHERE c.op IN (1,2,3) AND NOT c.rollback
+  ) d
+  LEFT JOIN rb_counts m USING (xid, row_id, scn)
+  WHERE (m.n_m IS NULL OR d.rb_rn > m.n_m)
+    AND EXISTS (SELECT 1 FROM commits cm WHERE cm.xid = d.xid)
+)
+"""
+)
 
 _STAMPED = (
     _COMMITTED
@@ -555,10 +569,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT *, CAST(CASE WHEN owner = 'SCOTT' THEN 3 ELSE 4 END AS INT) AS con_id "
         "FROM all_changes WHERE (CASE WHEN owner = 'SCOTT' THEN 3 ELSE 4 END) IN (3)"
     )
-    sql["cdc_partial_rollback"] = cte + (
-        "SELECT * FROM changes c WHERE c.op IN (1,2,3) "
-        "AND NOT EXISTS (SELECT 1 FROM changes r WHERE r.rollback "
-        "AND r.xid = c.xid AND r.row_id = c.row_id AND r.scn = c.scn)"
+    sql["cdc_partial_rollback"] = cte + ", " + _RB_COUNTS + (
+        f""",
+cancelled AS (
+  SELECT {_FEED_COLS_SQL}
+  FROM (
+    SELECT c.*, ROW_NUMBER() OVER (
+        PARTITION BY xid, row_id, scn ORDER BY ssn DESC) AS rb_rn
+    FROM changes c WHERE c.op IN (1,2,3) AND NOT c.rollback
+  ) d
+  LEFT JOIN rb_counts m USING (xid, row_id, scn)
+  WHERE m.n_m IS NULL OR d.rb_rn > m.n_m
+)
+SELECT * FROM cancelled"""
     )
     sql["cdc_committed"] = cte + ", " + _COMMITTED + "SELECT * FROM committed"
     sql["cdc_commit_order"] = cte + ", " + _STAMPED + "SELECT * FROM stamped"

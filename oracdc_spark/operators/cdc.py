@@ -48,17 +48,36 @@ def scn_window(feed: DataFrame, lo: int, hi: int) -> DataFrame:
 
 
 def partial_rollback_filter(feed: DataFrame) -> DataFrame:
-    """G4 — cancel partial-rollback pairs.
+    """G4 — cancel partial-rollback pairs, LIFO per pair key.
 
     A change record flagged ``rollback=true`` cancels its original change
-    (the reference pairs on RBA + ROWID, OraCdcTransaction.java:411-419);
-    in the structured feed the pair key is (xid, row_id, scn).  One
-    left-anti join removes both sides of the pair: the original matches the
-    marker, and the marker matches itself.  The join key starts with xid,
-    so this co-partitions with the transaction-assembly shuffle.
+    (the reference pairs on RBA + ROWID, OraCdcTransaction.java:411-419,
+    592-667: each marker cancels exactly ONE original, the latest unmatched
+    one).  Pair key is (xid, row_id, scn).  When several originals share a
+    pair key (distinct ssn), n markers cancel the n *latest* originals —
+    matching the streaming assembly's LIFO pairing, not all of them.
+
+    Implementation: count markers per key, rank originals newest-first
+    (ssn desc) within the key, keep rank > marker count.  Marker rows are
+    always dropped.  The key starts with xid, so the window co-partitions
+    with the transaction-assembly shuffle; the marker-count aggregate is a
+    feed-derived set that grows with the feed — it joins on the same key
+    (no broadcast hint; AQE picks the strategy).
     """
-    pairs = feed.filter(F.col("rollback")).select("xid", "row_id", "scn").distinct()
-    return feed.join(F.broadcast(pairs), ["xid", "row_id", "scn"], "left_anti")
+    key = ["xid", "row_id", "scn"]
+    n_markers = (
+        feed.filter(F.col("rollback"))
+        .groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("_n_markers"))
+    )
+    w = Window.partitionBy(*key).orderBy(F.col("ssn").desc())
+    return (
+        feed.filter(~F.col("rollback"))
+        .withColumn("_rb_rn", F.row_number().over(w))
+        .join(n_markers, key, "left")
+        .filter(F.col("_n_markers").isNull() | (F.col("_rb_rn") > F.col("_n_markers")))
+        .drop("_rb_rn", "_n_markers")
+    )
 
 
 def committed_changes(feed: DataFrame) -> DataFrame:
@@ -67,13 +86,15 @@ def committed_changes(feed: DataFrame) -> DataFrame:
     Whole rolled-back transactions (op=36 control record) and open
     transactions (no control record yet) are dropped via a semi-join with
     the commit set; partial-rollback pairs are cancelled.  The commit set
-    is tiny relative to the feed (one row per txn) → broadcast semi-join,
-    no shuffle of the big side.
+    is one row per transaction — at 100 TB that is billions of rows, so no
+    broadcast hint: the join key is xid, the key the pipeline already
+    shuffles on, so Catalyst/AQE co-partitions it (and still broadcasts
+    when the set is genuinely small at runtime).
     """
     commit_xids = feed.filter(F.col("op") == OP_COMMIT).select("xid")
     dml = feed.filter(F.col("op").isin(list(DML_OPS)))
     dml = partial_rollback_filter(dml)
-    return dml.join(F.broadcast(commit_xids), "xid", "semi")
+    return dml.join(commit_xids, "xid", "semi")
 
 
 def commit_stamped(feed: DataFrame) -> DataFrame:
@@ -81,12 +102,14 @@ def commit_stamped(feed: DataFrame) -> DataFrame:
     operators (PK dedup window, MERGE, envelopes) impose their own
     per-key ordering; skipping the global sort here saves a full
     exchange for every consumer (SURVEY §7: global order is a sink
-    contract, not a pipeline invariant). commit map is broadcast."""
+    contract, not a pipeline invariant). The commit map grows with the
+    feed (one row per txn) → co-partitioned join on xid, no broadcast
+    hint (AQE still broadcasts small maps at runtime)."""
     commit_map = feed.filter(F.col("op") == OP_COMMIT).select(
         "xid", F.col("scn").alias("commit_scn")
     )
     dml = committed_changes(feed)
-    return dml.join(F.broadcast(commit_map), "xid")
+    return dml.join(commit_map, "xid")
 
 
 def commit_ordered(feed: DataFrame) -> DataFrame:
@@ -131,7 +154,7 @@ def open_transactions(feed: DataFrame) -> DataFrame:
     per SURVEY §2.7 — state kept indefinitely)."""
     ctl = feed.filter(F.col("op").isin([OP_COMMIT, OP_ROLLBACK])).select("xid")
     dml = feed.filter(F.col("op").isin(list(DML_OPS)))
-    return dml.join(F.broadcast(ctl), "xid", "anti")
+    return dml.join(ctl, "xid", "anti")
 
 
 def restart_scn(feed: DataFrame) -> DataFrame:

@@ -53,13 +53,13 @@ def _tokens(col: str = "text"):
 
 
 def _parallel(df: DataFrame) -> DataFrame:
-    """Spread CPU-heavy per-row work across all cores.  Small corpora
-    arrive as one parquet file → one partition → one core does all the
-    shingling/hashing; a cheap round-robin repartition unlocks the rest.
-    (At real scale the source has many splits and AQE coalesces this
-    away — the explicit repartition only matters when files < cores.)"""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target)
+    """Spread CPU-heavy per-row work across all cores when (and only
+    when) the input has fewer partitions than cores — at real scale the
+    source has thousands of splits and this is the identity (no extra
+    exchange; see plans.parallel)."""
+    from oracdc_spark.plans.parallel import ensure_parallelism
+
+    return ensure_parallelism(df)
 
 
 def shingles(docs: DataFrame, n: int = 5) -> DataFrame:

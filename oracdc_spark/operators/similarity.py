@@ -29,8 +29,11 @@ SCALE = 1000
 
 def _parallel(df: DataFrame) -> DataFrame:
     """Single-file corpora read as one partition — spread the explode/
-    multiply work across cores (see operators.dedup._parallel)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    multiply work across cores; identity when splits >= cores
+    (plans.parallel)."""
+    from oracdc_spark.plans.parallel import ensure_parallelism
+
+    return ensure_parallelism(df)
 
 
 def quantized(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -31,8 +31,10 @@ def _tokens(col: str = "text"):
 
 def _parallel(df: DataFrame) -> DataFrame:
     """Single-file corpora read as one partition — spread the regex/hash
-    work across cores (see operators.dedup._parallel)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    work across cores; identity when splits >= cores (plans.parallel)."""
+    from oracdc_spark.plans.parallel import ensure_parallelism
+
+    return ensure_parallelism(df)
 
 
 def token_stats(docs: DataFrame) -> DataFrame:

@@ -119,10 +119,21 @@ SUSPICIOUS_XID_SUFFIX = "FFFFFFFF"
 def normalize_xid(changes: DataFrame) -> DataFrame:
     """XID-prefix substitution (OraCdcLogMinerWorkerThread.java:398-431):
     LogMiner occasionally reports a transaction's sequence part as
-    0xFFFFFFFF; such records belong to the open transaction with the same
-    undo-segment+slot prefix.  Substitution = rewrite the suspicious XID
-    to prefix + the prefix's current open sequence (join against the
-    distinct non-suspicious XIDs sharing the prefix).
+    0xFFFFFFFF; such records belong to the transaction *currently open*
+    on the same undo-segment+slot prefix.  A prefix is reused with
+    incrementing sequence numbers over time, so several canonical XIDs
+    normally share it — substituting against all of them (a plain
+    prefix join) would fan out and duplicate records.
+
+    Open-transaction semantics instead: the canonical XID for a
+    suspicious record at SCN *s* is the one with the greatest
+    first-statement SCN ≤ *s* among non-suspicious XIDs of that prefix.
+    Candidates are collapsed to ONE row per prefix (a sorted
+    (first_scn, xid) array — prefixes hold a handful of concurrently
+    open transactions, so the array is tiny) and the pick is a
+    higher-order `filter` + `element_at(-1)`: no fan-out, no window,
+    and only the small suspicious slice joins at all; normal records
+    pass through untouched.
 
     Runs *before* the keyed shuffle so state groups see canonical XIDs.
     """
@@ -130,22 +141,37 @@ def normalize_xid(changes: DataFrame) -> DataFrame:
 
     prefix = F.substring(F.col("xid"), 1, 8)
     suspicious = F.col("xid").endswith(SUSPICIOUS_XID_SUFFIX)
-    normal = (
-        changes.filter(~suspicious)
-        .select(prefix.alias("xid_prefix"), F.col("xid").alias("canonical_xid"))
-        .distinct()
+    cols = changes.columns
+
+    normal = changes.filter(~suspicious)
+    sus = changes.filter(suspicious).withColumn("xid_prefix", prefix)
+
+    candidates = (
+        normal.groupBy(prefix.alias("xid_prefix"), F.col("xid").alias("cand_xid"))
+        .agg(F.min("scn").alias("first_scn"))
+        .groupBy("xid_prefix")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("first_scn", "cand_xid"))
+            ).alias("cands")
+        )
     )
-    return (
-        changes.withColumn("xid_prefix", prefix)
-        .join(F.broadcast(normal), "xid_prefix", "left")
+
+    open_cand = F.try_element_at(
+        F.filter(F.col("cands"), lambda c: c["first_scn"] <= F.col("scn")), F.lit(-1)
+    )
+    resolved = (
+        sus.join(candidates, "xid_prefix", "left")
+        .withColumn("_pick", open_cand)
         .withColumn(
             "xid",
-            F.when(
-                suspicious & F.col("canonical_xid").isNotNull(), F.col("canonical_xid")
-            ).otherwise(F.col("xid")),
+            F.when(F.col("_pick").isNotNull(), F.col("_pick")["cand_xid"]).otherwise(
+                F.col("xid")
+            ),
         )
-        .drop("xid_prefix", "canonical_xid")
+        .select(*cols)
     )
+    return normal.select(*cols).unionByName(resolved)
 
 
 def assemble_fn(
@@ -153,9 +179,14 @@ def assemble_fn(
 ) -> Iterator[pd.DataFrame]:
     (xid,) = key
     stmts, markers = _load_state(state)
-    commit_scn: int | None = None
-    rolled_back = False
 
+    # Materialize and sort the micro-batch's records by (scn, ssn):
+    # applyInPandasWithState gives no intra-group order guarantee after
+    # the xid shuffle, while the reference consumes statements in redo
+    # (SCN/RBA/SSN) order — LIFO pairing and control-record handling are
+    # only deterministic in that order.  A batch's records for one xid fit
+    # in memory by the same argument as the state buffer itself.
+    recs: list[dict[str, Any]] = []
     for pdf in pdfs:
         for rec in pdf.itertuples(index=False):
             r: dict[str, Any] = {f: getattr(rec, f) for f in _STMT_FIELDS}
@@ -163,43 +194,47 @@ def assemble_fn(
             for k, v in list(r.items()):
                 if isinstance(v, float) and pd.isna(v):
                     r[k] = None
-            op = int(r["op"])
-            if op == OP_COMMIT:
-                commit_scn = int(r["scn"])
-            elif op == OP_ROLLBACK:
-                rolled_back = True
-            elif r["rollback"]:
-                markers.append({"row_id": r["row_id"], "scn": int(r["scn"])})
-                stmts, markers = _cancel_pairs(stmts, markers)
-            else:
-                r["scn"] = int(r["scn"])
-                r["ssn"] = int(r["ssn"])
-                r["op"] = op
-                stmts.append(r)
-                stmts, markers = _cancel_pairs(stmts, markers)
+            r["scn"] = int(r["scn"])
+            r["ssn"] = int(r["ssn"])
+            r["op"] = int(r["op"])
+            recs.append(r)
+    recs.sort(key=lambda r: (r["scn"], r["ssn"]))
 
-    if rolled_back:
-        state.remove()
-        return
-    if commit_scn is not None:
-        stmts.sort(key=lambda s: (s["scn"], s["ssn"]))
-        out = pd.DataFrame(
-            [
+    # Event-ordered replay: a COMMIT finalizes the buffered statements at
+    # that point and clears state, so a reused xid whose next transaction
+    # begins later in the same micro-batch starts from an empty buffer
+    # (reference: transaction object is closed at commit and a new one
+    # opened on next use of the xid).
+    emitted: list[dict[str, Any]] = []
+    for r in recs:
+        op = r["op"]
+        if op == OP_COMMIT:
+            stmts.sort(key=lambda s: (s["scn"], s["ssn"]))
+            emitted.extend(
                 {
                     "xid": xid,
                     **{k: v for k, v in s.items() if k != "rollback"},
-                    "commit_scn": commit_scn,
+                    "commit_scn": r["scn"],
                 }
                 for s in stmts
-            ],
-            columns=[f.name for f in OUTPUT_SCHEMA.fields],
-        )
+            )
+            stmts, markers = [], []
+        elif op == OP_ROLLBACK:
+            stmts, markers = [], []
+        elif r["rollback"]:
+            markers.append({"row_id": r["row_id"], "scn": r["scn"]})
+            stmts, markers = _cancel_pairs(stmts, markers)
+        else:
+            stmts.append(r)
+            stmts, markers = _cancel_pairs(stmts, markers)
+
+    if stmts or markers:
+        # still open: buffer (no timeout — SURVEY §2.7 late data)
+        state.update((json.dumps(stmts), json.dumps(markers)))
+    else:
         state.remove()
-        if len(out):
-            yield out
-        return
-    # still open: buffer everything (no timeout — SURVEY §2.7 late data)
-    state.update((json.dumps(stmts), json.dumps(markers)))
+    if emitted:
+        yield pd.DataFrame(emitted, columns=[f.name for f in OUTPUT_SCHEMA.fields])
     return
 
 

@@ -60,6 +60,28 @@ def test_partial_rollback_cancels_both_sides(feed):
     assert sorted(r.scn for r in out) == [13, 15]
 
 
+def test_partial_rollback_lifo_occurrence_match(spark):
+    """Several statements sharing a pair key (xid,row_id,scn) with
+    distinct ssn: one marker cancels exactly ONE original — the latest
+    (LIFO, OraCdcTransaction.java:592-667) — matching the streaming
+    assembly's pairing instead of removing every key match."""
+    f = mk(
+        spark,
+        [
+            row(10, "A", 1, pk=1, ssn=0, totalprice=100.0, status="O"),
+            # two updates at the same scn, distinct ssn
+            row(11, "A", 3, pk=1, ssn=1, totalprice=110.0, status="U", b_tp=100.0),
+            row(11, "A", 3, pk=1, ssn=2, totalprice=120.0, status="U", b_tp=110.0),
+            # one marker for the pair key (A, R1, 11)
+            row(11, "A", 3, pk=1, ssn=3, rollback=True),
+            row(20, "A", 7),
+        ],
+    )
+    out = cdc.committed_changes(f).collect()
+    # latest original (ssn=2) cancelled; ssn=1 survives
+    assert sorted((r.scn, r.ssn) for r in out) == [(10, 0), (11, 1)]
+
+
 def test_commit_order_stamps_commit_scn(feed):
     out = cdc.commit_ordered(feed).collect()
     assert [r.scn for r in out] == [10, 11, 13, 15]

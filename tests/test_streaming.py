@@ -92,3 +92,78 @@ def test_end_to_end_pipeline_replica(spark):
             for r in apply_changes(change_feed(spark, SF)).collect()
         }
         assert got == expected
+
+
+class _FakeState:
+    """Duck-typed GroupState for driving assemble_fn directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+
+def _run_assemble(rows, state=None):
+    import pandas as pd
+
+    from oracdc_spark.streaming.assembly import _STMT_FIELDS, assemble_fn
+
+    state = state or _FakeState()
+    pdf = pd.DataFrame(rows, columns=_STMT_FIELDS)
+    out = list(assemble_fn(("A",), iter([pdf]), state))
+    return (pd.concat(out) if out else None), state
+
+
+def _stmt(scn, ssn, op, rollback=False, pk=1):
+    return {
+        "scn": scn, "ssn": ssn, "rba": f"1.{scn}.{ssn}", "op": op,
+        "rollback": rollback, "owner": "SCOTT", "table_name": "ORDERS",
+        "row_id": f"R{pk}", "pk": pk, "totalprice": 1.0, "status": "O",
+        "before_totalprice": None, "before_status": None,
+    }
+
+
+def test_assemble_fn_sorts_arrival_order():
+    """Shuffled arrival within a micro-batch (no intra-group order after
+    the xid exchange): pairing and control handling must follow redo
+    (scn, ssn) order, not arrival order."""
+    rows = [
+        _stmt(20, 0, 7),                      # commit arrives FIRST
+        _stmt(11, 2, 3, rollback=True),       # marker before its original
+        _stmt(11, 1, 3),                      # original (cancelled)
+        _stmt(10, 0, 1),
+    ]
+    out, state = _run_assemble(rows)
+    assert not state.exists
+    assert list(out["scn"]) == [10]
+    assert list(out["commit_scn"]) == [20]
+
+
+def test_assemble_fn_commit_then_reused_xid():
+    """A COMMIT mid-batch finalizes the transaction; later DML on the
+    reused xid starts a NEW open transaction (buffered, not stamped with
+    the earlier commit)."""
+    rows = [
+        _stmt(30, 0, 1, pk=2),                # next txn on reused xid
+        _stmt(10, 0, 1),
+        _stmt(20, 0, 7),                      # commit between them in scn order
+    ]
+    out, state = _run_assemble(rows)
+    assert list(out["scn"]) == [10]
+    assert state.exists                       # scn=30 stays buffered
+    out2, state = _run_assemble([_stmt(40, 0, 7)], state)
+    assert list(out2["scn"]) == [30]
+    assert list(out2["commit_scn"]) == [40]
+    assert not state.exists

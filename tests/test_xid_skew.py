@@ -22,6 +22,49 @@ def test_normalize_xid_substitutes_suspicious(spark):
     assert out[12] == "00FF0001FFFFFFFF"  # no canonical match
 
 
+def test_normalize_xid_prefix_reuse_no_fanout(spark):
+    """A prefix reused by successive transactions (incrementing SQN — the
+    normal LogMiner pattern) must not duplicate records, and each
+    suspicious record resolves to the transaction open at its SCN: the
+    canonical XID with the greatest first-SCN <= the record's SCN."""
+    rows = [
+        # txn A opens at scn 10, txn B reuses the prefix at scn 50
+        (10, "0011002A00000005", 1),
+        (15, "0011002A00000005", 3),
+        (50, "0011002A00000006", 1),
+        # suspicious at scn 20 → open txn is A (first_scn 10 <= 20 < 50)
+        (20, "0011002AFFFFFFFF", 3),
+        # suspicious at scn 60 → open txn is B
+        (60, "0011002AFFFFFFFF", 3),
+        # suspicious BEFORE any txn opened on the prefix → unresolved
+        (5, "0011002AFFFFFFFF", 3),
+    ]
+    df = spark.createDataFrame(rows, "scn long, xid string, op int")
+    out = normalize_xid(df).collect()
+    assert len(out) == len(rows)  # no join fan-out duplication
+    by_scn = {r.scn: r.xid for r in out}
+    assert by_scn[10] == "0011002A00000005"
+    assert by_scn[15] == "0011002A00000005"
+    assert by_scn[50] == "0011002A00000006"
+    assert by_scn[20] == "0011002A00000005"
+    assert by_scn[60] == "0011002A00000006"
+    assert by_scn[5] == "0011002AFFFFFFFF"
+
+
+def test_ensure_parallelism_gated(spark):
+    """Repartition fires only when input partitions < cores: a wide input
+    passes through with no added Exchange (round-1 verdict item 6)."""
+    from oracdc_spark.plans.parallel import ensure_parallelism
+
+    cores = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(cores + 4)
+
+    assert ensure_parallelism(narrow).rdd.getNumPartitions() == cores
+    out = ensure_parallelism(wide)
+    assert out is wide  # identity — no extra exchange in the plan
+
+
 def test_salted_agg_matches_plain(spark):
     from oracdc_spark.catalog import load_table
 
