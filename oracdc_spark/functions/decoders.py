@@ -61,10 +61,21 @@ def _to_bytes(v: bytes | str | None) -> bytes | None:
 
 
 def decode_number(v: bytes | str | None) -> Decimal | None:
-    """Oracle NUMBER bytes → exact Decimal."""
+    """Oracle NUMBER bytes → exact Decimal.
+
+    Special values (oracle.sql.NUMBER public encoding): ``FF 65`` is
+    +Infinity and a single ``00`` byte is -Infinity — returned as signed
+    ``Decimal('Infinity')`` here; the typed UDF wrappers map them to NULL
+    (the reference sink's treatment of unrepresentable float infinities,
+    Column.java:95-116) instead of letting them decode as huge finite
+    numbers."""
     b = _to_bytes(v)
     if b is None or len(b) == 0:
         return None
+    if b == b"\xff\x65":
+        return Decimal("Infinity")
+    if b == b"\x00":
+        return Decimal("-Infinity")
     b0 = b[0]
     if b0 == 0x80:
         return Decimal(0)
@@ -209,14 +220,24 @@ def decode_charset(v: bytes | str | None, charset: str = "utf-8") -> str | None:
 # ---------------------------------------------------------------------------
 
 
+def _finite_or_none(d: Decimal | None) -> Decimal | None:
+    return None if d is None or d.is_infinite() else d
+
+
 @pandas_udf(DoubleType())
 def ora_number_to_double(col: pd.Series) -> pd.Series:
-    return col.map(lambda v: None if v is None else float(decode_number(v)))
+    return col.map(
+        lambda v: None if v is None else
+        (lambda d: None if d is None else float(d))(_finite_or_none(decode_number(v)))
+    )
 
 
 @pandas_udf(LongType())
 def ora_number_to_long(col: pd.Series) -> pd.Series:
-    return col.map(lambda v: None if v is None else int(decode_number(v)))
+    return col.map(
+        lambda v: None if v is None else
+        (lambda d: None if d is None else int(d))(_finite_or_none(decode_number(v)))
+    )
 
 
 def ora_number_to_decimal_udf(precision: int = 38, scale: int = 10):
@@ -226,7 +247,12 @@ def ora_number_to_decimal_udf(precision: int = 38, scale: int = 10):
     @pandas_udf(DecimalType(precision, scale))
     def _udf(col: pd.Series) -> pd.Series:
         q = Decimal(1).scaleb(-scale)
-        return col.map(lambda v: None if v is None else decode_number(v).quantize(q))
+        return col.map(
+            lambda v: None if v is None else
+            (lambda d: None if d is None else d.quantize(q))(
+                _finite_or_none(decode_number(v))
+            )
+        )
 
     return _udf
 

@@ -39,6 +39,7 @@ MAGIC = 0xDB
 ELEM_FLOAT32 = 2
 ELEM_FLOAT64 = 3
 ELEM_INT8 = 4
+ELEM_BOOL = 5
 
 
 def _find_payload(b: bytes) -> int:
@@ -64,6 +65,13 @@ def decode_vector(v: bytes | str | None) -> dict | None:
         vals = [decode_binary_double(data[j * 8 : j * 8 + 8]) for j in range(count)]
     elif elem_type == ELEM_INT8:
         vals = [float(struct.unpack("b", data[j : j + 1])[0]) for j in range(count)]
+    elif elem_type == ELEM_BOOL:
+        # BINARY vector (KafkaConnectDecoders.java:704-709, elem type 5):
+        # one bit per dimension, 8 per byte, MSB-first — Oracle requires
+        # BINARY vector dimensions in multiples of 8.
+        vals = [
+            bool((data[j // 8] >> (7 - j % 8)) & 1) for j in range(count)
+        ]
     else:
         raise ValueError(f"unsupported VECTOR element type {elem_type}")
     return {"type": elem_type, "count": count, "norm": norm, "values": vals}
@@ -75,7 +83,9 @@ def decode_vector_struct(v: bytes | str | None) -> dict | None:
     if d is None:
         return None
     out = {"B": None, "I": None, "F": None, "D": None}
-    key = {ELEM_FLOAT32: "F", ELEM_FLOAT64: "D", ELEM_INT8: "I"}[d["type"]]
+    key = {ELEM_FLOAT32: "F", ELEM_FLOAT64: "D", ELEM_INT8: "I", ELEM_BOOL: "B"}[
+        d["type"]
+    ]
     out[key] = d["values"]
     return out
 
@@ -83,5 +93,9 @@ def decode_vector_struct(v: bytes | str | None) -> dict | None:
 @pandas_udf(ArrayType(DoubleType()))
 def ora_vector(col: pd.Series) -> pd.Series:
     """Vectorized decode → array<double> (normalized form feeding the
-    similarity operators)."""
-    return col.map(lambda v: None if v is None else decode_vector(v)["values"])
+    similarity operators; BOOL dims become 0.0/1.0)."""
+    return col.map(
+        lambda v: None
+        if v is None
+        else [float(x) for x in decode_vector(v)["values"]]
+    )

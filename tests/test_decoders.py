@@ -110,3 +110,23 @@ class TestIntervals:
     def test_ds_positive(self):
         raw = bytes([0x80, 0, 0, 5, 70, 72, 74]) + bytes([0x80, 0, 0, 0])
         assert decode_interval_ds(raw) == "+5 10:12:14.000000000"
+
+
+class TestNumberSpecials:
+    """Oracle NUMBER infinities (oracle.sql.NUMBER encoding: FF65 = +Inf,
+    lone 00 = -Inf) must not decode as huge finite values (round-2
+    advice item 5)."""
+
+    def test_positive_infinity(self):
+        from decimal import Decimal
+        assert decode_number("ff65") == Decimal("Infinity")
+
+    def test_negative_infinity(self):
+        from decimal import Decimal
+        assert decode_number("00") == Decimal("-Infinity")
+
+    def test_udfs_map_infinity_to_null(self):
+        from oracdc_spark.functions.decoders import _finite_or_none
+        assert _finite_or_none(decode_number("ff65")) is None
+        assert _finite_or_none(decode_number("00")) is None
+        assert _finite_or_none(decode_number("c202")) is not None

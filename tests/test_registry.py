@@ -165,3 +165,49 @@ def test_strip_unused_suffix():
     )
     out = strip_guard_columns(s)
     assert [f.name for f in out.fields] == ["A"]
+
+
+class TestUnsupportedDdl:
+    """The reference pre-processes and IGNORES non-column DDL
+    (OraSqlUtils.alterTablePreProcessor returns null) — no phantom
+    columns, no crash, version unchanged (round-2 advice item 2)."""
+
+    DDLS = [
+        "ALTER TABLE SCOTT.DEPT ADD CONSTRAINT dept_pk PRIMARY KEY (DEPTNO)",
+        "ALTER TABLE SCOTT.DEPT ADD SUPPLEMENTAL LOG DATA (ALL) COLUMNS",
+        "ALTER TABLE SCOTT.DEPT DROP CONSTRAINT dept_pk",
+        "ALTER TABLE SCOTT.DEPT DROP PRIMARY KEY",
+        "ALTER TABLE SCOTT.DEPT MODIFY CONSTRAINT dept_fk ENABLE",
+        "ALTER TABLE SCOTT.DEPT RENAME CONSTRAINT a TO b",
+        "ALTER TABLE SCOTT.DEPT SET UNUSED ONLINE",
+    ]
+
+    def test_non_column_ddl_is_noop(self):
+        for ddl in self.DDLS:
+            reg = SchemaRegistry()
+            reg.register(_dept())
+            td = reg.apply_ddl("SCOTT", "DEPT", ddl)
+            assert td.version == 1, ddl
+            assert [f.name for f in td.schema.fields] == ["DEPTNO", "DNAME", "LOC"], ddl
+
+    def test_mixed_add_keeps_column_specs(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "ALTER TABLE SCOTT.DEPT ADD (BUDGET NUMBER(10,2), "
+            "CONSTRAINT dept_uq UNIQUE (DNAME))",
+        )
+        assert td.version == 2
+        names = [f.name for f in td.schema.fields]
+        assert "BUDGET" in names and "CONSTRAINT" not in names
+
+
+def test_tstz_maps_to_instant_type():
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from oracdc_spark.registry import oracle_type_to_spark
+
+    assert oracle_type_to_spark("TIMESTAMP(6) WITH TIME ZONE") == TimestampType()
+    assert oracle_type_to_spark("TIMESTAMP(9) WITH LOCAL TIME ZONE") == TimestampType()
+    assert oracle_type_to_spark("TIMESTAMP(6)") == TimestampNTZType()

@@ -100,3 +100,43 @@ class TestTde:
 
         out = dec.select(ora_number_to_double(F.hex("dec")).alias("v")).first()
         assert out.v == 1234.56
+
+
+class TestVectorBool:
+    """BINARY vector (element type 5, KafkaConnectDecoders.java:704-709):
+    bit-packed dims, 8 per byte, MSB-first."""
+
+    @staticmethod
+    def _payload(bits):
+        import struct as _struct
+
+        from oracdc_spark.functions.vector import ELEM_BOOL, MAGIC
+
+        count = len(bits)
+        packed = bytearray((count + 7) // 8)
+        for j, b in enumerate(bits):
+            if b:
+                packed[j // 8] |= 1 << (7 - j % 8)
+        # L2 norm of a binary vector = sqrt(popcount), as BINARY_DOUBLE
+        norm = sum(bits) ** 0.5
+        raw = _struct.pack(">d", norm)
+        norm_enc = bytes([raw[0] ^ 0x80]) + raw[1:]  # positive: flip MSB
+        return (
+            bytes([MAGIC, 0, 0, 0, ELEM_BOOL])
+            + _struct.pack(">I", count)
+            + norm_enc
+            + bytes(packed)
+        ).hex()
+
+    def test_bool_roundtrip(self):
+        bits = [True, False, True, True, False, False, True, False,
+                True, True, False, False, True, False, False, True]
+        d = decode_vector(self._payload(bits))
+        assert d["count"] == 16
+        assert d["values"] == bits
+        assert abs(d["norm"] - sum(bits) ** 0.5) < 1e-12
+
+    def test_struct_form_sets_B(self):
+        s = decode_vector_struct(self._payload([True] * 8))
+        assert s["B"] == [True] * 8
+        assert s["F"] is None and s["D"] is None and s["I"] is None
