@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     LongType,
     StringType,
     TimestampNTZType,
+    TimestampType,
 )
 
 # ---------------------------------------------------------------------------
@@ -180,6 +181,70 @@ def decode_ora_timestamp(v: bytes | str | None) -> _dt.datetime | None:
     return base.replace(microsecond=nanos // 1000)
 
 
+def decode_ora_tstz(v: bytes | str | None) -> _dt.datetime | None:
+    """13-byte TIMESTAMP WITH TIME ZONE → aware UTC datetime (the
+    instant).
+
+    Public oracle.sql.TIMESTAMPTZ layout (OraTimestamp.java:67-94 via
+    TimestampWithTimeZone.toZonedDateTime; Oracle DUMP() docs): bytes
+    0-6 are the date/time **in UTC** (century+100, year+100, month, day,
+    hour+1, min+1, sec+1), bytes 7-10 big-endian nanoseconds, bytes
+    11-12 the zone: offset form (bit7 of byte 11 clear) encodes
+    hours+20 / minutes+60; region form (bit7 set) carries an Oracle
+    timezone-region id.  The instant is byte-identical either way; the
+    zone only affects display — see :func:`decode_ora_tstz_str`.
+    """
+    b = _to_bytes(v)
+    if b is None or len(b) < 13:
+        return None
+    year = (b[0] - 100) * 100 + (b[1] - 100)
+    nanos = struct.unpack(">I", b[7:11])[0]
+    return _dt.datetime(
+        year, b[2], b[3], b[4] - 1, b[5] - 1, b[6] - 1,
+        microsecond=nanos // 1000, tzinfo=_dt.timezone.utc,
+    )
+
+
+def _tstz_offset(b: bytes) -> _dt.timedelta | None:
+    """Zone bytes → fixed offset; None for region-id form (resolving a
+    region id needs Oracle's timezone file — instant stays correct,
+    display falls back to UTC)."""
+    if b[11] & 0x80:
+        return None
+    return _dt.timedelta(hours=b[11] - 20, minutes=b[12] - 60)
+
+
+def decode_ora_tstz_str(v: bytes | str | None) -> str | None:
+    """TSTZ → ISO-8601 string with the original offset — the reference's
+    Kafka representation (OraTimestamp.fromLogical returns an ISO_8601
+    string, KafkaConnectSchema.java:409-435)."""
+    utc = decode_ora_tstz(v)
+    if utc is None:
+        return None
+    off = _tstz_offset(_to_bytes(v))
+    if off is None:
+        return utc.isoformat()
+    return utc.astimezone(_dt.timezone(off)).isoformat()
+
+
+def decode_ora_tsltz(
+    v: bytes | str | None, db_zone: str = "UTC"
+) -> _dt.datetime | None:
+    """7/11-byte TIMESTAMP WITH LOCAL TIME ZONE → aware UTC datetime.
+
+    TSLTZ stores a plain timestamp normalized to the *database* time
+    zone (OraTimestamp.java:76-83: OracleTimestamp.toZonedDateTime with
+    dbTimeZone); decoding = interpret the wall-clock bytes in that zone
+    and convert to the UTC instant."""
+    naive = decode_ora_timestamp(v)
+    if naive is None:
+        return None
+    import zoneinfo
+
+    tz = zoneinfo.ZoneInfo(db_zone)
+    return naive.replace(tzinfo=tz).astimezone(_dt.timezone.utc)
+
+
 def decode_interval_ym(v: bytes | str | None) -> str | None:
     """INTERVALYM bytes → canonical '+YY-MM' string
     (reference: data/OraIntervalYM.java, GenericDecoders.java:386-393)."""
@@ -277,6 +342,45 @@ def ora_timestamp(col: pd.Series) -> pd.Series:
     return col.map(decode_ora_timestamp)
 
 
+@pandas_udf(TimestampType())
+def ora_timestamp_tz(col: pd.Series) -> pd.Series:
+    """TSTZ → instant (Spark TimestampType; session tz pinned UTC)."""
+    return col.map(decode_ora_tstz)
+
+
+@pandas_udf(StringType())
+def ora_timestamp_tz_str(col: pd.Series) -> pd.Series:
+    """TSTZ → ISO-8601 string with original offset (reference's Kafka
+    form)."""
+    return col.map(decode_ora_tstz_str)
+
+
+def ora_timestamp_ltz(db_zone: str = "UTC"):
+    """TSLTZ decode parameterized by the database time zone."""
+
+    @pandas_udf(TimestampType())
+    def _udf(col: pd.Series) -> pd.Series:
+        return col.map(lambda v: decode_ora_tsltz(v, db_zone))
+
+    return _udf
+
+
+def ora_timestamp_ltz_str(db_zone: str = "UTC"):
+    """TSLTZ → ISO-8601 UTC string (hash-stable parity form)."""
+
+    @pandas_udf(StringType())
+    def _udf(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda v: None
+            if v is None
+            else (lambda d: None if d is None else d.isoformat())(
+                decode_ora_tsltz(v, db_zone)
+            )
+        )
+
+    return _udf
+
+
 @pandas_udf(StringType())
 def ora_interval_ym_str(col: pd.Series) -> pd.Series:
     return col.map(decode_interval_ym)
@@ -304,5 +408,7 @@ def register_all(spark) -> None:
     spark.udf.register("ora_binary_double", ora_binary_double)
     spark.udf.register("ora_date", ora_date)
     spark.udf.register("ora_timestamp", ora_timestamp)
+    spark.udf.register("ora_timestamp_tz", ora_timestamp_tz)
+    spark.udf.register("ora_timestamp_tz_str", ora_timestamp_tz_str)
     spark.udf.register("ora_interval_ym", ora_interval_ym_str)
     spark.udf.register("ora_interval_ds", ora_interval_ds_str)
