@@ -320,6 +320,58 @@ def _q_ora_charset_decode(spark, sf_dir):
     return df.select("id", ora_charset_decode("utf-8")(F.unhex(F.col("hex"))).alias("s"))
 
 
+# charset-id golden vectors: (id, NLS charset id, hex, expected)
+_CHARSET_ID_GOLDENS = [
+    (1, 178, "636166e9", "café"),            # WE8MSWIN1252
+    (2, 171, "c4e0", "Да"),                  # CL8MSWIN1251
+    (3, 832, "93fa967b", "日本"),            # JA16SJIS
+    (4, 873, "7468616e6b73", "thanks"),      # AL32UTF8
+    (5, 2000, "007400680061006e006b0073", "thanks"),  # AL16UTF16
+]
+
+# the reference's public OSON fixture (OsonTest.java:56-58) — LobLocator-
+# wrapped binary JSON {"fruit":"pineapple","quantity":20}
+_OSON_GOLDEN_HEX = (
+    "00700001010c00800001000000010000"
+    "0008a48700414890003b000037"
+    "01ff4a5a01210602000f0015000091d8"
+    "00000006056672756974087175616e74"
+    "69747984020102000800120970696e65"
+    "6170706c6521c115"
+)
+_OSON_GOLDEN_JSON = '{"fruit":"pineapple","quantity":20}'
+
+
+def _q_ora_charset_id_decode(spark, sf_dir):
+    """P6 — dictionary-path charset decode: Oracle NLS charset *id* →
+    codec (RdbmsCharsetMapping.java semantics; round-1 verdict missing
+    item 2)."""
+    from oracdc_spark.functions.charsets import ora_decode_by_charset_id
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [(i, cs, h) for i, cs, h, _ in _CHARSET_ID_GOLDENS],
+        "id bigint, cs_id bigint, hex string",
+    ).coalesce(1)
+    return df.select(
+        "id", ora_decode_by_charset_id(F.unhex(F.col("hex")), F.col("cs_id")).alias("s")
+    )
+
+
+def _q_oson_decode(spark, sf_dir):
+    """P8 — binary OSON decode to JSON text (KafkaConnectSchema.java:
+    531-537; fixture OsonTest.java; round-1 verdict missing item 3)."""
+    from oracdc_spark.functions.oson import ora_oson_to_json
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [(1, _OSON_GOLDEN_HEX)], "id bigint, hex string"
+    ).coalesce(1)
+    return df.select("id", ora_oson_to_json(F.unhex(F.col("hex"))).alias("s"))
+
+
 def _q_ora_vector_decode(spark, sf_dir):
     from oracdc_spark.functions.vector import ora_vector
     from oracdc_spark.session import ship_package
@@ -458,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ora_charset_decode": _q_ora_charset_decode,
         "ora_vector_decode": _q_ora_vector_decode,
         "ora_tstz_decode": _q_ora_tstz_decode,
+        "ora_charset_id_decode": _q_ora_charset_id_decode,
+        "oson_decode": _q_oson_decode,
         # --- K1 kafka record binding ---
         "kafka_records": _q_kafka_records,
         # --- multimodal plumbing (rows-only: stubbed codecs) ---
@@ -726,6 +780,13 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
     )
     sql["ora_charset_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, '{s}' AS s" for i, _, s in _CHARSET_GOLDENS
+    )
+    sql["ora_charset_id_decode"] = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS id, '{s}' AS s"
+        for i, _, _, s in _CHARSET_ID_GOLDENS
+    )
+    sql["oson_decode"] = (
+        f"SELECT CAST(1 AS BIGINT) AS id, '{_OSON_GOLDEN_JSON}' AS s"
     )
     sql["ora_tstz_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, '{s}' AS s"
