@@ -73,13 +73,11 @@ def _q_cdc_table_include(spark, sf_dir):
 
 
 def _q_cdc_container_filter(spark, sf_dir):
-    """F3 — CDB container filter (KafkaSourceLogMinerTask.java:252-255):
-    keep only selected PDB containers. The feed has no CON_ID; derive it
-    from the owning schema (SCOTT → PDB 3, AP → PDB 4) and filter —
-    the same `SRC_CON_UID IN (…)` pushdown shape."""
+    """F3 — CDB container filter on the feed-native ``con_id`` column
+    (KafkaSourceLogMinerTask.java:252-255): ``SRC_CON_ID IN (…)``.
+    A plain `isin` on a feed column → pushed into the scan."""
     feed = change_feed(spark, sf_dir, with_customer=True)
-    con_id = F.when(F.col("owner") == "SCOTT", 3).otherwise(4).cast("int")
-    return feed.withColumn("con_id", con_id).filter(F.col("con_id").isin(3))
+    return feed.filter(F.col("con_id").isin(3))
 
 
 def _q_cdc_partial_rollback(spark, sf_dir):
@@ -564,7 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _FEED_COLS_SQL = (
     "scn, ssn, rba, xid, op, rollback, owner, table_name, row_id, pk, "
-    "totalprice, status, before_totalprice, before_status"
+    "totalprice, status, before_totalprice, before_status, con_id"
 )
 
 # committed DML (partial-rollback pairs cancelled LIFO per occurrence,
@@ -660,8 +658,7 @@ def oracle_sql() -> dict[str, str]:
         cte + "SELECT * FROM all_changes WHERE " + table_list_sql(TABLE_LIST)
     )
     sql["cdc_container_filter"] = cte + (
-        "SELECT *, CAST(CASE WHEN owner = 'SCOTT' THEN 3 ELSE 4 END AS INT) AS con_id "
-        "FROM all_changes WHERE (CASE WHEN owner = 'SCOTT' THEN 3 ELSE 4 END) IN (3)"
+        "SELECT * FROM all_changes WHERE con_id IN (3)"
     )
     sql["cdc_partial_rollback"] = cte + ", " + _RB_COUNTS + (
         f""",

@@ -84,7 +84,14 @@ FEED_COLS = [
     "status",
     "before_totalprice",
     "before_status",
+    "con_id",
 ]
+
+# CDB container ids carried natively by the feed (V$LOGMNR_CONTENTS
+# SRC_CON_ID / SRC_CON_UID; KafkaSourceLogMinerTask.java:252-255):
+# SCOTT's PDB is container 3, AP's is container 4.
+CON_ID_ORDERS = 3
+CON_ID_CUSTOMER = 4
 
 
 def _order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,6 +207,7 @@ def change_feed(spark: SparkSession, sf_dir: str, with_customer: bool = False) -
         "status",
         "before_totalprice",
         "before_status",
+        F.lit(CON_ID_ORDERS).cast("int").alias("con_id"),
     )
     if with_customer:
         out = out.unionAll(customer_feed(spark, sf_dir))
@@ -227,6 +235,7 @@ def customer_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").cast("string").alias("status"),
         F.lit(None).cast("double").alias("before_totalprice"),
         F.lit(None).cast("string").alias("before_status"),
+        F.lit(CON_ID_CUSTOMER).cast("int").alias("con_id"),
     )
 
 
@@ -304,7 +313,8 @@ changes AS (
          op, rollback,
          'SCOTT' AS owner, 'ORDERS' AS table_name,
          CASE WHEN pk IS NULL THEN NULL ELSE 'R' || CAST(pk AS VARCHAR) END AS row_id,
-         pk, totalprice, status, before_totalprice, before_status
+         pk, totalprice, status, before_totalprice, before_status,
+         CAST(3 AS INT) AS con_id
   FROM (SELECT * FROM data_rows UNION ALL SELECT * FROM ctl_rows)
 ),
 cust_changes AS (
@@ -319,7 +329,8 @@ cust_changes AS (
          CAST(c_acctbal AS DOUBLE) AS totalprice,
          CAST(c_mktsegment AS VARCHAR) AS status,
          CAST(NULL AS DOUBLE) AS before_totalprice,
-         CAST(NULL AS VARCHAR) AS before_status
+         CAST(NULL AS VARCHAR) AS before_status,
+         CAST(4 AS INT) AS con_id
   FROM customer
 ),
 all_changes AS (

@@ -26,7 +26,8 @@ from oracdc_spark.streaming.assembly import assemble_transactions
 FEED_DDL = (
     "scn bigint, ssn bigint, rba string, xid string, op int, rollback boolean, "
     "owner string, table_name string, row_id string, pk bigint, "
-    "totalprice double, status string, before_totalprice double, before_status string"
+    "totalprice double, status string, before_totalprice double, "
+    "before_status string, con_id int"
 )
 
 
