@@ -194,20 +194,26 @@ def _q_multimodal_features(spark, sf_dir):
 
 def _q_cdc_wrapped_flat(spark, sf_dir):
     """Wrapped tri-state mode, flattened for hashability: presence flag +
-    value per wrapped column (struct-null vs V-null distinction)."""
+    value per wrapped column.  Presence comes from the statement's
+    changed-column set, so partial UPDATEs genuinely omit STATUS
+    (absent ≠ NULL — KafkaWrappedSchemas.java:60-176)."""
     stamped = cdc.commit_stamped(change_feed(spark, sf_dir))
-    present = F.col("op") != 2
+    tp, st = envelope.col_present("totalprice"), envelope.col_present("status")
     return stamped.select(
         "owner",
         "table_name",
         "pk",
-        present.alias("totalprice_present"),
-        F.when(present, F.col("totalprice")).alias("totalprice_v"),
-        present.alias("status_present"),
-        F.when(present, F.col("status")).alias("status_v"),
+        tp.alias("totalprice_present"),
+        F.when(tp, F.col("totalprice")).alias("totalprice_v"),
+        st.alias("status_present"),
+        F.when(st, F.col("status")).alias("status_v"),
         "commit_scn",
         "scn",
     )
+
+
+def _q_cdc_wrapped_apply(spark, sf_dir):
+    return envelope.wrapped_apply(change_feed(spark, sf_dir))
 
 
 # golden decode vectors (OraDumpDecoderTest.java constants, FIXTURES.md §3)
@@ -494,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_single_mode": _q_cdc_single_mode,
         "cdc_pseudo_columns": _q_cdc_pseudo_columns,
         "cdc_wrapped_flat": _q_cdc_wrapped_flat,
+        "cdc_wrapped_apply": _q_cdc_wrapped_apply,
         "cdc_delete_all_cols": _q_cdc_delete_all_cols,
         "pipeline_curation": _q_pipeline_curation,
         "cdc_row_fusion": _q_row_fusion,
@@ -562,7 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _FEED_COLS_SQL = (
     "scn, ssn, rba, xid, op, rollback, owner, table_name, row_id, pk, "
-    "totalprice, status, before_totalprice, before_status, con_id"
+    "totalprice, status, before_totalprice, before_status, con_id, changed_cols"
 )
 
 # committed DML (partial-rollback pairs cancelled LIFO per occurrence,
@@ -728,13 +735,46 @@ SELECT * FROM cancelled"""
         "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' ELSE 'd' END AS ORA_OP "
         "FROM stamped s"
     )
+    tp_pres = "(op = 1 OR (op = 3 AND contains(changed_cols, 'TOTALPRICE')))"
+    st_pres = "(op = 1 OR (op = 3 AND contains(changed_cols, 'STATUS')))"
     sql["cdc_wrapped_flat"] = cte + ", " + _STAMPED + (
-        "SELECT owner, table_name, pk, "
-        "(op <> 2) AS totalprice_present, "
-        "CASE WHEN op <> 2 THEN totalprice END AS totalprice_v, "
-        "(op <> 2) AS status_present, "
-        "CASE WHEN op <> 2 THEN status END AS status_v, "
-        "commit_scn, scn FROM stamped"
+        f"SELECT owner, table_name, pk, "
+        f"{tp_pres} AS totalprice_present, "
+        f"CASE WHEN {tp_pres} THEN totalprice END AS totalprice_v, "
+        f"{st_pres} AS status_present, "
+        f"CASE WHEN {st_pres} THEN status END AS status_v, "
+        f"commit_scn, scn FROM stamped"
+    )
+    sql["cdc_wrapped_apply"] = cte + ", " + _STAMPED + (
+        f""",
+latest AS (
+  SELECT owner, table_name, pk FROM (
+    SELECT owner, table_name, pk, op, ROW_NUMBER() OVER (
+        PARTITION BY owner, table_name, pk
+        ORDER BY commit_scn DESC, scn DESC, ssn DESC) AS rn
+    FROM stamped) t
+  WHERE rn = 1 AND op <> 2
+),
+tp AS (
+  SELECT owner, table_name, pk, totalprice FROM (
+    SELECT owner, table_name, pk, totalprice, ROW_NUMBER() OVER (
+        PARTITION BY owner, table_name, pk
+        ORDER BY commit_scn DESC, scn DESC, ssn DESC) AS vrn
+    FROM stamped WHERE {tp_pres}) t
+  WHERE vrn = 1
+),
+st AS (
+  SELECT owner, table_name, pk, status FROM (
+    SELECT owner, table_name, pk, status, ROW_NUMBER() OVER (
+        PARTITION BY owner, table_name, pk
+        ORDER BY commit_scn DESC, scn DESC, ssn DESC) AS vrn
+    FROM stamped WHERE {st_pres}) t
+  WHERE vrn = 1
+)
+SELECT l.owner, l.table_name, l.pk, tp.totalprice, st.status
+FROM latest l
+LEFT JOIN tp USING (owner, table_name, pk)
+LEFT JOIN st USING (owner, table_name, pk)"""
     )
     sql["cdc_delete_all_cols"] = cte + ", " + _STAMPED + (
         "SELECT owner, table_name, pk AS key_pk, "

@@ -16,7 +16,11 @@ Feed recipe (all constants in :class:`FeedSpec`):
 * every order emits an INSERT (op=1) at ``scn = k*10``;
 * orders with ``k % 3 == 0`` emit an UPDATE (op=3) at ``scn = k*10+1``;
   updates on ``k % 9 == 0`` are no-op updates (after == before) to
-  exercise F9 update-without-change suppression;
+  exercise F9 update-without-change suppression; updates on ``k % 6 ==
+  3`` (odd multiples of 3, non-noop) are *partial*: only TOTALPRICE is
+  written — STATUS keeps its prior value and is ABSENT from the
+  statement's ``changed_cols`` set (wrapped tri-state: absent ≠ NULL,
+  KafkaWrappedSchemas.java:60-176);
 * orders with ``k % 7 == 0`` emit a DELETE (op=2) at ``scn = k*10+2``;
 * updates on ``k % 13 == 5`` get a paired partial-rollback record
   (rollback=true, same xid/row_id/scn) — G4 pairing must cancel both;
@@ -58,6 +62,8 @@ class FeedSpec:
     delete_mod: int = 7
     partial_rb_mod: int = 13
     partial_rb_rem: int = 5
+    partial_upd_mod: int = 6
+    partial_upd_rem: int = 3
     txn_ctl_mod: int = 25
     txn_rollback_rem: int = 7
     txn_open_rem: int = 11
@@ -85,7 +91,10 @@ FEED_COLS = [
     "before_totalprice",
     "before_status",
     "con_id",
+    "changed_cols",
 ]
+
+ALL_COLS_CHANGED = "TOTALPRICE,STATUS"
 
 # CDB container ids carried natively by the feed (V$LOGMNR_CONTENTS
 # SRC_CON_ID / SRC_CON_UID; KafkaSourceLogMinerTask.java:252-255):
@@ -107,7 +116,8 @@ def _order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Single parquet scan: each order emits its statements as an exploded
     # array of structs (a 4-way union would scan orders once per branch).
-    def stmt(scn, ssn, op, rollback, totalprice, status, b_totalprice, b_status):
+    def stmt(scn, ssn, op, rollback, totalprice, status, b_totalprice, b_status,
+             changed):
         return F.struct(
             scn.cast("bigint").alias("scn"),
             F.lit(ssn).cast("bigint").alias("ssn"),
@@ -117,29 +127,36 @@ def _order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             status.cast("string").alias("status"),
             b_totalprice.cast("double").alias("before_totalprice"),
             b_status.cast("string").alias("before_status"),
+            changed.cast("string").alias("changed_cols"),
         )
 
     is_upd = F.col("k") % s.update_mod == 0
     noop = F.col("k") % s.noop_update_mod == 0
+    # partial update: only TOTALPRICE written (supplemental logging < ALL
+    # COLUMNS) — STATUS keeps its prior value, absent from changed_cols
+    partial = ~noop & (F.col("k") % s.partial_upd_mod == s.partial_upd_rem)
     stmts = F.array(
         stmt(F.col("k") * 10, 0, OP_INSERT, False,
-             F.col("o_totalprice"), F.col("o_orderstatus"), null_d, null_s),
+             F.col("o_totalprice"), F.col("o_orderstatus"), null_d, null_s,
+             F.lit(ALL_COLS_CHANGED)),
         F.when(
             is_upd,
             stmt(F.col("k") * 10 + 1, 1, OP_UPDATE, False,
                  F.when(noop, F.col("o_totalprice")).otherwise(F.col("o_totalprice") + s.update_delta),
-                 F.when(noop, F.col("o_orderstatus")).otherwise(F.lit("U")),
-                 F.col("o_totalprice"), F.col("o_orderstatus")),
+                 F.when(noop | partial, F.col("o_orderstatus")).otherwise(F.lit("U")),
+                 F.col("o_totalprice"), F.col("o_orderstatus"),
+                 F.when(partial, F.lit("TOTALPRICE")).otherwise(F.lit(ALL_COLS_CHANGED))),
         ),
         F.when(
             is_upd & (F.col("k") % s.partial_rb_mod == s.partial_rb_rem),
             stmt(F.col("k") * 10 + 1, 2, OP_UPDATE, True,
-                 null_d, null_s, null_d, null_s),
+                 null_d, null_s, null_d, null_s, F.lit("")),
         ),
         F.when(
             F.col("k") % s.delete_mod == 0,
             stmt(F.col("k") * 10 + 2, 0, OP_DELETE, False,
-                 null_d, null_s, F.col("o_totalprice"), F.col("o_orderstatus")),
+                 null_d, null_s, F.col("o_totalprice"), F.col("o_orderstatus"),
+                 F.lit("")),
         ),
     )
     exploded = o.select(
@@ -156,6 +173,7 @@ def _order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.status").alias("status"),
         F.col("st.before_totalprice").alias("before_totalprice"),
         F.col("st.before_status").alias("before_status"),
+        F.col("st.changed_cols").alias("changed_cols"),
     )
 
 
@@ -188,6 +206,7 @@ def change_feed(spark: SparkSession, sf_dir: str, with_customer: bool = False) -
             F.lit(None).cast("string").alias("status"),
             F.lit(None).cast("double").alias("before_totalprice"),
             F.lit(None).cast("string").alias("before_status"),
+            F.lit("").alias("changed_cols"),
         )
     )
 
@@ -208,6 +227,7 @@ def change_feed(spark: SparkSession, sf_dir: str, with_customer: bool = False) -
         "before_totalprice",
         "before_status",
         F.lit(CON_ID_ORDERS).cast("int").alias("con_id"),
+        "changed_cols",
     )
     if with_customer:
         out = out.unionAll(customer_feed(spark, sf_dir))
@@ -236,6 +256,7 @@ def customer_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("before_totalprice"),
         F.lit(None).cast("string").alias("before_status"),
         F.lit(CON_ID_CUSTOMER).cast("int").alias("con_id"),
+        F.lit(ALL_COLS_CHANGED).alias("changed_cols"),
     )
 
 
@@ -270,7 +291,8 @@ data_rows AS (
          CAST(o_totalprice AS DOUBLE) AS totalprice,
          CAST(o_orderstatus AS VARCHAR) AS status,
          CAST(NULL AS DOUBLE) AS before_totalprice,
-         CAST(NULL AS VARCHAR) AS before_status
+         CAST(NULL AS VARCHAR) AS before_status,
+         'TOTALPRICE,STATUS' AS changed_cols
   FROM ord_base
   UNION ALL
   SELECT CAST(k*10+1 AS BIGINT), CAST(1 AS BIGINT), CAST(xid_n AS BIGINT),
@@ -278,21 +300,25 @@ data_rows AS (
          CAST(CASE WHEN k % {s.noop_update_mod} = 0 THEN o_totalprice
               ELSE o_totalprice + {s.update_delta} END AS DOUBLE),
          CAST(CASE WHEN k % {s.noop_update_mod} = 0 THEN o_orderstatus
+              WHEN k % {s.partial_upd_mod} = {s.partial_upd_rem} THEN o_orderstatus
               ELSE 'U' END AS VARCHAR),
-         CAST(o_totalprice AS DOUBLE), CAST(o_orderstatus AS VARCHAR)
+         CAST(o_totalprice AS DOUBLE), CAST(o_orderstatus AS VARCHAR),
+         CASE WHEN k % {s.noop_update_mod} <> 0
+                   AND k % {s.partial_upd_mod} = {s.partial_upd_rem}
+              THEN 'TOTALPRICE' ELSE 'TOTALPRICE,STATUS' END
   FROM ord_base WHERE k % {s.update_mod} = 0
   UNION ALL
   SELECT CAST(k*10+1 AS BIGINT), CAST(2 AS BIGINT), CAST(xid_n AS BIGINT),
          3, TRUE, CAST(k AS BIGINT),
          CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
-         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), ''
   FROM ord_base
   WHERE k % {s.update_mod} = 0 AND k % {s.partial_rb_mod} = {s.partial_rb_rem}
   UNION ALL
   SELECT CAST(k*10+2 AS BIGINT), CAST(0 AS BIGINT), CAST(xid_n AS BIGINT),
          2, FALSE, CAST(k AS BIGINT),
          CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
-         CAST(o_totalprice AS DOUBLE), CAST(o_orderstatus AS VARCHAR)
+         CAST(o_totalprice AS DOUBLE), CAST(o_orderstatus AS VARCHAR), ''
   FROM ord_base WHERE k % {s.delete_mod} = 0
 ),
 ctl_rows AS (
@@ -301,7 +327,8 @@ ctl_rows AS (
          CASE WHEN xid_n % {s.txn_ctl_mod} = {s.txn_rollback_rem} THEN 36 ELSE 7 END AS op,
          FALSE AS rollback, CAST(NULL AS BIGINT) AS pk,
          CAST(NULL AS DOUBLE) AS totalprice, CAST(NULL AS VARCHAR) AS status,
-         CAST(NULL AS DOUBLE) AS before_totalprice, CAST(NULL AS VARCHAR) AS before_status
+         CAST(NULL AS DOUBLE) AS before_totalprice, CAST(NULL AS VARCHAR) AS before_status,
+         '' AS changed_cols
   FROM data_rows
   GROUP BY xid_n
   HAVING xid_n % {s.txn_ctl_mod} <> {s.txn_open_rem}
@@ -314,7 +341,7 @@ changes AS (
          'SCOTT' AS owner, 'ORDERS' AS table_name,
          CASE WHEN pk IS NULL THEN NULL ELSE 'R' || CAST(pk AS VARCHAR) END AS row_id,
          pk, totalprice, status, before_totalprice, before_status,
-         CAST(3 AS INT) AS con_id
+         CAST(3 AS INT) AS con_id, changed_cols
   FROM (SELECT * FROM data_rows UNION ALL SELECT * FROM ctl_rows)
 ),
 cust_changes AS (
@@ -330,7 +357,8 @@ cust_changes AS (
          CAST(c_mktsegment AS VARCHAR) AS status,
          CAST(NULL AS DOUBLE) AS before_totalprice,
          CAST(NULL AS VARCHAR) AS before_status,
-         CAST(4 AS INT) AS con_id
+         CAST(4 AS INT) AS con_id,
+         'TOTALPRICE,STATUS' AS changed_cols
   FROM customer
 ),
 all_changes AS (

@@ -114,24 +114,78 @@ def single_mode(feed: DataFrame) -> DataFrame:
     )
 
 
+def col_present(col_name: str):
+    """Tri-state presence of a wrapped column: INSERTs carry every
+    column; UPDATEs carry only the statement's changed-column set
+    (``changed_cols``, supplemental logging < ALL COLUMNS); DELETEs
+    carry none (KafkaWrappedSchemas.java:60-176)."""
+    return (F.col("op") == OP_INSERT) | (
+        (F.col("op") == OP_UPDATE)
+        & F.col("changed_cols").contains(col_name.upper())
+    )
+
+
 def wrapped_tristate(feed: DataFrame) -> DataFrame:
     """Wrapped tri-state mode (supplemental logging ≠ ALL COLUMNS): each
     value field becomes a nullable struct {V: value} so "column absent from
     this change" (struct null) is distinct from "column set to NULL"
     (struct present, V null). KafkaWrappedSchemas.java:98-176.
 
-    In the structured feed UPDATEs always carry both columns, so presence
-    is derived from the op: INSERT/UPDATE present all, DELETE presents none.
+    Presence comes from the statement's changed-column set — partial
+    UPDATEs genuinely omit columns (struct null), they don't carry a
+    NULL value.
     """
     stamped = commit_stamped(feed)
-    present = F.col("op") != OP_DELETE
     return stamped.select(
         "owner",
         "table_name",
         "pk",
-        F.when(present, F.struct(F.col("totalprice").alias("V"))).alias("totalprice_w"),
-        F.when(present, F.struct(F.col("status").alias("V"))).alias("status_w"),
+        F.when(
+            col_present("totalprice"), F.struct(F.col("totalprice").alias("V"))
+        ).alias("totalprice_w"),
+        F.when(col_present("status"), F.struct(F.col("status").alias("V"))).alias(
+            "status_w"
+        ),
         _op_char().alias("op_char"),
         "commit_scn",
         "scn",
     )
+
+
+def wrapped_apply(feed: DataFrame) -> DataFrame:
+    """K5 batch-applied: reconstruct the replica from wrapped tri-state
+    changes — per column, the newest PRESENT value wins; a key's row
+    survives iff its newest change isn't a DELETE.  Absent ≠ NULL: a
+    partial UPDATE leaves the other columns at their prior value
+    (WrappedDataTable.java:72-90).
+
+    Invariant (tested): equals :func:`oracdc_spark.operators.cdc.
+    apply_changes` because the flat feed's unchanged columns carry their
+    prior value.  Plan: three windows over the SAME (owner, table_name,
+    pk) partitioning → one shuffle, three in-partition sorts.
+    """
+    from pyspark.sql import Window
+
+    stamped = commit_stamped(feed)
+    pk = [F.col(c) for c in ("owner", "table_name", "pk")]
+    version = [F.col(c).desc() for c in ("commit_scn", "scn", "ssn")]
+    w = Window.partitionBy(*pk).orderBy(*version)
+
+    latest = (
+        stamped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("op") != OP_DELETE)
+        .select("owner", "table_name", "pk")
+    )
+    vals = []
+    for col in ("totalprice", "status"):
+        vals.append(
+            stamped.filter(col_present(col))
+            .withColumn("vrn", F.row_number().over(w))
+            .filter(F.col("vrn") == 1)
+            .select("owner", "table_name", "pk", col)
+        )
+    out = latest
+    for vc in vals:
+        out = out.join(vc, ["owner", "table_name", "pk"], "left")
+    return out

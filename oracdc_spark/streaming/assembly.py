@@ -64,6 +64,7 @@ OUTPUT_SCHEMA = StructType(
         StructField("status", StringType()),
         StructField("before_totalprice", DoubleType()),
         StructField("before_status", StringType()),
+        StructField("changed_cols", StringType()),
         StructField("commit_scn", LongType()),
     ]
 )
@@ -80,7 +81,8 @@ STATE_SCHEMA = StructType(
 
 _STMT_FIELDS = [
     "scn", "ssn", "rba", "op", "rollback", "owner", "table_name",
-    "row_id", "pk", "totalprice", "status", "before_totalprice", "before_status",
+    "row_id", "pk", "totalprice", "status", "before_totalprice",
+    "before_status", "changed_cols",
 ]
 
 

@@ -27,7 +27,7 @@ FEED_DDL = (
     "scn bigint, ssn bigint, rba string, xid string, op int, rollback boolean, "
     "owner string, table_name string, row_id string, pk bigint, "
     "totalprice double, status string, before_totalprice double, "
-    "before_status string, con_id int"
+    "before_status string, con_id int, changed_cols string"
 )
 
 

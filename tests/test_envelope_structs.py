@@ -39,3 +39,39 @@ def test_wrapped_tristate_struct_presence(spark):
     # present column → struct with V; absent (delete) → struct null
     assert ins.totalprice_w is not None and ins.totalprice_w.V is not None
     assert dele.totalprice_w is None and dele.status_w is None
+
+
+def test_wrapped_tristate_partial_updates_omit_status(spark):
+    """Partial UPDATEs (changed_cols = TOTALPRICE only) must surface as
+    struct-null STATUS (absent), not a present-NULL — the tri-state
+    distinction the wrapped mode exists for."""
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.envelope import wrapped_tristate
+
+    feed = change_feed(spark, "/root/testdata/sf0.001")
+    w = wrapped_tristate(feed)
+    partial = w.filter(
+        (F.col("op_char") == "u") & F.col("status_w").isNull()
+        & F.col("totalprice_w").isNotNull()
+    )
+    assert partial.count() > 0  # absent genuinely occurs in the feed
+
+
+def test_wrapped_apply_matches_flat_apply(spark):
+    """Reconstructing the replica from wrapped (absent-aware) changes
+    must equal the flat apply: absent columns fall back to the prior
+    value, never overwrite (WrappedDataTable.java:72-90)."""
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import apply_changes
+    from oracdc_spark.operators.envelope import wrapped_apply
+
+    feed = change_feed(spark, "/root/testdata/sf0.001")
+    flat = {
+        (r.owner, r.table_name, r.pk, r.totalprice, r.status)
+        for r in apply_changes(feed).collect()
+    }
+    wrapped = {
+        (r.owner, r.table_name, r.pk, r.totalprice, r.status)
+        for r in wrapped_apply(feed).collect()
+    }
+    assert wrapped == flat

@@ -132,6 +132,7 @@ def _stmt(scn, ssn, op, rollback=False, pk=1):
         "rollback": rollback, "owner": "SCOTT", "table_name": "ORDERS",
         "row_id": f"R{pk}", "pk": pk, "totalprice": 1.0, "status": "O",
         "before_totalprice": None, "before_status": None,
+        "changed_cols": "TOTALPRICE,STATUS",
     }
 
 
