@@ -125,3 +125,90 @@ def test_merge_sink_converges(spark):
             for r in apply_changes(change_feed(spark, "/root/testdata/sf0.001")).collect()
         }
         assert first == expected
+
+
+def test_merge_touches_only_affected_buckets(spark):
+    """Bucket-pruned MERGE (round-2 verdict item 3): a batch rewrites
+    ONLY the bucket directories containing its keys; every other
+    bucket's files stay byte-identical."""
+    import hashlib
+    import os
+    import tempfile
+
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import commit_stamped
+    from oracdc_spark.sinks.merge import BUCKET_COL, merge_batch, replica_state
+
+    import pyspark.sql.functions as F
+
+    def _files_digest(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/replica"
+        stamped = commit_stamped(change_feed(spark, "/root/testdata/sf0.001"))
+        merge_batch(spark, stamped, path)
+
+        before = _files_digest(path)
+        buckets = sorted(
+            e for e in os.listdir(path) if e.startswith(f"{BUCKET_COL}=")
+        )
+        assert len(buckets) > 1  # layout is really bucketed
+
+        # second batch: update a single pk → touches exactly one bucket
+        one = stamped.filter(F.col("pk") == 3).withColumn(
+            "commit_scn", F.col("commit_scn") + 1_000_000
+        ).withColumn("totalprice", F.lit(9999.0))
+        assert one.count() > 0
+        merge_batch(spark, one, path)
+
+        after = _files_digest(path)
+        from pyspark.sql.functions import hash as _hash, pmod, lit
+        touched = {
+            f"{BUCKET_COL}={r[0]}"
+            for r in one.select(
+                pmod(_hash("owner", "table_name", "pk"), lit(16)).alias("b")
+            ).distinct().collect()
+        }
+        for b in buckets:
+            in_b_before = {k: v for k, v in before.items() if k.startswith(b)}
+            in_b_after = {k: v for k, v in after.items() if k.startswith(b)}
+            if b in touched:
+                assert in_b_before != in_b_after, f"{b} should have been rewritten"
+            else:
+                assert in_b_before == in_b_after, f"{b} was touched unnecessarily"
+
+        # and the merge itself is correct
+        r = {x.pk: x.totalprice for x in replica_state(spark, path).collect()}
+        assert r[3] == 9999.0
+
+
+def test_merge_delete_empties_bucket(spark):
+    """A bucket whose rows are all deleted is dropped, not left stale."""
+    import os
+    import tempfile
+
+    from oracdc_spark.sinks.merge import merge_batch, replica_state
+
+    schema = (
+        "owner string, table_name string, pk bigint, totalprice double, "
+        "status string, commit_scn bigint, scn bigint, ssn bigint, op int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/replica"
+        b1 = spark.createDataFrame(
+            [("S", "T", 1, 10.0, "A", 100, 10, 0, 1)], schema
+        )
+        merge_batch(spark, b1, path, n_buckets=4)
+        assert replica_state(spark, path).count() == 1
+        b2 = spark.createDataFrame(
+            [("S", "T", 1, None, None, 200, 20, 0, 2)], schema
+        )
+        merge_batch(spark, b2, path, n_buckets=4)
+        assert not any(e.startswith("pk_bucket=") for e in os.listdir(path))

@@ -44,13 +44,10 @@ def _write_feed_chunks(spark, d: str, n_chunks: int = 4) -> str:
 def test_streaming_assembly_matches_batch(spark):
     with tempfile.TemporaryDirectory() as d:
         feed_dir = _write_feed_chunks(spark, d)
+        from oracdc_spark.streaming.pipeline import FEED_DDL
+
         stream = (
-            spark.readStream.schema(
-                "scn bigint, ssn bigint, rba string, xid string, op int, "
-                "rollback boolean, owner string, table_name string, row_id string, "
-                "pk bigint, totalprice double, status string, "
-                "before_totalprice double, before_status string"
-            )
+            spark.readStream.schema(FEED_DDL)
             .option("maxFilesPerTrigger", 1)
             .parquet(feed_dir)
         )
