@@ -1142,18 +1142,50 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 WHERE rank <= 3
 """
     )
+    # mirror of similarity.lsh_signatures: arithmetic hyperplanes over the
+    # 0-based dimension (qv's i is 1-based → i-1), exact integer sums
+    lsh_sums = ", ".join(
+        f"SUM(q * ((({1009 * b} + 9173*(i-1)) % 2003) - 1001)) AS s{b}"
+        for b in range(8)
+    )
+
+    def _band(bits):
+        return " + ".join(
+            f"{1 << j}*(CASE WHEN s{b} >= 0 THEN 1 ELSE 0 END)"
+            for j, b in enumerate(bits)
+        )
+
     sql["similarity_near_dups"] = (
         "WITH "
         + _QUANT
-        + """,
+        + f""",
+sig_sums AS (
+  SELECT vec_id, {lsh_sums} FROM qv GROUP BY vec_id
+),
+sigc AS (
+  SELECT s.vec_id, e.label AS cell,
+         {_band([0, 1, 2, 3])} AS band0,
+         {_band([4, 5, 6, 7])} AS band1
+  FROM sig_sums s JOIN embeddings e ON e.vec_id = s.vec_id
+),
+cands AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM sigc a JOIN sigc b
+    ON a.cell = b.cell AND a.band0 = b.band0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM sigc a JOIN sigc b
+    ON a.cell = b.cell AND a.band1 = b.band1 AND a.vec_id < b.vec_id
+),
 agg AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2,
+  SELECT c.v1, c.v2,
          CAST(SUM(a.q * b.q) AS BIGINT) AS dot,
          CAST(SUM(a.q * a.q) AS BIGINT) AS n1,
          CAST(SUM(b.q * b.q) AS BIGINT) AS n2
-  FROM qv a JOIN qv b ON a.label = b.label AND a.i = b.i
-  WHERE a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
+  FROM cands c
+  JOIN qv a ON a.vec_id = c.v1
+  JOIN qv b ON b.vec_id = c.v2 AND b.i = a.i
+  GROUP BY c.v1, c.v2
 )
 SELECT v1, v2,
        (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)

@@ -63,3 +63,31 @@ def test_assemble_fn_empty_group(spark):
 
     out = list(assemble_fn(("A",), iter([pd.DataFrame(columns=_STMT_FIELDS)]), FakeState()))
     assert out == []
+
+
+def test_near_dups_candidates_bounded_by_lsh_buckets(spark):
+    """embedding_near_dups must score only pairs sharing (cell, band) —
+    the LSH bound — and every emitted pair really clears the threshold
+    with an exact score (round-2 verdict item 7)."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.catalog import load_table
+    from oracdc_spark.operators.similarity import (
+        embedding_near_dups,
+        lsh_signatures,
+        quantized,
+    )
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = embedding_near_dups(vecs, threshold_score=0.05).collect()
+    sig = {
+        r.vec_id: (r.band0, r.band1)
+        for r in lsh_signatures(quantized(vecs)).collect()
+    }
+    cell = {r.vec_id: r.label for r in vecs.select("vec_id", "label").collect()}
+    assert out, "expected some pairs at the looser threshold"
+    for r in out:
+        assert cell[r.v1] == cell[r.v2]
+        b1, b2 = sig[r.v1], sig[r.v2]
+        assert b1[0] == b2[0] or b1[1] == b2[1]  # agree on >= 1 band
+        assert r.score >= 0.05
