@@ -216,6 +216,16 @@ def _q_cdc_wrapped_apply(spark, sf_dir):
     return envelope.wrapped_apply(change_feed(spark, sf_dir))
 
 
+def _q_cdc_completeness_rejects(spark, sf_dir):
+    """F7 — reject side-output: non-DELETE DML missing a mandatory
+    column under supplemental-log-ALL (KafkaStructDataBinder.java:
+    258-287; tolerate flag skips instead of failing)."""
+    from oracdc_spark.operators.filters import completeness_check
+
+    _, rejects = completeness_check(change_feed(spark, sf_dir))
+    return rejects.select("scn", "ssn", "xid", "op", "pk", "changed_cols")
+
+
 # golden decode vectors (OraDumpDecoderTest.java constants, FIXTURES.md §3)
 _NUMBER_GOLDENS = [
     (1, "3f534966", -0.1828),
@@ -501,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pseudo_columns": _q_cdc_pseudo_columns,
         "cdc_wrapped_flat": _q_cdc_wrapped_flat,
         "cdc_wrapped_apply": _q_cdc_wrapped_apply,
+        "cdc_completeness_rejects": _q_cdc_completeness_rejects,
         "cdc_delete_all_cols": _q_cdc_delete_all_cols,
         "pipeline_curation": _q_pipeline_curation,
         "cdc_row_fusion": _q_row_fusion,
@@ -744,6 +755,12 @@ SELECT * FROM cancelled"""
         f"{st_pres} AS status_present, "
         f"CASE WHEN {st_pres} THEN status END AS status_v, "
         f"commit_scn, scn FROM stamped"
+    )
+    sql["cdc_completeness_rejects"] = cte + (
+        "SELECT scn, ssn, xid, op, pk, changed_cols FROM changes "
+        "WHERE op IN (1,3) AND NOT rollback "
+        "AND NOT (contains(changed_cols, 'TOTALPRICE') "
+        "AND contains(changed_cols, 'STATUS'))"
     )
     sql["cdc_wrapped_apply"] = cte + ", " + _STAMPED + (
         f""",

@@ -70,3 +70,50 @@ def table_list_sql(
         else:
             parts.append(f"({owner_col} = '{owner}' AND {table_col} = '{table}')")
     return " OR ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# F7 — supplemental completeness check (KafkaStructDataBinder.java:258-287)
+# ---------------------------------------------------------------------------
+
+
+class IncompleteRowError(ValueError):
+    """Strict-mode F7 failure (the reference's OraCdcDataException)."""
+
+
+def incomplete_rows_predicate(mandatory: tuple[str, ...] = ("TOTALPRICE", "STATUS")) -> Column:
+    """True for non-DELETE DML whose changed-column set misses a
+    mandatory column under supplemental-log-ALL expectations
+    (``mandatoryColumnsProcessed < mandatoryColumnsCount``).  DELETEs are
+    exempt — the key suffices (reference :281-287)."""
+    complete: Column | None = None
+    for c in mandatory:
+        has = F.col("changed_cols").contains(c.upper())
+        complete = has if complete is None else (complete & has)
+    return F.col("op").isin([1, 3]) & ~F.col("rollback") & ~complete
+
+
+def completeness_check(
+    feed,
+    mandatory: tuple[str, ...] = ("TOTALPRICE", "STATUS"),
+    tolerate: bool = True,
+):
+    """F7 — split the feed into (complete, rejects).
+
+    tolerate=True (FLG_TOLERATE_INCOMPLETE_ROW): incomplete rows are
+    skipped from the main flow and surfaced on the reject side-output —
+    Spark's declarative equivalent of the reference's log-and-return-null
+    path.  tolerate=False: the caller must drain ``rejects`` and raise
+    (see :func:`assert_complete`) — the reference throws
+    OraCdcDataException on first incomplete row.
+    """
+    bad = incomplete_rows_predicate(mandatory)
+    return feed.filter(~bad), feed.filter(bad)
+
+
+def assert_complete(rejects) -> None:
+    """Strict-mode gate: raise IncompleteRowError if any row was
+    rejected.  One count() action over the (tiny) reject side."""
+    n = rejects.count()
+    if n:
+        raise IncompleteRowError(f"{n} incomplete redo record(s)")

@@ -30,13 +30,13 @@ version-guard concern, not a global sort (SURVEY §7 hard parts).
 
 from __future__ import annotations
 
-import json
 from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -69,28 +69,71 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# state: JSON-serialized buffered statements + unmatched rollback markers.
-# (Round-1 layout: simple and correct; a later round can switch to
-# list-typed state columns to avoid the JSON hop.)
-STATE_SCHEMA = StructType(
-    [
-        StructField("stmts", StringType()),
-        StructField("rb_markers", StringType()),
-    ]
-)
-
 _STMT_FIELDS = [
     "scn", "ssn", "rba", "op", "rollback", "owner", "table_name",
     "row_id", "pk", "totalprice", "status", "before_totalprice",
     "before_status", "changed_cols",
 ]
 
+# state: TYPED buffered statements + unmatched rollback markers — arrays
+# of structs, no JSON hop (round-1 TODO closed): the state store holds
+# Arrow-encoded columns, so buffering/spill stays binary end-to-end.
+_STMT_STRUCT = StructType(
+    [
+        StructField("scn", LongType()),
+        StructField("ssn", LongType()),
+        StructField("rba", StringType()),
+        StructField("op", IntegerType()),
+        StructField("rollback", BooleanType()),
+        StructField("owner", StringType()),
+        StructField("table_name", StringType()),
+        StructField("row_id", StringType()),
+        StructField("pk", LongType()),
+        StructField("totalprice", DoubleType()),
+        StructField("status", StringType()),
+        StructField("before_totalprice", DoubleType()),
+        StructField("before_status", StringType()),
+        StructField("changed_cols", StringType()),
+    ]
+)
+_MARKER_STRUCT = StructType(
+    [StructField("row_id", StringType()), StructField("scn", LongType())]
+)
+STATE_SCHEMA = StructType(
+    [
+        StructField("stmts", ArrayType(_STMT_STRUCT)),
+        StructField("rb_markers", ArrayType(_MARKER_STRUCT)),
+    ]
+)
+
+
+def _rows_to_dicts(rows, fields) -> list[dict]:
+    out = []
+    for r in rows or []:
+        if hasattr(r, "asDict"):
+            out.append(r.asDict())
+        else:  # plain tuple in field order
+            out.append(dict(zip(fields, r)))
+    return out
+
 
 def _load_state(state: GroupState) -> tuple[list[dict], list[dict]]:
     if state.exists:
         s = state.get
-        return json.loads(s[0]), json.loads(s[1])
+        return (
+            _rows_to_dicts(s[0], _STMT_FIELDS),
+            _rows_to_dicts(s[1], ["row_id", "scn"]),
+        )
     return [], []
+
+
+def _save_state(state: GroupState, stmts: list[dict], markers: list[dict]) -> None:
+    state.update(
+        (
+            [tuple(s[f] for f in _STMT_FIELDS) for s in stmts],
+            [(m["row_id"], m["scn"]) for m in markers],
+        )
+    )
 
 
 def _cancel_pairs(stmts: list[dict], markers: list[dict]) -> tuple[list[dict], list[dict]]:
@@ -232,7 +275,7 @@ def assemble_fn(
 
     if stmts or markers:
         # still open: buffer (no timeout — SURVEY §2.7 late data)
-        state.update((json.dumps(stmts), json.dumps(markers)))
+        _save_state(state, stmts, markers)
     else:
         state.remove()
     if emitted:

@@ -29,3 +29,45 @@ def test_star_wildcard_normalized():
 
 def test_lowercase_upcased():
     assert parse_table_list("scott.emp") == [("SCOTT", "EMP")]
+
+
+class TestCompleteness:
+    """F7 reject/tolerate (KafkaStructDataBinder.java:258-287)."""
+
+    def test_partial_updates_rejected(self, spark):
+        from oracdc_spark.feed import change_feed
+        from oracdc_spark.operators.filters import completeness_check
+
+        feed = change_feed(spark, "/root/testdata/sf0.001")
+        good, rejects = completeness_check(feed)
+        r = rejects.select("op", "changed_cols").distinct().collect()
+        assert r and all(x.op == 3 and x.changed_cols == "TOTALPRICE" for x in r)
+        # deletes are exempt even though they carry no value columns
+        assert good.filter("op = 2").count() == feed.filter("op = 2").count()
+        # split is a partition: nothing lost
+        assert good.count() + rejects.count() == feed.count()
+
+    def test_strict_mode_raises(self, spark):
+        from oracdc_spark.feed import change_feed
+        from oracdc_spark.operators.filters import (
+            IncompleteRowError,
+            assert_complete,
+            completeness_check,
+        )
+
+        import pytest as _pytest
+
+        feed = change_feed(spark, "/root/testdata/sf0.001")
+        _, rejects = completeness_check(feed, tolerate=False)
+        with _pytest.raises(IncompleteRowError):
+            assert_complete(rejects)
+
+    def test_complete_feed_passes_strict(self, spark):
+        from oracdc_spark.feed import change_feed
+        from oracdc_spark.operators.filters import assert_complete, completeness_check
+
+        feed = change_feed(spark, "/root/testdata/sf0.001").filter(
+            "op <> 3"  # inserts/deletes/control only — all complete
+        )
+        _, rejects = completeness_check(feed)
+        assert_complete(rejects)  # no raise

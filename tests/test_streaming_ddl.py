@@ -82,12 +82,14 @@ def test_rollback_marker_before_original_across_batches(spark):
     FEED = (
         "scn bigint, ssn bigint, rba string, xid string, op int, rollback boolean, "
         "owner string, table_name string, row_id string, pk bigint, "
-        "totalprice double, status string, before_totalprice double, before_status string"
+        "totalprice double, status string, before_totalprice double, "
+        "before_status string, changed_cols string"
     )
 
     def r(scn, ssn, xid, op, rollback, pk, tp):
         rid = f"R{pk}" if pk is not None else None
-        return (scn, ssn, f"1.{scn}.{ssn}", xid, op, rollback, "S", "T", rid, pk, tp, None, None, None)
+        return (scn, ssn, f"1.{scn}.{ssn}", xid, op, rollback, "S", "T", rid, pk,
+                tp, None, None, None, "TOTALPRICE,STATUS")
 
     with tempfile.TemporaryDirectory() as d:
         feed = f"{d}/feed"
