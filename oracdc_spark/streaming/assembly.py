@@ -234,7 +234,9 @@ def assemble_fn(
     recs: list[dict[str, Any]] = []
     for pdf in pdfs:
         for rec in pdf.itertuples(index=False):
-            r: dict[str, Any] = {f: getattr(rec, f) for f in _STMT_FIELDS}
+            # changed_cols is optional metadata — feeds without it (older
+            # fixtures, non-wrapped sources) buffer None
+            r: dict[str, Any] = {f: getattr(rec, f, None) for f in _STMT_FIELDS}
             # pandas NaN → None for JSON/state round-trips
             for k, v in list(r.items()):
                 if isinstance(v, float) and pd.isna(v):

@@ -10,10 +10,13 @@ NOTES = {
     "q1_pricing_summary": "filter pushed to parquet scan; one partial-aggregated exchange",
     "q5_region_revenue": "all four dimensions broadcast; lineitem never shuffles for joins",
     "top_orders": "TakeOrderedAndProject: per-partition top-k, no global sort",
-    "cdc_apply_changes": "feed derived in one scan; broadcast semi/anti joins; single pk-window exchange",
-    "cdc_commit_order": "broadcast commit map; the only global sort in the engine (declared emission contract)",
+    "cdc_apply_changes": "feed derived in one scan; commit/rollback sets join co-partitioned on xid "
+                         "(no forced broadcast of feed-derived sets — AQE picks); single pk-window exchange",
+    "cdc_commit_order": "co-partitioned commit map join; the only global sort in the engine (declared emission contract)",
+    "cdc_wrapped_apply": "three windows share ONE pk exchange (ReusedExchange); absent-aware per-column resolution",
     "dedup_minhash_lsh": "wide min-aggregate signatures: one doc_id exchange, band self-join on tiny buckets",
     "similarity_bruteforce_topk": "query side broadcast; integer dot products; per-query window top-k",
+    "similarity_near_dups": "in-cell hyperplane-LSH buckets bound the pair join; exact rescoring of candidates only",
 }
 
 KEEP = (
