@@ -161,11 +161,19 @@ def strip_guard_columns(schema: StructType) -> StructType:
     )
 
 
+# table name may be OWNER.TABLE with optional spaces around the dot
+# (OraCdcAlterTablePreProcessorTest: "alter table scott . dept …")
+_ALTER_PREFIX_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+[\w\"$]+(?:\s*\.\s*[\w\"$]+)?\s+", re.IGNORECASE
+)
 _ADD_RE = re.compile(r"ADD\s*\(\s*(.+?)\s*\)\s*$", re.IGNORECASE | re.DOTALL)
-_ADD_BARE_RE = re.compile(r"ADD\s+(\w+)\s+(.+?)\s*$", re.IGNORECASE)
+# optional COLUMN keyword: "add column AMOUNT number(5,2)"
+_ADD_BARE_RE = re.compile(r"ADD\s+(?:COLUMN\s+)?(\w+)\s+(.+?)\s*$", re.IGNORECASE)
 _DROP_RE = re.compile(r"DROP\s+COLUMN\s+(\w+)", re.IGNORECASE)
 _DROP_PAREN_RE = re.compile(r"DROP\s*\(\s*([\w\s,]+?)\s*\)", re.IGNORECASE)
-_MODIFY_RE = re.compile(r"MODIFY\s*\(?\s*(\w+)\s+([^,)]+?)\s*\)?\s*$", re.IGNORECASE)
+_MODIFY_BODY_RE = re.compile(
+    r"MODIFY\s+(?:COLUMN\s+)?(.+?)\s*$", re.IGNORECASE | re.DOTALL
+)
 _RENAME_RE = re.compile(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", re.IGNORECASE)
 _UNUSED_RE = re.compile(r"SET\s+UNUSED\s+(?:COLUMN\s+)?\(?\s*([\w\s,]+?)\s*\)?\s*$", re.IGNORECASE)
 
@@ -220,9 +228,7 @@ class SchemaRegistry:
         """G8 — apply one ALTER TABLE statement; returns the (possibly
         unchanged) table def. Key-column drops are rejected."""
         td = self.get(owner, name)
-        body = re.sub(
-            r"^\s*ALTER\s+TABLE\s+[\w.\"$]+\s+", "", ddl.strip(), flags=re.IGNORECASE
-        )
+        body = _ALTER_PREFIX_RE.sub("", ddl.strip())
         fields = list(td.schema.fields)
         changed = False
         up = body.upper()
@@ -259,18 +265,23 @@ class SchemaRegistry:
                 fields = [f for f in fields if f.name.upper() != cname.upper()]
                 changed |= len(fields) != before
         elif up.startswith("MODIFY"):
-            m = _MODIFY_RE.match(body)
+            m = _MODIFY_BODY_RE.match(body)
             if not m:
-                return td  # MODIFY CONSTRAINT / multi-clause: no-op
-            cname, type_part = m.group(1), m.group(2)
-            nullable = "NOT NULL" not in type_part.upper()
-            newtype = oracle_type_to_spark(
-                re.split(r"\s+DEFAULT\s+|\s+NOT\s+NULL", type_part, flags=re.IGNORECASE)[0]
-            )
-            for i, f in enumerate(fields):
-                if f.name.upper() == cname.upper():
-                    fields[i] = StructField(f.name, newtype, nullable)
-                    changed = True
+                return td
+            inner = m.group(1).strip()
+            pm = re.match(r"^\(\s*(.+?)\s*\)$", inner, flags=re.DOTALL)
+            if pm:  # MODIFY (a spec, b spec) multi-clause form
+                inner = pm.group(1)
+            specs = re.split(r",(?![^()]*\))", inner)
+            for spec in specs:
+                parsed = _parse_col_spec(spec)
+                if parsed is None:
+                    continue  # MODIFY CONSTRAINT … — not a schema change
+                cname, newtype, nullable = parsed
+                for i, f in enumerate(fields):
+                    if f.name.upper() == cname.upper():
+                        fields[i] = StructField(f.name, newtype, nullable)
+                        changed = True
         elif up.startswith("RENAME"):
             m = _RENAME_RE.match(body)
             if not m:

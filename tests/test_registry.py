@@ -211,3 +211,63 @@ def test_tstz_maps_to_instant_type():
     assert oracle_type_to_spark("TIMESTAMP(6) WITH TIME ZONE") == TimestampType()
     assert oracle_type_to_spark("TIMESTAMP(9) WITH LOCAL TIME ZONE") == TimestampType()
     assert oracle_type_to_spark("TIMESTAMP(6)") == TimestampNTZType()
+
+
+class TestPreProcessorFixtures:
+    """The reference pre-processor's own edge cases
+    (OraCdcAlterTablePreProcessorTest.java): spaces around the table-name
+    dot, optional COLUMN keyword, multi-spec MODIFY."""
+
+    def _reg(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        return reg
+
+    def test_spaces_around_dot(self):
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "alter table scott . dept rename column DNAME to COMMENTARY",
+        )
+        assert td.version == 2
+        assert "COMMENTARY" in [f.name for f in td.schema.fields]
+
+    def test_add_column_keyword(self):
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "alter table SCOTT . DEPT add column AMOUNT number(5,2) default 0",
+        )
+        assert td.version == 2
+        assert td.schema["AMOUNT"].dataType == DecimalType(5, 2)
+
+    def test_modify_column_keyword(self):
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "alter table SCOTT.DEPT modify column DNAME varchar2(1000)",
+        )
+        assert td.version == 2
+
+    def test_modify_multi_spec(self):
+        reg = self._reg()
+        reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT ADD (REF_NO NUMBER(9))")
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "ALTER TABLE SCOTT . DEPT MODIFY (REF_NO number(12) default 0, "
+            "DNAME varchar2(500) NOT NULL)",
+        )
+        assert td.version == 3
+        from pyspark.sql.types import LongType as _Long
+        assert td.schema["REF_NO"].dataType == _Long()
+        assert not td.schema["DNAME"].nullable
+
+    def test_lowercase_add_multi(self):
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "ALTER TABLE SCOTT . DEPT ADD (jcol JSON, AMOUNT number(5,2) default -1)",
+        )
+        assert td.version == 2
+        names = [f.name for f in td.schema.fields]
+        assert "jcol" in names and "AMOUNT" in names
