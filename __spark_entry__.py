@@ -183,6 +183,10 @@ def _q_multirow_expansion(spark, sf_dir):
     return fusion.multirow_expansion(spark, sf_dir)
 
 
+def _q_direct_load(spark, sf_dir):
+    return fusion.direct_load(spark, sf_dir)
+
+
 def _q_lob_reassembly(spark, sf_dir):
     return lob.lob_roundtrip(spark, sf_dir)
 
@@ -516,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation": _q_pipeline_curation,
         "cdc_row_fusion": _q_row_fusion,
         "cdc_multirow_expansion": _q_multirow_expansion,
+        "cdc_direct_load": _q_direct_load,
         "lob_reassembly": _q_lob_reassembly,
         # --- sources (SURVEY §2.1: S6-S9) ---
         "mvlog_batch": _q_mvlog_batch,
@@ -822,6 +827,7 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
 """
     sql["cdc_row_fusion"] = fusion.ROW_FUSION_SQL
     sql["cdc_multirow_expansion"] = fusion.MULTIROW_SQL
+    sql["cdc_direct_load"] = fusion.DIRECT_LOAD_SQL
     sql["lob_reassembly"] = lob.LOB_ROUNDTRIP_SQL.format(chunk=lob.CHUNK)
     sql["ora_number_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, CAST({v!r} AS DOUBLE) AS val"

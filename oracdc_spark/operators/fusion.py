@@ -164,3 +164,101 @@ SELECT CAST(o_orderkey*10 AS BIGINT) AS scn,
 FROM orders, UNNEST(generate_series(0, {MULTIROW_FAN - 1})) AS t(i)
 WHERE o_orderkey % 11 = 0
 """
+
+# ---------------------------------------------------------------------------
+# G7 — direct-path load decode (19.1 KCBLCOLB block dumps)
+# ---------------------------------------------------------------------------
+
+DIRECT_ROWS_PER_BLOCK = 2
+
+
+def direct_load_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated 19.1 COLB direct-load records (OraCdcChangeColb.java:63-100,
+    Op19_1_Test.java): a direct-path INSERT writes whole data blocks; the
+    redo carries the block image, not per-row vectors.  Every 19th order
+    contributes one block (bdba = orderkey) holding DIRECT_ROWS_PER_BLOCK
+    complete rows; every 5th such block ALSO appears once more at a lower
+    SCN with a stale image — direct load rewrites blocks in place, so only
+    the final image may be applied (the property G6's QMI explode does not
+    have, which is why G7 is not an alias of it)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 19 == 0)
+
+    def block(scn_off, price_off):
+        rows = F.transform(
+            F.sequence(F.lit(0), F.lit(DIRECT_ROWS_PER_BLOCK - 1)),
+            lambda i: F.struct(
+                (F.col("o_orderkey") * 1000 + i).cast("bigint").alias("pk"),
+                (F.col("o_totalprice") + i.cast("double") + price_off)
+                .cast("double")
+                .alias("totalprice"),
+            ),
+        )
+        return o.select(
+            (F.col("o_orderkey") * 10 + scn_off).cast("bigint").alias("scn"),
+            F.concat(
+                F.lit("XID"),
+                F.lpad((F.col("o_orderkey") % 101).cast("string"), 3, "0"),
+            ).alias("xid"),
+            F.col("o_orderkey").cast("bigint").alias("bdba"),
+            rows.alias("rows"),
+        )
+
+    final = block(3, 0.0)
+    stale = block(1, -1000.0).filter(F.col("bdba") % 5 == 0)
+    return final.unionAll(stale)
+
+
+def decode_direct_load(blocks: DataFrame) -> DataFrame:
+    """G7 — apply direct-load block dumps: keep only the FINAL image per
+    block (bdba, highest scn — in-place block rewrite), then extract rows
+    in row-directory slot order (ssn = slot).  One shuffle on bdba; the
+    explode is narrow."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bdba").orderBy(F.col("scn").desc())
+    latest = (
+        blocks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return latest.select(
+        "scn", "xid", "bdba", F.posexplode("rows").alias("ssn", "r")
+    ).select(
+        "scn",
+        "xid",
+        "bdba",
+        F.col("ssn").cast("bigint").alias("ssn"),
+        F.lit(1).cast("int").alias("op"),
+        F.col("r.pk").alias("pk"),
+        F.col("r.totalprice").alias("totalprice"),
+    )
+
+
+def direct_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_direct_load(direct_load_feed(spark, sf_dir))
+
+
+DIRECT_LOAD_SQL = f"""
+WITH blocks AS (
+  SELECT CAST(o_orderkey*10+3 AS BIGINT) AS scn,
+         'XID' || LPAD(CAST(o_orderkey % 101 AS VARCHAR), 3, '0') AS xid,
+         CAST(o_orderkey AS BIGINT) AS bdba,
+         o_totalprice, CAST(0.0 AS DOUBLE) AS price_off
+  FROM orders WHERE o_orderkey % 19 = 0
+  UNION ALL
+  SELECT CAST(o_orderkey*10+1 AS BIGINT),
+         'XID' || LPAD(CAST(o_orderkey % 101 AS VARCHAR), 3, '0'),
+         CAST(o_orderkey AS BIGINT), o_totalprice, CAST(-1000.0 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 19 = 0 AND o_orderkey % 5 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY bdba ORDER BY scn DESC) AS rn
+    FROM blocks) t
+  WHERE rn = 1
+)
+SELECT scn, xid, bdba, CAST(i AS BIGINT) AS ssn, 1 AS op,
+       CAST(bdba*1000 + i AS BIGINT) AS pk,
+       CAST(o_totalprice + i + price_off AS DOUBLE) AS totalprice
+FROM latest, UNNEST(generate_series(0, {DIRECT_ROWS_PER_BLOCK - 1})) AS t(i)
+"""

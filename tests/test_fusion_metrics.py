@@ -97,3 +97,23 @@ class TestMetrics:
             assert snap["SentRecordsCount"] > 0
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestDirectLoad:
+    """G7 — 19.1 COLB block dumps are NOT a QMI alias: in-place block
+    rewrites mean only the final block image applies."""
+
+    def test_stale_block_image_superseded(self, spark):
+        from oracdc_spark.operators.fusion import direct_load, direct_load_feed
+
+        feed = direct_load_feed(spark, "/root/testdata/sf0.001")
+        # the fixture really contains superseded duplicates
+        assert feed.count() > feed.select("bdba").distinct().count()
+
+        out = direct_load(spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        # one emission per (block, slot); no stale -1000 images survive
+        assert len(rows) == feed.select("bdba").distinct().count() * 2
+        assert all(r.totalprice > 0 for r in rows)
+        # slot order becomes ssn
+        assert {r.ssn for r in rows} == {0, 1}
