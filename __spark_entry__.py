@@ -456,6 +456,18 @@ def _q_dedup_decisions(spark, sf_dir):
     return dedup.dedup_decisions(dedup.jaccard_pairs(docs, n=5, threshold=0.5))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"), n=5, threshold=0.5)
+
+
+def _q_pipeline_sample(spark, sf_dir):
+    return dedup.sample_by_hash(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_top_ngrams(spark, sf_dir):
+    return textops.top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
 def _q_sim_centroids(spark, sf_dir):
     return similarity.cell_centroids(load_table(spark, sf_dir, "embeddings"))
 
@@ -567,6 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,  # rows-only (bit ops not portable SQL)
         "dedup_decisions": _q_dedup_decisions,
+        "dedup_clusters": _q_dedup_clusters,
+        "pipeline_sample": _q_pipeline_sample,
+        "text_top_ngrams": _q_text_top_ngrams,
         "similarity_cell_centroids": _q_sim_centroids,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
@@ -1105,6 +1120,49 @@ jac AS (
   WHERE ROUND(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 4) >= 0.5
 )
 SELECT d2 AS doc_id, MIN(d1) AS keeper_doc_id FROM jac GROUP BY d2
+"""
+    )
+    sql["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + _SHINGLES
+        + """,
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT d1, d2 FROM pairs
+  JOIN counts c1 ON c1.doc_id = d1
+  JOIN counts c2 ON c2.doc_id = d2
+  WHERE ROUND(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 4) >= 0.5
+),
+edges AS (SELECT d1, d2 FROM jac UNION ALL SELECT d2 AS d1, d1 AS d2 FROM jac),
+reach AS (
+  SELECT doc_id, doc_id AS root FROM documents
+  UNION
+  SELECT e.d2 AS doc_id, r.root FROM reach r JOIN edges e ON e.d1 = r.doc_id
+)
+SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+"""
+    )
+    sql["pipeline_sample"] = (
+        "SELECT * FROM documents WHERE "
+        "substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 2) < '1a'"
+    )
+    sql["text_top_ngrams"] = (
+        "WITH "
+        + _TOKS
+        + """,
+grams AS (
+  SELECT lower(array_to_string(w[i:i+1], ' ')) AS ngram
+  FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram LIMIT 20
 """
     )
     sql["similarity_cell_centroids"] = similarity.CELL_CENTROIDS_SQL

@@ -216,3 +216,63 @@ def simhash_candidates(docs: DataFrame, prefix_bits: int = 12) -> DataFrame:
         b2,
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), F.col("a.bucket").alias("bucket"))
+
+
+def dedup_clusters(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataFrame:
+    """Connected components over the near-duplicate pair graph:
+    (doc_id, cluster_id) where cluster_id = min doc_id in the component
+    — the "keep one per duplicate CLUSTER" decision (transitive: A~B,
+    B~C ⇒ A,B,C share a cluster even if A≁C directly).
+
+    Min-label propagation to fixpoint: each iteration one join+groupBy
+    on the (tiny) pair-graph edge set; iteration count = component
+    diameter (near-dup clusters are shallow).  Documents with no dup
+    pair are their own singleton cluster.  Deterministic: the component
+    minimum is order-independent.
+    """
+    pairs = jaccard_pairs(docs, n=n, threshold=threshold).select("d1", "d2")
+    edges = pairs.unionAll(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).cache()
+
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).cache()
+    while True:
+        nb_min = (
+            edges.join(labels, edges["d2"] == labels["doc_id"])
+            .groupBy("d1")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["doc_id"] == nb_min["d1"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nb_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def sample_by_hash(docs: DataFrame, prefix_lt: str = "1a") -> DataFrame:
+    """Deterministic corpus sampling for training-data curation: keep a
+    document iff the md5 of (doc_id, text) is lexicographically below the
+    given hex prefix — e.g. '1a' keeps ≈ 26/256 ≈ 10.2%.  Stable across
+    runs, engines, partitionings; no RNG, no shuffle (narrow filter,
+    pushes no state anywhere)."""
+    digest = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")))
+    return docs.filter(F.substring(digest, 1, len(prefix_lt)) < prefix_lt)

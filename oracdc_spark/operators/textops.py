@@ -141,3 +141,28 @@ def fingerprint_dup_groups(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k token n-grams — the vocabulary/contamination
+    screening primitive.  Explode is narrow; one partial-aggregated
+    count shuffle; top-k via a single ordered limit (no global sort of
+    the full n-gram table — TakeOrderedAndProject)."""
+    w = _tokens()
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.lower(
+                F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        _parallel(docs)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -91,3 +91,26 @@ def test_near_dups_candidates_bounded_by_lsh_buckets(spark):
         b1, b2 = sig[r.v1], sig[r.v2]
         assert b1[0] == b2[0] or b1[1] == b2[1]  # agree on >= 1 band
         assert r.score >= 0.05
+
+
+def test_dedup_clusters_transitive(spark):
+    """Connected components must be transitive: A~B and B~C put all three
+    in one cluster even when A and C share nothing directly."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.operators.dedup import dedup_clusters
+
+    # build texts so doc1~doc2 and doc2~doc3 share >=50% 2-shingles but
+    # doc1 and doc3 do not
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f g h"),       # supersedes 1's shingles
+            (3, "c d e f g h i j"),       # overlaps 2, not 1 enough
+            (4, "totally different text here now ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, n=2, threshold=0.5).collect()}
+    assert out[4] == 4  # singleton
+    assert out[1] == out[2] == out[3] == 1  # one transitive component
