@@ -103,3 +103,56 @@ class CdcQueryListener(StreamingQueryListener):
             "ParsePerSecond": self.last_rows_per_second,
             "StateRowsTotal": self.state_rows,
         }
+
+
+# ---------------------------------------------------------------------------
+# §2.8 last-processed-sequence notifier
+# (LastProcessedSeqNotifier.java:34-39, OraCdcLastProcessedSeqFileNotifier)
+# ---------------------------------------------------------------------------
+
+
+class LastProcessedSeqNotifier:
+    """Notification contract: called whenever the engine finishes a redo
+    sequence (an archived-log file / a micro-batch boundary here)."""
+
+    def configure(self, config: dict) -> None:  # pragma: no cover - default
+        pass
+
+    def notify(self, instant: float, sequence: int, message: str | None = None) -> None:
+        raise NotImplementedError
+
+
+class FileSeqNotifier(LastProcessedSeqNotifier):
+    """File-appending implementation (the reference's
+    `a2.last.sequence.notifier=file` mode): one
+    ``<ISO-instant>:<sequence>[:<message>]`` line per completed
+    sequence.  Appends synchronously — callers fire it from the
+    driver's listener thread, never from executors."""
+
+    def __init__(self, file_name: str | None = None) -> None:
+        self.file_name = file_name
+
+    def configure(self, config: dict) -> None:
+        self.file_name = config.get("a2.last.sequence.notifier.file", self.file_name)
+
+    def notify(self, instant: float, sequence: int, message: str | None = None) -> None:
+        import datetime as dt
+
+        iso = dt.datetime.fromtimestamp(instant, tz=dt.timezone.utc).isoformat()
+        line = f"{iso}:{sequence}" + (f":{message}" if message else "")
+        with open(self.file_name, "a", encoding="utf-8") as fh:
+            fh.write(line + "\n")
+
+
+@dataclass
+class SeqNotifyingListener(CdcQueryListener):
+    """CdcQueryListener that also fires the last-seq notifier at each
+    micro-batch boundary — batchId plays the redo-sequence role in the
+    file-source stand-in (one source file per trigger)."""
+
+    notifier: LastProcessedSeqNotifier | None = None
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        super().onQueryProgress(event)
+        if self.notifier is not None:
+            self.notifier.notify(time.time(), int(event.progress.batchId))

@@ -117,3 +117,68 @@ class TestDirectLoad:
         assert all(r.totalprice > 0 for r in rows)
         # slot order becomes ssn
         assert {r.ssn for r in rows} == {0, 1}
+
+
+class TestSeqNotifier:
+    """§2.8 last-seq notifier (LastProcessedSeqNotifier.java:34-39)."""
+
+    def test_file_notifier_appends_lines(self, tmp_path):
+        import time as _time
+
+        from oracdc_spark.metrics import FileSeqNotifier
+
+        f = tmp_path / "seq.txt"
+        n = FileSeqNotifier(str(f))
+        n.notify(_time.time(), 1042)
+        n.notify(_time.time(), 1043, "log switch")
+        lines = f.read_text().strip().splitlines()
+        assert len(lines) == 2
+        assert lines[0].endswith(":1042")
+        assert lines[1].endswith(":1043:log switch")
+        assert "T" in lines[0]  # ISO instant
+
+    def test_configure_from_config_map(self, tmp_path):
+        import time as _time
+
+        from oracdc_spark.metrics import FileSeqNotifier
+
+        n = FileSeqNotifier()
+        n.configure({"a2.last.sequence.notifier.file": str(tmp_path / "s.txt")})
+        n.notify(_time.time(), 7)
+        assert (tmp_path / "s.txt").read_text().strip().endswith(":7")
+
+    def test_streaming_listener_fires_notifier(self, spark, tmp_path):
+        import tempfile
+
+        from oracdc_spark.metrics import FileSeqNotifier, SeqNotifyingListener
+        from oracdc_spark.streaming.assembly import assemble_transactions
+
+        f = tmp_path / "seq.txt"
+        listener = SeqNotifyingListener(notifier=FileSeqNotifier(str(f)))
+        spark.streams.addListener(listener)
+        try:
+            with tempfile.TemporaryDirectory() as d:
+                from tests.test_streaming import _write_feed_chunks
+
+                feed_dir = _write_feed_chunks(spark, d, n_chunks=2)
+                from oracdc_spark.streaming.pipeline import FEED_DDL
+
+                stream = (
+                    spark.readStream.schema(FEED_DDL)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(feed_dir)
+                )
+                q = (
+                    assemble_transactions(stream)
+                    .writeStream.format("memory")
+                    .queryName("notif_test")
+                    .option("checkpointLocation", f"{d}/ck")
+                    .outputMode("append")
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+            lines = f.read_text().strip().splitlines()
+            assert lines  # at least one batch boundary notified
+        finally:
+            spark.streams.removeListener(listener)
