@@ -468,6 +468,15 @@ def _q_text_top_ngrams(spark, sf_dir):
     return textops.top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=20)
 
 
+def _q_text_contamination(spark, sf_dir):
+    """Benchmark contamination: every 20th document plays the held-out
+    benchmark; the rest of the corpus is screened against it."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    target = docs.filter(F.col("doc_id") % 20 != 0)
+    return textops.contamination_check(target, bench, n=5)
+
+
 def _q_sim_centroids(spark, sf_dir):
     return similarity.cell_centroids(load_table(spark, sf_dir, "embeddings"))
 
@@ -582,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "pipeline_sample": _q_pipeline_sample,
         "text_top_ngrams": _q_text_top_ngrams,
+        "text_contamination": _q_text_contamination,
         "similarity_cell_centroids": _q_sim_centroids,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
@@ -1163,6 +1173,24 @@ grams AS (
 SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM grams GROUP BY ngram
 ORDER BY n_occurrences DESC, ngram LIMIT 20
+"""
+    )
+    sql["text_contamination"] = (
+        "WITH "
+        + _SHINGLES
+        + """,
+bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+target AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+tc AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM target t LEFT JOIN bench_sh b ON t.shingle = b.shingle
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination_ratio
+FROM tc
 """
     )
     sql["similarity_cell_centroids"] = similarity.CELL_CENTROIDS_SQL

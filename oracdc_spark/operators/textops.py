@@ -166,3 +166,38 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def contamination_check(
+    docs: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """Benchmark-contamination screening: per document, the fraction of
+    its distinct n-gram shingles that appear anywhere in the benchmark
+    set.  Output: (doc_id, n_shingles, n_contaminated,
+    contamination_ratio).
+
+    Scale shape: the benchmark shingle set is a bounded dimension
+    (benchmarks are small by definition) → broadcast left join against
+    the corpus shingles; one groupBy on doc_id.  Documents shorter than
+    n tokens have no shingles and no row (nothing to screen)."""
+    from oracdc_spark.operators.dedup import shingles
+
+    target = shingles(docs, n)
+    bench = shingles(benchmark, n).select("shingle").distinct()
+    joined = target.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+        ).alias("contamination_ratio"),
+    )
