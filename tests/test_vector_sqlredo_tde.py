@@ -140,3 +140,51 @@ class TestVectorBool:
         s = decode_vector_struct(self._payload([True] * 8))
         assert s["B"] == [True] * 8
         assert s["F"] is None and s["D"] is None and s["I"] is None
+
+
+class TestTdeColumnLayout:
+    """Oracle TDE column image layout (ct || salt-IV || MAC) round-trips
+    through the JVM-side restructure decrypt
+    (OraCdcTdeColumnDecrypter.java:157-196)."""
+
+    KEY = bytes(range(16))  # AES128 data key
+
+    def test_salted_sha1_roundtrip(self, spark):
+        from oracdc_spark.functions.tde import (
+            MAC_SHA1,
+            tde_decrypt_column,
+            tde_encrypt_column,
+        )
+
+        df = spark.createDataFrame(
+            [(1, b"c1024a153351"), (2, b"hello TDE world")], "id int, v binary"
+        )
+        enc = df.select("id", tde_encrypt_column("v", self.KEY, MAC_SHA1).alias("e"))
+        out = enc.select(
+            "id", tde_decrypt_column("e", self.KEY, salt=True, int_alg=MAC_SHA1).alias("p")
+        ).collect()
+        assert {r.id: bytes(r.p) for r in out} == {
+            1: b"c1024a153351", 2: b"hello TDE world"
+        }
+
+    def test_salted_nomac_roundtrip(self, spark):
+        from oracdc_spark.functions.tde import (
+            MAC_NOMAC,
+            tde_decrypt_column,
+            tde_encrypt_column,
+        )
+
+        df = spark.createDataFrame([(1, b"\x00\x01\x02\x03binary")], "id int, v binary")
+        enc = df.select("id", tde_encrypt_column("v", self.KEY, MAC_NOMAC).alias("e"))
+        out = enc.select(
+            "id",
+            tde_decrypt_column("e", self.KEY, salt=True, int_alg=MAC_NOMAC).alias("p"),
+        ).collect()
+        assert bytes(out[0].p) == b"\x00\x01\x02\x03binary"
+
+    def test_wallet_blob_key_extraction(self):
+        from oracdc_spark.functions.tde import data_key_from_wallet_blob
+
+        blob = bytes(16) + bytes(range(32)) + b"tail"
+        assert data_key_from_wallet_blob(blob, 16) == bytes(range(16))
+        assert data_key_from_wallet_blob(blob, 32) == bytes(range(32))
