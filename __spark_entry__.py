@@ -338,6 +338,56 @@ def _q_ora_charset_decode(spark, sf_dir):
     return df.select("id", ora_charset_decode("utf-8")(F.unhex(F.col("hex"))).alias("s"))
 
 
+def _q_sql_redo_parse(spark, sf_dir):
+    """P1 at corpus scale — build LogMiner-style SQL_REDO text from
+    orders, parse it back (OraCdcLogMinerTable.java:155-400 semantics:
+    quoted idents, quoted values, HEXTORAW squeeze, NULL)."""
+    from oracdc_spark.functions.sql_redo import redo_after_value
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    o = load_table(spark, sf_dir, "orders")
+    text = F.concat(
+        F.lit('insert into "SCOTT"."ORDERS"("PK","TOTALPRICE","STATUS","RAWKEY","NOTE") values (\''),
+        F.col("o_orderkey").cast("string"),
+        F.lit("','"),
+        F.col("o_totalprice").cast("string"),
+        F.lit("','"),
+        F.col("o_orderstatus"),
+        F.lit("',HEXTORAW('"),
+        F.hex(F.col("o_orderkey")),
+        F.lit("'),NULL)"),
+    )
+    parsed = o.select(F.col("o_orderkey").alias("id"), text.alias("redo"))
+    return parsed.select(
+        "id",
+        redo_after_value("PK")(F.col("redo")).cast("bigint").alias("pk"),
+        redo_after_value("TOTALPRICE")(F.col("redo")).cast("double").alias("totalprice"),
+        redo_after_value("STATUS")(F.col("redo")).alias("status"),
+        redo_after_value("RAWKEY")(F.col("redo")).alias("rawkey"),
+        redo_after_value("NOTE")(F.col("redo")).alias("note"),
+    )
+
+
+def _q_ora_number_roundtrip(spark, sf_dir):
+    """P3 at corpus scale — encode every order total to Oracle NUMBER
+    bytes and decode back; the oracle reads the source value directly,
+    so a single mis-encoded mantissa digit anywhere in the corpus fails
+    the hash."""
+    from oracdc_spark.functions.decoders import (
+        ora_number_encode_hex,
+        ora_number_to_double,
+    )
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        ora_number_to_double(ora_number_encode_hex(F.col("o_totalprice"))).alias("val"),
+    )
+
+
 # charset-id golden vectors: (id, NLS charset id, hex, expected)
 _CHARSET_ID_GOLDENS = [
     (1, 178, "636166e9", "café"),            # WE8MSWIN1252
@@ -548,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "initial_load_union": _q_initial_load,
         # --- type decoders (SURVEY §2.4: P3-P6, P9) ---
         "ora_number_decode": _q_ora_number_decode,
+        "ora_number_roundtrip": _q_ora_number_roundtrip,
+        "sql_redo_parse": _q_sql_redo_parse,
         "ora_binary_fp_decode": _q_ora_binary_fp_decode,
         "ora_charset_decode": _q_ora_charset_decode,
         "ora_vector_decode": _q_ora_vector_decode,
@@ -857,6 +909,17 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
     sql["ora_number_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, CAST({v!r} AS DOUBLE) AS val"
         for i, _, v in _NUMBER_GOLDENS
+    )
+    sql["ora_number_roundtrip"] = (
+        "SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS val FROM orders"
+    )
+    sql["sql_redo_parse"] = (
+        "SELECT o_orderkey AS id, o_orderkey AS pk, "
+        "CAST(o_totalprice AS DOUBLE) AS totalprice, "
+        "o_orderstatus AS status, "
+        "upper(to_hex(o_orderkey)) AS rawkey, "
+        "CAST(NULL AS VARCHAR) AS note "
+        "FROM orders"
     )
     sql["ora_binary_fp_decode"] = (
         "SELECT CAST(1 AS BIGINT) AS id, "

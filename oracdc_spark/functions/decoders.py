@@ -412,3 +412,10 @@ def register_all(spark) -> None:
     spark.udf.register("ora_timestamp_tz_str", ora_timestamp_tz_str)
     spark.udf.register("ora_interval_ym", ora_interval_ym_str)
     spark.udf.register("ora_interval_ds", ora_interval_ds_str)
+
+
+@pandas_udf(StringType())
+def ora_number_encode_hex(col: pd.Series) -> pd.Series:
+    """Inverse surface of ora_number_to_double: value → NUMBER byte hex
+    (fixture generation + corpus-scale encode∘decode identity checks)."""
+    return col.map(lambda v: None if v is None else encode_number(v).hex())

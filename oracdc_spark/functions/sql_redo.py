@@ -139,3 +139,19 @@ def parse_sql_redo(sql: str) -> dict:
             "after": {},
         }
     raise ValueError(f"unrecognized SQL_REDO statement: {sql[:80]!r}")
+
+
+def redo_after_value(col_name: str):
+    """Arrow-vectorized extraction of one after-image column from
+    SQL_REDO text — the DataFrame surface of the parser (used when a
+    feed carries SQL text instead of structured images)."""
+    import pandas as pd  # noqa: F401 — needed for the annotation below
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def _fn(s):
+        return s.map(
+            lambda t: None if t is None else parse_sql_redo(t)["after"].get(col_name)
+        )
+
+    return pandas_udf(_fn, returnType=StringType())
