@@ -196,6 +196,14 @@ def _q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def _q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode with REAL stdlib codecs (binary PPM + RIFF/WAV):
+    payloads are generated arithmetically, so every decoded feature is
+    mirrored in ANSI SQL — a full oracle check of the decode dataflow."""
+    media = multimodal.synthetic_codec_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_features(media)
+
+
 def _q_cdc_wrapped_flat(spark, sf_dir):
     """Wrapped tri-state mode, flattened for hashability: presence flag +
     value per wrapped column.  Presence comes from the statement's
@@ -610,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_records": _q_kafka_records,
         # --- multimodal plumbing (rows-only: stubbed codecs) ---
         "multimodal_features": _q_multimodal_features,
+        "multimodal_decode": _q_multimodal_decode,
         # --- declared relational operators (SURVEY §2.6) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -955,6 +964,45 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
         "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' ELSE 'd' END AS header_op, "
         "commit_scn, scn, ssn FROM stamped"
     )
+    sql["multimodal_decode"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS kind
+  FROM documents WHERE doc_id % 3 IN (0, 1)
+),
+img AS (
+  SELECT media_id,
+         CAST((media_id % 16) + 1 AS INT) AS width,
+         CAST((media_id % 8) + 1 AS INT) AS height
+  FROM m WHERE kind = 'image'
+),
+imgsum AS (
+  SELECT media_id, CAST(SUM((media_id*7 + j*13) % 256) AS BIGINT) AS sum_pixels
+  FROM img, UNNEST(generate_series(0, width*height*3 - 1)) AS t(j)
+  GROUP BY media_id
+),
+aud AS (
+  SELECT media_id, CAST((media_id % 100) + 1 AS BIGINT) AS n_samples
+  FROM m WHERE kind = 'audio'
+),
+audsum AS (
+  SELECT media_id,
+         CAST(SUM(
+           (((media_id*31 + i*17) % 65536) - 32768)
+           * (((media_id*31 + i*17) % 65536) - 32768)
+         ) AS BIGINT) AS sum_sq_amplitude
+  FROM aud, UNNEST(generate_series(0, n_samples - 1)) AS t(i)
+  GROUP BY media_id
+)
+SELECT i.media_id, 'image' AS kind, width, height, s.sum_pixels,
+       CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS BIGINT) AS duration_us,
+       CAST(NULL AS BIGINT) AS sum_sq_amplitude
+FROM img i JOIN imgsum s USING (media_id)
+UNION ALL
+SELECT a.media_id, 'audio', CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT), a.n_samples, a.n_samples * 125, q.sum_sq_amplitude
+FROM aud a JOIN audsum q USING (media_id)
+"""
     sql["mvlog_batch"] = mvlog.MVLOG_BATCH_SQL.format(last_seq=1000, batch_size=500)
     sql["initial_load_union"] = initial_load.INITIAL_LOAD_SQL.format(
         base=SPEC.cust_scn_base, cut=initial_load.DEFAULT_CUT
