@@ -276,6 +276,48 @@ def _q_ora_binary_fp_decode(spark, sf_dir):
     )
 
 
+# DATE/TIMESTAMP/INTERVAL golden vectors (P4/P5; formats per
+# GenericDecoders.java:210-393 and decoders.py docstring)
+_DATETIME_GOLDENS = [
+    (1, "78770c1f183c3c", "date", "2019-12-31 23:59:59"),
+    (2, "78770c1f183c3c075bcd15", "ts", "2019-12-31 23:59:59.123456"),
+    (3, "800000053f", "ym", "+5-3"),
+    (4, "7ffffff931", "ym", "-7-11"),
+    (5, "800000023f4041875bcd15", "ds", "+2 03:04:05.123456789"),
+]
+
+
+def _q_ora_datetime_decode(spark, sf_dir):
+    """P4/P5 — DATE / TIMESTAMP / INTERVAL YM / INTERVAL DS byte decode,
+    normalized to strings for hashability."""
+    from oracdc_spark.functions.decoders import (
+        ora_date,
+        ora_interval_ds_str,
+        ora_interval_ym_str,
+        ora_timestamp,
+    )
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [(i, h, k) for i, h, k, _ in _DATETIME_GOLDENS],
+        "id bigint, hex string, kind string",
+    ).coalesce(1)
+    s = (
+        F.when(
+            F.col("kind") == "date",
+            F.date_format(ora_date(F.col("hex")), "yyyy-MM-dd HH:mm:ss"),
+        )
+        .when(
+            F.col("kind") == "ts",
+            F.date_format(ora_timestamp(F.col("hex")), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        )
+        .when(F.col("kind") == "ym", ora_interval_ym_str(F.col("hex")))
+        .otherwise(ora_interval_ds_str(F.col("hex")))
+    )
+    return df.select("id", s.alias("s"))
+
+
 # TSTZ/TSLTZ golden vectors (synthesized from the public 13-byte
 # oracle.sql.TIMESTAMPTZ layout; expected strings = reference's ISO-8601
 # Kafka form, OraTimestamp.java:67-94)
@@ -612,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ora_charset_decode": _q_ora_charset_decode,
         "ora_vector_decode": _q_ora_vector_decode,
         "ora_tstz_decode": _q_ora_tstz_decode,
+        "ora_datetime_decode": _q_ora_datetime_decode,
         "ora_charset_id_decode": _q_ora_charset_id_decode,
         "oson_decode": _q_oson_decode,
         # --- K1 kafka record binding ---
@@ -944,6 +987,10 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
     )
     sql["oson_decode"] = (
         f"SELECT CAST(1 AS BIGINT) AS id, '{_OSON_GOLDEN_JSON}' AS s"
+    )
+    sql["ora_datetime_decode"] = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS id, '{s}' AS s"
+        for i, _, _, s in _DATETIME_GOLDENS
     )
     sql["ora_tstz_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, '{s}' AS s"
