@@ -299,23 +299,30 @@ def _q_ora_datetime_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    df = spark.createDataFrame(
-        [(i, h, k) for i, h, k, _ in _DATETIME_GOLDENS],
-        "id bigint, hex string, kind string",
-    ).coalesce(1)
-    s = (
-        F.when(
-            F.col("kind") == "date",
-            F.date_format(ora_date(F.col("hex")), "yyyy-MM-dd HH:mm:ss"),
-        )
-        .when(
-            F.col("kind") == "ts",
-            F.date_format(ora_timestamp(F.col("hex")), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        )
-        .when(F.col("kind") == "ym", ora_interval_ym_str(F.col("hex")))
-        .otherwise(ora_interval_ds_str(F.col("hex")))
-    )
-    return df.select("id", s.alias("s"))
+    def _frame(kind):
+        rows = [(i, h) for i, h, k, _ in _DATETIME_GOLDENS if k == kind]
+        return spark.createDataFrame(rows, "id bigint, hex string").coalesce(1)
+
+    # one frame per kind: when() would evaluate every decode UDF on every
+    # row (a 7-byte DATE decoder on interval bytes raises)
+    parts = [
+        _frame("date").select(
+            "id",
+            F.date_format(ora_date(F.col("hex")), "yyyy-MM-dd HH:mm:ss").alias("s"),
+        ),
+        _frame("ts").select(
+            "id",
+            F.date_format(
+                ora_timestamp(F.col("hex")), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("s"),
+        ),
+        _frame("ym").select("id", ora_interval_ym_str(F.col("hex")).alias("s")),
+        _frame("ds").select("id", ora_interval_ds_str(F.col("hex")).alias("s")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 # TSTZ/TSLTZ golden vectors (synthesized from the public 13-byte
