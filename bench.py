@@ -32,14 +32,21 @@ BENCH_QUERIES = [
     "customer_order_rank",
     "events_hourly",
     "events_sessionize",
+    # round-2 CDC additions
+    "cdc_wrapped_apply",
+    "cdc_direct_load",
     # LLM-pipeline ops
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
+    "similarity_near_dups",
     "text_quality",
     "text_fingerprint",
+    "text_contamination",
+    "multimodal_decode",
 ]
 
 
@@ -64,6 +71,12 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # round-1 comparable subtotal: the suite gained 6 queries in round 2,
+    # so cross-round wall-time comparison uses the shared subset
+    r2_added = {
+        "cdc_wrapped_apply", "cdc_direct_load", "dedup_clusters",
+        "similarity_near_dups", "text_contamination", "multimodal_decode",
+    }
     print(
         json.dumps(
             {
@@ -71,6 +84,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "r1_comparable_sec": round(
+                    sum(v for k, v in timings.items() if k not in r2_added), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
