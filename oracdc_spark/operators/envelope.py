@@ -161,31 +161,25 @@ def wrapped_apply(feed: DataFrame) -> DataFrame:
 
     Invariant (tested): equals :func:`oracdc_spark.operators.cdc.
     apply_changes` because the flat feed's unchanged columns carry their
-    prior value.  Plan: three windows over the SAME (owner, table_name,
-    pk) partitioning → one shuffle, three in-partition sorts.
+    prior value.  Plan: ONE groupBy on pk — "newest present value" per
+    column is a struct-max over (version, value) with absent rows nulled
+    out of the aggregate (lexicographic struct ordering = version
+    ordering; max skips nulls).  Map-side partial aggregation, a single
+    shuffle, no window, no self-joins — the feed is derived once.
     """
-    from pyspark.sql import Window
-
     stamped = commit_stamped(feed)
-    pk = [F.col(c) for c in ("owner", "table_name", "pk")]
-    version = [F.col(c).desc() for c in ("commit_scn", "scn", "ssn")]
-    w = Window.partitionBy(*pk).orderBy(*version)
+    version = [F.col("commit_scn"), F.col("scn"), F.col("ssn")]
 
-    latest = (
-        stamped.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .filter(F.col("op") != OP_DELETE)
-        .select("owner", "table_name", "pk")
+    def newest(col: str):
+        return F.max(
+            F.when(col_present(col), F.struct(*version, F.col(col).alias("v")))
+        )["v"].alias(col)
+
+    agg = stamped.groupBy("owner", "table_name", "pk").agg(
+        F.max(F.struct(*version, F.col("op").alias("op")))["op"].alias("_last_op"),
+        newest("totalprice"),
+        newest("status"),
     )
-    vals = []
-    for col in ("totalprice", "status"):
-        vals.append(
-            stamped.filter(col_present(col))
-            .withColumn("vrn", F.row_number().over(w))
-            .filter(F.col("vrn") == 1)
-            .select("owner", "table_name", "pk", col)
-        )
-    out = latest
-    for vc in vals:
-        out = out.join(vc, ["owner", "table_name", "pk"], "left")
-    return out
+    return agg.filter(F.col("_last_op") != OP_DELETE).select(
+        "owner", "table_name", "pk", "totalprice", "status"
+    )
