@@ -136,11 +136,39 @@ def replay_filter(
     )
 
 
-def txn_stats(feed: DataFrame) -> DataFrame:
+def txn_stats(feed: DataFrame, salt_buckets: int | None = None) -> DataFrame:
     """G1 — per-transaction assembly summary: statement count, SCN span,
     distinct rows touched.  Map-side partial aggregation makes this one
-    efficient shuffle on xid."""
+    efficient shuffle on xid.
+
+    ``salt_buckets`` wires the G11 large-transaction path: a mega-xid
+    (millions of statements — the reference's
+    ``a2.transaction.implementation`` spill scenario) aggregates in two
+    phases via :func:`oracdc_spark.plans.skew.salted_agg`, and the
+    distinct-row count decomposes through a (xid, row_id) pre-distinct
+    whose composite key spreads the hot xid across reducers.  Results
+    are identical to the unsalted form (tested)."""
     dml = feed.filter(F.col("op").isin(list(DML_OPS)) & ~F.col("rollback"))
+    if salt_buckets:
+        from oracdc_spark.plans.skew import salted_agg
+
+        base = salted_agg(
+            dml,
+            ["xid"],
+            {
+                "n_stmts": F.count(F.lit(1)),
+                "first_scn": F.min("scn"),
+                "last_scn": F.max("scn"),
+            },
+            salt_buckets=salt_buckets,
+        )
+        n_rows = (
+            dml.select("xid", "row_id")
+            .distinct()
+            .groupBy("xid")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        return base.join(n_rows, "xid")
     return dml.groupBy("xid").agg(
         F.count(F.lit(1)).alias("n_stmts"),
         F.min("scn").alias("first_scn"),

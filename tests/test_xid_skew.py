@@ -95,3 +95,20 @@ def test_salted_join_matches_plain(spark):
     )
     plain = o.join(c, "o_custkey").count()
     assert salted_join(o, c, "o_custkey").count() == plain
+
+
+def test_txn_stats_salted_matches_plain(spark):
+    """G11 wired: the salted two-phase txn_stats equals the plain one."""
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import txn_stats
+
+    feed = change_feed(spark, "/root/testdata/sf0.001")
+    plain = {
+        r.xid: (r.n_stmts, r.first_scn, r.last_scn, r.n_rows)
+        for r in txn_stats(feed).collect()
+    }
+    salted = {
+        r.xid: (r.n_stmts, r.first_scn, r.last_scn, r.n_rows)
+        for r in txn_stats(feed, salt_buckets=8).collect()
+    }
+    assert salted == plain
