@@ -65,6 +65,10 @@ def _swap_buckets(
     staging = target_path + ".staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
+    # no repartition before the partitioned write: the input is already
+    # pk-partitioned (the window's exchange) so each task holds few
+    # buckets; forcing one-task-per-bucket was measured no faster and
+    # caps parallelism at the bucket count
     latest.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
 
     os.makedirs(target_path, exist_ok=True)
