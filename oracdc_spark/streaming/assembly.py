@@ -225,55 +225,14 @@ def assemble_fn(
     (xid,) = key
     stmts, markers = _load_state(state)
 
-    # Materialize and sort the micro-batch's records by (scn, ssn):
-    # applyInPandasWithState gives no intra-group order guarantee after
-    # the xid shuffle, while the reference consumes statements in redo
-    # (SCN/RBA/SSN) order — LIFO pairing and control-record handling are
-    # only deterministic in that order.  A batch's records for one xid fit
-    # in memory by the same argument as the state buffer itself.
-    recs: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        for rec in pdf.itertuples(index=False):
-            # changed_cols is optional metadata — feeds without it (older
-            # fixtures, non-wrapped sources) buffer None
-            r: dict[str, Any] = {f: getattr(rec, f, None) for f in _STMT_FIELDS}
-            # pandas NaN → None for JSON/state round-trips
-            for k, v in list(r.items()):
-                if isinstance(v, float) and pd.isna(v):
-                    r[k] = None
-            r["scn"] = int(r["scn"])
-            r["ssn"] = int(r["ssn"])
-            r["op"] = int(r["op"])
-            recs.append(r)
-    recs.sort(key=lambda r: (r["scn"], r["ssn"]))
-
-    # Event-ordered replay: a COMMIT finalizes the buffered statements at
-    # that point and clears state, so a reused xid whose next transaction
-    # begins later in the same micro-batch starts from an empty buffer
-    # (reference: transaction object is closed at commit and a new one
-    # opened on next use of the xid).
-    emitted: list[dict[str, Any]] = []
-    for r in recs:
-        op = r["op"]
-        if op == OP_COMMIT:
-            stmts.sort(key=lambda s: (s["scn"], s["ssn"]))
-            emitted.extend(
-                {
-                    "xid": xid,
-                    **{k: v for k, v in s.items() if k != "rollback"},
-                    "commit_scn": r["scn"],
-                }
-                for s in stmts
-            )
-            stmts, markers = [], []
-        elif op == OP_ROLLBACK:
-            stmts, markers = [], []
-        elif r["rollback"]:
-            markers.append({"row_id": r["row_id"], "scn": r["scn"]})
-            stmts, markers = _cancel_pairs(stmts, markers)
-        else:
-            stmts.append(r)
-            stmts, markers = _cancel_pairs(stmts, markers)
+    # Sort the micro-batch's records by (scn, ssn) and replay in redo
+    # order (shared _records_sorted/_replay core — also used by the
+    # transformWithStateInPandas processor): applyInPandasWithState gives
+    # no intra-group order guarantee after the xid shuffle, while the
+    # reference consumes statements in SCN/RBA/SSN order; a COMMIT
+    # mid-batch finalizes the buffer so a reused xid starts clean.
+    recs = _records_sorted(pdfs)
+    stmts, markers, emitted = _replay(xid, stmts, markers, recs)
 
     if stmts or markers:
         # still open: buffer (no timeout — SURVEY §2.7 late data)
@@ -297,4 +256,116 @@ def assemble_transactions(changes: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4.x stateful-processor API)
+# ---------------------------------------------------------------------------
+#
+# Same per-XID semantics as assemble_fn, expressed against the modern
+# StatefulProcessor API: buffered statements and unmatched markers live
+# in typed ListState (columnar, incrementally appendable — the state
+# store appends instead of rewriting the whole blob on every batch,
+# which is the point of the migration).  ``assemble_transactions`` keeps
+# the applyInPandasWithState path as the default; pass impl="tws" to use
+# this one.
+
+
+def _records_sorted(rows) -> list[dict]:
+    recs: list[dict] = []
+    for pdf in rows:
+        for rec in pdf.itertuples(index=False):
+            r = {f: getattr(rec, f, None) for f in _STMT_FIELDS}
+            for k, v in list(r.items()):
+                if isinstance(v, float) and pd.isna(v):
+                    r[k] = None
+            r["scn"] = int(r["scn"])
+            r["ssn"] = int(r["ssn"])
+            r["op"] = int(r["op"])
+            recs.append(r)
+    recs.sort(key=lambda r: (r["scn"], r["ssn"]))
+    return recs
+
+
+def _replay(xid: str, stmts: list[dict], markers: list[dict], recs: list[dict]):
+    """Shared event-ordered replay (see assemble_fn docstring)."""
+    emitted: list[dict] = []
+    for r in recs:
+        op = r["op"]
+        if op == OP_COMMIT:
+            stmts.sort(key=lambda s: (s["scn"], s["ssn"]))
+            emitted.extend(
+                {
+                    "xid": xid,
+                    **{k: v for k, v in s.items() if k != "rollback"},
+                    "commit_scn": r["scn"],
+                }
+                for s in stmts
+            )
+            stmts, markers = [], []
+        elif op == OP_ROLLBACK:
+            stmts, markers = [], []
+        elif r["rollback"]:
+            markers.append({"row_id": r["row_id"], "scn": r["scn"]})
+            stmts, markers = _cancel_pairs(stmts, markers)
+        else:
+            stmts.append(r)
+            stmts, markers = _cancel_pairs(stmts, markers)
+    return stmts, markers, emitted
+
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TxnAssemblyProcessor(StatefulProcessor):
+        """Per-XID transaction assembly on the transformWithStateInPandas
+        API: ListState for statements and markers."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stmts = handle.getListState("stmts", _STMT_STRUCT)
+            self._markers = handle.getListState("rb_markers", _MARKER_STRUCT)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (xid,) = key
+            stmts = _rows_to_dicts(list(self._stmts.get()), _STMT_FIELDS)
+            markers = _rows_to_dicts(list(self._markers.get()), ["row_id", "scn"])
+            recs = _records_sorted(rows)
+            stmts, markers, emitted = _replay(xid, stmts, markers, recs)
+
+            if stmts or markers:
+                self._stmts.put(
+                    [tuple(s[f] for f in _STMT_FIELDS) for s in stmts]
+                )
+                self._markers.put([(m["row_id"], m["scn"]) for m in markers])
+            else:
+                self._stmts.clear()
+                self._markers.clear()
+            if emitted:
+                yield pd.DataFrame(
+                    emitted, columns=[f.name for f in OUTPUT_SCHEMA.fields]
+                )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover - older Spark
+    TxnAssemblyProcessor = None  # type: ignore[assignment]
+
+
+def assemble_transactions_tws(changes: DataFrame) -> DataFrame:
+    """transformWithStateInPandas form of :func:`assemble_transactions`."""
+    from oracdc_spark.session import ship_package
+
+    if TxnAssemblyProcessor is None:
+        raise RuntimeError("transformWithStateInPandas requires Spark >= 4.0")
+    ship_package(changes.sparkSession)
+    return changes.groupBy("xid").transformWithStateInPandas(
+        statefulProcessor=TxnAssemblyProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
     )

@@ -165,3 +165,108 @@ def test_assemble_fn_commit_then_reused_xid():
     assert list(out2["scn"]) == [30]
     assert list(out2["commit_scn"]) == [40]
     assert not state.exists
+
+
+class _FakeListState:
+    """Duck-typed ListState for driving TxnAssemblyProcessor directly."""
+
+    def __init__(self):
+        self._rows = []
+
+    def get(self):
+        return iter(self._rows)
+
+    def put(self, rows):
+        self._rows = list(rows)
+
+    def clear(self):
+        self._rows = []
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getListState(self, name, schema):
+        return self.states.setdefault(name, _FakeListState())
+
+
+def _run_tws(rows, handle=None):
+    import pandas as pd
+
+    from oracdc_spark.streaming.assembly import (
+        _STMT_FIELDS,
+        TxnAssemblyProcessor,
+    )
+
+    if TxnAssemblyProcessor is None:
+        pytest.skip("transformWithStateInPandas API absent (Spark < 4)")
+    handle = handle or _FakeHandle()
+    proc = TxnAssemblyProcessor()
+    proc.init(handle)
+    pdf = pd.DataFrame(rows, columns=_STMT_FIELDS)
+    out = list(proc.handleInputRows(("A",), iter([pdf]), None))
+    return (pd.concat(out) if out else None), handle
+
+
+def test_tws_processor_semantics_match_assemble_fn():
+    """The StatefulProcessor variant shares _replay with assemble_fn;
+    drive it through a fake handle (the real runtime needs protobuf,
+    absent here) and check the same sort/pair/commit-reuse semantics."""
+    rows = [
+        _stmt(20, 0, 7),                      # commit arrives first
+        _stmt(11, 2, 3, rollback=True),       # marker before its original
+        _stmt(11, 1, 3),                      # original (cancelled)
+        _stmt(10, 0, 1),
+        _stmt(30, 0, 1, pk=2),                # next txn on reused xid
+    ]
+    out, handle = _run_tws(rows)
+    assert list(out["scn"]) == [10]
+    assert list(out["commit_scn"]) == [20]
+    # scn=30 buffered in ListState for the reused xid
+    assert handle.states["stmts"]._rows
+    out2, handle = _run_tws([_stmt(40, 0, 7)], handle)
+    assert list(out2["scn"]) == [30]
+    assert list(out2["commit_scn"]) == [40]
+    assert not handle.states["stmts"]._rows
+    assert not handle.states["rb_markers"]._rows
+
+
+@pytest.mark.slow
+def test_tws_assembly_matches_batch(spark):
+    """transformWithStateInPandas variant (ListState) must converge to
+    the same result as the batch operators and the applyInPandasWithState
+    path.  The runtime needs google.protobuf (not shipped in this
+    container) — skipped when absent; the processor logic itself is
+    covered by the shared-_replay unit tests."""
+    pytest.importorskip("google.protobuf")
+    from oracdc_spark.streaming.assembly import assemble_transactions_tws
+    from oracdc_spark.streaming.pipeline import FEED_DDL
+
+    with tempfile.TemporaryDirectory() as d:
+        feed_dir = _write_feed_chunks(spark, d)
+        stream = (
+            spark.readStream.schema(FEED_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        out = assemble_transactions_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("assembled_tws")
+            .option("checkpointLocation", f"{d}/ckpt_tws")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r.xid, r.scn, r.ssn, r.op, r.pk, r.totalprice, r.status, r.commit_scn)
+            for r in spark.sql("SELECT * FROM assembled_tws").collect()
+        }
+        expected = {
+            (r.xid, r.scn, r.ssn, r.op, r.pk, r.totalprice, r.status, r.commit_scn)
+            for r in commit_ordered(change_feed(spark, SF)).collect()
+        }
+        assert got == expected
