@@ -179,6 +179,14 @@ def _q_row_fusion(spark, sf_dir):
     return fusion.row_fusion(spark, sf_dir)
 
 
+def _q_chained_fusion(spark, sf_dir):
+    return fusion.chained_fusion(spark, sf_dir)
+
+
+def _q_chained_incomplete(spark, sf_dir):
+    return fusion.chained_incomplete(spark, sf_dir)
+
+
 def _q_multirow_expansion(spark, sf_dir):
     return fusion.multirow_expansion(spark, sf_dir)
 
@@ -647,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_all_cols": _q_cdc_delete_all_cols,
         "pipeline_curation": _q_pipeline_curation,
         "cdc_row_fusion": _q_row_fusion,
+        "cdc_chained_fusion": _q_chained_fusion,
+        "cdc_chained_incomplete": _q_chained_incomplete,
         "cdc_multirow_expansion": _q_multirow_expansion,
         "cdc_direct_load": _q_direct_load,
         "lob_reassembly": _q_lob_reassembly,
@@ -962,6 +972,8 @@ JOIN deduped d ON k.doc_id = d.doc_id
 LEFT JOIN embeddings e ON k.doc_id = e.vec_id
 """
     sql["cdc_row_fusion"] = fusion.ROW_FUSION_SQL
+    sql["cdc_chained_fusion"] = fusion.CHAINED_FUSION_SQL
+    sql["cdc_chained_incomplete"] = fusion.CHAINED_INCOMPLETE_SQL
     sql["cdc_multirow_expansion"] = fusion.MULTIROW_SQL
     sql["cdc_direct_load"] = fusion.DIRECT_LOAD_SQL
     sql["lob_reassembly"] = lob.LOB_ROUNDTRIP_SQL.format(chunk=lob.CHUNK)

@@ -108,6 +108,231 @@ FROM frags GROUP BY xid, row_id, scn, pk
 """
 
 # ---------------------------------------------------------------------------
+# G5b — chained-row piece fusion (full opcode matrix)
+# ---------------------------------------------------------------------------
+#
+# The two-fragment model above covers the common case; real chained /
+# migrated rows need the full matrix the reference implements in
+# RowChangeHolder (OraCdcTransaction.java:669-875) + completeRow
+# (:1288-1380) + createRowChangeHolder (:1122-1286):
+#
+# * a logical row change arrives as N *pieces*, each a redo record with
+#   an 11.x opcode — 11.2 IRP (insert row piece), 11.3 DRP (delete row
+#   piece), 11.5 URP (update row piece), 11.6 ORP (overwrite row piece)
+#   — and a flag byte with K (head), F (first), L (last) bits;
+# * the logical operation is derived from the piece mix: any DRP =>
+#   DELETE; all IRP => INSERT; URP / ORP / URP+IRP mix (a migrated-row
+#   update writes the new tail piece as an IRP) => UPDATE — including
+#   the INSERT->UPDATE upgrade when an ORP joins IRP pieces
+#   (completeRow: `lmOp == INSERT && operation == _11_6_ORP`);
+# * a change may only be emitted when COMPLETE: first+last flags seen
+#   (head also required for INSERT/DELETE); incomplete holders stay in
+#   `halfDone` — restated here as a completeness HAVING, with the
+#   held-back groups exposed by `chained_incomplete` for audit;
+# * ORP pieces OVERWRITE: their column image replaces whatever an
+#   earlier piece supplied; otherwise the first piece (in piece order)
+#   carrying a column wins.
+#
+# Spark restatement: ONE groupBy on (xid, row_id, scn) — bool_or over
+# flag bits, opcode-mix CASE for lm_op, and per-column min over
+# (overwrite-priority, part_no) structs restricted to non-null values.
+# No window, no self-join; scale = one shuffle on the transaction key.
+
+OP_IRP, OP_DRP, OP_URP, OP_ORP = 2, 3, 5, 6
+FB_LAST, FB_FIRST, FB_HEAD = 1, 2, 4
+
+
+def piece_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic chained-row piece feed from ``orders``: every 13th
+    order contributes one logical change whose shape cycles with the key.
+
+    kind 0 (UPDATE, heterogeneous URP+IRP): head URP carries the price,
+    a middle URP carries the status, the migrated tail arrives as an IRP
+    carrying the clerk; even keys add an ORP that overwrites the price.
+    kind 1 (INSERT, 2 IRP pieces)  kind 2 (DELETE, 1 DRP piece).
+    Keys divisible by 7 lose their L-flagged non-DRP piece => incomplete.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    base = o.select(
+        (F.col("o_orderkey") * 10).cast("bigint").alias("scn"),
+        F.concat(F.lit("XID"), F.lpad((F.col("o_orderkey") % 101).cast("string"), 3, "0")).alias("xid"),
+        F.concat(F.lit("R"), F.col("o_orderkey")).alias("row_id"),
+        F.col("o_orderkey").cast("bigint").alias("pk"),
+        (F.col("o_orderkey") % 3).alias("kind"),
+        F.col("o_totalprice"),
+        F.col("o_orderpriority"),
+    )
+
+    def piece(df, op, fb, part, price=None, status=None, clerk=None):
+        return df.select(
+            "scn", "xid", "row_id", "pk",
+            F.lit(op).cast("int").alias("op"),
+            F.lit(fb).cast("int").alias("fb"),
+            F.lit(part).cast("bigint").alias("part_no"),
+            (price if price is not None else F.lit(None)).cast("double").alias("totalprice"),
+            (status if status is not None else F.lit(None)).cast("string").alias("status"),
+            (clerk if clerk is not None else F.lit(None)).cast("string").alias("clerk"),
+        )
+
+    upd = base.filter(F.col("kind") == 0)
+    ins = base.filter(F.col("kind") == 1)
+    dele = base.filter(F.col("kind") == 2)
+    pieces = [
+        piece(upd, OP_URP, FB_HEAD | FB_FIRST, 0, price=F.col("o_totalprice") + 100.0),
+        piece(upd, OP_URP, 0, 1, status=F.lit("C2")),
+        piece(upd, OP_IRP, FB_LAST, 2, clerk=F.col("o_orderpriority")),
+        piece(
+            upd.filter(F.col("pk") % 2 == 0),
+            OP_ORP, 0, 3, price=F.col("o_totalprice") + 999.0,
+        ),
+        piece(ins, OP_IRP, FB_HEAD | FB_FIRST, 0,
+              price=F.col("o_totalprice"), status=F.lit("N")),
+        piece(ins, OP_IRP, FB_LAST, 1, clerk=F.col("o_orderpriority")),
+        piece(dele, OP_DRP, FB_HEAD | FB_FIRST | FB_LAST, 0),
+    ]
+    feed = pieces[0]
+    for p in pieces[1:]:
+        feed = feed.unionAll(p)
+    # drop the closing piece for keys % 7 == 0 (still-open chains)
+    return feed.filter(
+        ~((F.col("pk") % 7 == 0)
+          & (F.col("fb").bitwiseAND(FB_LAST) != 0)
+          & (F.col("op") != OP_DRP))
+    )
+
+
+def fuse_pieces(pieces: DataFrame, complete_only: bool = True) -> DataFrame:
+    """Fuse row pieces into logical row changes (matrix above)."""
+    def resolve(col: str):
+        # first non-null in piece order; ORP pieces take precedence
+        prio = F.when(F.col("op") == OP_ORP, F.lit(0)).otherwise(F.lit(1))
+        return F.min(
+            F.when(F.col(col).isNotNull(), F.struct(prio.alias("p"), "part_no", col))
+        )[col]
+
+    flag = lambda bit: F.max((F.col("fb").bitwiseAND(bit) != 0).cast("int"))
+    fused = (
+        pieces.groupBy("xid", "row_id", "scn", "pk")
+        .agg(
+            flag(FB_HEAD).alias("has_head"),
+            flag(FB_FIRST).alias("has_first"),
+            flag(FB_LAST).alias("has_last"),
+            F.max((F.col("op") == OP_DRP).cast("int")).alias("any_drp"),
+            F.min((F.col("op") == OP_IRP).cast("int")).alias("all_irp"),
+            resolve("totalprice").alias("totalprice"),
+            resolve("status").alias("status"),
+            resolve("clerk").alias("clerk"),
+            F.count(F.lit(1)).alias("n_pieces"),
+        )
+        .withColumn(
+            "lm_op",
+            F.when(F.col("any_drp") == 1, F.lit(3))
+            .when(F.col("all_irp") == 1, F.lit(1))
+            .otherwise(F.lit(2)),
+        )
+        .withColumn(
+            "complete",
+            (F.col("has_first") == 1) & (F.col("has_last") == 1)
+            & ((F.col("lm_op") == 2) | (F.col("has_head") == 1)),
+        )
+    )
+    if complete_only:
+        fused = fused.filter(F.col("complete"))
+    return fused.select(
+        "xid", "row_id", "scn", "pk", "lm_op",
+        "totalprice", "status", "clerk", "n_pieces",
+    ) if complete_only else fused
+
+
+def chained_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuse_pieces(piece_feed(spark, sf_dir))
+
+
+def chained_incomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-back (halfDone) chains: groups that may NOT be emitted yet."""
+    fused = fuse_pieces(piece_feed(spark, sf_dir), complete_only=False)
+    return fused.filter(~F.col("complete")).select(
+        "xid", "row_id", "scn", "pk", "lm_op", "n_pieces"
+    )
+
+
+_PIECE_FEED_SQL = f"""
+  WITH base AS (
+    SELECT CAST(o_orderkey*10 AS BIGINT) AS scn,
+           'XID' || LPAD(CAST(o_orderkey % 101 AS VARCHAR), 3, '0') AS xid,
+           'R' || CAST(o_orderkey AS VARCHAR) AS row_id,
+           CAST(o_orderkey AS BIGINT) AS pk,
+           o_orderkey % 3 AS kind, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 13 = 0
+  ),
+  pieces AS (
+    SELECT scn, xid, row_id, pk, {OP_URP} AS op, {FB_HEAD | FB_FIRST} AS fb,
+           CAST(0 AS BIGINT) AS part_no,
+           CAST(o_totalprice + 100.0 AS DOUBLE) AS totalprice,
+           CAST(NULL AS VARCHAR) AS status, CAST(NULL AS VARCHAR) AS clerk
+    FROM base WHERE kind = 0
+    UNION ALL
+    SELECT scn, xid, row_id, pk, {OP_URP}, 0, 1, NULL, 'C2', NULL
+    FROM base WHERE kind = 0
+    UNION ALL
+    SELECT scn, xid, row_id, pk, {OP_IRP}, {FB_LAST}, 2, NULL, NULL, o_orderpriority
+    FROM base WHERE kind = 0
+    UNION ALL
+    SELECT scn, xid, row_id, pk, {OP_ORP}, 0, 3,
+           CAST(o_totalprice + 999.0 AS DOUBLE), NULL, NULL
+    FROM base WHERE kind = 0 AND pk % 2 = 0
+    UNION ALL
+    SELECT scn, xid, row_id, pk, {OP_IRP}, {FB_HEAD | FB_FIRST}, 0,
+           CAST(o_totalprice AS DOUBLE), 'N', NULL
+    FROM base WHERE kind = 1
+    UNION ALL
+    SELECT scn, xid, row_id, pk, {OP_IRP}, {FB_LAST}, 1, NULL, NULL, o_orderpriority
+    FROM base WHERE kind = 1
+    UNION ALL
+    SELECT scn, xid, row_id, pk, {OP_DRP}, {FB_HEAD | FB_FIRST | FB_LAST}, 0,
+           NULL, NULL, NULL
+    FROM base WHERE kind = 2
+  ),
+  feed AS (
+    SELECT * FROM pieces
+    WHERE NOT (pk % 7 = 0 AND (fb & {FB_LAST}) <> 0 AND op <> {OP_DRP})
+  ),
+  fused AS (
+    SELECT xid, row_id, scn, pk,
+           MAX(CASE WHEN (fb & {FB_HEAD}) <> 0 THEN 1 ELSE 0 END) AS has_head,
+           MAX(CASE WHEN (fb & {FB_FIRST}) <> 0 THEN 1 ELSE 0 END) AS has_first,
+           MAX(CASE WHEN (fb & {FB_LAST}) <> 0 THEN 1 ELSE 0 END) AS has_last,
+           MAX(CASE WHEN op = {OP_DRP} THEN 1 ELSE 0 END) AS any_drp,
+           MIN(CASE WHEN op = {OP_IRP} THEN 1 ELSE 0 END) AS all_irp,
+           MIN_BY(totalprice, (CASE WHEN op = {OP_ORP} THEN 0 ELSE 1 END)*1000 + part_no)
+             FILTER (WHERE totalprice IS NOT NULL) AS totalprice,
+           MIN_BY(status, (CASE WHEN op = {OP_ORP} THEN 0 ELSE 1 END)*1000 + part_no)
+             FILTER (WHERE status IS NOT NULL) AS status,
+           MIN_BY(clerk, (CASE WHEN op = {OP_ORP} THEN 0 ELSE 1 END)*1000 + part_no)
+             FILTER (WHERE clerk IS NOT NULL) AS clerk,
+           CAST(COUNT(*) AS BIGINT) AS n_pieces
+    FROM feed GROUP BY xid, row_id, scn, pk
+  ),
+  typed AS (
+    SELECT *,
+           CASE WHEN any_drp = 1 THEN 3 WHEN all_irp = 1 THEN 1 ELSE 2 END AS lm_op
+    FROM fused
+  )
+"""
+
+CHAINED_FUSION_SQL = _PIECE_FEED_SQL + f"""
+SELECT xid, row_id, scn, pk, lm_op, totalprice, status, clerk, n_pieces
+FROM typed
+WHERE has_first = 1 AND has_last = 1 AND (lm_op = 2 OR has_head = 1)
+"""
+
+CHAINED_INCOMPLETE_SQL = _PIECE_FEED_SQL + f"""
+SELECT xid, row_id, scn, pk, lm_op, n_pieces
+FROM typed
+WHERE NOT (has_first = 1 AND has_last = 1 AND (lm_op = 2 OR has_head = 1))
+"""
+
+# ---------------------------------------------------------------------------
 # G6 — multi-row expansion
 # ---------------------------------------------------------------------------
 

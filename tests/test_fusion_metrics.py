@@ -29,6 +29,86 @@ class TestFusion:
         assert got == base  # frag-2 conflict ignored
 
 
+class TestChainedFusion:
+    """G5b full-matrix semantics (RowChangeHolder restatement)."""
+
+    def _pieces(self, spark, rows):
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("scn", LongType()),
+            StructField("xid", StringType()),
+            StructField("row_id", StringType()),
+            StructField("pk", LongType()),
+            StructField("op", IntegerType()),
+            StructField("fb", IntegerType()),
+            StructField("part_no", LongType()),
+            StructField("totalprice", DoubleType()),
+            StructField("status", StringType()),
+            StructField("clerk", StringType()),
+        ])
+        return spark.createDataFrame(rows, schema)
+
+    def _p(self, op, fb, part, price=None, status=None, clerk=None, pk=1):
+        return (100, "X1", f"R{pk}", pk, op, fb, part, price, status, clerk)
+
+    def test_urp_irp_mix_is_update(self, spark):
+        F_, L_, H_ = fusion.FB_FIRST, fusion.FB_LAST, fusion.FB_HEAD
+        df = self._pieces(spark, [
+            self._p(fusion.OP_URP, H_ | F_, 0, price=10.0),
+            self._p(fusion.OP_URP, 0, 1, status="C2"),
+            self._p(fusion.OP_IRP, L_, 2, clerk="CLK"),
+        ])
+        [r] = fusion.fuse_pieces(df).collect()
+        assert (r.lm_op, r.totalprice, r.status, r.clerk, r.n_pieces) == (2, 10.0, "C2", "CLK", 3)
+
+    def test_orp_overwrites_earlier_piece(self, spark):
+        F_, L_, H_ = fusion.FB_FIRST, fusion.FB_LAST, fusion.FB_HEAD
+        df = self._pieces(spark, [
+            self._p(fusion.OP_URP, H_ | F_, 0, price=10.0),
+            self._p(fusion.OP_URP, L_, 1, status="C2"),
+            self._p(fusion.OP_ORP, 0, 2, price=99.0),
+        ])
+        [r] = fusion.fuse_pieces(df).collect()
+        # ORP image replaces the URP value; op stays UPDATE
+        assert (r.lm_op, r.totalprice) == (2, 99.0)
+
+    def test_orp_upgrades_insert_to_update(self, spark):
+        F_, L_, H_ = fusion.FB_FIRST, fusion.FB_LAST, fusion.FB_HEAD
+        df = self._pieces(spark, [
+            self._p(fusion.OP_IRP, H_ | F_, 0, price=10.0),
+            self._p(fusion.OP_ORP, L_, 1, status="C2"),
+        ])
+        [r] = fusion.fuse_pieces(df).collect()
+        assert r.lm_op == 2  # not all-IRP => UPDATE (completeRow upgrade)
+
+    def test_insert_needs_head_first_last(self, spark):
+        F_, L_ = fusion.FB_FIRST, fusion.FB_LAST
+        df = self._pieces(spark, [
+            self._p(fusion.OP_IRP, F_, 0, price=10.0),   # no HEAD anywhere
+            self._p(fusion.OP_IRP, L_, 1, clerk="CLK"),
+        ])
+        assert fusion.fuse_pieces(df).count() == 0
+        held = fusion.fuse_pieces(df, complete_only=False).collect()
+        assert len(held) == 1 and not held[0].complete
+
+    def test_update_without_last_held_back(self, spark):
+        F_, H_ = fusion.FB_FIRST, fusion.FB_HEAD
+        df = self._pieces(spark, [
+            self._p(fusion.OP_URP, H_ | F_, 0, price=10.0),
+            self._p(fusion.OP_URP, 0, 1, status="C2"),
+        ])
+        assert fusion.fuse_pieces(df).count() == 0
+
+    def test_single_piece_delete(self, spark):
+        fb = fusion.FB_HEAD | fusion.FB_FIRST | fusion.FB_LAST
+        df = self._pieces(spark, [self._p(fusion.OP_DRP, fb, 0)])
+        [r] = fusion.fuse_pieces(df).collect()
+        assert (r.lm_op, r.n_pieces) == (3, 1)
+
+
 class TestMultirow:
     def test_expansion_fan_and_ssn(self, spark):
         qmi = fusion.multirow_feed(spark, SF)
