@@ -195,6 +195,10 @@ def _q_direct_load(spark, sf_dir):
     return fusion.direct_load(spark, sf_dir)
 
 
+def _q_lob_inflate(spark, sf_dir):
+    return lob.lob_inflate_roundtrip(spark, sf_dir)
+
+
 def _q_lob_reassembly(spark, sf_dir):
     return lob.lob_roundtrip(spark, sf_dir)
 
@@ -660,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multirow_expansion": _q_multirow_expansion,
         "cdc_direct_load": _q_direct_load,
         "lob_reassembly": _q_lob_reassembly,
+        "lob_inflate": _q_lob_inflate,
         # --- sources (SURVEY §2.1: S6-S9) ---
         "mvlog_batch": _q_mvlog_batch,
         "initial_load_union": _q_initial_load,
@@ -977,6 +982,7 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
     sql["cdc_multirow_expansion"] = fusion.MULTIROW_SQL
     sql["cdc_direct_load"] = fusion.DIRECT_LOAD_SQL
     sql["lob_reassembly"] = lob.LOB_ROUNDTRIP_SQL.format(chunk=lob.CHUNK)
+    sql["lob_inflate"] = lob.LOB_INFLATE_SQL.format(chunk=lob.CHUNK)
     sql["ora_number_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, CAST({v!r} AS DOUBLE) AS val"
         for i, _, v in _NUMBER_GOLDENS

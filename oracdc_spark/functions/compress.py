@@ -1,0 +1,114 @@
+"""P13 — compressed payload inflate (SURVEY §2.4).
+
+Reference:
+
+* `utils/GzipUtil.java:37-85` — GZIP compress/decompress of string
+  payloads with magic-byte detection (`isCompressed`: 0x1F 0x8B); a
+  non-compressed buffer passes through unchanged.
+* `OraCdcTransaction.java:2204-2226` (getLob) — per-chunk inflate during
+  LOB reassembly: `CMapInflater.inflate` when the KDLI CMAP flag is set
+  (`OraCdcChange.java:206,1592`), a raw-deflate `java.util.zip.Inflater`
+  when the SecureFile LOB is `dataCompressed()`, byte pass-through
+  otherwise.  Each chunk is an independently compressed unit; inflation
+  happens before concatenation.
+
+Spark restatement:
+
+* compression-mode DETECTION is JVM-side (`is_gzip` / `is_zlib` —
+  substring of the magic bytes inside whole-stage codegen), so routing,
+  filtering, and stats never leave the JVM;
+* the inflate itself has no Spark built-in, so it is an Arrow-batched
+  pandas UDF (`inflate_payload`) mirroring the reference's
+  detect-then-inflate: gzip magic → gzip, zlib header → raw zlib
+  (SecureFile), else pass-through.  This is the decode hop of the change
+  feed — the cold path — never an analytic query.
+* CMAP inflation is NOT implemented: the reference takes `CMapInflater`
+  from the closed `solutions.a2.oracle.internals` artifact (only the
+  import exists in the public tree), so there is no public format
+  specification to re-derive.  `cmap_inflate` is an explicit
+  NotImplementedError stub.
+
+At 100 TB: inflate is per-row, embarrassingly parallel, no shuffle; the
+UDF sits behind the existing (xid, lob_id) shuffle of reassembly, so it
+adds zero exchanges.
+"""
+
+import gzip
+import zlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, StringType
+
+_GZIP_MAGIC = bytes([0x1F, 0x8B])
+# zlib (RFC1950) CMF byte: deflate with 32K window; common FLG values
+_ZLIB_FIRST = 0x78
+
+
+def is_gzip(col) -> Column:
+    """JVM-side GzipUtil.isCompressed: leading bytes 0x1F 0x8B."""
+    return F.substring(F.col(col) if isinstance(col, str) else col, 1, 2) == F.lit(
+        _GZIP_MAGIC
+    )
+
+
+def is_zlib(col) -> Column:
+    """JVM-side zlib-header check (RFC1950: CMF=0x78, FCHECK makes
+    (CMF<<8|FLG) % 31 == 0 — the byte-1 check is the practical test the
+    reference's `dataCompressed()` flag replaces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, 1) == F.lit(bytes([_ZLIB_FIRST]))
+
+
+def _inflate_one(b):
+    if b is None:
+        return None
+    b = bytes(b)
+    if b[:2] == _GZIP_MAGIC:
+        return gzip.decompress(b)
+    if len(b) >= 2 and b[0] == _ZLIB_FIRST and ((b[0] << 8) | b[1]) % 31 == 0:
+        return zlib.decompress(b)
+    return b
+
+
+@pandas_udf(BinaryType())
+def inflate_payload(data: pd.Series) -> pd.Series:
+    """Detect-then-inflate, mirroring GzipUtil.decompress + the getLob
+    chunk loop: gzip → gunzip, zlib → inflate, else pass through."""
+    return data.map(_inflate_one)
+
+
+@pandas_udf(StringType())
+def inflate_text(data: pd.Series) -> pd.Series:
+    """String form of :func:`inflate_payload` (CLOB payloads)."""
+    return data.map(lambda b: None if b is None else _inflate_one(b).decode("utf-8"))
+
+
+def cmap_inflate(*_args):
+    """KDLI CMAP inflation — NOT implemented: the reference's
+    `CMapInflater` lives in the closed `solutions.a2.oracle.internals`
+    artifact (only the import appears in the public tree,
+    OraCdcTransaction.java:120); there is no public format spec."""
+    raise NotImplementedError(
+        "CMAP inflate has no public format specification (closed "
+        "solutions.a2.oracle.internals artifact)"
+    )
+
+
+# -- fixture-side compressors (deterministic: gzip mtime pinned to 0) -------
+
+
+@pandas_udf(BinaryType())
+def gzip_compress(text: pd.Series) -> pd.Series:
+    return text.map(
+        lambda s: None
+        if s is None
+        else gzip.compress(s.encode("utf-8"), compresslevel=6, mtime=0)
+    )
+
+
+@pandas_udf(BinaryType())
+def zlib_compress(text: pd.Series) -> pd.Series:
+    return text.map(lambda s: None if s is None else zlib.compress(s.encode("utf-8"), 6))

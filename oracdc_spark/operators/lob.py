@@ -75,6 +75,71 @@ def lob_roundtrip(spark: SparkSession, sf_dir: str, chunk_size: int = CHUNK) -> 
     )
 
 
+def lob_inflate_roundtrip(spark: SparkSession, sf_dir: str, chunk_size: int = CHUNK) -> DataFrame:
+    """P13 composed with P7: SecureFile-style compressed LOB chunks are
+    inflated per-chunk BEFORE reassembly (OraCdcTransaction.java:2204-2226
+    getLob loop).  Compression mode cycles per lob: doc_id%3 = 0 raw /
+    1 zlib (dataCompressed) / 2 gzip (GzipUtil payloads); the mode column
+    is re-DETECTED from the payload magic bytes JVM-side (is_gzip/is_zlib
+    — the fixture label never leaks into the result).
+    Output: (lob_id, mode, n_chunks, digest, match)."""
+    from oracdc_spark.functions.compress import (
+        gzip_compress, inflate_text, is_gzip, is_zlib, zlib_compress,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = lob_chunks(docs, chunk_size)
+    mode = F.col("lob_id") % 3
+    payload = (
+        F.when(mode == 1, zlib_compress("chunk"))
+        .when(mode == 2, gzip_compress("chunk"))
+        .otherwise(F.encode("chunk", "utf-8"))
+    )
+    compressed = chunks.select("lob_id", "chunk_idx", payload.alias("payload"))
+    inflated = compressed.select(
+        "lob_id",
+        "chunk_idx",
+        # detection is JVM-side codegen over the magic bytes
+        F.when(is_gzip("payload"), F.lit("gzip"))
+        .when(is_zlib("payload"), F.lit("zlib"))
+        .otherwise(F.lit("raw"))
+        .alias("detected"),
+        inflate_text("payload").alias("chunk"),
+    )
+    re = reassemble_lobs(inflated.select("lob_id", "chunk_idx", "chunk"))
+    stats = inflated.groupBy("lob_id").agg(
+        F.max("detected").alias("mode"),  # uniform per lob by construction
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    orig = docs.select(F.col("doc_id").alias("lob_id"), F.md5("text").alias("orig_digest"))
+    return (
+        re.join(stats, "lob_id")
+        .join(orig, "lob_id")
+        .select(
+            "lob_id",
+            "mode",
+            "n_chunks",
+            F.md5("value").alias("digest"),
+            (F.md5("value") == F.col("orig_digest")).alias("match"),
+        )
+    )
+
+
+LOB_INFLATE_SQL = """
+WITH chunks AS (
+  SELECT doc_id AS lob_id,
+         GREATEST(CAST(ceil(CAST(length(text) AS DOUBLE)/{chunk}) AS INT), 1) AS n_chunks
+  FROM documents
+)
+SELECT c.lob_id,
+       CASE c.lob_id % 3 WHEN 1 THEN 'zlib' WHEN 2 THEN 'gzip' ELSE 'raw' END AS mode,
+       CAST(c.n_chunks AS BIGINT) AS n_chunks,
+       md5(d.text) AS digest,
+       TRUE AS match
+FROM chunks c JOIN documents d ON c.lob_id = d.doc_id
+"""
+
+
 LOB_ROUNDTRIP_SQL = """
 WITH chunks AS (
   SELECT doc_id AS lob_id, CAST(i AS BIGINT) AS chunk_idx,

@@ -24,6 +24,60 @@ class TestLob:
         assert j.filter(F.length("chunk") != 100).count() == 0
 
 
+class TestInflate:
+    """P13 — gzip/zlib chunk inflate (GzipUtil + getLob semantics)."""
+
+    def test_detect_and_inflate_scalar(self):
+        import gzip
+        import zlib
+
+        from oracdc_spark.functions.compress import _inflate_one
+
+        raw = "héllo wörld".encode()
+        assert _inflate_one(gzip.compress(raw, mtime=0)) == raw
+        assert _inflate_one(zlib.compress(raw)) == raw
+        assert _inflate_one(raw) == raw          # pass-through (GzipUtil)
+        assert _inflate_one(None) is None
+
+    def test_jvm_side_magic_detection(self, spark):
+        import gzip
+        import zlib
+
+        import pyspark.sql.functions as F
+
+        from oracdc_spark.functions.compress import is_gzip, is_zlib
+
+        rows = [
+            (gzip.compress(b"a", mtime=0), "gzip"),
+            (zlib.compress(b"a"), "zlib"),
+            (b"plain", "raw"),
+        ]
+        df = spark.createDataFrame(rows, "payload binary, expect string")
+        got = df.select(
+            "expect",
+            F.when(is_gzip("payload"), "gzip")
+            .when(is_zlib("payload"), "zlib")
+            .otherwise("raw")
+            .alias("got"),
+        ).collect()
+        assert all(r.expect == r.got for r in got)
+
+    def test_inflate_udf_roundtrip(self, spark):
+        from oracdc_spark.functions.compress import gzip_compress, inflate_text
+
+        df = spark.createDataFrame([("some text",), (None,)], "t string")
+        out = df.select(inflate_text(gzip_compress("t")).alias("t2")).collect()
+        assert {r.t2 for r in out} == {"some text", None}
+
+    def test_cmap_is_documented_stub(self):
+        import pytest as _pytest
+
+        from oracdc_spark.functions.compress import cmap_inflate
+
+        with _pytest.raises(NotImplementedError):
+            cmap_inflate(b"\x00")
+
+
 class TestMultimodal:
     def test_features_schema_and_determinism(self, spark):
         media = multimodal.synthetic_media(load_table(spark, SF, "documents"))
