@@ -632,6 +632,31 @@ def _q_text_fp_groups(spark, sf_dir):
     return textops.fingerprint_dup_groups(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_repetition(spark, sf_dir):
+    return textops.repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_injected(spark, sf_dir):
+    """Deterministic PII fixture: the synthetic corpus has no PII, so
+    inject emails/URLs/IPs by doc_id class (mirrored in the oracle CTE).
+    doc_id%4: 0 email, 1 URL, 2 IPv4, 3 untouched."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.when(k == 0, F.concat("text", F.lit(" contact user"), did, F.lit("@example.com now")))
+        .when(k == 1, F.concat("text", F.lit(" see https://ex.example/p/"), did, F.lit(" ok")))
+        .when(k == 2, F.concat("text", F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7 up")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _q_text_pii_scrub(spark, sf_dir):
+    return textops.pii_scrub(_pii_injected(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- CDC core (SURVEY §2.3, §2.5, §2.2) ---
@@ -727,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q_text_lang,
         "text_fingerprint": _q_text_fingerprint,
         "text_fingerprint_groups": _q_text_fp_groups,
+        "text_repetition": _q_text_repetition,
+        "text_pii_scrub": _q_text_pii_scrub,
     }
 
 
@@ -1565,4 +1592,77 @@ SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper_do
 FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
 """
     )
+    sql["text_repetition"] = (
+        "WITH "
+        + _TOKS
+        + """,
+lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_chars
+  FROM documents
+),
+linestats AS (
+  SELECT doc_id,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         ROUND(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls), 6) AS dup_line_frac,
+         ROUND(CAST(list_aggregate(list_transform(ls, x -> length(x)), 'sum')
+                    - list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum') AS DOUBLE)
+               / list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 6) AS dup_line_char_frac,
+         n_chars
+  FROM lines
+),
+grams AS (
+  SELECT doc_id, lower(array_to_string(w[i:i+1], ' ')) AS bigram
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+counts AS (
+  SELECT doc_id, bigram, COUNT(*) AS n FROM grams GROUP BY doc_id, bigram
+),
+top AS (
+  SELECT doc_id, bigram AS top_bigram, n AS top_bigram_n
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram DESC) AS rn
+        FROM counts) t
+  WHERE rn = 1
+)
+SELECT *, (dup_line_frac <= 0.30 AND top_bigram_char_frac <= 0.20) AS keep
+FROM (
+  SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+         t.top_bigram,
+         CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+         ROUND(COALESCE(CAST(t.top_bigram_n AS DOUBLE)
+                        * length(regexp_replace(t.top_bigram, '\\s', '', 'g'))
+                        / l.n_chars, 0.0), 6) AS top_bigram_char_frac
+  FROM linestats l LEFT JOIN top t ON l.doc_id = t.doc_id
+) s
+"""
+    )
+    sql["text_pii_scrub"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           WHEN 1 THEN text || ' see https://ex.example/p/' || CAST(doc_id AS VARCHAR) || ' ok'
+           WHEN 2 THEN text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up'
+           ELSE text END AS text
+  FROM documents
+),
+step1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{textops.PII_URL_RE}')) AS BIGINT) AS n_urls,
+         regexp_replace(text, '{textops.PII_URL_RE}', '<URL>', 'g') AS t1
+  FROM injected
+),
+step2 AS (
+  SELECT doc_id, n_urls,
+         CAST(len(regexp_extract_all(t1, '{textops.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         regexp_replace(t1, '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t2
+  FROM step1
+)
+SELECT doc_id, n_urls, n_emails,
+       CAST(len(regexp_extract_all(t2, '{textops.PII_IP_RE}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(t2, '{textops.PII_IP_RE}', '<IP>', 'g')) AS clean_digest
+FROM step2
+"""
     return sql

@@ -168,6 +168,120 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     )
 
 
+def repetition_scores(
+    docs: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021, §A1.1):
+    duplicate-line fraction, duplicate-line CHARACTER fraction, and the
+    fraction of characters covered by the most frequent token 2-gram.
+
+    Scale shape: line metrics are pure per-row array expressions
+    (WholeStageCodegen, no shuffle); the top-bigram needs a per-doc mode,
+    done as explode → partial-aggregated count → one struct-max groupBy —
+    two key-local shuffles on doc_id, no windows, no self-joins.
+    Output: (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram, top_bigram_n, top_bigram_char_frac, keep)."""
+    lines = F.filter(F.split(F.col("text"), r"\n"), lambda x: F.trim(x) != F.lit(""))
+    n_lines = F.size(lines).cast("bigint")
+    n_distinct_lines = F.size(F.array_distinct(lines)).cast("bigint")
+    line_chars = F.aggregate(
+        F.transform(lines, F.length), F.lit(0), lambda a, x: a + x
+    ).cast("bigint")
+    distinct_line_chars = F.aggregate(
+        F.transform(F.array_distinct(lines), F.length), F.lit(0), lambda a, x: a + x
+    ).cast("bigint")
+    base = _parallel(docs).select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.round(
+            (n_lines - n_distinct_lines).cast("double") / n_lines, 6
+        ).alias("dup_line_frac"),
+        F.round(
+            (line_chars - distinct_line_chars).cast("double") / line_chars, 6
+        ).alias("dup_line_char_frac"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        .cast("bigint")
+        .alias("_n_chars"),
+        "text",
+    )
+
+    w = _tokens()
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.lower(
+                F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))
+            ),
+        ),
+    ).otherwise(F.array())
+    per_gram = (
+        base.select("doc_id", F.explode(grams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # per-doc mode with deterministic tie-break: max struct = highest n,
+    # then lexicographically greatest bigram
+    top = per_gram.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("n"), F.col("bigram"))).alias("t")
+    ).select("doc_id", F.col("t.bigram").alias("top_bigram"), F.col("t.n").alias("top_bigram_n"))
+
+    out = base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram",
+        F.coalesce("top_bigram_n", F.lit(0)).cast("bigint").alias("top_bigram_n"),
+        F.round(
+            F.coalesce(
+                F.col("top_bigram_n")
+                * F.length(F.regexp_replace("top_bigram", r"\s", ""))
+                / F.col("_n_chars"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("top_bigram_char_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_char_frac") <= max_top_bigram_char_frac),
+    )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII / URL scrubbing for training corpora: mask emails, URLs, and
+    IPv4 literals with typed placeholders; count matches per category.
+
+    Order matters: URLs first (an URL may contain '@'), then emails,
+    then IPs.  All regexp_replace/regexp_count — JVM codegen, no shuffle,
+    patterns restricted to RE2-compatible syntax so the DuckDB oracle
+    matches byte-for-byte.
+    Output: (doc_id, n_urls, n_emails, n_ips, clean_digest)."""
+    t = F.col("text")
+    n_urls = F.regexp_count(t, F.lit(PII_URL_RE)).cast("bigint")
+    after_url = F.regexp_replace(t, PII_URL_RE, "<URL>")
+    n_emails = F.regexp_count(after_url, F.lit(PII_EMAIL_RE)).cast("bigint")
+    after_email = F.regexp_replace(after_url, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IP_RE)).cast("bigint")
+    clean = F.regexp_replace(after_email, PII_IP_RE, "<IP>")
+    return _parallel(docs).select(
+        "doc_id",
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        F.md5(clean).alias("clean_digest"),
+    )
+
+
 def contamination_check(
     docs: DataFrame, benchmark: DataFrame, n: int = 5
 ) -> DataFrame:

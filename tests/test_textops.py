@@ -1,0 +1,67 @@
+"""Unit tests for repetition-quality rules and PII scrubbing (the
+line-level rules can't be exercised by the synthetic corpus, which has
+no newlines — handcrafted docs here)."""
+
+import pyspark.sql.functions as F
+
+from oracdc_spark.operators import textops
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestRepetition:
+    def test_duplicate_lines_counted(self, spark):
+        doc = "alpha beta\nalpha beta\ngamma delta\n\n  \n"
+        [r] = textops.repetition_scores(_docs(spark, [doc])).collect()
+        # 3 non-empty lines, one duplicated
+        assert r.n_lines == 3
+        assert abs(r.dup_line_frac - 1 / 3) < 1e-6
+        # 10 chars duplicated out of 31 line chars
+        assert abs(r.dup_line_char_frac - 10 / 31) < 1e-6
+
+    def test_top_bigram_fraction(self, spark):
+        doc = "spam ham spam ham spam ham eggs"
+        [r] = textops.repetition_scores(_docs(spark, [doc])).collect()
+        # bigrams: spam ham x3, ham spam x2, ham eggs x1
+        assert r.top_bigram == "spam ham"
+        assert r.top_bigram_n == 3
+        # 3 * 7 non-space chars / 25 non-space chars total
+        assert abs(r.top_bigram_char_frac - 21 / 25) < 1e-6
+        assert not r.keep  # 0.84 > 0.20 threshold
+
+    def test_clean_doc_kept(self, spark):
+        doc = "every token here is used exactly once with no repeats at all"
+        [r] = textops.repetition_scores(_docs(spark, [doc])).collect()
+        assert r.dup_line_frac == 0.0 and r.keep
+
+    def test_single_token_doc_has_no_bigram(self, spark):
+        [r] = textops.repetition_scores(_docs(spark, ["solo"])).collect()
+        assert r.top_bigram is None and r.top_bigram_n == 0
+        assert r.top_bigram_char_frac == 0.0
+
+
+class TestPiiScrub:
+    def test_masks_and_counts(self, spark):
+        doc = (
+            "mail a.b-c_d@test.org or visit https://x.test/path?q=1 "
+            "from 192.168.0.1 twice: other@ex.io"
+        )
+        out = textops.pii_scrub(_docs(spark, [doc]))
+        [r] = out.collect()
+        assert (r.n_urls, r.n_emails, r.n_ips) == (1, 2, 1)
+
+    def test_url_with_embedded_email_not_double_counted(self, spark):
+        # the URL is masked first; its '@' never reaches the email pass
+        doc = "see https://u:p@host.test/x ok"
+        [r] = textops.pii_scrub(_docs(spark, [doc])).collect()
+        assert (r.n_urls, r.n_emails) == (1, 0)
+
+    def test_clean_text_digest_stable(self, spark):
+        df = _docs(spark, ["no pii here at all"])
+        a = textops.pii_scrub(df).collect()[0].clean_digest
+        expected = df.select(F.md5("text").alias("d")).collect()[0].d
+        assert a == expected  # untouched text hashes identically
