@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     # round-2 CDC additions
     "cdc_wrapped_apply",
     "cdc_direct_load",
+    "cdc_chained_fusion",
+    "lob_inflate",
     # LLM-pipeline ops
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
@@ -46,6 +48,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "text_contamination",
+    "text_repetition",
+    "text_pii_scrub",
     "multimodal_decode",
 ]
 
@@ -76,6 +80,8 @@ def main() -> None:
     r2_added = {
         "cdc_wrapped_apply", "cdc_direct_load", "dedup_clusters",
         "similarity_near_dups", "text_contamination", "multimodal_decode",
+        "cdc_chained_fusion", "lob_inflate", "text_repetition",
+        "text_pii_scrub",
     }
     print(
         json.dumps(
