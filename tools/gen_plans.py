@@ -17,6 +17,11 @@ NOTES = {
     "dedup_minhash_lsh": "wide min-aggregate signatures: one doc_id exchange, band self-join on tiny buckets",
     "similarity_bruteforce_topk": "query side broadcast; integer dot products; per-query window top-k",
     "similarity_near_dups": "in-cell hyperplane-LSH buckets bound the pair join; exact rescoring of candidates only",
+    "cdc_chained_fusion": "full piece matrix fused in ONE aggregation on the transaction key (sort-based: struct-min buffers are not hash-aggregatable) — single exchange, no window, no self-join",
+    "text_repetition": "line metrics in codegen; per-doc bigram mode = two partial-aggregated doc_id exchanges, no window",
+    "text_pii_scrub": "pure regexp codegen; the only exchange is the gated single-file spread "
+                      "(ensure_parallelism: input splits < cores — absent on a many-split corpus)",
+    "lob_inflate": "detection JVM-side; Arrow UDF inflate sits behind the existing lob_id exchange (zero extra shuffles)",
 }
 
 KEEP = (
