@@ -22,6 +22,7 @@ from oracdc_spark.feed import CHANGE_FEED_CTE, SPEC, change_feed
 from oracdc_spark.operators import (
     analytics,
     cdc,
+    change_vector,
     dedup,
     envelope,
     fusion,
@@ -177,6 +178,10 @@ def _q_pipeline_curation(spark, sf_dir):
 
 def _q_row_fusion(spark, sf_dir):
     return fusion.row_fusion(spark, sf_dir)
+
+
+def _q_change_vector(spark, sf_dir):
+    return change_vector.change_vector_projection(spark, sf_dir)
 
 
 def _q_chained_fusion(spark, sf_dir):
@@ -684,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_all_cols": _q_cdc_delete_all_cols,
         "pipeline_curation": _q_pipeline_curation,
         "cdc_row_fusion": _q_row_fusion,
+        "cdc_change_vector": _q_change_vector,
         "cdc_chained_fusion": _q_chained_fusion,
         "cdc_chained_incomplete": _q_chained_incomplete,
         "cdc_multirow_expansion": _q_multirow_expansion,
@@ -1004,6 +1010,7 @@ JOIN deduped d ON k.doc_id = d.doc_id
 LEFT JOIN embeddings e ON k.doc_id = e.vec_id
 """
     sql["cdc_row_fusion"] = fusion.ROW_FUSION_SQL
+    sql["cdc_change_vector"] = change_vector.CHANGE_VECTOR_SQL
     sql["cdc_chained_fusion"] = fusion.CHAINED_FUSION_SQL
     sql["cdc_chained_incomplete"] = fusion.CHAINED_INCOMPLETE_SQL
     sql["cdc_multirow_expansion"] = fusion.MULTIROW_SQL

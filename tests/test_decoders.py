@@ -176,3 +176,32 @@ class TestTstz:
 
         assert decode_ora_tstz("7877") is None
         assert decode_ora_tstz(None) is None
+
+
+class TestChangeVectorProjection:
+    """P2 — byte-map after-image → dictionary-typed projection."""
+
+    def test_absent_map_entry_is_typed_null(self, spark):
+        from oracdc_spark.functions.decoders import encode_number
+        from oracdc_spark.operators.change_vector import project_typed
+        from oracdc_spark.session import ship_package
+
+        ship_package(spark)
+        img_full = {1: encode_number(7), 2: encode_number(12.5), 3: b"OK"}
+        img_no_status = {1: encode_number(8), 2: encode_number(3.25)}
+        df = spark.createDataFrame(
+            [(10, img_full), (20, img_no_status)],
+            "scn long, after_image map<int,binary>",
+        )
+        rows = {r.scn: r for r in project_typed(df).collect()}
+        assert (rows[10].pk, rows[10].totalprice, rows[10].status) == (7, 12.5, "OK")
+        assert rows[20].status is None          # absent entry → typed NULL
+        assert rows[20].totalprice == 3.25
+
+    def test_unknown_ora_type_rejected(self):
+        import pytest as _pytest
+
+        from oracdc_spark.operators.change_vector import _bind
+
+        with _pytest.raises(ValueError):
+            _bind(None, "SDO_GEOMETRY")
