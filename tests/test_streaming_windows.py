@@ -75,3 +75,49 @@ def test_session_window_batch_parity(spark):
     # session windows: end - start >= 0 and counts sum to all events
     assert sum(r.n_events for r in sess) == ev.count()
     assert all(r.end_us >= r.start_us for r in sess)
+
+
+@pytest.mark.slow
+def test_dedup_redelivered_exactly_once(spark):
+    """Records redelivered in a later micro-batch (restart replay) must
+    be emitted exactly once; result = batch distinct on (xid, scn, ssn)."""
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.streaming.pipeline import FEED_DDL
+    from oracdc_spark.streaming.windows import dedup_redelivered
+
+    with tempfile.TemporaryDirectory() as d:
+        from tests.test_streaming import _write_feed_chunks
+
+        feed_dir = _write_feed_chunks(spark, d, n_chunks=3)
+        # redeliver chunk 1 as a 4th file: an at-least-once replay
+        shutil.copy(f"{feed_dir}/chunk_001.parquet", f"{feed_dir}/chunk_004.parquet")
+
+        stream = (
+            spark.readStream.schema(FEED_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = (
+            dedup_redelivered(stream)
+            .writeStream.format("memory")
+            .queryName("deduped_stream")
+            .option("checkpointLocation", f"{d}/ckpt_dd")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = spark.sql("SELECT xid, scn, ssn FROM deduped_stream")
+        n_expected = change_feed(spark, SF).select("xid", "scn", "ssn").distinct().count()
+        assert got.count() == n_expected
+        assert got.distinct().count() == n_expected  # no double emission
+
+
+def test_dedup_redelivered_batch_parity(spark):
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.streaming.windows import dedup_redelivered
+
+    feed = change_feed(spark, SF)
+    doubled = feed.unionAll(feed.limit(50))
+    assert dedup_redelivered(doubled).count() == feed.count()
