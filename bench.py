@@ -65,6 +65,13 @@ def main() -> None:
 
     # warm the JVM + parquet footers once (not timed per query)
     qs["top_orders"](spark, sf_dir).count()
+    # warm the Python/Arrow worker pool with a 1-row no-op UDF so the
+    # UDF-bearing queries measure steady-state, not worker spawn (~2.5s
+    # one-off per session; workers are reused afterwards)
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    _noop = _pudf(lambda s: s, returnType="long")
+    spark.range(64).repartition(32).select(_noop("id")).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
