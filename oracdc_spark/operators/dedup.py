@@ -235,9 +235,16 @@ def dedup_clusters(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataF
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).cache()
 
-    labels = docs.select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).cache()
+    # Iterate ONLY over nodes that appear in the pair graph: the label
+    # frontier is |dup nodes| (tiny — bounded by pair count), not the
+    # corpus.  The round-1 form joined the full corpus label table every
+    # iteration — a corpus-sized shuffle per hop that dominates at scale;
+    # singletons need no propagation and are attached once at the end.
+    labels = (
+        edges.select(F.col("d1").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
     while True:
         nb_min = (
             edges.join(labels, edges["d2"] == labels["doc_id"])
@@ -265,7 +272,10 @@ def dedup_clusters(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataF
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    # singletons (no dup pair) are their own cluster — one final join
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
 
 
 def sample_by_hash(docs: DataFrame, prefix_lt: str = "1a") -> DataFrame:
