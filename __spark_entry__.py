@@ -743,7 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_simhash": _q_dedup_simhash,  # rows-only (bit ops not portable SQL)
+        "dedup_simhash": _q_dedup_simhash,
         "dedup_decisions": _q_dedup_decisions,
         "dedup_clusters": _q_dedup_clusters,
         "pipeline_sample": _q_pipeline_sample,
@@ -1597,6 +1597,31 @@ fp AS (
 )
 SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper_doc_id
 FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+"""
+    )
+    sql["dedup_simhash"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tokh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN SUM((h >> b) & 1) * 2 > COUNT(*) THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS bit_val
+  FROM tokh, UNNEST(generate_series(0, 59)) AS t(b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id, SUM(bit_val << b) AS simhash FROM bits GROUP BY doc_id
+),
+bkt AS (
+  SELECT doc_id, (simhash >> 48) AS bucket FROM sig
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2, a.bucket
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
     )
     sql["text_repetition"] = (

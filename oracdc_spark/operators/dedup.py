@@ -182,8 +182,8 @@ def dedup_decisions(pairs: DataFrame) -> DataFrame:
 
 
 def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
-    """60-bit SimHash per document (rows-only check: bit twiddling is not
-    portable ANSI SQL).
+    """60-bit SimHash per document (oracle-checked: DuckDB mirrors the
+    bit twiddling via CAST('0x…' AS BIGINT) and >>/&/<< operators).
 
     token hash = first 15 hex chars of md5 (60 bits, fits a signed long);
     fingerprint bit b = 1 iff the majority of token hashes set bit b.
