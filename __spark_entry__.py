@@ -613,6 +613,10 @@ def _q_sim_ivf(spark, sf_dir):
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), 100, 3)
 
 
+def _q_sim_sq8_recall(spark, sf_dir):
+    return similarity.sq8_recall(load_table(spark, sf_dir, "embeddings"), 100, 5)
+
+
 def _q_sim_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), 0.16)
 
@@ -752,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cell_centroids": _q_sim_centroids,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
+        "similarity_sq8_recall": _q_sim_sq8_recall,
         "similarity_near_dups": _q_sim_near_dups,
         "text_token_stats": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1437,6 +1442,84 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
                                ORDER BY score DESC, neighbor_id) AS rank
   FROM scored) t
 WHERE rank <= 5
+"""
+    )
+    sql["similarity_sq8_recall"] = (
+        "WITH "
+        + _QUANT
+        + """,
+comps AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comps GROUP BY i),
+codes AS (
+  SELECT vec_id, comps.i,
+         CAST(CASE WHEN mx > mn THEN round((x - mn) * 255 / (mx - mn))
+                   ELSE 0 END AS INT) AS c
+  FROM comps JOIN stats ON comps.i = stats.i
+),
+dec AS (
+  SELECT vec_id AS neighbor_id, codes.i,
+         CAST(round((mn + c * (mx - mn) / 255) * 1000) AS BIGINT) AS q
+  FROM codes JOIN stats ON codes.i = stats.i
+),
+q AS (SELECT vec_id AS query_id, i, q FROM qv WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, i, q FROM qv),
+adots AS (
+  SELECT query_id, neighbor_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM q a JOIN dec b USING (i)
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+qn AS (SELECT query_id, CAST(SUM(q*q) AS BIGINT) AS qn FROM q GROUP BY query_id),
+acn AS (SELECT neighbor_id, CAST(SUM(q*q) AS BIGINT) AS cn FROM dec GROUP BY neighbor_id),
+ascored AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM adots JOIN qn USING (query_id) JOIN acn USING (neighbor_id)
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM ascored) t
+  WHERE rank <= 5
+),
+edots AS (
+  SELECT query_id, neighbor_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM q a JOIN c b USING (i)
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+ecn AS (SELECT neighbor_id, CAST(SUM(q*q) AS BIGINT) AS cn FROM c GROUP BY neighbor_id),
+escored AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM edots JOIN qn USING (query_id) JOIN ecn USING (neighbor_id)
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM escored) t
+  WHERE rank <= 5
+),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT eq.query_id,
+       COALESCE(h.n_matches, 0) AS n_matches,
+       ROUND(CAST(COALESCE(h.n_matches, 0) AS DOUBLE) / 5, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) eq
+LEFT JOIN hits h ON eq.query_id = h.query_id
 """
     )
     sql["similarity_ivf_topk"] = (

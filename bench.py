@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
     "similarity_near_dups",
+    "similarity_sq8_recall",
     "text_quality",
     "text_fingerprint",
     "text_contamination",
@@ -88,7 +89,7 @@ def main() -> None:
         "cdc_wrapped_apply", "cdc_direct_load", "dedup_clusters",
         "similarity_near_dups", "text_contamination", "multimodal_decode",
         "cdc_chained_fusion", "lob_inflate", "text_repetition",
-        "text_pii_scrub",
+        "text_pii_scrub", "similarity_sq8_recall",
     }
     print(
         json.dumps(

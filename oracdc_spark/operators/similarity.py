@@ -264,3 +264,112 @@ def embedding_near_dups(vecs: DataFrame, threshold_score: float = 0.16) -> DataF
     return agg.select("v1", "v2", score.alias("score")).filter(
         F.col("score") >= threshold_score
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the embedding STORAGE scale path
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the dominant embedding cost is storage + scan bandwidth:
+# float32 vectors at billions of rows. Scalar quantization (SQ8) stores
+# one byte per dimension (4× reduction; the standard FAISS SQ8 scheme):
+# per-dimension affine codes c = round((x - mn) * 255 / (mx - mn)) from
+# corpus min/max, search decodes codes back (asymmetric distance
+# computation: full-precision query vs decoded corpus) and rescoring
+# recovers accuracy.  Training = ONE aggregation over the corpus (per-dim
+# min/max, d rows — broadcastable); encode/decode are narrow maps.
+#
+# Determinism: codes are exact integers; decoded values re-enter the
+# quantized-integer dot-product framework (round(x*SCALE) bigints), so
+# scores stay engine-exact and the DuckDB oracle matches bit-for-bit.
+
+SQ8_LEVELS = 255
+
+
+def sq8_components(vecs: DataFrame) -> DataFrame:
+    """(vec_id, i, x): unnested double components (0-based i)."""
+    return _parallel(vecs).select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+
+
+def sq8_train(comps: DataFrame) -> DataFrame:
+    """Per-dimension codebook: (i, mn, mx) — one corpus aggregation."""
+    return comps.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+
+
+def sq8_encode(comps: DataFrame, stats: DataFrame) -> DataFrame:
+    """(vec_id, i, c): one-byte affine codes. The codebook is d rows —
+    always broadcast."""
+    c = F.when(
+        F.col("mx") > F.col("mn"),
+        F.round((F.col("x") - F.col("mn")) * SQ8_LEVELS / (F.col("mx") - F.col("mn")), 0),
+    ).otherwise(F.lit(0.0))
+    return comps.join(F.broadcast(stats), "i").select(
+        "vec_id", "i", c.cast("int").alias("c")
+    )
+
+
+def sq8_decoded(codes: DataFrame, stats: DataFrame) -> DataFrame:
+    """Decode codes to quantized-integer components (vec_id, i, q):
+    q = round((mn + c*(mx-mn)/255) * SCALE) — same integer domain as
+    `quantized`, so the scoring machinery is shared."""
+    dec = (F.col("mn") + F.col("c") * (F.col("mx") - F.col("mn")) / SQ8_LEVELS) * SCALE
+    return codes.join(F.broadcast(stats), "i").select(
+        "vec_id", "i", F.round(dec, 0).cast("bigint").alias("q")
+    )
+
+
+def sq8_topk(vecs: DataFrame, query_mod: int = 100, k: int = 5) -> DataFrame:
+    """ADC top-k: full-precision (quantized-integer) queries against the
+    SQ8-decoded corpus. Same plan shape as brute force — the decode adds
+    one broadcast join, no extra shuffle."""
+    comps = sq8_components(vecs)
+    stats = sq8_train(comps)
+    corpus_q = sq8_decoded(sq8_encode(comps, stats), stats).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    qq = quantized(vecs.filter(F.col("vec_id") % query_mod == 0)).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    dots = (
+        F.broadcast(qq)
+        .join(corpus_q, "i")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(qq["q"] * corpus_q["q"]).alias("dot"))
+    )
+    qn = _norms(qq, "query_id").withColumnRenamed("norm2", "qn")
+    cn = _norms(corpus_q, "neighbor_id").withColumnRenamed("norm2", "cn")
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def sq8_recall(vecs: DataFrame, query_mod: int = 100, k: int = 5) -> DataFrame:
+    """Quantization quality audit: per-query overlap between SQ8 top-k
+    and exact top-k. Output: (query_id, n_matches, recall)."""
+    approx = sq8_topk(vecs, query_mod, k)
+    exact = brute_force_topk(vecs, query_mod, k)
+    hits = (
+        approx.join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    all_q = exact.select("query_id").distinct()
+    return all_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        F.round(F.coalesce("n_matches", F.lit(0)).cast("double") / k, 6).alias("recall"),
+    )

@@ -114,3 +114,21 @@ def test_dedup_clusters_transitive(spark):
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, n=2, threshold=0.5).collect()}
     assert out[4] == 4  # singleton
     assert out[1] == out[2] == out[3] == 1  # one transitive component
+
+
+def test_sq8_codes_bounded_and_recall_sane(spark):
+    """SQ8 codes must stay in [0, 255]; decoded search must recover most
+    exact neighbors (scalar quantization loses little on smooth data)."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.catalog import load_table
+    from oracdc_spark.operators import similarity as sim
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    comps = sim.sq8_components(vecs)
+    stats = sim.sq8_train(comps)
+    codes = sim.sq8_encode(comps, stats)
+    mm = codes.agg(F.min("c"), F.max("c")).first()
+    assert mm[0] >= 0 and mm[1] <= 255
+    rec = sim.sq8_recall(vecs, 100, 5).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.6
