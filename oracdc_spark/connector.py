@@ -1,0 +1,186 @@
+"""Reference-property connector facade — the switch-over surface.
+
+A user of the reference configures it through Kafka-Connect properties
+(`a2.*`, defined in `runtime/config/Parameters.java`).  This facade
+accepts THE SAME property names and assembles the equivalent Spark
+pipeline from the package's operators, so an existing properties file
+drives this engine unchanged (minus transport plumbing, which Spark
+replaces).
+
+Key handling mirrors the reference's AbstractConfig behavior:
+
+* SUPPORTED keys configure the pipeline (table below);
+* TRANSPORT keys (JDBC/wallet/ASM/SSH/SMB/BFILE/TNS/RAC/standby/
+  distributed connection plumbing — Parameters.java defines them for the
+  JDBC/redo transports that Spark sources replace) are accepted and
+  recorded in `ignored_keys` so a reference properties file loads as-is;
+* unknown `a2.*` keys raise, like ConfigDef validation.
+
+Supported → wiring:
+
+==============================  =============================================
+a2.schema.type                  envelope: kafka (std) | single | debezium
+a2.include / a2.exclude         F1 table include/exclude lists
+a2.first.change                 F4 SCN lower bound
+a2.topic.prefix/.name.style/.name.delimiter   K1 topic naming (TABLE |
+                                SCHEMA_TABLE | PDB_SCHEMA_TABLE)
+a2.kafka.topic                  single-topic mode target
+a2.use.all.columns.on.delete    K3 delete image mode (tombstone vs full)
+a2.tolerate.incomplete.row      F7 reject side-output vs raise
+a2.use.rowid.as.key             key override (ROWID pseudo-key)
+a2.pk.type                      well_defined | any_unique (registry)
+a2.last.sequence.notifier(.file)  FileSeqNotifier on the streaming query
+a2.batch.size                   micro-batch trigger sizing
+==============================  =============================================
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+SCHEMA_KAFKA, SCHEMA_SINGLE, SCHEMA_DEBEZIUM = "kafka", "single", "debezium"
+
+_TRANSPORT_PREFIXES = (
+    "a2.jdbc.", "a2.wallet.", "a2.asm.", "a2.ssh.", "a2.smb.", "a2.bfile.",
+    "a2.tns.", "a2.standby.", "a2.distributed.", "a2.internal.",
+    "a2.connection.", "a2.tde.wallet.",
+)
+_TRANSPORT_KEYS = {
+    "a2.jdbc.url", "a2.jdbc.username", "a2.jdbc.password", "a2.wallet.location",
+    "a2.tmpdir", "a2.use.rac", "a2.archived.log.catalog", "a2.fetch.size",
+    "a2.log.miner.reconnect.ms", "a2.storage.media", "a2.transfer.directory.stage",
+}
+
+_SUPPORTED = {
+    "a2.schema.type", "a2.include", "a2.exclude", "a2.first.change",
+    "a2.topic.prefix", "a2.topic.name.style", "a2.topic.name.delimiter",
+    "a2.kafka.topic", "a2.use.all.columns.on.delete",
+    "a2.tolerate.incomplete.row", "a2.use.rowid.as.key", "a2.pk.type",
+    "a2.last.sequence.notifier", "a2.last.sequence.notifier.file",
+    "a2.batch.size",
+}
+
+_BOOL_TRUE = ("true", "1", "yes")
+
+
+class OraCdcConnector:
+    """Assemble the CDC pipeline from reference-style properties."""
+
+    def __init__(self, config: dict[str, str]):
+        self.config = dict(config)
+        self.ignored_keys: list[str] = []
+        for k in self.config:
+            if not k.startswith("a2."):
+                continue  # connect framework keys (name, connector.class, …)
+            if k in _SUPPORTED:
+                continue
+            if k in _TRANSPORT_KEYS or k.startswith(_TRANSPORT_PREFIXES):
+                self.ignored_keys.append(k)
+                continue
+            raise ValueError(f"unknown oracdc property: {k}")
+
+        self.schema_type = self.config.get("a2.schema.type", SCHEMA_KAFKA)
+        if self.schema_type not in (SCHEMA_KAFKA, SCHEMA_SINGLE, SCHEMA_DEBEZIUM):
+            raise ValueError(f"a2.schema.type must be kafka|single|debezium, got {self.schema_type}")
+        self.pk_type = self.config.get("a2.pk.type", "well_defined")
+        if self.pk_type not in ("well_defined", "any_unique"):
+            raise ValueError(f"a2.pk.type must be well_defined|any_unique, got {self.pk_type}")
+        style = self.config.get("a2.topic.name.style", "TABLE")
+        if style not in ("TABLE", "SCHEMA_TABLE", "PDB_SCHEMA_TABLE"):
+            raise ValueError(f"bad a2.topic.name.style: {style}")
+        self.topic_style = style
+
+    def _flag(self, key: str, default: bool = False) -> bool:
+        return self.config.get(key, str(default)).lower() in _BOOL_TRUE
+
+    # -- source side --------------------------------------------------------
+
+    def filtered_feed(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """feed → SCN window → include/exclude → completeness policy."""
+        from oracdc_spark.feed import change_feed
+        from oracdc_spark.operators.filters import completeness_check, table_list_column
+
+        feed = change_feed(spark, sf_dir)
+        if "a2.first.change" in self.config:
+            feed = feed.filter(F.col("scn") >= int(self.config["a2.first.change"]))
+        if "a2.include" in self.config:
+            feed = feed.filter(table_list_column(self.config["a2.include"]))
+        if "a2.exclude" in self.config:
+            feed = feed.filter(~table_list_column(self.config["a2.exclude"]))
+        tolerate = self._flag("a2.tolerate.incomplete.row", False)
+        complete, rejects = completeness_check(feed, tolerate=tolerate)
+        self.rejects = rejects
+        if not tolerate:
+            # strict mode: any short row is an error (reference logs and
+            # stops the task; here the gate raises at assembly time)
+            from oracdc_spark.operators.filters import assert_complete
+
+            assert_complete(rejects)
+        return complete
+
+    # -- envelope / records -------------------------------------------------
+
+    def events(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Committed change events in the configured schema type."""
+        from oracdc_spark.operators import cdc, envelope
+
+        feed = self.filtered_feed(spark, sf_dir)
+        if self.schema_type == SCHEMA_DEBEZIUM:
+            return envelope.debezium_flat(feed)
+        if self.schema_type == SCHEMA_SINGLE:
+            return envelope.single_mode(feed)
+        return cdc.commit_stamped(feed)
+
+    def topic_for(self, pdb: str | None, owner: str, table: str) -> str:
+        if self.schema_type == SCHEMA_SINGLE and "a2.kafka.topic" in self.config:
+            return self.config["a2.kafka.topic"]
+        delim = self.config.get("a2.topic.name.delimiter", "_")
+        prefix = self.config.get("a2.topic.prefix", "")
+        if self.topic_style == "TABLE":
+            parts = [table]
+        elif self.topic_style == "SCHEMA_TABLE":
+            parts = [owner, table]
+        else:  # PDB_SCHEMA_TABLE
+            parts = [pdb or "CDB$ROOT", owner, table]
+        return prefix + delim.join(parts)
+
+    def kafka_records(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """K1 records under the configured topic naming + delete mode."""
+        from oracdc_spark.operators import cdc
+        from oracdc_spark.sinks.kafka import bind_kafka_records
+
+        stamped = cdc.commit_stamped(self.filtered_feed(spark, sf_dir))
+        return bind_kafka_records(
+            stamped,
+            topic_mapper=self.topic_for,
+            delete_all_columns=self._flag("a2.use.all.columns.on.delete", False),
+        )
+
+    # -- streaming ----------------------------------------------------------
+
+    def start_pipeline(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        replica_path: str,
+        checkpoint_dir: str,
+    ):
+        """Streaming feed → stateful assembly → MERGE replica, with the
+        configured last-sequence notifier attached."""
+        from oracdc_spark.streaming.pipeline import run_pipeline
+
+        listener = None
+        if self.config.get("a2.last.sequence.notifier") == "file":
+            from oracdc_spark.metrics import FileSeqNotifier, SeqNotifyingListener
+
+            notifier = FileSeqNotifier(
+                self.config.get("a2.last.sequence.notifier.file", "/tmp/oracdc.seq")
+            )
+            listener = SeqNotifyingListener(notifier=notifier)
+            spark.streams.addListener(listener)
+        self._listener = listener
+        mfpt = int(self.config.get("a2.batch.size", 1))
+        return run_pipeline(
+            spark, feed_dir, replica_path, checkpoint_dir, max_files_per_trigger=mfpt
+        )

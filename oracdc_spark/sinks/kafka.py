@@ -27,9 +27,13 @@ from oracdc_spark.feed import OP_DELETE, OP_INSERT, OP_UPDATE
 def bind_kafka_records(
     stamped: DataFrame,
     topic_mapper: Callable[[str | None, str, str], str] | None = None,
+    delete_all_columns: bool = False,
 ) -> DataFrame:
     """Commit-stamped changes → Kafka writer columns
-    (topic, key, value, headers). Delete → tombstone (null value)."""
+    (topic, key, value, headers). Delete → tombstone (null value), or —
+    with ``delete_all_columns`` (FLG_ALL_COLS_ON_DELETE,
+    OraCdcTableBase.java:93, KafkaStructDataBinder.java:318-344) — the
+    full before-image as the value."""
     if topic_mapper is None:
         topic = F.concat_ws("_", F.col("owner"), F.col("table_name"))
         df = stamped
@@ -62,6 +66,19 @@ def bind_kafka_records(
             )
         ),
     )
+    if delete_all_columns:
+        value = F.coalesce(
+            value,
+            F.to_json(
+                F.struct(
+                    F.col("pk").alias("pk"),
+                    F.col("before_totalprice").alias("totalprice"),
+                    F.col("before_status").alias("status"),
+                    F.col("scn").alias("__scn"),
+                    F.col("commit_scn").alias("__commit_scn"),
+                )
+            ),
+        )
     headers = F.array(
         F.struct(F.lit("op").alias("key"), F.encode(op_char, "utf-8").alias("value")),
         F.struct(

