@@ -132,6 +132,23 @@ class OraCdcConnector:
             return envelope.single_mode(feed)
         return cdc.commit_stamped(feed)
 
+    def key_for(
+        self,
+        pk_cols: tuple[str, ...],
+        unique_not_null_cols: tuple[str, ...] = (),
+    ) -> tuple[tuple[str, ...], str]:
+        """S10 key preference under the configured a2.pk.type /
+        a2.use.rowid.as.key: well_defined restricts the fallback chain to
+        real PKs (no unique-index substitution); any_unique allows it;
+        use.rowid.as.key forces the ROWID pseudo-key."""
+        from oracdc_spark.registry import OVERRIDE_NONE, OVERRIDE_ROWID, choose_key
+
+        override = (
+            OVERRIDE_ROWID if self._flag("a2.use.rowid.as.key", False) else OVERRIDE_NONE
+        )
+        uniq = unique_not_null_cols if self.pk_type == "any_unique" else ()
+        return choose_key(pk_cols, uniq, override=override)
+
     def topic_for(self, pdb: str | None, owner: str, table: str) -> str:
         if self.schema_type == SCHEMA_SINGLE and "a2.kafka.topic" in self.config:
             return self.config["a2.kafka.topic"]

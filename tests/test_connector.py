@@ -129,3 +129,16 @@ def test_streaming_pipeline_with_notifier(spark, tmp_path):
         }
         assert got == expected
     assert seq_file.exists() and seq_file.read_text().strip()
+
+
+def test_key_selection_modes():
+    # well_defined (default): unique index NOT accepted as key substitute
+    c = OraCdcConnector({})
+    assert c.key_for((), ("EMAIL",)) == (("ORA_ROW_ID",), "rowid")
+    assert c.key_for(("ID",), ("EMAIL",)) == (("ID",), "pk")
+    # any_unique: NOT NULL unique index may serve as the key
+    a = OraCdcConnector({"a2.pk.type": "any_unique"})
+    assert a.key_for((), ("EMAIL",)) == (("EMAIL",), "unique_index")
+    # forced ROWID pseudo-key wins over everything
+    r = OraCdcConnector({"a2.use.rowid.as.key": "true"})
+    assert r.key_for(("ID",), ("EMAIL",)) == (("ORA_ROW_ID",), "rowid")
