@@ -213,6 +213,14 @@ def _q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def _q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling work units (explode-to-work-units pattern) —
+    (media_id, frame_idx) without decoding; per-task memory stays flat."""
+    media = multimodal.synthetic_media(load_table(spark, sf_dir, "documents"))
+    plan = multimodal.frame_sample_plan(media, every_n=10)
+    return plan.select("media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """Multimodal decode with REAL stdlib codecs (binary PPM + RIFF/WAV):
     payloads are generated arithmetically, so every decoded feature is
@@ -719,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal plumbing (rows-only: stubbed codecs) ---
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,
         # --- declared relational operators (SURVEY §2.6) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -1075,6 +1084,15 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
         "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' ELSE 'd' END AS header_op, "
         "commit_scn, scn, ssn FROM stamped"
     )
+    sql["multimodal_frame_plan"] = """
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         GREATEST(CAST(floor(length(text)/100.0) AS INT) - 1, 0) AS max_frame
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(i AS BIGINT) AS frame_idx
+FROM vids, UNNEST(generate_series(0, max_frame, 10)) AS t(i)
+"""
     sql["multimodal_decode"] = """
 WITH m AS (
   SELECT doc_id AS media_id,
