@@ -103,3 +103,59 @@ def test_interval_ds_positive(d, h, m, s):
     raw = bytes([b[0] ^ 0x80]) + b[1:] + bytes([h + 60, m + 60, s + 60])
     raw += bytes([0x80, 0, 0, 0])
     assert decode_interval_ds(raw) == f"+{d} {h:02d}:{m:02d}:{s:02d}.000000000"
+
+
+# ---------------------------------------------------------------------------
+# P13 inflate properties
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200)
+@given(st.text(min_size=0, max_size=400))
+def test_gzip_inflate_roundtrip_any_text(s):
+    import gzip
+
+    from oracdc_spark.functions.compress import _inflate_one
+
+    assert _inflate_one(gzip.compress(s.encode("utf-8"), mtime=0)) == s.encode("utf-8")
+
+
+@settings(max_examples=200)
+@given(st.binary(min_size=0, max_size=400))
+def test_zlib_inflate_roundtrip_any_bytes(b):
+    import zlib
+
+    from oracdc_spark.functions.compress import _inflate_one
+
+    assert _inflate_one(zlib.compress(b)) == b
+
+
+@settings(max_examples=200)
+@given(st.binary(min_size=0, max_size=400))
+def test_inflate_passthrough_uncompressed(b):
+    """Bytes without a gzip/zlib header must pass through unchanged
+    (GzipUtil.isCompressed semantics)."""
+    from oracdc_spark.functions.compress import _GZIP_MAGIC, _inflate_one
+
+    if b[:2] == _GZIP_MAGIC or (len(b) >= 2 and b[0] == 0x78 and ((b[0] << 8) | b[1]) % 31 == 0):
+        return  # genuinely looks compressed — detector must try to inflate
+    assert _inflate_one(b) == b
+
+
+# ---------------------------------------------------------------------------
+# SQ8 quantization properties (pure-python mirror of the column exprs)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200)
+@given(st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=2, max_size=16))
+def test_sq8_code_bounds_and_error(xs):
+    """Codes stay in [0,255]; per-dim reconstruction error is bounded by
+    half a quantization step."""
+    mn, mx = min(xs), max(xs)
+    for x in xs:
+        c = round((x - mn) * 255 / (mx - mn)) if mx > mn else 0
+        assert 0 <= c <= 255
+        dec = mn + c * (mx - mn) / 255 if mx > mn else mn
+        step = (mx - mn) / 255 if mx > mn else 0.0
+        assert abs(dec - x) <= step / 2 + 1e-9
