@@ -244,9 +244,16 @@ def assemble_fn(
     return
 
 
-def assemble_transactions(changes: DataFrame) -> DataFrame:
+def assemble_transactions(changes: DataFrame, impl: str = "apply") -> DataFrame:
     """Apply the stateful assembly to a (streaming or batch) change
-    DataFrame with the feed schema. Returns commit-stamped DML events."""
+    DataFrame with the feed schema. Returns commit-stamped DML events.
+
+    impl="apply" (default): applyInPandasWithState — whole-state blob
+    per trigger.  impl="tws": transformWithStateInPandas (Spark 4.x) —
+    typed ListState, incrementally appendable (the state store appends
+    instead of rewriting the buffer on every batch)."""
+    if impl == "tws":
+        return assemble_transactions_tws(changes)
     from oracdc_spark.session import ship_package
 
     ship_package(changes.sparkSession)
