@@ -115,6 +115,19 @@ def _q_cdc_apply_changes(spark, sf_dir):
     return cdc.apply_changes(change_feed(spark, sf_dir))
 
 
+def _q_cdc_replica_asof(spark, sf_dir):
+    """Flashback AS OF SCN: replica state at the midpoint of the commit
+    SCN range (scale-factor independent; mirrored in the oracle's scalar
+    subqueries)."""
+    feed = change_feed(spark, sf_dir)
+    mn, mx = (
+        cdc.commit_stamped(feed)
+        .agg(F.min("commit_scn"), F.max("commit_scn"))
+        .first()
+    )
+    return cdc.replica_as_of(feed, int(mn + 0.5 * (mx - mn)))
+
+
 def _q_cdc_suppress_unchanged(spark, sf_dir):
     return cdc.suppress_unchanged_updates(change_feed(spark, sf_dir))
 
@@ -690,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_restart_scn": _q_cdc_restart_scn,
         "cdc_batch_dedup": _q_cdc_batch_dedup,
         "cdc_apply_changes": _q_cdc_apply_changes,
+        "cdc_replica_asof": _q_cdc_replica_asof,
         "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
         "cdc_debezium": _q_cdc_debezium,
         "cdc_tombstones": _q_cdc_tombstones,
@@ -747,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": analytics.promo_revenue,
         "orders_above_cust_avg": analytics.orders_above_cust_avg,
         "events_hourly": analytics.events_hourly,
+        "events_range_join": analytics.events_range_join,
         "events_running_total": analytics.events_running_total,
         "events_sessionize": analytics.events_sessionize,
         "events_type_stats": analytics.events_type_stats,
@@ -918,6 +933,21 @@ SELECT * FROM cancelled"""
         "SELECT owner, table_name, pk, totalprice, status FROM ranked "
         "WHERE rn = 1 AND op <> 2"
     )
+    sql["cdc_replica_asof"] = cte + ", " + _STAMPED + """,
+upto AS (SELECT * FROM stamped
+         WHERE commit_scn <= CAST(FLOOR(
+             (SELECT MIN(commit_scn) FROM stamped)
+             + 0.5 * ((SELECT MAX(commit_scn) FROM stamped)
+                      - (SELECT MIN(commit_scn) FROM stamped))) AS BIGINT)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY owner, table_name, pk
+      ORDER BY commit_scn DESC, scn DESC, ssn DESC) AS rn
+  FROM upto
+)
+SELECT owner, table_name, pk, totalprice, status FROM ranked
+WHERE rn = 1 AND op <> 2
+"""
     sql["cdc_suppress_unchanged"] = cte + (
         "SELECT * FROM changes WHERE NOT (op = 3 AND NOT rollback "
         "AND totalprice IS NOT DISTINCT FROM before_totalprice "
@@ -1263,6 +1293,25 @@ WITH a AS (
 SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
 FROM orders o JOIN a ON o.o_custkey = a.o_custkey
 WHERE o.o_totalprice > a.avg_price
+"""
+    sql["events_range_join"] = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+hits AS (
+  SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p JOIN c ON p.user_id = c.user_id
+              AND c.c_us >= p.p_us - 600000000
+              AND c.c_us < p.p_us
+  GROUP BY p.event_id
+)
+SELECT p.event_id, p.user_id, COALESCE(h.n, 0) AS n_prior_clicks
+FROM p LEFT JOIN hits h ON p.event_id = h.event_id
 """
     sql["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

@@ -328,3 +328,45 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+def events_range_join(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 10
+) -> DataFrame:
+    """Range (interval) join — for each purchase, count the same user's
+    clicks in the preceding ``window_minutes``.  Spark has no native
+    range-join optimization (a raw `t1.ts BETWEEN t2.ts - w AND t2.ts`
+    theta join degenerates to per-key cross products); the scale pattern
+    is TIME BINNING: bucket both sides into window-sized bins, equi-join
+    on (user_id, bin) with the click side exploded into (bin, bin+1) so
+    every candidate pair lands in exactly one bucket pair, then apply the
+    exact BETWEEN as a cheap post-filter.  Candidate count is bounded by
+    per-(user, 2-bin) density instead of per-user totals.
+    Output: (event_id, user_id, n_prior_clicks)."""
+    e = load_table(spark, sf_dir, "events")
+    w_us = window_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("p_us"), (us / w_us).cast("bigint").alias("bin")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("c_us"), (us / w_us).cast("bigint").alias("cbin"))
+        .select(
+            "user_id", "c_us",
+            F.explode(F.array(F.col("cbin"), F.col("cbin") + 1)).alias("bin"),
+        )
+    )
+    hits = (
+        purchases.join(clicks, ["user_id", "bin"])
+        .filter(
+            (F.col("c_us") >= F.col("p_us") - w_us) & (F.col("c_us") < F.col("p_us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_prior_clicks"))
+    )
+    return purchases.select("event_id", "user_id").join(hits, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_prior_clicks", F.lit(0)).cast("bigint").alias("n_prior_clicks"),
+    )

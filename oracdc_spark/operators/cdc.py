@@ -227,6 +227,23 @@ def apply_changes(feed: DataFrame) -> DataFrame:
     )
 
 
+def replica_as_of(feed: DataFrame, scn: int) -> DataFrame:
+    """Point-in-time replica — Oracle Flashback `AS OF SCN` semantics
+    reconstructed from the change stream: the replica state as it stood
+    when ``scn`` committed = apply_changes over the commits with
+    commit_scn <= scn.
+
+    The reference has no flashback (it forwards current changes); a
+    replica engine gets it for free because the change log IS the
+    history.  Same plan as apply_changes plus one pushed-down filter —
+    at scale the commit-scn predicate prunes partitions when the feed is
+    ingested scn-partitioned."""
+    latest = batch_pk_dedup(commit_stamped(feed).filter(F.col("commit_scn") <= scn))
+    return latest.filter(F.col("op") != OP_DELETE).select(
+        "owner", "table_name", "pk", "totalprice", "status"
+    )
+
+
 def suppress_unchanged_updates(feed: DataFrame) -> DataFrame:
     """F9 — drop UPDATE records whose after-image equals the before-image
     (``a2.process.all.update.statements=false`` behavior). Null-safe struct

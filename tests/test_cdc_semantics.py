@@ -129,3 +129,22 @@ def test_batch_pk_dedup_keeps_newest(spark):
     )
     out = cdc.batch_pk_dedup(cdc.commit_ordered(f)).collect()
     assert len(out) == 1 and out[0].totalprice == 2.0
+
+
+def test_replica_as_of_semantics(spark):
+    """AS OF max(commit_scn) == current replica; AS OF before the first
+    commit == empty; intermediate cuts reflect only earlier commits."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import apply_changes, commit_stamped, replica_as_of
+
+    feed = change_feed(spark, "/root/testdata/sf0.001")
+    mn, mx = commit_stamped(feed).agg(F.min("commit_scn"), F.max("commit_scn")).first()
+
+    now = {tuple(r) for r in replica_as_of(feed, mx).collect()}
+    cur = {tuple(r) for r in apply_changes(feed).collect()}
+    assert now == cur
+    assert replica_as_of(feed, mn - 1).count() == 0
+    mid = replica_as_of(feed, int(mn + 0.5 * (mx - mn)))
+    assert 0 < mid.count() < len(cur)
