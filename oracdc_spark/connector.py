@@ -70,10 +70,24 @@ class OraCdcConnector:
     def __init__(self, config: dict[str, str]):
         self.config = dict(config)
         self.ignored_keys: list[str] = []
+        # a2.map.topic.<TOPIC>=<OWNER.TABLE, …> — KafkaFlexibleTopicNameMapper
+        # (Parameters.java:221,225): listed tables route to <TOPIC>
+        self.topic_map: dict[tuple[str, str], str] = {}
+        for k in self.config:
+            if k.startswith("a2.map.topic."):
+                topic = k[len("a2.map.topic."):]
+                for entry in self.config[k].split(","):
+                    parts = entry.strip().split(".")
+                    if len(parts) == 2:
+                        self.topic_map[(parts[0], parts[1])] = topic
+                    elif len(parts) == 3:  # PDB.OWNER.TABLE
+                        self.topic_map[(parts[1], parts[2])] = topic
+                    else:
+                        raise ValueError(f"bad table in {k}: {entry!r}")
         for k in self.config:
             if not k.startswith("a2."):
                 continue  # connect framework keys (name, connector.class, …)
-            if k in _SUPPORTED:
+            if k in _SUPPORTED or k.startswith("a2.map.topic."):
                 continue
             if k in _TRANSPORT_KEYS or k.startswith(_TRANSPORT_PREFIXES):
                 self.ignored_keys.append(k)
@@ -150,6 +164,8 @@ class OraCdcConnector:
         return choose_key(pk_cols, uniq, override=override)
 
     def topic_for(self, pdb: str | None, owner: str, table: str) -> str:
+        if (owner, table) in self.topic_map:
+            return self.topic_map[(owner, table)]
         if self.schema_type == SCHEMA_SINGLE and "a2.kafka.topic" in self.config:
             return self.config["a2.kafka.topic"]
         delim = self.config.get("a2.topic.name.delimiter", "_")

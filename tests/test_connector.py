@@ -142,3 +142,17 @@ def test_key_selection_modes():
     # forced ROWID pseudo-key wins over everything
     r = OraCdcConnector({"a2.use.rowid.as.key": "true"})
     assert r.key_for(("ID",), ("EMAIL",)) == (("ORA_ROW_ID",), "rowid")
+
+
+def test_flexible_topic_map():
+    """a2.map.topic.<TOPIC>=<tables> routes listed tables to that topic
+    (KafkaFlexibleTopicNameMapper); others fall back to the name style."""
+    c = OraCdcConnector({
+        "a2.map.topic.hot-orders": "SCOTT.ORDERS, PDB1.SCOTT.LINES",
+        "a2.topic.name.style": "SCHEMA_TABLE",
+    })
+    assert c.topic_for(None, "SCOTT", "ORDERS") == "hot-orders"
+    assert c.topic_for(None, "SCOTT", "LINES") == "hot-orders"
+    assert c.topic_for(None, "SCOTT", "DEPT") == "SCOTT_DEPT"
+    with pytest.raises(ValueError, match="bad table"):
+        OraCdcConnector({"a2.map.topic.x": "JUSTTABLE"})
