@@ -662,6 +662,10 @@ def _q_text_fp_groups(spark, sf_dir):
     return textops.fingerprint_dup_groups(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_unigram_logprob(spark, sf_dir):
+    return textops.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_repetition(spark, sf_dir):
     return textops.repetition_scores(load_table(spark, sf_dir, "documents"))
 
@@ -788,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_fingerprint_groups": _q_text_fp_groups,
         "text_repetition": _q_text_repetition,
+        "text_unigram_logprob": _q_text_unigram_logprob,
         "text_pii_scrub": _q_text_pii_scrub,
     }
 
@@ -1772,6 +1777,24 @@ bkt AS (
 )
 SELECT a.doc_id AS d1, b.doc_id AS d2, a.bucket
 FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    )
+    sql["text_unigram_logprob"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tk AS (SELECT doc_id, lower(t.tok) AS tok FROM toks, UNNEST(w) AS t(tok)),
+counts AS (SELECT tok, COUNT(*) AS n_tok FROM tk GROUP BY tok),
+total AS (SELECT SUM(n_tok) AS n_total FROM counts),
+scored AS (
+  SELECT tk.doc_id,
+         CAST(round(ln(CAST(n_tok AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS q_lp
+  FROM tk JOIN counts ON tk.tok = counts.tok, total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND((CAST(SUM(q_lp) AS DOUBLE) / COUNT(*)) / 1000000, 6) AS mean_logprob
+FROM scored GROUP BY doc_id
 """
     )
     sql["text_repetition"] = (

@@ -252,6 +252,39 @@ def repetition_scores(
     )
 
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Language-model quality scoring without a model: mean unigram
+    log-probability under the corpus's own empirical distribution (the
+    KenLM-perplexity-filter analog used by CCNet/RedPajama — documents of
+    rare/garbage tokens score low, fluent ones high).
+
+    Two corpus-wide aggregations (token counts; corpus total), then a
+    broadcastable count-table join back.  Determinism: log-probs are
+    quantized to integers (round(ln(p)*1e6) as bigint) before the
+    per-doc sum, so the aggregation is an exact integer sum —
+    float-summation order never matters (same contract as the cosine
+    scoring).  Output: (doc_id, n_tokens, mean_logprob)."""
+    toks = _parallel(docs).select("doc_id", F.explode(_tokens()).alias("tok")).select(
+        "doc_id", F.lower("tok").alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = counts.agg(F.sum("n_tok").alias("n_total"))
+    q_lp = F.round(
+        F.log(F.col("n_tok").cast("double") / F.col("n_total")) * 1_000_000, 0
+    ).cast("bigint")
+    scored = (
+        toks.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", q_lp.alias("q_lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            (F.sum("q_lp").cast("double") / F.count(F.lit(1))) / 1_000_000, 6
+        ).alias("mean_logprob"),
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_URL_RE = r"https?://[^\s]+"
 PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
