@@ -31,6 +31,9 @@ a2.use.rowid.as.key             key override (ROWID pseudo-key)
 a2.pk.type                      well_defined | any_unique (registry)
 a2.last.sequence.notifier(.file)  FileSeqNotifier on the streaming query
 a2.batch.size                   micro-batch trigger sizing
+a2.transaction.implementation   state backend: ChronicleQueue -> typed
+                                ListState (transformWithStateInPandas),
+                                ArrayList -> applyInPandasWithState blob
 ==============================  =============================================
 """
 
@@ -58,7 +61,7 @@ _SUPPORTED = {
     "a2.kafka.topic", "a2.use.all.columns.on.delete",
     "a2.tolerate.incomplete.row", "a2.use.rowid.as.key", "a2.pk.type",
     "a2.last.sequence.notifier", "a2.last.sequence.notifier.file",
-    "a2.batch.size",
+    "a2.batch.size", "a2.transaction.implementation",
 }
 
 _BOOL_TRUE = ("true", "1", "yes")
@@ -214,6 +217,13 @@ class OraCdcConnector:
             spark.streams.addListener(listener)
         self._listener = listener
         mfpt = int(self.config.get("a2.batch.size", 1))
+        # reference: ChronicleQueue = off-heap appendable queue; the Spark
+        # analog is the incrementally-appendable ListState backend (tws).
+        impl_map = {"ChronicleQueue": "tws", "ArrayList": "apply"}
+        impl_key = self.config.get("a2.transaction.implementation", "ArrayList")
+        if impl_key not in impl_map:
+            raise ValueError(f"bad a2.transaction.implementation: {impl_key}")
         return run_pipeline(
-            spark, feed_dir, replica_path, checkpoint_dir, max_files_per_trigger=mfpt
+            spark, feed_dir, replica_path, checkpoint_dir,
+            max_files_per_trigger=mfpt, impl=impl_map[impl_key],
         )

@@ -49,10 +49,13 @@ def run_pipeline(
     replica_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    impl: str = "apply",
 ) -> StreamingQuery:
-    """Wire source → assembly → MERGE sink; returns the running query."""
+    """Wire source → assembly → MERGE sink; returns the running query.
+    ``impl`` selects the assembly state backend (see
+    :func:`assemble_transactions`)."""
     stream = feed_stream(spark, feed_dir, max_files_per_trigger)
-    assembled = assemble_transactions(stream)
+    assembled = assemble_transactions(stream, impl=impl)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

@@ -156,3 +156,13 @@ def test_flexible_topic_map():
     assert c.topic_for(None, "SCOTT", "DEPT") == "SCOTT_DEPT"
     with pytest.raises(ValueError, match="bad table"):
         OraCdcConnector({"a2.map.topic.x": "JUSTTABLE"})
+
+
+def test_transaction_implementation_mapping():
+    """ChronicleQueue (appendable off-heap queue) maps to the ListState
+    backend; ArrayList to the state-blob backend; junk rejected."""
+    OraCdcConnector({"a2.transaction.implementation": "ArrayList"})
+    OraCdcConnector({"a2.transaction.implementation": "ChronicleQueue"})
+    c = OraCdcConnector({"a2.transaction.implementation": "LinkedList"})
+    with pytest.raises(ValueError, match="transaction.implementation"):
+        c.start_pipeline(None, "", "", "")
