@@ -32,10 +32,12 @@ BENCH_QUERIES = [
     "customer_order_rank",
     "events_hourly",
     "events_sessionize",
+    "events_range_join",
     # round-2 CDC additions
     "cdc_wrapped_apply",
     "cdc_direct_load",
     "cdc_chained_fusion",
+    "cdc_replica_asof",
     "lob_inflate",
     # LLM-pipeline ops
     "dedup_exact_groups",
@@ -51,6 +53,7 @@ BENCH_QUERIES = [
     "text_contamination",
     "text_repetition",
     "text_pii_scrub",
+    "text_unigram_logprob",
     "multimodal_decode",
 ]
 
@@ -89,7 +92,8 @@ def main() -> None:
         "cdc_wrapped_apply", "cdc_direct_load", "dedup_clusters",
         "similarity_near_dups", "text_contamination", "multimodal_decode",
         "cdc_chained_fusion", "lob_inflate", "text_repetition",
-        "text_pii_scrub", "similarity_sq8_recall",
+        "text_pii_scrub", "similarity_sq8_recall", "cdc_replica_asof",
+        "events_range_join", "text_unigram_logprob",
     }
     print(
         json.dumps(

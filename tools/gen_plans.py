@@ -22,6 +22,8 @@ NOTES = {
     "text_pii_scrub": "pure regexp codegen; the only exchange is the gated single-file spread "
                       "(ensure_parallelism: input splits < cores — absent on a many-split corpus)",
     "lob_inflate": "detection JVM-side; Arrow UDF inflate sits behind the existing lob_id exchange (zero extra shuffles)",
+    "events_range_join": "interval join via time binning: equi-join on (user_id, bin) with 2-bin explode + exact post-filter "
+                         "— no per-user cross product, no BroadcastNestedLoop",
 }
 
 KEEP = (
