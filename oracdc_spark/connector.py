@@ -51,8 +51,58 @@ _TRANSPORT_PREFIXES = (
 )
 _TRANSPORT_KEYS = {
     "a2.jdbc.url", "a2.jdbc.username", "a2.jdbc.password", "a2.wallet.location",
-    "a2.tmpdir", "a2.use.rac", "a2.archived.log.catalog", "a2.fetch.size",
-    "a2.log.miner.reconnect.ms", "a2.storage.media", "a2.transfer.directory.stage",
+}
+
+# every remaining Parameters.java key the Spark engine has no analog for
+# (polling/JMX/log-format/off-heap tuning of the Java runtime, or behavior
+# Spark subsumes) — recognized so a real properties file loads unchanged,
+# recorded in ignored_keys rather than rejected
+_RECOGNIZED_NOOP_KEYS = {
+    "a2.archived.log.catalog",
+    "a2.array.list.default.capacity",
+    "a2.emitter.timeout.ms",
+    "a2.fetch.size",
+    "a2.ignore.stored.offset",
+    "a2.initial.load",
+    "a2.key.override",
+    "a2.lob.transformation.class",
+    "a2.log.miner.reconnect.ms",
+    "a2.logminer.trace",
+    "a2.offheap.size",
+    "a2.oracdc.schemas",
+    "a2.poll.interval",
+    "a2.print.all.online.scn.ranges",
+    "a2.print.invalid.hex.value.warning",
+    "a2.print.unable.to.delete.warning",
+    "a2.process.all.update.statements",
+    "a2.process.lobs",
+    "a2.process.online.redo.logs",
+    "a2.protobuf.schema.naming",
+    "a2.redo.filename.convert",
+    "a2.reduce.load.ms",
+    "a2.schema.name.mapper",
+    "a2.scn.query.interval.ms",
+    "a2.stop.on.missed_log.file",
+    "a2.stop.on.ora.1284",
+    "a2.storage.media",
+    "a2.supplemental.logging",
+    "a2.table.list.style",
+    "a2.tables.in.process.size",
+    "a2.tables.out.of.scope.size",
+    "a2.tmpdir",
+    "a2.topic.mapper",
+    "a2.topic.partition",
+    "a2.transactions.in.process.size",
+    "a2.transactions.threshold",
+    "a2.transfer.directory.stage",
+    "a2.unable.to.map.col.id.warning",
+    "a2.use.rac",
+    "a2.pseudocolumn.ora_rowscn", "a2.pseudocolumn.ora_commitscn",
+    "a2.pseudocolumn.ora_rowts", "a2.pseudocolumn.ora_operation",
+    "a2.pseudocolumn.ora_xid", "a2.pseudocolumn.ora_username",
+    "a2.pseudocolumn.ora_osusername", "a2.pseudocolumn.ora_hostname",
+    "a2.pseudocolumn.ora_audit_session_id", "a2.pseudocolumn.ora_client_id",
+    "a2.pseudocolumn.ora_session_info",
 }
 
 _SUPPORTED = {
@@ -92,7 +142,12 @@ class OraCdcConnector:
                 continue  # connect framework keys (name, connector.class, …)
             if k in _SUPPORTED or k.startswith("a2.map.topic."):
                 continue
-            if k in _TRANSPORT_KEYS or k.startswith(_TRANSPORT_PREFIXES):
+            if (
+                k in _TRANSPORT_KEYS
+                or k in _RECOGNIZED_NOOP_KEYS
+                or k.startswith(_TRANSPORT_PREFIXES)
+                or k.startswith("a2.map.number.")
+            ):
                 self.ignored_keys.append(k)
                 continue
             raise ValueError(f"unknown oracdc property: {k}")

@@ -166,3 +166,25 @@ def test_transaction_implementation_mapping():
     c = OraCdcConnector({"a2.transaction.implementation": "LinkedList"})
     with pytest.raises(ValueError, match="transaction.implementation"):
         c.start_pipeline(None, "", "", "")
+
+
+def test_full_reference_properties_file_loads():
+    """A realistic full oracdc properties map (transport + tuning + JMX
+    keys included) must load with only ignored_keys recorded."""
+    props = {
+        "name": "oracdc-prod", "connector.class": "whatever",
+        "a2.jdbc.url": "jdbc:oracle:thin:@//db:1521/ORCL",
+        "a2.jdbc.username": "miner", "a2.jdbc.password": "x",
+        "a2.wallet.location": "/wallet", "a2.tmpdir": "/tmp/oracdc",
+        "a2.poll.interval": "500", "a2.fetch.size": "1000",
+        "a2.process.lobs": "true", "a2.oracdc.schemas": "false",
+        "a2.transactions.threshold": "1000", "a2.offheap.size": "1g",
+        "a2.pseudocolumn.ora_rowscn": "scn_col",
+        "a2.include": "SCOTT.%", "a2.schema.type": "debezium",
+        "a2.topic.prefix": "cdc-", "a2.tolerate.incomplete.row": "true",
+        "a2.transaction.implementation": "ChronicleQueue",
+    }
+    c = OraCdcConnector(props)
+    assert c.schema_type == "debezium"
+    assert "a2.poll.interval" in c.ignored_keys
+    assert "a2.include" not in c.ignored_keys
