@@ -118,14 +118,8 @@ def _q_cdc_apply_changes(spark, sf_dir):
 def _q_cdc_replica_asof(spark, sf_dir):
     """Flashback AS OF SCN: replica state at the midpoint of the commit
     SCN range (scale-factor independent; mirrored in the oracle's scalar
-    subqueries)."""
-    feed = change_feed(spark, sf_dir)
-    mn, mx = (
-        cdc.commit_stamped(feed)
-        .agg(F.min("commit_scn"), F.max("commit_scn"))
-        .first()
-    )
-    return cdc.replica_as_of(feed, int(mn + 0.5 * (mx - mn)))
+    subqueries). The cut is derived in-plan — one job."""
+    return cdc.replica_as_of_relative(change_feed(spark, sf_dir), 0.5)
 
 
 def _q_cdc_suppress_unchanged(spark, sf_dir):

@@ -227,6 +227,25 @@ def apply_changes(feed: DataFrame) -> DataFrame:
     )
 
 
+def replica_as_of_relative(feed: DataFrame, fraction: float = 0.5) -> DataFrame:
+    """`replica_as_of` with the cut derived in-plan: threshold = min +
+    fraction*(max-min) of commit_scn, attached as a broadcast scalar —
+    ONE job, no driver round-trip (the feed is still scanned twice: once
+    for the extremes, once for the replay — unavoidable without a
+    materialized feed)."""
+    stamped = commit_stamped(feed)
+    bounds = stamped.agg(
+        F.min("commit_scn").alias("_mn"), F.max("commit_scn").alias("_mx")
+    )
+    cut = F.floor(F.col("_mn") + F.lit(fraction) * (F.col("_mx") - F.col("_mn")))
+    latest = batch_pk_dedup(
+        stamped.crossJoin(F.broadcast(bounds)).filter(F.col("commit_scn") <= cut)
+    )
+    return latest.filter(F.col("op") != OP_DELETE).select(
+        "owner", "table_name", "pk", "totalprice", "status"
+    )
+
+
 def replica_as_of(feed: DataFrame, scn: int) -> DataFrame:
     """Point-in-time replica — Oracle Flashback `AS OF SCN` semantics
     reconstructed from the change stream: the replica state as it stood
