@@ -760,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_cust_avg": analytics.orders_above_cust_avg,
         "events_hourly": analytics.events_hourly,
         "events_range_join": analytics.events_range_join,
+        "events_moving_avg": analytics.events_moving_avg,
+        "events_value_profile": analytics.events_value_profile,
         "events_running_total": analytics.events_running_total,
         "events_sessionize": analytics.events_sessionize,
         "events_type_stats": analytics.events_type_stats,
@@ -1292,6 +1294,23 @@ WITH a AS (
 SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
 FROM orders o JOIN a ON o.o_custkey = a.o_custkey
 WHERE o.o_totalprice > a.avg_price
+"""
+    sql["events_moving_avg"] = """
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+    sql["events_value_profile"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
 """
     sql["events_range_join"] = """
 WITH p AS (

@@ -370,3 +370,39 @@ def events_range_join(
         "user_id",
         F.coalesce("n_prior_clicks", F.lit(0)).cast("bigint").alias("n_prior_clicks"),
     )
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str, window_rows: int = 5) -> DataFrame:
+    """Per-user moving average over the trailing ``window_rows`` events —
+    a ROWS-frame window aggregate (the running-total family's bounded
+    cousin). One user_id exchange; exact-decimal sums inside the frame
+    keep the division deterministic across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round((dec_sum.cast("double") / n), 6).alias("moving_avg"),
+    )
+
+
+def events_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling per event type: exact interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+    linear interpolation — bit-identical on the same doubles) + exact
+    distinct users. One groupBy; percentile is a sort-based aggregate
+    within each (small) group."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
