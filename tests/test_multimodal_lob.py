@@ -173,3 +173,34 @@ class TestRealCodecs:
 
         with _pytest.raises(ValueError):
             decode_wav(b"not riff data at all")
+
+
+class TestResize:
+    def test_ppm_nearest_neighbor_resize(self):
+        from oracdc_spark.operators.multimodal import decode_ppm, resize_ppm
+
+        # 2x2 image: R G / B W
+        raster = bytes([255,0,0, 0,255,0, 0,0,255, 255,255,255])
+        src = b"P6\n2 2\n255\n" + raster
+        up = resize_ppm(src, 4, 4)
+        w, h, _ = decode_ppm(up)
+        assert (w, h) == (4, 4)
+        # top-left quadrant is all red (nearest neighbor)
+        body = up[up.index(b"255\n") + 4:]
+        assert body[0:3] == bytes([255, 0, 0]) and body[3:6] == bytes([255, 0, 0])
+        down = resize_ppm(src, 1, 1)
+        assert down.endswith(bytes([255, 0, 0]))  # (0,0) source pixel
+
+    def test_resize_images_dataframe(self, spark):
+        from oracdc_spark.operators.multimodal import (
+            decode_ppm, make_ppm, resize_images,
+        )
+
+        rows = [(1, "image", make_ppm(1), "x", "{}"), (2, "video", b"vv", "x", "{}")]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, content binary, mime string, meta_json string"
+        )
+        out = {r.media_id: r for r in resize_images(df, 3, 3).collect()}
+        w, h, _ = decode_ppm(bytes(out[1].content))
+        assert (w, h) == (3, 3)
+        assert bytes(out[2].content) == b"vv"  # non-image untouched
