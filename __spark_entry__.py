@@ -660,6 +660,10 @@ def _q_text_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_cms(spark, sf_dir):
+    return textops.cms_estimate_topk(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_repetition(spark, sf_dir):
     return textops.repetition_scores(load_table(spark, sf_dir, "documents"))
 
@@ -789,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_groups": _q_text_fp_groups,
         "text_repetition": _q_text_repetition,
         "text_unigram_logprob": _q_text_unigram_logprob,
+        "text_cms_topk": _q_text_cms,
         "text_pii_scrub": _q_text_pii_scrub,
     }
 
@@ -1790,6 +1795,53 @@ bkt AS (
 )
 SELECT a.doc_id AS d1, b.doc_id AS d2, a.bucket
 FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    )
+    sql["text_cms_topk"] = (
+        "WITH "
+        + _TOKS
+        + """,
+grams AS (
+  SELECT lower(array_to_string(w[i:i+1], ' ')) AS ngram
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+tokh AS (
+  SELECT CAST('0x' || substr(md5(ngram), 1, 15) AS BIGINT) AS h FROM grams
+),
+cells AS (
+  SELECT h, 0 AS d, ((1009 * (h % 2147483647) + 9173) % 2147483647) % 1024 AS bucket FROM tokh
+  UNION ALL
+  SELECT h, 1 AS d, ((2003 * (h % 2147483647) + 5087) % 2147483647) % 1024 AS bucket FROM tokh
+  UNION ALL
+  SELECT h, 2 AS d, ((4001 * (h % 2147483647) + 3259) % 2147483647) % 1024 AS bucket FROM tokh
+  UNION ALL
+  SELECT h, 3 AS d, ((8009 * (h % 2147483647) + 1427) % 2147483647) % 1024 AS bucket FROM tokh
+),
+sketch AS (SELECT d, bucket, COUNT(*) AS cnt FROM cells GROUP BY d, bucket),
+exact AS (
+  SELECT ngram, COUNT(*) AS n_occurrences FROM grams GROUP BY ngram
+  ORDER BY n_occurrences DESC, ngram LIMIT 20
+),
+top AS (
+  SELECT ngram, n_occurrences,
+         CAST('0x' || substr(md5(ngram), 1, 15) AS BIGINT) AS h
+  FROM exact
+),
+probes AS (
+  SELECT ngram, n_occurrences, 0 AS d, ((1009 * (h % 2147483647) + 9173) % 2147483647) % 1024 AS bucket FROM top
+  UNION ALL
+  SELECT ngram, n_occurrences, 1 AS d, ((2003 * (h % 2147483647) + 5087) % 2147483647) % 1024 AS bucket FROM top
+  UNION ALL
+  SELECT ngram, n_occurrences, 2 AS d, ((4001 * (h % 2147483647) + 3259) % 2147483647) % 1024 AS bucket FROM top
+  UNION ALL
+  SELECT ngram, n_occurrences, 3 AS d, ((8009 * (h % 2147483647) + 1427) % 2147483647) % 1024 AS bucket FROM top
+)
+SELECT p.ngram, CAST(p.n_occurrences AS BIGINT) AS exact_n,
+       CAST(MIN(s.cnt) AS BIGINT) AS est_n,
+       CAST(MIN(s.cnt) - p.n_occurrences AS BIGINT) AS overcount
+FROM probes p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+GROUP BY p.ngram, p.n_occurrences
 """
     )
     sql["text_unigram_logprob"] = (

@@ -348,3 +348,83 @@ def contamination_check(
             F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
         ).alias("contamination_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch — sublinear frequency estimation at corpus scale
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+_CMS_P = 2147483647  # Mersenne prime 2^31-1
+_CMS_A = (1009, 2003, 4001, 8009)
+_CMS_B = (9173, 5087, 3259, 1427)
+
+
+def _gram_hash(col):
+    """Deterministic 60-bit integer hash of a token/ngram (md5-prefix,
+    same cross-engine trick the SimHash oracle uses)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _cms_bucket(h, d: int):
+    # reduce h mod P BEFORE the multiply: a * (h % P) stays < 2^44, so
+    # the arithmetic never exceeds int64 on either engine (Spark would
+    # silently wrap on overflow, DuckDB would error — both avoided)
+    return ((_CMS_A[d] * (h % _CMS_P) + _CMS_B[d]) % _CMS_P) % CMS_WIDTH
+
+
+def cms_sketch(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Build a CMS over token n-grams: (d, bucket, cnt) — DEPTH×WIDTH
+    cells regardless of corpus size.  One explode (narrow) + one
+    partial-aggregated groupBy on (d, bucket): the sketch is the
+    mergeable, fixed-memory answer to "frequencies over 100 TB" — cells
+    union across partitions/days by addition, no vocabulary state."""
+    w = _tokens()
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.lower(
+                F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+            ),
+        ),
+    ).otherwise(F.array())
+    g = _parallel(docs).select(F.explode(grams).alias("ngram")).select(
+        _gram_hash(F.col("ngram")).alias("h")
+    )
+    rows = [
+        g.select(F.lit(d).alias("d"), _cms_bucket(F.col("h"), d).alias("bucket"))
+        for d in range(CMS_DEPTH)
+    ]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionAll(r)
+    return allrows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Audit the sketch against exact counts: for the exact top-k
+    n-grams, the CMS point estimate (min over depths of the cell) must
+    dominate the true count (one-sided error — the CMS guarantee).
+    Output: (ngram, exact_n, est_n, overcount)."""
+    sketch = cms_sketch(docs, n)
+    top = top_ngrams(docs, n, k).withColumn("h", _gram_hash(F.col("ngram")))
+    probes = None
+    for d in range(CMS_DEPTH):
+        p = top.select(
+            "ngram", "n_occurrences",
+            F.lit(d).alias("d"), _cms_bucket(F.col("h"), d).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("ngram", "n_occurrences")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return est.select(
+        "ngram",
+        F.col("n_occurrences").alias("exact_n"),
+        F.col("est_n").cast("bigint").alias("est_n"),
+        (F.col("est_n") - F.col("n_occurrences")).cast("bigint").alias("overcount"),
+    )

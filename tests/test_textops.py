@@ -65,3 +65,20 @@ class TestPiiScrub:
         a = textops.pii_scrub(df).collect()[0].clean_digest
         expected = df.select(F.md5("text").alias("d")).collect()[0].d
         assert a == expected  # untouched text hashes identically
+
+
+class TestCountMin:
+    def test_one_sided_error_and_bounded_size(self, spark):
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import (
+            CMS_DEPTH, CMS_WIDTH, cms_estimate_topk, cms_sketch,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        est = cms_estimate_topk(docs).collect()
+        assert len(est) == 20
+        # CMS guarantee: never underestimates
+        assert all(r.overcount >= 0 for r in est)
+        assert all(r.est_n >= r.exact_n for r in est)
+        # sketch is fixed-size regardless of corpus
+        assert cms_sketch(docs).count() <= CMS_DEPTH * CMS_WIDTH
