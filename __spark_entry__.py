@@ -660,6 +660,10 @@ def _q_text_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_hll(spark, sf_dir):
+    return textops.hll_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_cms(spark, sf_dir):
     return textops.cms_estimate_topk(load_table(spark, sf_dir, "documents"))
 
@@ -794,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_unigram_logprob": _q_text_unigram_logprob,
         "text_cms_topk": _q_text_cms,
+        "text_hll_distinct": _q_text_hll,
         "text_pii_scrub": _q_text_pii_scrub,
     }
 
@@ -1795,6 +1800,37 @@ bkt AS (
 )
 SELECT a.doc_id AS d1, b.doc_id AS d2, a.bucket
 FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    )
+    sql["text_hll_distinct"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tk AS (SELECT lower(t.tok) AS tok FROM toks, UNNEST(w) AS t(tok)),
+hs AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tk),
+regs AS (
+  SELECT (h >> 50) AS bucket,
+         MAX(CASE WHEN (h % 1125899906842624) = 0 THEN 51
+                  ELSE 50 - length(bin(h % 1125899906842624)) + 1 END) AS m_j
+  FROM hs GROUP BY (h >> 50)
+),
+agg AS (
+  SELECT SUM(power(2.0, -m_j)) AS z_nonempty, COUNT(*) AS n_buckets FROM regs
+),
+ex AS (SELECT COUNT(DISTINCT tok) AS n_exact FROM tk),
+est AS (
+  SELECT CASE
+           WHEN (755541.746198293 / (z_nonempty + (1024 - n_buckets))) <= 2560.0
+                AND (1024 - n_buckets) > 0
+           THEN 1024.0 * ln(1024.0 / (1024 - n_buckets))
+           ELSE 755541.746198293 / (z_nonempty + (1024 - n_buckets))
+         END AS e
+  FROM agg
+)
+SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
+       ROUND(est.e, 3) AS n_est,
+       ROUND(ABS(est.e - ex.n_exact) / ex.n_exact, 4) AS rel_err
+FROM est, ex
 """
     )
     sql["text_cms_topk"] = (

@@ -428,3 +428,64 @@ def cms_estimate_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         F.col("est_n").cast("bigint").alias("est_n"),
         (F.col("est_n") - F.col("n_occurrences")).cast("bigint").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — sublinear distinct counting (deterministic restatement)
+# ---------------------------------------------------------------------------
+
+HLL_B = 10               # 2^10 = 1024 registers
+HLL_M = 1 << HLL_B
+_HLL_REST_BITS = 60 - HLL_B
+# alpha_m for m >= 128 (Flajolet et al. 2007)
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_registers(values) -> DataFrame:
+    """HLL register table from a column of 60-bit hashes: bucket = top
+    HLL_B bits, register = max over items of (leading-zero count of the
+    remaining bits + 1).  The bit-length comes from `length(bin(x))` —
+    pure string ops that Spark and DuckDB evaluate identically, so the
+    sketch (and therefore the estimate) is engine-exact.  One groupBy
+    over at most 2^HLL_B groups; mergeable by max."""
+    h = values
+    # integer bit ops only — double division would lose precision > 2^53
+    bucket = F.shiftright(F.col("h"), _HLL_REST_BITS)
+    rest = F.col("h") % (1 << _HLL_REST_BITS)
+    rho = F.when(rest == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
+        F.lit(_HLL_REST_BITS) - F.length(F.bin(rest)) + 1
+    )
+    return (
+        h.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_distinct_tokens(docs: DataFrame) -> DataFrame:
+    """Estimate the distinct-token count of the corpus with HLL and
+    audit against the exact count.  The raw estimate uses the standard
+    alpha_m * m^2 / Z harmonic mean with the small-range (linear
+    counting) correction.  Output: (n_exact, n_est, rel_err)."""
+    toks = _parallel(docs).select(F.explode(_tokens()).alias("tok")).select(
+        F.lower("tok").alias("tok")
+    )
+    hashes = toks.select(_gram_hash(F.col("tok")).alias("h"))
+    regs = hll_registers(hashes)
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_nonempty"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    z = F.col("z_nonempty") + (F.lit(HLL_M) - F.col("n_buckets"))  # empty => 2^0
+    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M) / z
+    v = F.lit(HLL_M) - F.col("n_buckets")  # zero registers
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    exact = toks.distinct().count()
+    return agg.select(
+        F.lit(exact).cast("bigint").alias("n_exact"),
+        F.round(est, 3).alias("n_est"),
+        F.round(F.abs(est - exact) / exact, 4).alias("rel_err"),
+    )

@@ -82,3 +82,30 @@ class TestCountMin:
         assert all(r.est_n >= r.exact_n for r in est)
         # sketch is fixed-size regardless of corpus
         assert cms_sketch(docs).count() <= CMS_DEPTH * CMS_WIDTH
+
+
+class TestHll:
+    def test_estimate_close_and_registers_bounded(self, spark):
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import (
+            HLL_M, _gram_hash, hll_distinct_tokens, hll_registers,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        [r] = hll_distinct_tokens(docs).collect()
+        assert r.rel_err <= 0.05  # 1024 registers => ~3% typical error
+        # register table bounded by m, rho within bit budget
+        toks = _docs_hashes(spark, docs)
+        regs = hll_registers(toks).collect()
+        assert len(regs) <= HLL_M
+        assert all(1 <= x.m_j <= 51 for x in regs)
+
+
+def _docs_hashes(spark, docs):
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.operators.textops import _gram_hash, _tokens
+
+    return docs.select(F.explode(_tokens()).alias("tok")).select(
+        _gram_hash(F.lower("tok")).alias("h")
+    )
