@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "events_range_join",
+    "events_moving_avg",
+    "events_value_profile",
     # round-2 CDC additions
     "cdc_wrapped_apply",
     "cdc_direct_load",
@@ -54,6 +56,8 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_pii_scrub",
     "text_unigram_logprob",
+    "text_cms_topk",
+    "text_hll_distinct",
     "multimodal_decode",
 ]
 
@@ -93,7 +97,8 @@ def main() -> None:
         "similarity_near_dups", "text_contamination", "multimodal_decode",
         "cdc_chained_fusion", "lob_inflate", "text_repetition",
         "text_pii_scrub", "similarity_sq8_recall", "cdc_replica_asof",
-        "events_range_join", "text_unigram_logprob",
+        "events_range_join", "text_unigram_logprob", "text_cms_topk",
+        "text_hll_distinct", "events_moving_avg", "events_value_profile",
     }
     print(
         json.dumps(

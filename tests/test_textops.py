@@ -109,3 +109,41 @@ def _docs_hashes(spark, docs):
     return docs.select(F.explode(_tokens()).alias("tok")).select(
         _gram_hash(F.lower("tok")).alias("h")
     )
+
+
+class TestSketchMergeability:
+    """The 100 TB property: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    — partitions/days sketch independently and merge without rescans."""
+
+    def test_hll_registers_merge_by_max(self, spark):
+        import pyspark.sql.functions as F
+
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import hll_registers
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        ha = _docs_hashes(spark, docs.filter("doc_id % 2 = 0"))
+        hb = _docs_hashes(spark, docs.filter("doc_id % 2 = 1"))
+        merged = (
+            hll_registers(ha).unionAll(hll_registers(hb))
+            .groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+        )
+        whole = hll_registers(_docs_hashes(spark, docs))
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+
+    def test_cms_cells_merge_by_sum(self, spark):
+        import pyspark.sql.functions as F
+
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import cms_sketch
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        merged = (
+            cms_sketch(docs.filter("doc_id % 2 = 0"))
+            .unionAll(cms_sketch(docs.filter("doc_id % 2 = 1")))
+            .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = cms_sketch(docs)
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
