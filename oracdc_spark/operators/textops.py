@@ -393,14 +393,24 @@ def cms_sketch(docs: DataFrame, n: int = 2) -> DataFrame:
     g = _parallel(docs).select(F.explode(grams).alias("ngram")).select(
         _gram_hash(F.col("ngram")).alias("h")
     )
-    rows = [
-        g.select(F.lit(d).alias("d"), _cms_bucket(F.col("h"), d).alias("bucket"))
-        for d in range(CMS_DEPTH)
-    ]
-    allrows = rows[0]
-    for r in rows[1:]:
-        allrows = allrows.unionAll(r)
-    return allrows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE corpus pass: all DEPTH cells per gram from a single explode (a
+    # per-depth union would re-derive the gram explode DEPTH times)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"), _cms_bucket(F.col("h"), d).alias("bucket")
+                )
+                for d in range(CMS_DEPTH)
+            ]
+        )
+    )
+    return (
+        g.select(cells.alias("c"))
+        .select("c.d", "c.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cms_estimate_topk(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
