@@ -24,6 +24,8 @@ NOTES = {
     "lob_inflate": "detection JVM-side; Arrow UDF inflate sits behind the existing lob_id exchange (zero extra shuffles)",
     "events_range_join": "interval join via time binning: equi-join on (user_id, bin) with 2-bin explode + exact post-filter "
                          "— no per-user cross product, no BroadcastNestedLoop",
+    "text_cms_topk": "one gram pass builds all 4 depth cells; sketch <= 4096 cells regardless of corpus (mergeable by sum)",
+    "text_hll_distinct": "<= 1024 register groups; distinct-count estimate from one partial-aggregated pass (mergeable by max)",
 }
 
 KEEP = (
