@@ -1125,6 +1125,20 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
         "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' ELSE 'd' END AS header_op, "
         "commit_scn, scn, ssn FROM stamped"
     )
+    sql["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(CAST('0x' || substr(sha256(text), 1, 4) AS INT) % 1920 + 1 AS INT)
+       END AS width,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(CAST('0x' || substr(sha256(text), 5, 4) AS INT) % 1080 + 1 AS INT)
+       END AS height,
+       'v1-stub' AS feature_version
+FROM documents
+"""
     sql["multimodal_frame_plan"] = """
 WITH vids AS (
   SELECT doc_id AS media_id,
