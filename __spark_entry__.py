@@ -660,6 +660,10 @@ def _q_text_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_tfidf(spark, sf_dir):
+    return textops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_hll(spark, sf_dir):
     return textops.hll_distinct_tokens(load_table(spark, sf_dir, "documents"))
 
@@ -799,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_text_unigram_logprob,
         "text_cms_topk": _q_text_cms,
         "text_hll_distinct": _q_text_hll,
+        "text_tfidf_top_terms": _q_text_tfidf,
         "text_pii_scrub": _q_text_pii_scrub,
     }
 
@@ -1814,6 +1819,31 @@ bkt AS (
 )
 SELECT a.doc_id AS d1, b.doc_id AS d2, a.bucket
 FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    )
+    sql["text_tfidf_top_terms"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tk AS (SELECT doc_id, lower(t.tok) AS term FROM toks, UNNEST(w) AS t(tok)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(round((ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1) * 1000000) AS BIGINT) AS idf_q
+  FROM dfreq, n
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf_q AS score_q
+  FROM tf JOIN idf ON tf.term = idf.term
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       ROUND(CAST(score_q AS DOUBLE) / 1000000, 6) AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, term) AS rk
+      FROM scored) t
+WHERE rk <= 3
 """
     )
     sql["text_hll_distinct"] = (

@@ -499,3 +499,38 @@ def hll_distinct_tokens(docs: DataFrame) -> DataFrame:
         F.round(est, 3).alias("n_est"),
         F.round(F.abs(est - exact) / exact, 4).alias("rel_err"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """TF-IDF characteristic terms per document: score = tf × idf with
+    idf = ln((N+1)/(df+1)) + 1 (smoothed).  The idf is quantized to an
+    integer (round(idf*1e6)) so tf×idf products and their ordering are
+    exact across engines — the float only reappears in the final
+    presentation division.
+
+    Scale shape: df = one groupBy over doc-distinct tokens; idf table is
+    vocabulary-sized → broadcast; per-doc top-k via one doc_id window.
+    Output: (doc_id, term, tf, score)."""
+    toks = _parallel(docs).select("doc_id", F.explode(_tokens()).alias("term")).select(
+        "doc_id", F.lower("term").alias("term")
+    )
+    n_docs = docs.count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.round(
+        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1) * 1_000_000, 0
+    ).cast("bigint")
+    scored = tf.join(F.broadcast(df_.select("term", idf_q.alias("idf_q"))), "term")
+    score_q = (F.col("tf") * F.col("idf_q")).alias("score_q")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q").desc(), F.col("term"))
+    return (
+        scored.select("doc_id", "term", "tf", score_q)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id", "term", "tf",
+            F.round(F.col("score_q") / 1_000_000, 6).alias("score"),
+        )
+    )
