@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "text_unigram_logprob",
     "text_cms_topk",
+    "text_tfidf_top_terms",
     "text_hll_distinct",
     "multimodal_decode",
 ]
@@ -99,6 +100,7 @@ def main() -> None:
         "text_pii_scrub", "similarity_sq8_recall", "cdc_replica_asof",
         "events_range_join", "text_unigram_logprob", "text_cms_topk",
         "text_hll_distinct", "events_moving_avg", "events_value_profile",
+        "text_tfidf_top_terms",
     }
     print(
         json.dumps(

@@ -147,3 +147,21 @@ class TestSketchMergeability:
         whole = cms_sketch(docs)
         assert merged.exceptAll(whole).count() == 0
         assert whole.exceptAll(merged).count() == 0
+
+
+class TestTfIdf:
+    def test_rare_term_outranks_ubiquitous(self, spark):
+        """At equal in-doc frequency, a corpus-rare term must outscore a
+        term that appears in every document."""
+        from oracdc_spark.operators.textops import tfidf_top_terms
+
+        docs = _docs(spark, [
+            "common rare common rare",  # doc 0: tf(common)=tf(rare)=2
+            "common filler filler",
+            "common filler other",
+        ])
+        top = tfidf_top_terms(docs, k=3).where("doc_id = 0").collect()
+        scores = {r.term: r.score for r in top}
+        # equal tf: rare (df=1) must beat common (df=3)
+        assert scores["rare"] > scores["common"]
+        assert top[0].term == "rare"
