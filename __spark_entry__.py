@@ -21,6 +21,7 @@ from oracdc_spark.catalog import load_table
 from oracdc_spark.feed import CHANGE_FEED_CTE, SPEC, change_feed
 from oracdc_spark.operators import (
     analytics,
+    asof,
     cdc,
     change_vector,
     dedup,
@@ -676,6 +677,16 @@ def _q_text_repetition(spark, sf_dir):
     return textops.repetition_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_bloom(spark, sf_dir):
+    return textops.bloom_membership_audit(load_table(spark, sf_dir, "documents"))
+
+
+def _q_events_asof(spark, sf_dir):
+    return asof.events_asof_orders(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
 def _pii_injected(spark, sf_dir):
     """Deterministic PII fixture: the synthetic corpus has no PII, so
     inject emails/URLs/IPs by doc_id class (mirrored in the oracle CTE).
@@ -772,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_cust_avg": analytics.orders_above_cust_avg,
         "events_hourly": analytics.events_hourly,
         "events_range_join": analytics.events_range_join,
+        "events_asof_join": _q_events_asof,
         "events_moving_avg": analytics.events_moving_avg,
         "events_value_profile": analytics.events_value_profile,
         "events_running_total": analytics.events_running_total,
@@ -803,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_text_unigram_logprob,
         "text_cms_topk": _q_text_cms,
         "text_hll_distinct": _q_text_hll,
+        "text_bloom_membership": _q_text_bloom,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_pii_scrub": _q_text_pii_scrub,
     }
@@ -1340,6 +1353,29 @@ SELECT event_type,
        quantile_cont(value, 0.95) AS p95,
        quantile_cont(value, 0.99) AS p99
 FROM events GROUP BY event_type
+"""
+    sql["events_asof_join"] = """
+WITH l AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, 1 AS is_left,
+         CAST(NULL AS VARCHAR) AS mark, event_id, ts
+  FROM events
+),
+r AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS is_left,
+         lpad(CAST(epoch_us(o_orderdate) AS VARCHAR), 19, '0') || '|' ||
+         lpad(CAST(o_orderkey AS VARCHAR), 19, '0') AS mark,
+         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts
+  FROM orders
+),
+u AS (
+  SELECT *, MAX(mark) OVER (PARTITION BY k ORDER BY t, is_left, mark
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best
+  FROM (SELECT * FROM l UNION ALL SELECT * FROM r) z
+)
+SELECT event_id, k AS user_id, ts,
+       CAST(substr(best, 21, 19) AS BIGINT) AS asof_orderkey,
+       make_timestamp(CAST(substr(best, 1, 19) AS BIGINT)) AS asof_orderdate
+FROM u WHERE is_left = 1
 """
     sql["events_range_join"] = """
 WITH p AS (

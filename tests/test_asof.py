@@ -1,0 +1,80 @@
+"""AS-OF join semantics: latest right row at-or-before each left time,
+deterministic tie-break, NULL when no match, single-shuffle plan."""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from oracdc_spark.operators.asof import asof_join, events_asof_orders
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05 00:00:00")),  # after two orders
+            (2, 10, _ts("2024-01-02 00:00:00")),  # exactly at order 101
+            (3, 10, _ts("2023-12-31 00:00:00")),  # before any order
+            (4, 20, _ts("2024-01-05 00:00:00")),  # tie: two orders same ts
+            (5, 30, _ts("2024-01-05 00:00:00")),  # key with no right rows
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 00:00:00")),
+            (101, 10, _ts("2024-01-02 00:00:00")),
+            (102, 10, _ts("2024-01-09 00:00:00")),  # future: never matched
+            (200, 20, _ts("2024-01-03 00:00:00")),
+            (201, 20, _ts("2024-01-03 00:00:00")),  # same ts as 200
+        ],
+        "o_orderkey bigint, user_id bigint, o_orderdate timestamp",
+    )
+    return left, right
+
+
+def test_asof_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "user_id", "ts", "o_orderdate", "o_orderkey")
+    got = {r["event_id"]: r["asof_o_orderkey"] for r in out.collect()}
+    assert got == {
+        1: 101,  # latest at-or-before 01-05
+        2: 101,  # order at exactly the event time IS matched (<= semantics)
+        3: None,  # no order yet
+        4: 201,  # tie on o_orderdate -> larger key, deterministically
+        5: None,  # key absent from right side
+    }
+
+
+def test_asof_preserves_left_columns_and_count(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "user_id", "ts", "o_orderdate", "o_orderkey")
+    assert out.count() == left.count()
+    assert {"event_id", "user_id", "ts"} <= set(out.columns)
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The whole as-of is ONE exchange (hash on the join key) + window —
+    no join operator, no pair explosion."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, "user_id", "ts", "o_orderdate", "o_orderkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_events_asof_orders_testdata(spark):
+    from oracdc_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = events_asof_orders(ev, orders)
+    rows = out.collect()
+    assert len(rows) == ev.count()
+    matched = [r for r in rows if r["asof_orderkey"] is not None]
+    assert matched, "overlapping keys must produce matches"
+    # every match must be at or before the event time
+    assert all(r["asof_orderdate"] <= r["ts"] for r in matched)
