@@ -1913,6 +1913,65 @@ SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
 FROM est, ex
 """
     )
+    sql["text_bloom_membership"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tk AS (SELECT lower(t.tok) AS tok FROM toks, UNNEST(w) AS t(tok)),
+build AS (SELECT DISTINCT tok FROM tk),
+probe AS (
+  SELECT DISTINCT tok FROM (
+    SELECT tok FROM build
+    UNION ALL
+    SELECT 'absent_' || CAST(doc_id AS VARCHAR) FROM documents
+  ) pz
+),
+bh AS (SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM build),
+bpos AS (
+  SELECT ((1009 * (h % 2147483647) + 9173) % 2147483647) % 32768 AS pos FROM bh
+  UNION ALL
+  SELECT ((2003 * (h % 2147483647) + 5087) % 2147483647) % 32768 FROM bh
+  UNION ALL
+  SELECT ((4001 * (h % 2147483647) + 3259) % 2147483647) % 32768 FROM bh
+),
+filt AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(CAST(power(2, pos % 32) AS BIGINT)) AS bits
+  FROM bpos GROUP BY pos // 32
+),
+ph AS (SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM probe),
+ppos AS (
+  SELECT tok, ((1009 * (h % 2147483647) + 9173) % 2147483647) % 32768 AS pos FROM ph
+  UNION ALL
+  SELECT tok, ((2003 * (h % 2147483647) + 5087) % 2147483647) % 32768 FROM ph
+  UNION ALL
+  SELECT tok, ((4001 * (h % 2147483647) + 3259) % 2147483647) % 32768 FROM ph
+),
+hits AS (
+  SELECT p.tok,
+         CASE WHEN (COALESCE(f.bits, 0) % (CAST(power(2, p.pos % 32) AS BIGINT) * 2))
+                   >= CAST(power(2, p.pos % 32) AS BIGINT)
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos p LEFT JOIN filt f ON p.pos // 32 = f.word_idx
+),
+tokhits AS (
+  SELECT tok, CASE WHEN SUM(hit) = 3 THEN 1 ELSE 0 END AS bloom_pos
+  FROM hits GROUP BY tok
+),
+verd AS (
+  SELECT t.tok, t.bloom_pos,
+         CASE WHEN b.tok IS NULL THEN 0 ELSE 1 END AS present
+  FROM tokhits t LEFT JOIN build b ON t.tok = b.tok
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(present) AS BIGINT) AS n_present,
+       CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_pos,
+       CAST(SUM(CASE WHEN bloom_pos = 1 AND present = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       ROUND(CAST(SUM(CASE WHEN bloom_pos = 1 AND present = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN present = 0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS fp_rate
+FROM verd
+"""
+    )
     sql["text_cms_topk"] = (
         "WITH "
         + _TOKS

@@ -501,6 +501,120 @@ def hll_distinct_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter — sublinear set membership (completes the sketch family:
+# CMS = frequencies, HLL = cardinality, Bloom = membership)
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 32768          # 2^15 bits
+BLOOM_WORD_BITS = 32          # bits per stored word (masks stay < 2^32: no
+BLOOM_N_WORDS = BLOOM_M_BITS // BLOOM_WORD_BITS  # sign-bit trouble either engine)
+BLOOM_K = 3
+_BLOOM_A = (1009, 2003, 4001)
+_BLOOM_B = (9173, 5087, 3259)
+
+
+def _bloom_pos(h, i: int):
+    """i-th bit position of a hashed item (same universal-hash family as
+    the CMS buckets — overflow-safe on both engines)."""
+    return ((_BLOOM_A[i] * (h % _CMS_P) + _BLOOM_B[i]) % _CMS_P) % BLOOM_M_BITS
+
+
+def bloom_build(items: DataFrame, col: str = "tok") -> DataFrame:
+    """Build a Bloom filter over a column of strings: BLOOM_K positions
+    per item, OR-aggregated into (word_idx, bits) rows — at most
+    BLOOM_N_WORDS rows regardless of corpus size.
+
+    One explode (K rows per item, K constant) + one partial-aggregated
+    groupBy over ≤1024 groups: the fixed-memory, mergeable (bitwise-OR)
+    answer to "does this token exist anywhere in 100 TB".  Word size is
+    32 bits inside a BIGINT so `1 << bit` never touches the sign bit in
+    either engine."""
+    h = _gram_hash(F.col(col))
+    cells = F.explode(
+        F.array(*[F.struct(_bloom_pos(h, i).alias("pos")) for i in range(BLOOM_K)])
+    )
+    # 2^bit via double pow is exact (bit <= 31 < 2^53) and portable; the
+    # variable shift amount rules out shiftleft (int-only numBits in the
+    # DataFrame API)
+    mask = F.pow(F.lit(2.0), (F.col("c.pos") % BLOOM_WORD_BITS)).cast("bigint")
+    return (
+        items.select(cells.alias("c"))
+        .select(
+            F.shiftright(F.col("c.pos"), 5).alias("word_idx"),
+            mask.alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_membership_audit(docs: DataFrame) -> DataFrame:
+    """Audit the filter's contract: build over the corpus vocabulary,
+    probe (a) every vocabulary token — all present, and the Bloom
+    guarantee of NO false negatives says every one must come back
+    positive — and (b) one synthetic ``absent_<doc_id>`` token per
+    document, guaranteed outside the vocabulary, where any positive is a
+    false positive.  (The synthetic corpus shares one small vocabulary
+    across languages, so a corpus-split probe would have zero absent
+    tokens and no false-positive signal.)
+
+    Output (one row): n_probe, n_present, n_bloom_pos, n_false_pos,
+    fp_rate.  The filter table is ≤ BLOOM_N_WORDS rows — broadcast is a
+    genuine constant, unlike the feed-derived sets de-broadcast in
+    round 2."""
+    toks = _parallel(docs).select(F.explode(_tokens()).alias("tok")).select(
+        F.lower("tok").alias("tok")
+    )
+    build = toks.distinct()
+    absent = docs.select(
+        F.concat(F.lit("absent_"), F.col("doc_id").cast("string")).alias("tok")
+    )
+    probe = build.unionAll(absent).distinct()
+    filt = bloom_build(build)
+    h = _gram_hash(F.col("tok"))
+    probes = probe.select(
+        "tok",
+        F.explode(
+            F.array(*[F.struct(_bloom_pos(h, i).alias("pos")) for i in range(BLOOM_K)])
+        ).alias("c"),
+    ).select(
+        "tok",
+        F.shiftright(F.col("c.pos"), 5).alias("word_idx"),
+        (F.col("c.pos") % BLOOM_WORD_BITS).alias("bit"),
+    )
+    # bit test without variable shifts: (bits % 2^(bit+1)) >= 2^bit —
+    # pure integer arithmetic, identical in Spark and DuckDB
+    mask = F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+    hits = (
+        probes.join(F.broadcast(filt), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                (F.coalesce(F.col("bits"), F.lit(0)) % (mask * 2)) >= mask, 1
+            ).otherwise(0),
+        )
+        .groupBy("tok")
+        .agg((F.sum("hit") == BLOOM_K).cast("int").alias("bloom_pos"))
+    )
+    verdicts = hits.join(
+        build.withColumn("present", F.lit(1)), "tok", "left"
+    ).select("tok", "bloom_pos", F.coalesce("present", F.lit(0)).alias("present"))
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum("present").cast("bigint").alias("n_present"),
+        F.sum("bloom_pos").cast("bigint").alias("n_bloom_pos"),
+        F.sum(F.when((F.col("bloom_pos") == 1) & (F.col("present") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.round(
+            F.sum(F.when((F.col("bloom_pos") == 1) & (F.col("present") == 0), 1).otherwise(0))
+            / F.sum(F.when(F.col("present") == 0, 1).otherwise(0)),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """TF-IDF characteristic terms per document: score = tf × idf with
     idf = ln((N+1)/(df+1)) + 1 (smoothed).  The idf is quantized to an

@@ -165,3 +165,50 @@ class TestTfIdf:
         # equal tf: rare (df=1) must beat common (df=3)
         assert scores["rare"] > scores["common"]
         assert top[0].term == "rare"
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        """The Bloom contract: every token that went into the filter
+        must probe positive."""
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import bloom_membership_audit
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        row = bloom_membership_audit(docs).collect()[0]
+        # all present probes positive (positives >= present, and every
+        # false positive is an absent probe)
+        assert row.n_bloom_pos - row.n_false_pos == row.n_present
+        assert row.n_probe > row.n_present  # absent probes exist
+        assert 0.0 <= row.fp_rate < 0.5
+
+    def test_filter_is_bounded(self, spark):
+        from oracdc_spark.operators.textops import (
+            BLOOM_N_WORDS,
+            bloom_build,
+        )
+
+        items = spark.createDataFrame(
+            [(f"tok{i}",) for i in range(5000)], "tok string"
+        )
+        filt = bloom_build(items).collect()
+        assert len(filt) <= BLOOM_N_WORDS
+        # 32-bit words inside bigints: no sign-bit surprises
+        assert all(0 <= r.bits < 2**32 for r in filt)
+
+    def test_merge_by_bit_or(self, spark):
+        """Two half-corpus filters OR-merged == the whole-corpus filter
+        (the property that makes the sketch distributable)."""
+        from oracdc_spark.operators.textops import bloom_build
+
+        items = spark.createDataFrame(
+            [(f"tok{i}",) for i in range(200)], "tok string"
+        )
+        merged = (
+            bloom_build(items.filter("substring(tok, 4) % 2 = 0"))
+            .unionAll(bloom_build(items.filter("substring(tok, 4) % 2 = 1")))
+            .groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+        )
+        whole = bloom_build(items)
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
