@@ -677,6 +677,18 @@ def _q_text_repetition(spark, sf_dir):
     return textops.repetition_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _q_quota_sample(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.quota_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _q_temperature_mix(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.temperature_mix(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_bloom(spark, sf_dir):
     return textops.bloom_membership_audit(load_table(spark, sf_dir, "documents"))
 
@@ -799,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decisions": _q_dedup_decisions,
         "dedup_clusters": _q_dedup_clusters,
         "pipeline_sample": _q_pipeline_sample,
+        "pipeline_quota_sample": _q_quota_sample,
+        "pipeline_temperature_mix": _q_temperature_mix,
         "text_top_ngrams": _q_text_top_ngrams,
         "text_contamination": _q_text_contamination,
         "similarity_cell_centroids": _q_sim_centroids,
@@ -1533,6 +1547,37 @@ SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
         "SELECT * FROM documents WHERE "
         "substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 2) < '1a'"
     )
+    sql["pipeline_quota_sample"] = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h32
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h32, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
+"""
+    sql["pipeline_temperature_mix"] = """
+WITH counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+weights AS (
+  SELECT lang, n_l,
+         CAST(round(sqrt(n_l) * 1000000) AS DECIMAL(38,0)) AS w_l
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(w_l) AS DECIMAL(38,0)) AS w_tot,
+         CAST(SUM(n_l) AS DECIMAL(38,0)) AS n_tot
+  FROM weights
+)
+SELECT d.doc_id, d.lang, CAST(w.n_l AS BIGINT) AS n_l
+FROM documents d JOIN weights w ON d.lang = w.lang, tot
+WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS DECIMAL(38,0)) * tot.w_tot * CAST(w.n_l AS DECIMAL(38,0))
+      < w.w_l * tot.n_tot * CAST(4294967296 AS DECIMAL(38,0))
+"""
     sql["text_top_ngrams"] = (
         "WITH "
         + _TOKS

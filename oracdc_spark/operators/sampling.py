@@ -1,0 +1,79 @@
+"""Deterministic sampling operators for training-data mix curation.
+
+Real LLM pipelines rarely take a corpus as-is: they cap over-represented
+groups (quota sampling) and re-balance languages/domains with temperature
+sampling (q_l ∝ p_l^τ, the mBERT/XLM recipe) so low-resource slices are
+not drowned out.  Both are restated here as *deterministic* operators —
+membership is a pure function of (doc_id, group counts), never an RNG —
+so runs are reproducible, resumable, and oracle-checkable.
+
+Scale shapes:
+- quota: one window over the group key (single shuffle); the md5 rank
+  makes the kept set stable under re-runs and insertion order.
+- temperature: one tiny per-group count aggregate (|groups| rows —
+  genuinely broadcastable), then a map-side threshold filter; the corpus
+  itself is never shuffled.  Thresholds compare in DECIMAL(38,0) integer
+  arithmetic (hash·W·n_l < w_l·N·2^32) — no float boundary, so a 1-ulp
+  engine difference can never flip membership.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_DEC = "decimal(38,0)"
+
+
+def _hash32(col):
+    """First 32 bits of md5(col) as an integer — the uniform-[0,2^32)
+    deterministic coin both engines agree on."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def quota_sample(docs: DataFrame, group_col: str = "lang", quota: int = 20) -> DataFrame:
+    """Keep at most `quota` documents per group, chosen by md5 order of
+    doc_id (stable, uniform, engine-portable).  Output: the kept docs
+    with their in-group rank."""
+    w = Window.partitionBy(group_col).orderBy(
+        _hash32(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", group_col, F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def temperature_mix(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Temperature-τ=0.5 group re-balancing: sample group l at rate
+    min(1, q_l·N/n_l) with q_l = n_l^τ / Σ n_m^τ, so the kept corpus
+    keeps its overall size budget while flattening the group skew.
+
+    τ is fixed at 0.5 because sqrt is the one power IEEE 754 evaluates
+    bit-identically everywhere (pow(x, τ) is libm-dependent); the weight
+    is then quantized to an integer (round(sqrt(n)·1e6)) and membership
+    reduces to an exact DECIMAL(38,0) cross-multiplication:
+        hash32(doc) · W · n_l  <  w_l · N · 2^32
+    Magnitudes stay under 10^38 up to n_l ≈ 10^12 docs — 100 TB-safe.
+
+    Output: kept (doc_id, group, n_l) rows."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_l"))
+    weights = counts.select(
+        group_col,
+        "n_l",
+        F.round(F.sqrt(F.col("n_l").cast("double")) * 1e6).cast(_DEC).alias("w_l"),
+    )
+    totals = weights.agg(
+        F.sum("w_l").cast(_DEC).alias("w_tot"),
+        F.sum("n_l").cast(_DEC).alias("n_tot"),
+    )
+    # |groups| rows — a true constant-size broadcast
+    j = docs.join(F.broadcast(weights), group_col).crossJoin(F.broadcast(totals))
+    lhs = (
+        _hash32(F.col("doc_id")).cast(_DEC)
+        * F.col("w_tot")
+        * F.col("n_l").cast(_DEC)
+    )
+    rhs = F.col("w_l") * F.col("n_tot") * F.lit(2**32).cast(_DEC)
+    return j.filter(lhs < rhs).select("doc_id", group_col, F.col("n_l").cast("bigint").alias("n_l"))

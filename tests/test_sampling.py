@@ -1,0 +1,50 @@
+"""Deterministic training-mix sampling: quota caps, temperature
+re-balancing, and reproducibility (no RNG anywhere)."""
+
+import pyspark.sql.functions as F
+
+from oracdc_spark.operators.sampling import quota_sample, temperature_mix
+
+
+def _docs(spark, sizes: dict[str, int]):
+    rows, i = [], 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_quota_caps_every_group(spark):
+    docs = _docs(spark, {"en": 100, "de": 30, "zh": 5})
+    out = quota_sample(docs, quota=20)
+    per = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {"en": 20, "de": 20, "zh": 5}  # small groups untouched
+
+
+def test_quota_is_deterministic(spark):
+    docs = _docs(spark, {"en": 50, "de": 50})
+    a = sorted(r.doc_id for r in quota_sample(docs, quota=10).collect())
+    b = sorted(r.doc_id for r in quota_sample(docs, quota=10).collect())
+    assert a == b
+
+
+def test_temperature_flattens_skew(spark):
+    """τ=0.5 must downsample the majority group at a lower keep-rate
+    than the minority group, while keeping ~the corpus size budget."""
+    docs = _docs(spark, {"en": 900, "zh": 100})
+    kept = temperature_mix(docs)
+    per = {r.lang: r.cnt for r in kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    rate_en = per.get("en", 0) / 900
+    rate_zh = per.get("zh", 0) / 100
+    assert rate_zh > rate_en
+    # q_zh*N/n_zh = (sqrt(100)/ (sqrt(900)+sqrt(100))) * 1000/100 = 2.5 -> capped at 1
+    assert per["zh"] == 100
+    # expected en keep-rate = 0.75*1000/900 = 0.833; md5 is uniform, wide tolerance
+    assert 0.70 < rate_en < 0.95
+
+
+def test_temperature_uniform_groups_keep_everything(spark):
+    """Equal-size groups: rate = 1 for all — the operator is a no-op."""
+    docs = _docs(spark, {"a": 40, "b": 40})
+    assert temperature_mix(docs).count() == 80
