@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "text_tfidf_top_terms",
     "text_hll_distinct",
     "multimodal_decode",
+    # round-2 session-3 additions
+    "events_asof_join",
+    "text_bloom_membership",
+    "pipeline_quota_sample",
+    "pipeline_temperature_mix",
 ]
 
 
@@ -100,7 +105,8 @@ def main() -> None:
         "text_pii_scrub", "similarity_sq8_recall", "cdc_replica_asof",
         "events_range_join", "text_unigram_logprob", "text_cms_topk",
         "text_hll_distinct", "events_moving_avg", "events_value_profile",
-        "text_tfidf_top_terms",
+        "text_tfidf_top_terms", "events_asof_join", "text_bloom_membership",
+        "pipeline_quota_sample", "pipeline_temperature_mix",
     }
     print(
         json.dumps(
