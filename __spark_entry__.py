@@ -661,6 +661,10 @@ def _q_text_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_bigram_logprob(spark, sf_dir):
+    return textops.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_tfidf(spark, sf_dir):
     return textops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -830,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_topk": _q_text_cms,
         "text_hll_distinct": _q_text_hll,
         "text_bloom_membership": _q_text_bloom,
+        "text_bigram_logprob": _q_text_bigram_logprob,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_pii_scrub": _q_text_pii_scrub,
     }
@@ -2078,6 +2083,37 @@ scored AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND((CAST(SUM(q_lp) AS DOUBLE) / COUNT(*)) / 1000000, 6) AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+    )
+    sql["text_bigram_logprob"] = (
+        "WITH "
+        + _TOKS
+        + """,
+low AS (SELECT doc_id, list_transform(w, x -> lower(x)) AS w FROM toks),
+bi AS (
+  SELECT doc_id, w[i-1] AS w1, w[i] AS w2
+  FROM low, UNNEST(generate_series(2, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+tk AS (SELECT lower(t.tok) AS w2 FROM toks, UNNEST(w) AS t(tok)),
+uni AS (SELECT w2, COUNT(*) AS c_uni FROM tk GROUP BY w2),
+total AS (SELECT SUM(c_uni) AS n_total FROM uni),
+bic AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bi GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c_bi) AS c_ctx FROM bic GROUP BY w1),
+scored AS (
+  SELECT bi.doc_id,
+         CAST(round(ln(0.75 * (CAST(c_bi AS DOUBLE) / c_ctx)
+                       + 0.25 * (CAST(c_uni AS DOUBLE) / n_total)) * 1000000)
+              AS BIGINT) AS q_lp
+  FROM bi
+  JOIN bic ON bi.w1 = bic.w1 AND bi.w2 = bic.w2
+  JOIN ctx ON bi.w1 = ctx.w1
+  JOIN uni ON bi.w2 = uni.w2, total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        ROUND((CAST(SUM(q_lp) AS DOUBLE) / COUNT(*)) / 1000000, 6) AS mean_logprob
 FROM scored GROUP BY doc_id
 """

@@ -285,6 +285,67 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Interpolated bigram LM quality scoring (the step up from
+    :func:`unigram_logprob`): mean log of
+    ``0.75·p(w2|w1) + 0.25·p(w2)`` over each document's bigram
+    positions, all probabilities empirical from the corpus itself.
+    Captures local fluency (scrambled text keeps its unigram score but
+    craters here).
+
+    Determinism contract: the probability is built with a FIXED
+    expression shape — ``0.75·(c_bi/c_ctx) + 0.25·(c_uni/N)`` — so both
+    engines evaluate the identical IEEE operation sequence; the log is
+    quantized to an integer before the per-doc sum (order-independent
+    exact aggregation), same as the unigram scorer.
+
+    Scale shape: bigram/context counts are one groupBy each over the
+    exploded pair stream; the bigram table is vocab²-bounded (≪ corpus)
+    and joins WITHOUT a broadcast hint — AQE decides, because unlike the
+    unigram vocabulary it can be genuinely large.  Docs with < 2 tokens
+    have no bigram positions and are absent from the output (mirrored in
+    the oracle).  Output: (doc_id, n_bigrams, mean_logprob)."""
+    w = _tokens()
+    low = F.transform(w, lambda x: F.lower(x))
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(w)),
+            lambda i: F.struct(
+                F.element_at(low, i - 1).alias("w1"),
+                F.element_at(low, i).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bi = _parallel(docs).select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    toks = _parallel(docs).select(F.explode(_tokens()).alias("tok")).select(
+        F.lower("tok").alias("w2")
+    )
+    uni = toks.groupBy("w2").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("n_total"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    ctx = bic.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
+    p = F.lit(0.75) * (F.col("c_bi").cast("double") / F.col("c_ctx")) + F.lit(
+        0.25
+    ) * (F.col("c_uni").cast("double") / F.col("n_total"))
+    q_lp = F.round(F.log(p) * 1_000_000, 0).cast("bigint")
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(F.broadcast(uni), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", q_lp.alias("q_lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            (F.sum("q_lp").cast("double") / F.count(F.lit(1))) / 1_000_000, 6
+        ).alias("mean_logprob"),
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_URL_RE = r"https?://[^\s]+"
 PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"

@@ -212,3 +212,24 @@ class TestBloom:
         whole = bloom_build(items)
         assert merged.exceptAll(whole).count() == 0
         assert whole.exceptAll(merged).count() == 0
+
+
+class TestBigramLm:
+    def test_scrambled_text_scores_lower(self, spark):
+        """A document whose bigrams never repeat in the corpus must score
+        below documents made of the corpus's common bigrams — the local
+        fluency signal a unigram model can't see."""
+        from oracdc_spark.operators.textops import bigram_logprob
+
+        fluent = "the quick fox jumps over the lazy dog"
+        docs = _docs(spark, [fluent, fluent, fluent, "dog the over fox quick jumps lazy the"])
+        scores = {r.doc_id: r.mean_logprob for r in bigram_logprob(docs).collect()}
+        assert scores[3] < scores[0]
+
+    def test_short_docs_have_no_bigrams(self, spark):
+        from oracdc_spark.operators.textops import bigram_logprob
+
+        docs = _docs(spark, ["single", "two tokens"])
+        rows = {r.doc_id: r.n_bigrams for r in bigram_logprob(docs).collect()}
+        assert 0 not in rows  # one token -> no bigram positions
+        assert rows[1] == 1
