@@ -610,6 +610,38 @@ def bloom_build(items: DataFrame, col: str = "tok") -> DataFrame:
     )
 
 
+def bloom_prune(probe: DataFrame, col: str, filt: DataFrame) -> DataFrame:
+    """Pre-join pruning with a Bloom filter: keep only `probe` rows whose
+    `col` is bloom-positive in `filt` (a :func:`bloom_build` table).
+
+    This is the deploy pattern at 100 TB: build the ≤8 KiB filter over
+    the small/reference side's keys, broadcast it, and drop the bulk of
+    a huge probe side BEFORE the real join pays its shuffle.  Lossless
+    by the no-false-negative guarantee: ``probe.join(build)`` equals
+    ``bloom_prune(probe).join(build)`` exactly (tested); false positives
+    only cost wasted join work, never wrong results."""
+    keep_cols = probe.columns
+    h = _gram_hash(F.col(col))
+    out = probe
+    # one broadcast lookup per hash (BLOOM_K constant joins of a
+    # ≤1024-row table) — preserves row identity, duplicates and all
+    for i in range(BLOOM_K):
+        out = out.withColumn(f"_pos{i}", _bloom_pos(h, i))
+        f_i = filt.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        out = out.join(
+            F.broadcast(f_i),
+            F.shiftright(F.col(f"_pos{i}"), 5) == F.col(f"_w{i}"),
+            "left",
+        )
+        mask = F.pow(F.lit(2.0), F.col(f"_pos{i}") % BLOOM_WORD_BITS).cast("bigint")
+        out = out.filter(
+            (F.coalesce(F.col(f"_b{i}"), F.lit(0)) % (mask * 2)) >= mask
+        )
+    return out.select(*keep_cols)
+
+
 def bloom_membership_audit(docs: DataFrame) -> DataFrame:
     """Audit the filter's contract: build over the corpus vocabulary,
     probe (a) every vocabulary token — all present, and the Bloom

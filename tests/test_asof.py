@@ -78,3 +78,33 @@ def test_events_asof_orders_testdata(spark):
     assert matched, "overlapping keys must produce matches"
     # every match must be at or before the event time
     assert all(r["asof_orderdate"] <= r["ts"] for r in matched)
+
+
+def test_asof_property_random_vs_bruteforce(spark):
+    """Randomized adversarial check (small key/time domains force ties
+    and collisions) against a brute-force per-row reference."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(4):
+        n_l, n_r = rng.randint(1, 40), rng.randint(0, 40)
+        lefts = [
+            (i, rng.randint(0, 4), _ts("2024-01-01 00:00:00").replace(second=rng.randint(0, 5)))
+            for i in range(n_l)
+        ]
+        rights = [
+            (100 + j, rng.randint(0, 4), _ts("2024-01-01 00:00:00").replace(second=rng.randint(0, 5)))
+            for j in range(n_r)
+        ]
+        left = spark.createDataFrame(lefts, "event_id bigint, user_id bigint, ts timestamp")
+        right = spark.createDataFrame(
+            rights, "o_orderkey bigint, user_id bigint, o_orderdate timestamp"
+        )
+        got = {
+            r.event_id: r.asof_o_orderkey
+            for r in asof_join(left, right, "user_id", "ts", "o_orderdate", "o_orderkey").collect()
+        }
+        for eid, u, ts in lefts:
+            cands = [(ots, ok) for ok, ou, ots in rights if ou == u and ots <= ts]
+            want = max(cands)[1] if cands else None
+            assert got[eid] == want, (trial, eid, got[eid], want)

@@ -233,3 +233,33 @@ class TestBigramLm:
         rows = {r.doc_id: r.n_bigrams for r in bigram_logprob(docs).collect()}
         assert 0 not in rows  # one token -> no bigram positions
         assert rows[1] == 1
+
+
+class TestBloomPrune:
+    def test_prune_is_lossless_for_joins(self, spark):
+        """join(pruned probe, build) == join(full probe, build): the
+        no-false-negative guarantee makes pruning safe."""
+        from oracdc_spark.operators.textops import bloom_build, bloom_prune
+
+        build = spark.createDataFrame(
+            [(f"key{i}",) for i in range(0, 300, 3)], "tok string"
+        )
+        probe = spark.createDataFrame(
+            [(i, f"key{i % 400}") for i in range(2000)], "row_id long, tok string"
+        )
+        filt = bloom_build(build)
+        pruned = bloom_prune(probe, "tok", filt)
+        full_join = probe.join(build, "tok")
+        pruned_join = pruned.join(build, "tok")
+        assert full_join.exceptAll(pruned_join).count() == 0
+        assert pruned_join.exceptAll(full_join).count() == 0
+        # and it actually prunes: most non-members dropped
+        assert pruned.count() < probe.count()
+
+    def test_prune_keeps_duplicate_rows(self, spark):
+        from oracdc_spark.operators.textops import bloom_build, bloom_prune
+
+        build = spark.createDataFrame([("a",)], "tok string")
+        probe = spark.createDataFrame([("a",), ("a",), ("zzz",)], "tok string")
+        pruned = bloom_prune(probe, "tok", bloom_build(build))
+        assert pruned.filter("tok = 'a'").count() == 2
