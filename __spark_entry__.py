@@ -693,6 +693,12 @@ def _q_temperature_mix(spark, sf_dir):
     return sampling.temperature_mix(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_winnow(spark, sf_dir):
+    from oracdc_spark.operators import winnow
+
+    return winnow.winnow_candidates(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_bloom(spark, sf_dir):
     return textops.bloom_membership_audit(load_table(spark, sf_dir, "documents"))
 
@@ -835,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hll_distinct": _q_text_hll,
         "text_bloom_membership": _q_text_bloom,
         "text_bigram_logprob": _q_text_bigram_logprob,
+        "text_winnow_candidates": _q_text_winnow,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_pii_scrub": _q_text_pii_scrub,
     }
@@ -1961,6 +1968,38 @@ SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
        ROUND(est.e, 3) AS n_est,
        ROUND(ABS(est.e - ex.n_exact) / ex.n_exact, 4) AS rel_err
 FROM est, ex
+"""
+    )
+    sql["text_winnow_candidates"] = (
+        "WITH "
+        + _TOKS
+        + """,
+grams AS (
+  SELECT doc_id, i - 1 AS pos, lower(array_to_string(w[i:i+2], ' ')) AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+hs AS (
+  SELECT doc_id, pos,
+         CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+  FROM grams
+),
+winm AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hs
+),
+sel AS (SELECT DISTINCT doc_id, fp FROM winm WHERE pos <= n_pos - 4),
+dfc AS (SELECT fp, COUNT(*) AS df FROM sel GROUP BY fp),
+rare AS (
+  SELECT s.doc_id, s.fp FROM sel s JOIN dfc ON s.fp = dfc.fp WHERE dfc.df <= 50
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
 """
     )
     sql["text_bloom_membership"] = (

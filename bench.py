@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "text_bloom_membership",
     "pipeline_quota_sample",
     "pipeline_temperature_mix",
+    "text_bigram_logprob",
+    "text_winnow_candidates",
 ]
 
 
@@ -107,6 +109,7 @@ def main() -> None:
         "text_hll_distinct", "events_moving_avg", "events_value_profile",
         "text_tfidf_top_terms", "events_asof_join", "text_bloom_membership",
         "pipeline_quota_sample", "pipeline_temperature_mix",
+        "text_bigram_logprob", "text_winnow_candidates",
     }
     print(
         json.dumps(

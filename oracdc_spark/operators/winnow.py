@@ -1,0 +1,92 @@
+"""Winnowing fingerprints — substring-overlap near-duplicate detection
+(Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+Fingerprinting", SIGMOD 2003 — the MOSS algorithm).
+
+Where MinHash approximates whole-document Jaccard and SimHash hamming-
+packs a token distribution, winnowing guarantees POSITIONAL coverage:
+any shared substring of at least w+k-1 tokens between two documents
+shares at least one selected fingerprint.  That makes it the detector
+for *partial* overlap — boilerplate headers, quoted passages, copied
+paragraphs — which whole-document sketches dilute away.
+
+Deterministic restatement: k-token shingle hashes by position, then each
+length-w window of consecutive positions contributes its MINIMUM hash
+(plain window-min — the classic rightmost-tie rule only thins the
+selection further; the distinct-minima set keeps the same coverage
+guarantee and is order-free, hence engine-portable).  Selected
+fingerprints are distinct per doc; candidate pairs join only within a
+fingerprint bucket.
+
+Scale shape: explode (narrow) → ONE doc_id window (same single shuffle
+as any per-doc ranking) → distinct → bucket self-join.  Hot fingerprints
+(boilerplate shared by thousands of docs) would square a bucket, so
+`max_df` drops fingerprints seen in more than that many documents first
+— the standard stop-gram guard, same rationale as the LSH hot-shingle
+cap (SCALING.md).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from oracdc_spark.operators.textops import _gram_hash, _parallel, _tokens
+
+WINNOW_K = 3  # tokens per shingle
+WINNOW_W = 4  # window length in positions
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Distinct winnowing-selected fingerprints per document:
+    (doc_id, fp).  Documents shorter than k tokens select nothing."""
+    toks = _tokens()
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.lower(
+                F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+            ),
+        ),
+    ).otherwise(F.array())
+    pos = (
+        _parallel(docs)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "pos", _gram_hash(F.col("gram")).alias("h"))
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # the last w-1 positions open truncated windows; dropping them keeps
+    # the guarantee (every full window is represented) and matches the
+    # paper's window count of m - k - w + 2
+    sel = (
+        pos.withColumn("n_pos", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("win_min", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_pos") - w)
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+    return sel
+
+
+def winnow_candidates(docs: DataFrame, max_df: int = 50) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints:
+    (doc_a, doc_b, n_shared), n_shared >= 2.  Fingerprints present in
+    more than `max_df` documents are dropped before the self-join (the
+    stop-gram guard — they carry no discrimination and would square
+    their bucket)."""
+    fps = winnow_fingerprints(docs)
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = fps.join(df_counts.filter(F.col("df") <= max_df), "fp").select("doc_id", "fp")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
