@@ -693,6 +693,16 @@ def _q_temperature_mix(spark, sf_dir):
     return sampling.temperature_mix(load_table(spark, sf_dir, "documents"))
 
 
+def _q_pipeline_split(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.train_split(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_vocab_coverage(spark, sf_dir):
+    return textops.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_winnow(spark, sf_dir):
     from oracdc_spark.operators import winnow
 
@@ -823,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sample": _q_pipeline_sample,
         "pipeline_quota_sample": _q_quota_sample,
         "pipeline_temperature_mix": _q_temperature_mix,
+        "pipeline_split": _q_pipeline_split,
+        "text_vocab_coverage": _q_text_vocab_coverage,
         "text_top_ngrams": _q_text_top_ngrams,
         "text_contamination": _q_text_contamination,
         "similarity_cell_centroids": _q_sim_centroids,
@@ -1558,6 +1570,37 @@ SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
     sql["pipeline_sample"] = (
         "SELECT * FROM documents WHERE "
         "substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 2) < '1a'"
+    )
+    sql["pipeline_split"] = """
+SELECT doc_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 < 214748364 THEN 'test'
+            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 < 429496729 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+    sql["text_vocab_coverage"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tk AS (SELECT lower(t.tok) AS tok FROM toks, UNNEST(w) AS t(tok)),
+counts AS (SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+         SUM(n) OVER (ORDER BY n DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+),
+tot AS (SELECT SUM(n) AS n_total FROM counts),
+th AS (SELECT * FROM (VALUES (50), (90), (99)) t(pct))
+SELECT CAST(th.pct AS INT) AS pct,
+       CAST(MIN(rank) AS BIGINT) AS vocab_size,
+       CAST(MAX(n_total) AS BIGINT) AS n_total
+FROM ranked, tot, th
+WHERE cum * 100 >= n_total * th.pct
+GROUP BY th.pct
+"""
     )
     sql["pipeline_quota_sample"] = """
 WITH h AS (

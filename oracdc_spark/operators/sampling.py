@@ -45,6 +45,27 @@ def quota_sample(docs: DataFrame, group_col: str = "lang", quota: int = 20) -> D
     )
 
 
+def train_split(docs: DataFrame, val_pct: int = 5, test_pct: int = 5) -> DataFrame:
+    """Deterministic train/val/test assignment: split = pure function of
+    doc_id (md5 coin vs integer per-mille thresholds), so membership is
+    stable across runs, shards, and engines — a doc can never leak from
+    test into train when the corpus is re-processed (the property random
+    splits lose the moment data is re-partitioned).
+
+    Map-side only: no shuffle, no state.  Output: (doc_id, split)."""
+    h = _hash32(F.col("doc_id"))
+    # integer thresholds out of 2^32 — no float boundary
+    test_lt = (2**32) * test_pct // 100
+    val_lt = (2**32) * (test_pct + val_pct) // 100
+    return docs.select(
+        "doc_id",
+        F.when(h < test_lt, F.lit("test"))
+        .when(h < val_lt, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def temperature_mix(docs: DataFrame, group_col: str = "lang") -> DataFrame:
     """Temperature-τ=0.5 group re-balancing: sample group l at rate
     min(1, q_l·N/n_l) with q_l = n_l^τ / Σ n_m^τ, so the kept corpus

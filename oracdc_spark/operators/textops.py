@@ -9,7 +9,7 @@ DuckDB oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -282,6 +282,38 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         F.round(
             (F.sum("q_lp").cast("double") / F.count(F.lit(1))) / 1_000_000, 6
         ).alias("mean_logprob"),
+    )
+
+
+def vocab_coverage(docs: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """Tokenizer-sizing statistic: the smallest vocabulary (most-frequent
+    tokens first) covering each target percentage of the corpus token
+    mass.  The comparison is integer cross-multiplied
+    (``cum·100 >= total·pct``) — no float boundary.
+
+    The rank/cumsum window is ordered over the VOCABULARY (count desc,
+    token), not the corpus — vocabulary size is sublinear in corpus size,
+    so the single-partition window is bounded the same way the sketch
+    tables are.  Output: (pct, vocab_size, n_total)."""
+    toks = _parallel(docs).select(F.explode(_tokens()).alias("tok")).select(
+        F.lower("tok").alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    ).crossJoin(F.broadcast(counts.agg(F.sum("n").alias("n_total"))))
+    th = F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct")
+    return (
+        ranked.select("rank", "cum", "n_total", th)
+        .filter(F.col("cum") * 100 >= F.col("n_total") * F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.min("rank").cast("bigint").alias("vocab_size"),
+            F.max("n_total").cast("bigint").alias("n_total"),
+        )
+        .select(F.col("pct").cast("int").alias("pct"), "vocab_size", "n_total")
     )
 
 

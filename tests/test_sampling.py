@@ -48,3 +48,19 @@ def test_temperature_uniform_groups_keep_everything(spark):
     """Equal-size groups: rate = 1 for all — the operator is a no-op."""
     docs = _docs(spark, {"a": 40, "b": 40})
     assert temperature_mix(docs).count() == 80
+
+
+def test_train_split_deterministic_and_proportional(spark):
+    from oracdc_spark.operators.sampling import train_split
+
+    docs = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    a = {r.doc_id: r.split for r in train_split(docs).collect()}
+    b = {r.doc_id: r.split for r in train_split(docs).collect()}
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] + c["val"] + c["test"] == 5000
+    # md5 uniformity: 5% +/- 1.5% absolute
+    assert 0.035 < c["val"] / 5000 < 0.065
+    assert 0.035 < c["test"] / 5000 < 0.065

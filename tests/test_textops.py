@@ -263,3 +263,24 @@ class TestBloomPrune:
         probe = spark.createDataFrame([("a",), ("a",), ("zzz",)], "tok string")
         pruned = bloom_prune(probe, "tok", bloom_build(build))
         assert pruned.filter("tok = 'a'").count() == 2
+
+
+class TestVocabCoverage:
+    def test_known_distribution(self, spark):
+        """10 'a' + 5 'b' + 5 'c': 50% needs {a}; 90% needs 3 tokens."""
+        from oracdc_spark.operators.textops import vocab_coverage
+
+        docs = _docs(spark, [" ".join(["a"] * 10 + ["b"] * 5 + ["c"] * 5)])
+        got = {r.pct: r.vocab_size for r in vocab_coverage(docs).collect()}
+        assert got[50] == 1
+        assert got[90] == 3
+        assert got[99] == 3
+
+    def test_monotone_in_pct(self, spark):
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import vocab_coverage
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = sorted(vocab_coverage(docs).collect(), key=lambda r: r.pct)
+        sizes = [r.vocab_size for r in rows]
+        assert sizes == sorted(sizes)
