@@ -116,6 +116,10 @@ def _q_cdc_apply_changes(spark, sf_dir):
     return cdc.apply_changes(change_feed(spark, sf_dir))
 
 
+def _q_cdc_scd2(spark, sf_dir):
+    return cdc.scd2_history(change_feed(spark, sf_dir))
+
+
 def _q_cdc_replica_asof(spark, sf_dir):
     """Flashback AS OF SCN: replica state at the midpoint of the commit
     SCN range (scale-factor independent; mirrored in the oracle's scalar
@@ -757,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_batch_dedup": _q_cdc_batch_dedup,
         "cdc_apply_changes": _q_cdc_apply_changes,
         "cdc_replica_asof": _q_cdc_replica_asof,
+        "cdc_scd2_history": _q_cdc_scd2,
         "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
         "cdc_debezium": _q_cdc_debezium,
         "cdc_tombstones": _q_cdc_tombstones,
@@ -1000,6 +1005,18 @@ SELECT * FROM cancelled"""
         "SELECT owner, table_name, pk, totalprice, status FROM ranked "
         "WHERE rn = 1 AND op <> 2"
     )
+    sql["cdc_scd2_history"] = cte + ", " + _STAMPED + """
+SELECT owner, table_name, pk,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       commit_scn AS valid_from_scn,
+       LEAD(commit_scn) OVER w AS valid_to_scn,
+       CASE WHEN op = 2 THEN 1 ELSE 0 END AS is_deleted,
+       CASE WHEN LEAD(commit_scn) OVER w IS NULL AND op <> 2 THEN 1 ELSE 0 END
+           AS is_current,
+       totalprice, status
+FROM stamped
+WINDOW w AS (PARTITION BY owner, table_name, pk ORDER BY commit_scn, scn, ssn)
+"""
     sql["cdc_replica_asof"] = cte + ", " + _STAMPED + """,
 upto AS (SELECT * FROM stamped
          WHERE commit_scn <= CAST(FLOOR(

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "cdc_direct_load",
     "cdc_chained_fusion",
     "cdc_replica_asof",
+    "cdc_scd2_history",
     "lob_inflate",
     # LLM-pipeline ops
     "dedup_exact_groups",
@@ -109,7 +110,7 @@ def main() -> None:
         "text_hll_distinct", "events_moving_avg", "events_value_profile",
         "text_tfidf_top_terms", "events_asof_join", "text_bloom_membership",
         "pipeline_quota_sample", "pipeline_temperature_mix",
-        "text_bigram_logprob", "text_winnow_candidates",
+        "text_bigram_logprob", "text_winnow_candidates", "cdc_scd2_history",
     }
     print(
         json.dumps(

@@ -263,6 +263,41 @@ def replica_as_of(feed: DataFrame, scn: int) -> DataFrame:
     )
 
 
+def scd2_history(feed: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history materialized from the
+    committed change stream — the standard warehouse consumer of a CDC
+    feed (the reference emits the stream and leaves this to the sink
+    side; a replica engine can materialize it directly because the log
+    IS the history, same argument as :func:`replica_as_of`).
+
+    Every committed DML becomes one version row; validity is the
+    half-open SCN interval [commit_scn of this change, commit_scn of the
+    pk's next change); the latest non-delete version is current.  One
+    window over the pk — the same single (owner, table, pk) shuffle
+    every other per-key CDC operator pays, so at scale SCD2 is free if
+    materialized alongside the MERGE sink.
+
+    Output: (owner, table_name, pk, version, valid_from_scn,
+    valid_to_scn, is_deleted, is_current, totalprice, status)."""
+    st = commit_stamped(feed)
+    w = Window.partitionBy("owner", "table_name", "pk").orderBy(
+        "commit_scn", "scn", "ssn"
+    )
+    nxt = F.lead("commit_scn").over(w)
+    return st.select(
+        "owner",
+        "table_name",
+        "pk",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("commit_scn").alias("valid_from_scn"),
+        nxt.alias("valid_to_scn"),
+        (F.col("op") == OP_DELETE).cast("int").alias("is_deleted"),
+        (nxt.isNull() & (F.col("op") != OP_DELETE)).cast("int").alias("is_current"),
+        "totalprice",
+        "status",
+    )
+
+
 def suppress_unchanged_updates(feed: DataFrame) -> DataFrame:
     """F9 — drop UPDATE records whose after-image equals the before-image
     (``a2.process.all.update.statements=false`` behavior). Null-safe struct

@@ -148,3 +148,48 @@ def test_replica_as_of_semantics(spark):
     assert replica_as_of(feed, mn - 1).count() == 0
     mid = replica_as_of(feed, int(mn + 0.5 * (mx - mn)))
     assert 0 < mid.count() < len(cur)
+
+
+class TestScd2:
+    def test_version_chain(self, spark):
+        """insert -> update -> delete for one pk: three versions whose
+        validity intervals chain exactly, delete closes the history."""
+        f = mk(
+            spark,
+            [
+                row(10, "A", 1, pk=1, totalprice=100.0, status="O"),
+                row(20, "A", 7),
+                row(30, "B", 3, pk=1, totalprice=150.0, status="U", b_tp=100.0),
+                row(40, "B", 7),
+                row(50, "C", 2, pk=1, b_tp=150.0, b_st="U"),
+                row(60, "C", 7),
+                # pk=2 stays live
+                row(11, "A", 1, pk=2, totalprice=9.0, status="O"),
+            ],
+        )
+        hist = {
+            (r.pk, r.version): r for r in cdc.scd2_history(f).collect()
+        }
+        v1, v2, v3 = hist[(1, 1)], hist[(1, 2)], hist[(1, 3)]
+        assert (v1.valid_from_scn, v1.valid_to_scn) == (20, 40)
+        assert (v2.valid_from_scn, v2.valid_to_scn) == (40, 60)
+        assert (v3.valid_from_scn, v3.valid_to_scn) == (60, None)
+        assert (v1.is_current, v2.is_current, v3.is_current) == (0, 0, 0)
+        assert v3.is_deleted == 1
+        # live pk: single current version
+        assert hist[(2, 1)].is_current == 1
+
+    def test_exactly_one_current_per_live_pk(self, spark):
+        from oracdc_spark.feed import change_feed
+
+        hist = cdc.scd2_history(change_feed(spark, "/root/testdata/sf0.001"))
+        per_pk = (
+            hist.groupBy("pk")
+            .agg(
+                F.sum("is_current").alias("n_cur"),
+                F.max("is_deleted").alias("any_del"),
+            )
+            .collect()
+        )
+        assert all(r.n_cur <= 1 for r in per_pk)
+        assert any(r.n_cur == 1 for r in per_pk)
