@@ -821,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": analytics.events_hourly,
         "events_range_join": analytics.events_range_join,
         "events_asof_join": _q_events_asof,
+        "events_funnel": analytics.events_funnel,
         "events_moving_avg": analytics.events_moving_avg,
         "events_value_profile": analytics.events_value_profile,
         "events_running_total": analytics.events_running_total,
@@ -1408,6 +1409,29 @@ SELECT event_type,
        quantile_cont(value, 0.95) AS p95,
        quantile_cont(value, 0.99) AS p99
 FROM events GROUP BY event_type
+"""
+    sql["events_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click_after,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after,
+       ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1) * 100, 4) AS conversion_pct
 """
     sql["events_asof_join"] = """
 WITH l AS (

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_moving_avg",
     "events_value_profile",
+    "events_funnel",
     # round-2 CDC additions
     "cdc_wrapped_apply",
     "cdc_direct_load",
@@ -111,6 +112,7 @@ def main() -> None:
         "text_tfidf_top_terms", "events_asof_join", "text_bloom_membership",
         "pipeline_quota_sample", "pipeline_temperature_mix",
         "text_bigram_logprob", "text_winnow_candidates", "cdc_scd2_history",
+        "events_funnel",
     }
     print(
         json.dumps(

@@ -406,3 +406,51 @@ def events_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.95).alias("p95"),
         F.percentile("value", 0.99).alias("p99"),
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup → click → purchase): how many users
+    complete each step IN ORDER, earliest-occurrence semantics (first
+    signup, first click strictly after it, first purchase strictly after
+    that).  The sequence constraint is what distinguishes a funnel from
+    three independent counts.
+
+    Scale shape: three per-user MIN aggregates (map-side combinable) +
+    two equi-joins on user_id — all three aggregations shuffle on the
+    same key, so AQE/co-partitioning collapses them into one exchange
+    lineage; no windows, no per-user event sorting.
+    Output: one row (n_signup, n_click_after, n_purchase_after,
+    conversion_pct)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+        .select(
+            F.col("n_signup").cast("bigint").alias("n_signup"),
+            F.col("n_click_after").cast("bigint").alias("n_click_after"),
+            F.col("n_purchase_after").cast("bigint").alias("n_purchase_after"),
+            F.round(
+                F.col("n_purchase_after").cast("double") / F.col("n_signup") * 100, 4
+            ).alias("conversion_pct"),
+        )
+    )

@@ -19,3 +19,33 @@ def test_decoders_callable_from_sql(spark):
     assert row.num == -0.1828
     assert abs(row.bd - 3 ** 0.5) < 1e-15
     assert row.ym == "+3-5"
+
+
+def test_events_funnel_ordering_semantics(spark):
+    """The funnel counts users whose steps occur IN ORDER — a user with
+    purchase before any click must not reach step 3."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.operators.analytics import events_funnel
+
+    rows = [
+        # user 1: signup -> click -> purchase (converts)
+        (1, 1, "signup", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 11:00:00"),
+        (3, 1, "purchase", "2024-01-01 12:00:00"),
+        # user 2: purchase BEFORE click (does not convert)
+        (4, 2, "signup", "2024-01-01 10:00:00"),
+        (5, 2, "purchase", "2024-01-01 10:30:00"),
+        (6, 2, "click", "2024-01-01 11:00:00"),
+        # user 3: signup only
+        (7, 3, "signup", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = events_funnel(spark, d).collect()[0]
+    assert (out.n_signup, out.n_click_after, out.n_purchase_after) == (3, 2, 1)
