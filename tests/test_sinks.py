@@ -212,3 +212,36 @@ def test_merge_delete_empties_bucket(spark):
         )
         merge_batch(spark, b2, path, n_buckets=4)
         assert not any(e.startswith("pk_bucket=") for e in os.listdir(path))
+
+
+def test_scd2_sink_converges_under_chunked_and_replayed_delivery(spark):
+    """Incremental SCD2: chunked out-of-order delivery + a replayed
+    chunk must converge to the batch scd2_history of the whole feed."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import commit_stamped, scd2_history
+    from oracdc_spark.sinks.merge import scd2_merge_batch, scd2_state
+
+    feed = change_feed(spark, "/root/testdata/sf0.001")
+    stamped = commit_stamped(feed)
+
+    def _key(df):
+        return {
+            (
+                r.pk, r.version, r.valid_from_scn, r.valid_to_scn,
+                r.is_deleted, r.is_current, r.totalprice, r.status,
+            )
+            for r in df.collect()
+        }
+
+    expected = _key(scd2_history(feed))
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/scd2"
+        # arbitrary (non-chronological) 3-way chunking
+        chunks = [stamped.filter(F.col("scn") % 3 == i) for i in (2, 0, 1)]
+        for c in chunks:
+            scd2_merge_batch(spark, c, path)
+        scd2_merge_batch(spark, chunks[0], path)  # replay
+        got = _key(scd2_state(spark, path))
+    assert got == expected
