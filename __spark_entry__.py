@@ -713,6 +713,12 @@ def _q_text_winnow(spark, sf_dir):
     return winnow.winnow_candidates(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_dup_spans(spark, sf_dir):
+    from oracdc_spark.operators import winnow
+
+    return winnow.dup_span_fraction(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_bloom(spark, sf_dir):
     return textops.bloom_membership_audit(load_table(spark, sf_dir, "documents"))
 
@@ -860,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bloom_membership": _q_text_bloom,
         "text_bigram_logprob": _q_text_bigram_logprob,
         "text_winnow_candidates": _q_text_winnow,
+        "text_dup_span_fraction": _q_text_dup_spans,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_pii_scrub": _q_text_pii_scrub,
     }
@@ -2052,6 +2059,28 @@ SELECT CAST(ex.n_exact AS BIGINT) AS n_exact,
        ROUND(est.e, 3) AS n_est,
        ROUND(ABS(est.e - ex.n_exact) / ex.n_exact, 4) AS rel_err
 FROM est, ex
+"""
+    )
+    sql["text_dup_span_fraction"] = (
+        "WITH "
+        + _TOKS
+        + """,
+grams AS (
+  SELECT doc_id, lower(array_to_string(w[i:i+7], ' ')) AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+g AS (
+  SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h FROM grams
+),
+dpg AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY h)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN dpg.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       ROUND(CAST(SUM(CASE WHEN dpg.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_fraction
+FROM g JOIN dpg ON g.h = dpg.h
+GROUP BY g.doc_id
 """
     )
     sql["text_winnow_candidates"] = (

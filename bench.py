@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "pipeline_temperature_mix",
     "text_bigram_logprob",
     "text_winnow_candidates",
+    "text_dup_span_fraction",
 ]
 
 
@@ -112,7 +113,7 @@ def main() -> None:
         "text_tfidf_top_terms", "events_asof_join", "text_bloom_membership",
         "pipeline_quota_sample", "pipeline_temperature_mix",
         "text_bigram_logprob", "text_winnow_candidates", "cdc_scd2_history",
-        "events_funnel",
+        "events_funnel", "text_dup_span_fraction",
     }
     print(
         json.dumps(

@@ -72,6 +72,54 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -
     return sel
 
 
+def dup_span_fraction(docs: DataFrame, span: int = 8) -> DataFrame:
+    """Per-document cross-document duplication: the fraction of a doc's
+    `span`-token windows whose exact token sequence also occurs in at
+    least one OTHER document — the curation metric behind exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": docs dominated by cross-corpus duplicated spans get
+    trimmed or dropped).
+
+    Exact, not sketched: every span is hashed and counted; one gram
+    groupBy (distinct-doc count) + one join back.  The gram table is
+    corpus-positions-sized but narrow (doc_id, hash), and both shuffles
+    key on the gram hash — uniform by construction.
+    Output: (doc_id, n_spans, n_dup_spans, dup_fraction)."""
+    toks = _tokens()
+    grams = F.when(
+        F.size(toks) >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (span - 1)),
+            lambda i: F.lower(
+                F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(span)])
+            ),
+        ),
+    ).otherwise(F.array())
+    g = (
+        _parallel(docs)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", _gram_hash(F.col("gram")).alias("h"))
+    )
+    docs_per_gram = g.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        g.join(docs_per_gram, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def winnow_candidates(docs: DataFrame, max_df: int = 50) -> DataFrame:
     """Document pairs sharing winnowing fingerprints:
     (doc_a, doc_b, n_shared), n_shared >= 2.  Fingerprints present in

@@ -68,3 +68,34 @@ def test_stop_gram_guard_drops_ubiquitous_fingerprints(spark):
     strict = winnow_candidates(docs, max_df=3)
     assert loose.count() == 15  # all C(6,2) pairs via the boilerplate
     assert strict.count() == 0
+
+
+class TestDupSpans:
+    def test_exact_copy_fully_duplicated(self, spark):
+        from oracdc_spark.operators.winnow import dup_span_fraction
+
+        text = " ".join(f"w{i}" for i in range(20))
+        docs = _docs(spark, [text, text, "completely different words " * 5])
+        got = {r.doc_id: r for r in dup_span_fraction(docs).collect()}
+        assert got[0].dup_fraction == 1.0
+        assert got[1].dup_fraction == 1.0
+        # doc 2's spans (even its internal repeats) occur in no OTHER doc
+        assert got[2].dup_fraction == 0.0
+
+    def test_partial_overlap_fraction(self, spark):
+        from oracdc_spark.operators.winnow import dup_span_fraction
+
+        shared = " ".join(f"s{i}" for i in range(8))  # exactly one 8-span
+        docs = _docs(
+            spark,
+            [
+                shared + " " + " ".join(f"a{i}" for i in range(8)),
+                shared + " " + " ".join(f"b{i}" for i in range(8)),
+            ],
+        )
+        got = {r.doc_id: r for r in dup_span_fraction(docs).collect()}
+        # 16 tokens -> 9 spans; only the span at position 1 (pure shared
+        # prefix) exists in both docs
+        assert got[0].n_spans == 9
+        assert got[0].n_dup_spans == 1
+        assert got[1].n_dup_spans == 1
