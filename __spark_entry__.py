@@ -815,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_set_ops": analytics.customers_set_ops,
         "orders_rollup": analytics.orders_rollup,
         "orders_cube": analytics.orders_cube,
+        "orders_pivot": analytics.orders_pivot,
         "orders_by_year": analytics.orders_by_year,
         "lineitem_distinct_stats": analytics.lineitem_distinct_stats,
         "supplier_min_acctbal": analytics.supplier_min_acctbal,
@@ -1345,6 +1346,15 @@ FROM orders GROUP BY 1, 2
     sql["orders_cube"] = """
 SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+    sql["orders_pivot"] = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+FROM orders GROUP BY o_orderstatus
 """
     sql["lineitem_distinct_stats"] = """
 SELECT l_returnflag,

@@ -217,6 +217,26 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: status rows × priority columns (explicit value list — at
+    scale the value list must be declared, not inferred, to keep the
+    plan a single pass; Spark's inferring pivot adds a distinct scan).
+    Compiles to one groupBy with conditional aggregates — same cost as
+    conditional_agg, just a different output shape."""
+    o = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = {p: f"p{p[0]}" for p in prios}  # stable ANSI-friendly names
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(cols[p]) for p in prios],
+    )
+
+
 def lineitem_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple exact COUNT(DISTINCT) per group (expand-based plan)."""
     l = load_table(spark, sf_dir, "lineitem")

@@ -64,3 +64,30 @@ def test_train_split_deterministic_and_proportional(spark):
     # md5 uniformity: 5% +/- 1.5% absolute
     assert 0.035 < c["val"] / 5000 < 0.065
     assert 0.035 < c["test"] / 5000 < 0.065
+
+
+def test_temperature_mix_never_shuffles_the_corpus(spark):
+    """The corpus side must reach the filter via broadcast joins only —
+    an Exchange over the docs would be a full-corpus shuffle at 100 TB."""
+    from oracdc_spark.operators.sampling import temperature_mix
+
+    docs = _docs(spark, {"en": 400, "zh": 100})
+    plan = temperature_mix(docs)._jdf.queryExecution().executedPlan().toString()
+    # the only hash exchanges allowed are the per-group COUNT partials
+    # (|groups| rows after map-side combine), keyed on the group column —
+    # never a repartition of doc rows
+    import re
+
+    hash_ex = [
+        ln.strip() for ln in plan.splitlines() if re.search(r"\bExchange hash", ln)
+    ]
+    assert hash_ex and all("hashpartitioning(lang" in ln for ln in hash_ex), hash_ex
+    assert "RoundRobinPartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_quota_sample_single_exchange(spark):
+    from oracdc_spark.operators.sampling import quota_sample
+
+    docs = _docs(spark, {"en": 200, "de": 100})
+    plan = quota_sample(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
