@@ -633,6 +633,12 @@ def _q_sim_ivf(spark, sf_dir):
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), 100, 3)
 
 
+def _q_sim_ivf_mp(spark, sf_dir):
+    return similarity.ivf_multiprobe_topk(
+        load_table(spark, sf_dir, "embeddings"), 100, 3, 2
+    )
+
+
 def _q_sim_sq8_recall(spark, sf_dir):
     return similarity.sq8_recall(load_table(spark, sf_dir, "embeddings"), 100, 5)
 
@@ -853,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cell_centroids": _q_sim_centroids,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
+        "similarity_ivf_multiprobe": _q_sim_ivf_mp,
         "similarity_sq8_recall": _q_sim_sq8_recall,
         "similarity_near_dups": _q_sim_near_dups,
         "text_token_stats": _q_text_tokens,
@@ -1844,6 +1851,53 @@ agg AS (
   FROM q a JOIN c b ON a.label = b.label AND a.i = b.i
   WHERE a.query_id <> b.neighbor_id
   GROUP BY query_id, neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM agg
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+    )
+    sql["similarity_ivf_multiprobe"] = (
+        "WITH "
+        + _QUANT
+        + """,
+cents AS (
+  SELECT label AS cell, i,
+         CAST(round(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM qv GROUP BY label, i
+),
+qd AS (SELECT vec_id AS query_id, i, q FROM qv WHERE vec_id % 100 = 0),
+dist AS (
+  SELECT query_id, cell, SUM((q - cq) * (q - cq)) AS d2
+  FROM qd JOIN cents ON qd.i = cents.i
+  GROUP BY query_id, cell
+),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cell) AS rk
+    FROM dist) z
+  WHERE rk <= 2
+),
+c AS (SELECT vec_id AS neighbor_id, label AS cell, i, q FROM qv),
+agg AS (
+  SELECT a.query_id, b.neighbor_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot,
+         CAST(SUM(a.q * a.q) AS BIGINT) AS qn,
+         CAST(SUM(b.q * b.q) AS BIGINT) AS cn
+  FROM qd a
+  JOIN probe p ON a.query_id = p.query_id
+  JOIN c b ON b.cell = p.cell AND b.i = a.i
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY a.query_id, b.neighbor_id
 ),
 scored AS (
   SELECT query_id, neighbor_id,

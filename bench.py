@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
+    "similarity_ivf_multiprobe",
     "similarity_near_dups",
     "similarity_sq8_recall",
     "text_quality",
@@ -113,7 +114,7 @@ def main() -> None:
         "text_tfidf_top_terms", "events_asof_join", "text_bloom_membership",
         "pipeline_quota_sample", "pipeline_temperature_mix",
         "text_bigram_logprob", "text_winnow_candidates", "cdc_scd2_history",
-        "events_funnel", "text_dup_span_fraction",
+        "events_funnel", "text_dup_span_fraction", "similarity_ivf_multiprobe",
     }
     print(
         json.dumps(

@@ -132,3 +132,33 @@ def test_sq8_codes_bounded_and_recall_sane(spark):
     assert mm[0] >= 0 and mm[1] <= 255
     rec = sim.sq8_recall(vecs, 100, 5).agg(F.avg("recall")).first()[0]
     assert rec >= 0.6
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 must recover at least the single-probe recall vs the
+    brute-force ground truth, and the probe set must include the query's
+    own cell (distance 0 to its own region's centroid region is not
+    guaranteed, but recall must not drop)."""
+    from oracdc_spark.catalog import load_table
+    from oracdc_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_multiprobe_topk,
+        ivf_topk,
+    )
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vecs, 100, 3).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id) for r in ivf_topk(vecs, 100, 3).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_multiprobe_topk(vecs, 100, 3, 2).collect()
+    }
+    assert truth
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_single
