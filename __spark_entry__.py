@@ -837,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": analytics.events_funnel,
         "events_moving_avg": analytics.events_moving_avg,
         "events_value_profile": analytics.events_value_profile,
+        "events_value_histogram": analytics.events_value_histogram,
+        "customers_with_orders_semi": analytics.customers_with_orders_semi,
         "events_running_total": analytics.events_running_total,
         "events_sessionize": analytics.events_sessionize,
         "events_type_stats": analytics.events_type_stats,
@@ -1433,6 +1435,20 @@ SELECT event_type,
        quantile_cont(value, 0.95) AS p95,
        quantile_cont(value, 0.99) AS p99
 FROM events GROUP BY event_type
+"""
+    sql["events_value_histogram"] = """
+SELECT event_type,
+       CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 5.0), 0), 19) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, LEAST(GREATEST(FLOOR((value - 0.0) / 5.0), 0), 19)
+"""
+    sql["customers_with_orders_semi"] = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
 """
     sql["events_funnel"] = """
 WITH s1 AS (

@@ -474,3 +474,38 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion_pct"),
         )
     )
+
+
+def events_value_histogram(
+    spark: SparkSession, sf_dir: str, n_bins: int = 20, lo: float = 0.0, hi: float = 100.0
+) -> DataFrame:
+    """Fixed-bin equi-width histogram of event values per type — the
+    mergeable DISTRIBUTION sketch next to CMS (frequency), HLL
+    (cardinality) and Bloom (membership): fixed n_bins cells regardless
+    of volume, merged across partitions/days by addition.  Bin edges are
+    declared constants, so the assignment `floor((v-lo)/width)` is one
+    exact double op — no data-dependent quantile state (the reason
+    t-digest/KLL are NOT restated here: their merge is order-sensitive
+    and would fork engines).  Out-of-range values clamp to the edge
+    bins."""
+    e = load_table(spark, sf_dir, "events")
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col("value") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        e.groupBy("event_type", b.cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having at least one urgent
+    order — the declared semi-join operator next to the anti join.
+    Spark plans the distinct-key build side as a broadcast semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "semi").select("c_custkey", "c_name", "c_nationkey")

@@ -49,3 +49,29 @@ def test_events_funnel_ordering_semantics(spark):
         df.write.parquet(f"{d}/events.parquet")
         out = events_funnel(spark, d).collect()[0]
     assert (out.n_signup, out.n_click_after, out.n_purchase_after) == (3, 2, 1)
+
+
+def test_value_histogram_merges_by_addition(spark):
+    """Half-corpus histograms summed == whole-corpus histogram (the
+    mergeable-sketch property; distribution analog of CMS/HLL/Bloom)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.catalog import load_table
+    from oracdc_spark.operators.analytics import events_value_histogram
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events")
+    with tempfile.TemporaryDirectory() as d:
+        e.filter("event_id % 2 = 0").write.parquet(f"{d}/a/events.parquet")
+        e.filter("event_id % 2 = 1").write.parquet(f"{d}/b/events.parquet")
+        merged = (
+            events_value_histogram(spark, f"{d}/a")
+            .unionAll(events_value_histogram(spark, f"{d}/b"))
+            .groupBy("event_type", "bin")
+            .agg(F.sum("n").alias("n"))
+        )
+        whole = events_value_histogram(spark, sf)
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
