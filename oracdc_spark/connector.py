@@ -112,6 +112,7 @@ _SUPPORTED = {
     "a2.tolerate.incomplete.row", "a2.use.rowid.as.key", "a2.pk.type",
     "a2.last.sequence.notifier", "a2.last.sequence.notifier.file",
     "a2.batch.size", "a2.transaction.implementation",
+    "a2.sink.connector.mode",
 }
 
 _BOOL_TRUE = ("true", "1", "yes")
@@ -278,7 +279,11 @@ class OraCdcConnector:
         impl_key = self.config.get("a2.transaction.implementation", "ArrayList")
         if impl_key not in impl_map:
             raise ValueError(f"bad a2.transaction.implementation: {impl_key}")
+        # a2.sink.connector.mode (TargetDbConfig.java:57-59): replicate =
+        # LWW MERGE replica; audit_trail = keep every change as a version
+        # row (materialized as SCD2 history)
+        mode = self.config.get("a2.sink.connector.mode", "replicate")
         return run_pipeline(
             spark, feed_dir, replica_path, checkpoint_dir,
-            max_files_per_trigger=mfpt, impl=impl_map[impl_key],
+            max_files_per_trigger=mfpt, impl=impl_map[impl_key], mode=mode,
         )

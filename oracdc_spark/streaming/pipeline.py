@@ -50,15 +50,27 @@ def run_pipeline(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     impl: str = "apply",
+    mode: str = "replicate",
 ) -> StreamingQuery:
-    """Wire source → assembly → MERGE sink; returns the running query.
+    """Wire source → assembly → sink; returns the running query.
     ``impl`` selects the assembly state backend (see
-    :func:`assemble_transactions`)."""
+    :func:`assemble_transactions`); ``mode`` selects the sink semantics
+    (``a2.sink.connector.mode``, TargetDbConfig.java:57-59):
+    ``replicate`` = last-write-wins MERGE replica, ``audit_trail`` =
+    every change kept as a version row (SCD2 history, the queryable
+    superset of the reference's append-only audit table)."""
+    if mode not in ("replicate", "audit_trail"):
+        raise ValueError(f"bad sink mode: {mode}")
     stream = feed_stream(spark, feed_dir, max_files_per_trigger)
     assembled = assemble_transactions(stream, impl=impl)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
+            return
+        if mode == "audit_trail":
+            from oracdc_spark.sinks.merge import scd2_merge_batch
+
+            scd2_merge_batch(batch.sparkSession, batch, replica_path)
             return
         merge_batch(batch.sparkSession, batch, replica_path)
 

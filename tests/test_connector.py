@@ -188,3 +188,35 @@ def test_full_reference_properties_file_loads():
     assert c.schema_type == "debezium"
     assert "a2.poll.interval" in c.ignored_keys
     assert "a2.include" not in c.ignored_keys
+
+
+@pytest.mark.slow
+def test_streaming_pipeline_audit_trail_mode(spark):
+    """a2.sink.connector.mode=audit_trail (TargetDbConfig.java:57-59):
+    the sink keeps every change as a version row; the materialized
+    history equals the batch scd2_history of the feed."""
+    import tempfile
+
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import scd2_history
+    from oracdc_spark.sinks.merge import scd2_state
+
+    c = OraCdcConnector({"a2.sink.connector.mode": "audit_trail", "a2.batch.size": "1"})
+    with tempfile.TemporaryDirectory() as d:
+        from tests.test_streaming import _write_feed_chunks
+
+        feed_dir = _write_feed_chunks(spark, d, n_chunks=2)
+        q = c.start_pipeline(spark, feed_dir, f"{d}/hist", f"{d}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.pk, r.version, r.valid_from_scn, r.valid_to_scn, r.is_deleted,
+             r.is_current, r.totalprice, r.status)
+            for r in scd2_state(spark, f"{d}/hist").collect()
+        }
+        expected = {
+            (r.pk, r.version, r.valid_from_scn, r.valid_to_scn, r.is_deleted,
+             r.is_current, r.totalprice, r.status)
+            for r in scd2_history(change_feed(spark, SF)).collect()
+        }
+        assert got == expected
