@@ -822,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": analytics.orders_rollup,
         "orders_cube": analytics.orders_cube,
         "orders_pivot": analytics.orders_pivot,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "orders_by_year": analytics.orders_by_year,
         "lineitem_distinct_stats": analytics.lineitem_distinct_stats,
         "supplier_min_acctbal": analytics.supplier_min_acctbal,
@@ -1355,6 +1356,14 @@ FROM orders GROUP BY 1, 2
     sql["orders_cube"] = """
 SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+    sql["q6_forecast_revenue"] = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC}))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """
     sql["orders_pivot"] = """
 SELECT o_orderstatus,

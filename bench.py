@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "customer_order_rank",
     "events_hourly",
     "events_sessionize",
@@ -115,6 +116,7 @@ def main() -> None:
         "pipeline_quota_sample", "pipeline_temperature_mix",
         "text_bigram_logprob", "text_winnow_candidates", "cdc_scd2_history",
         "events_funnel", "text_dup_span_fraction", "similarity_ivf_multiprobe",
+        "q6_forecast_revenue",
     }
     print(
         json.dumps(

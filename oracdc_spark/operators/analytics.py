@@ -217,6 +217,31 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: highly selective scan + single aggregate — the
+    filter-pushdown showcase (every predicate reaches the parquet
+    reader; the whole query is one map-side-combined scan, no join, one
+    1-row exchange)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
 def orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: status rows × priority columns (explicit value list — at
     scale the value list must be declared, not inferred, to keep the
