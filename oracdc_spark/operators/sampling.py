@@ -53,6 +53,9 @@ def train_split(docs: DataFrame, val_pct: int = 5, test_pct: int = 5) -> DataFra
     splits lose the moment data is re-partitioned).
 
     Map-side only: no shuffle, no state.  Output: (doc_id, split)."""
+    from oracdc_spark.plans.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # map-side op: spread single-file inputs
     h = _hash32(F.col("doc_id"))
     # integer thresholds out of 2^32 — no float boundary
     test_lt = (2**32) * test_pct // 100
@@ -79,6 +82,9 @@ def temperature_mix(docs: DataFrame, group_col: str = "lang") -> DataFrame:
     Magnitudes stay under 10^38 up to n_l ≈ 10^12 docs — 100 TB-safe.
 
     Output: kept (doc_id, group, n_l) rows."""
+    from oracdc_spark.plans.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # the threshold filter is map-side
     counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_l"))
     weights = counts.select(
         group_col,
