@@ -116,6 +116,41 @@ def _q_cdc_apply_changes(spark, sf_dir):
     return cdc.apply_changes(change_feed(spark, sf_dir))
 
 
+def _q_ora_rowid_decode(spark, sf_dir):
+    """Golden-construction ROWID decode: build 18-char ROWIDs from
+    order-key-derived components with the public base-64 alphabet, then
+    decode them back with the JVM-side arithmetic (no UDF).  Both the
+    construction and the decode are mirrored in the oracle, so the hash
+    check proves the decode math is engine-exact; the component
+    roundtrip itself is unit-tested against a Python reference encoder
+    (tests/test_decoders.py)."""
+    from oracdc_spark.functions.decoders import ROWID_ALPHABET, rowid_components
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        (F.col("o_orderkey") % 262144).alias("obj"),
+        (F.col("o_orderkey") % 61 + 1).alias("fil"),
+        (F.col("o_orderkey") * 7 % 1000000).alias("blk"),
+        (F.col("o_orderkey") % 4096).alias("rw"),
+    )
+    alpha = F.array(*[F.lit(c) for c in ROWID_ALPHABET])
+
+    def enc(v, n):
+        return F.concat(
+            *[
+                F.element_at(alpha, (F.floor(v / F.lit(64**k)) % 64 + 1).cast("int"))
+                for k in reversed(range(n))
+            ]
+        )
+
+    rid = F.concat(
+        enc(F.col("obj"), 6), enc(F.col("fil"), 3), enc(F.col("blk"), 6), enc(F.col("rw"), 3)
+    )
+    return o.select("pk", rid.alias("row_id")).select(
+        "pk", "row_id", *rowid_components(F.col("row_id"))
+    )
+
+
 def _q_cdc_scd2(spark, sf_dir):
     return cdc.scd2_history(change_feed(spark, sf_dir))
 
@@ -806,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ora_datetime_decode": _q_ora_datetime_decode,
         "ora_charset_id_decode": _q_ora_charset_id_decode,
         "oson_decode": _q_oson_decode,
+        "ora_rowid_decode": _q_ora_rowid_decode,
         # --- K1 kafka record binding ---
         "kafka_records": _q_kafka_records,
         # --- multimodal plumbing (rows-only: stubbed codecs) ---
@@ -975,6 +1011,43 @@ _REV = f"CAST(l_extendedprice AS {_DEC}) * (1 - CAST(l_discount AS {_DEC}))"
 def oracle_sql() -> dict[str, str]:
     cte = CHANGE_FEED_CTE
     sql: dict[str, str] = {}
+
+    from oracdc_spark.functions.decoders import ROWID_ALPHABET as _RA
+
+    def _enc_sql(v: str, n: int) -> str:
+        return " || ".join(
+            f"substr('{_RA}', CAST(({v} // {64**k}) % 64 AS INT) + 1, 1)"
+            for k in reversed(range(n))
+        )
+
+    def _field_sql(start: int, n: int) -> str:
+        expr = "0"
+        for k in range(n):
+            expr = f"({expr} * 64 + (instr('{_RA}', substr(row_id, {start + k}, 1)) - 1))"
+        return expr
+
+    sql["ora_rowid_decode"] = f"""
+WITH base AS (
+  SELECT o_orderkey AS pk,
+         o_orderkey % 262144 AS obj,
+         o_orderkey % 61 + 1 AS fil,
+         o_orderkey * 7 % 1000000 AS blk,
+         o_orderkey % 4096 AS rw
+  FROM orders
+),
+rid AS (
+  SELECT pk,
+         {_enc_sql('obj', 6)} || {_enc_sql('fil', 3)}
+         || {_enc_sql('blk', 6)} || {_enc_sql('rw', 3)} AS row_id
+  FROM base
+)
+SELECT pk, row_id,
+       CAST({_field_sql(1, 6)} AS BIGINT) AS data_object_id,
+       CAST({_field_sql(7, 3)} AS BIGINT) AS file_no,
+       CAST({_field_sql(10, 6)} AS BIGINT) AS block_no,
+       CAST({_field_sql(16, 3)} AS BIGINT) AS row_no
+FROM rid
+"""
 
     sql["cdc_feed"] = cte + "SELECT * FROM all_changes"
     sql["cdc_op_filter"] = cte + "SELECT * FROM all_changes WHERE op IN (1,2,3)"

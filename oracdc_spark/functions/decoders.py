@@ -419,3 +419,52 @@ def ora_number_encode_hex(col: pd.Series) -> pd.Series:
     """Inverse surface of ora_number_to_double: value → NUMBER byte hex
     (fixture generation + corpus-scale encode∘decode identity checks)."""
     return col.map(lambda v: None if v is None else encode_number(v).hex())
+
+
+# ---------------------------------------------------------------------------
+# ROWID — 18-char base64 representation (public Oracle format)
+# ---------------------------------------------------------------------------
+# OOOOOOFFFBBBBBBRRR: 6 chars data-object id, 3 relative file, 6 block,
+# 3 row slot, each char one 6-bit digit of Oracle's base-64 alphabet.
+# The reference keys records by ROWID when no PK exists
+# (a2.use.rowid.as.key, OraCdcTableBase.java:186-201) and the mview log
+# path joins masters by M_ROW$$ (KafkaSnapshotLogTable.java:228-342);
+# decoding the components makes those keys orderable/partitionable.
+
+ROWID_ALPHABET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+)
+
+
+def rowid_components(col):
+    """JVM-side decode of an 18-char ROWID into
+    (data_object_id, file_no, block_no, row_no) — pure instr/substring
+    integer arithmetic (no UDF), identical in Spark and DuckDB."""
+    import pyspark.sql.functions as F
+
+    def digit(i: int):  # 1-based char position -> 0..63
+        return (
+            F.instr(F.lit(ROWID_ALPHABET), F.substring(col, i, 1)) - 1
+        ).cast("bigint")
+
+    def field(start: int, n: int):
+        v = F.lit(0).cast("bigint")
+        for k in range(n):
+            v = v * 64 + digit(start + k)
+        return v
+
+    return (
+        field(1, 6).alias("data_object_id"),
+        field(7, 3).alias("file_no"),
+        field(10, 6).alias("block_no"),
+        field(16, 3).alias("row_no"),
+    )
+
+
+def rowid_encode_py(obj: int, fil: int, blk: int, row: int) -> str:
+    """Python reference encoder (tests/goldens only — not a Spark path)."""
+    out = []
+    for v, n in ((obj, 6), (fil, 3), (blk, 6), (row, 3)):
+        for k in reversed(range(n)):
+            out.append(ROWID_ALPHABET[(v >> (6 * k)) & 63])
+    return "".join(out)

@@ -205,3 +205,35 @@ class TestChangeVectorProjection:
 
         with _pytest.raises(ValueError):
             _bind(None, "SDO_GEOMETRY")
+
+
+class TestRowId:
+    def test_roundtrip_against_python_encoder(self, spark):
+        import pyspark.sql.functions as F
+
+        from oracdc_spark.functions.decoders import (
+            rowid_components,
+            rowid_encode_py,
+        )
+
+        cases = [
+            (0, 0, 0, 0),
+            (1, 1, 1, 1),
+            (77503, 4, 151, 0),       # a plausible real-world shape
+            (262143, 63, 16777215, 4095),  # per-field maxima (6/3/6/3 chars)
+        ]
+        rows = [(rowid_encode_py(*c), *c) for c in cases]
+        df = spark.createDataFrame(
+            rows, "row_id string, obj long, fil long, blk long, rw long"
+        )
+        out = df.select("obj", "fil", "blk", "rw", *rowid_components(F.col("row_id")))
+        for r in out.collect():
+            assert (r.data_object_id, r.file_no, r.block_no, r.row_no) == (
+                r.obj, r.fil, r.blk, r.rw,
+            )
+
+    def test_known_zero_rowid(self):
+        from oracdc_spark.functions.decoders import rowid_encode_py
+
+        assert rowid_encode_py(0, 0, 0, 0) == "A" * 18
+        assert rowid_encode_py(1, 0, 0, 1) == "AAAAAB" + "AAA" + "AAAAAA" + "AAB"
