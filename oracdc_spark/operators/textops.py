@@ -773,3 +773,149 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
             F.round(F.col("score_q") / 1_000_000, 6).alias("score"),
         )
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: tuple[str, ...] = ("merge", "window", "hash"),
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 document ranking for a fixed query-term set
+    (k1 = 1.2, b = 0.75) — the retrieval scorer a curation pipeline uses
+    to mine topical documents.
+
+    Determinism: with k1 = 6/5 and b = 3/4, multiplying the BM25
+    numerator and denominator by ``10 * total_tokens`` clears every
+    fraction::
+
+        score = idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+              = idf_q/1e6 * (22*tf*total) / (10*tf*total + 3*total + 9*dl*N)
+
+    where total = corpus token count and N = doc count (avgdl = total/N).
+    Numerator and denominator are exact bigints, idf_q is the quantized
+    Robertson idf round(ln(1 + (N-df+0.5)/(df+0.5)) * 1e6); the score is
+    a division of identical exact integers → IEEE-identical in Spark and
+    DuckDB, so ordering on it is stable (tie-break doc_id).  Bigint
+    headroom: numerator < 2^63 up to ~1e8 corpus tokens; beyond that,
+    rescale idf_q to 1e3.
+
+    Scale shape: tf is one groupBy over the (already map-side filtered)
+    query-term postings; df/dl/total are one token-stats pass; the
+    per-term join is against a |query_terms|-row build side (broadcast).
+    Top-k per term via a per-term window over the postings — bounded by
+    the term's df, not the corpus."""
+    terms = [t.lower() for t in query_terms]
+    tk = _parallel(docs).select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("term"))
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    total = tk.count()
+    qtk = tk.filter(F.col("term").isin(terms))
+    tf = qtk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * 1_000_000,
+        0,
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfreq.select("term", idf_q.alias("idf_q"))), "term")
+        .join(dl, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            (
+                (F.col("idf_q") * 22 * F.col("tf") * F.lit(total)).cast("double")
+                / (
+                    F.lit(10 * total) * F.col("tf")
+                    + F.lit(3 * total)
+                    + F.lit(9 * n_docs) * F.col("dl")
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "rank", "doc_id", "tf", F.round("score", 6).alias("score"))
+    )
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = "en", buckets: int = 256, k: int = 50) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score raw documents
+    by how target-like their hashed-unigram feature distribution is.
+
+    w(d) = sum over tokens of [ log p_target(bucket(tok)) - log p_raw(bucket(tok)) ]
+
+    with add-one-smoothed bucket probabilities over `buckets` hashed
+    features; target = documents with lang == `target_lang`, raw = the
+    whole corpus.  Each log-ratio is quantized to an integer
+    (round(x*1e6)) so the per-document sum is order-independent and the
+    ranking is exact; ln() of identical integer ratios is IEEE-identical
+    across engines (established by unigram/bigram logprob parity).
+
+    Scale shape: bucket counts are two token-pass groupBys into a
+    `buckets`-row table (broadcast); the per-doc score is one map-side
+    join + one groupBy(doc_id).  Returns the top-k most target-like
+    docs (weight desc, doc_id asc) with their exact quantized weight."""
+    tk = _parallel(docs).select(
+        "doc_id", "lang", F.explode(_tokens()).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.lower(F.col("tok"))), 1, 6), 16, 10)
+            .cast("bigint") % buckets
+        ).alias("b"),
+    )
+    raw = tk.groupBy("b").agg(F.count(F.lit(1)).alias("raw_n"))
+    tgt = (
+        tk.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt_n"))
+    )
+    raw_total = tk.count()
+    tgt_total = tk.filter(F.col("lang") == target_lang).count()
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tgt_n"), F.lit(0)) + 1).cast("double")
+                        / F.lit(float(tgt_total + buckets))
+                    )
+                    - F.log(
+                        (F.col("raw_n") + 1).cast("double")
+                        / F.lit(float(raw_total + buckets))
+                    )
+                )
+                * 1_000_000,
+                0,
+            ).cast("bigint").alias("lr_q"),
+        )
+    )
+    weights = (
+        tk.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr_q").alias("weight_q"))
+    )
+    top = weights.orderBy(F.col("weight_q").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("weight_q").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "doc_id",
+            F.round(F.col("weight_q") / 1_000_000, 6).alias("weight"),
+        )
+    )
