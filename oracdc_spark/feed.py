@@ -24,6 +24,14 @@ Feed recipe (all constants in :class:`FeedSpec`):
 * orders with ``k % 7 == 0`` emit a DELETE (op=2) at ``scn = k*10+2``;
 * updates on ``k % 13 == 5`` get a paired partial-rollback record
   (rollback=true, same xid/row_id/scn) — G4 pairing must cancel both;
+* updates on ``k % 17 == 2`` emit a SECOND update (ssn=3) at the same
+  scn — combined with the marker at ssn=2 this interleaves
+  original/marker/original, so G4's LIFO discipline (the marker cancels
+  the latest *preceding* original, OraCdcTransaction.java:592-667) is
+  observable: the ssn=3 original must survive;
+* updates on ``k % 19 == 4`` emit a rollback marker at ssn=0, *before*
+  the original at ssn=1 — rollback-first pairing: the pending marker
+  cancels the next-arriving original;
 * statements group into transactions by ``xid_n = k % 101``;
 * per xid one control record: ROLLBACK (op=36) when ``xid_n % 25 == 7``,
   *no* control record (transaction still open) when ``xid_n % 25 == 11``,
@@ -62,6 +70,10 @@ class FeedSpec:
     delete_mod: int = 7
     partial_rb_mod: int = 13
     partial_rb_rem: int = 5
+    double_upd_mod: int = 17
+    double_upd_rem: int = 2
+    rb_first_mod: int = 19
+    rb_first_rem: int = 4
     partial_upd_mod: int = 6
     partial_upd_rem: int = 3
     txn_ctl_mod: int = 25
