@@ -792,62 +792,12 @@ def _q_text_pii_scrub(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the external driver's correctness gate checks a
+    # 50-query window from the FRONT of this dict.  Rounds 1-3 had the CDC
+    # block first, so the analytics / dedup / similarity / text queries
+    # below never received a driver row.  Round 4 rotates them to the
+    # front; the CDC block (green in CORRECTNESS_r01..r03) moves behind.
     return {
-        # --- CDC core (SURVEY §2.3, §2.5, §2.2) ---
-        "cdc_feed": _q_cdc_feed,
-        "cdc_op_filter": _q_cdc_op_filter,
-        "cdc_scn_window": _q_cdc_scn_window,
-        "cdc_table_include": _q_cdc_table_include,
-        "cdc_container_filter": _q_cdc_container_filter,
-        "cdc_partial_rollback": _q_cdc_partial_rollback,
-        "cdc_committed": _q_cdc_committed,
-        "cdc_commit_order": _q_cdc_commit_order,
-        "cdc_replay_filter": _q_cdc_replay_filter,
-        "cdc_txn_stats": _q_cdc_txn_stats,
-        "cdc_restart_scn": _q_cdc_restart_scn,
-        "cdc_batch_dedup": _q_cdc_batch_dedup,
-        "cdc_apply_changes": _q_cdc_apply_changes,
-        "cdc_replica_asof": _q_cdc_replica_asof,
-        "cdc_scd2_history": _q_cdc_scd2,
-        "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
-        "cdc_debezium": _q_cdc_debezium,
-        "cdc_tombstones": _q_cdc_tombstones,
-        "cdc_single_mode": _q_cdc_single_mode,
-        "cdc_pseudo_columns": _q_cdc_pseudo_columns,
-        "cdc_wrapped_flat": _q_cdc_wrapped_flat,
-        "cdc_wrapped_apply": _q_cdc_wrapped_apply,
-        "cdc_completeness_rejects": _q_cdc_completeness_rejects,
-        "cdc_delete_all_cols": _q_cdc_delete_all_cols,
-        "pipeline_curation": _q_pipeline_curation,
-        "cdc_row_fusion": _q_row_fusion,
-        "cdc_change_vector": _q_change_vector,
-        "cdc_chained_fusion": _q_chained_fusion,
-        "cdc_chained_incomplete": _q_chained_incomplete,
-        "cdc_multirow_expansion": _q_multirow_expansion,
-        "cdc_direct_load": _q_direct_load,
-        "lob_reassembly": _q_lob_reassembly,
-        "lob_inflate": _q_lob_inflate,
-        # --- sources (SURVEY §2.1: S6-S9) ---
-        "mvlog_batch": _q_mvlog_batch,
-        "initial_load_union": _q_initial_load,
-        # --- type decoders (SURVEY §2.4: P3-P6, P9) ---
-        "ora_number_decode": _q_ora_number_decode,
-        "ora_number_roundtrip": _q_ora_number_roundtrip,
-        "sql_redo_parse": _q_sql_redo_parse,
-        "ora_binary_fp_decode": _q_ora_binary_fp_decode,
-        "ora_charset_decode": _q_ora_charset_decode,
-        "ora_vector_decode": _q_ora_vector_decode,
-        "ora_tstz_decode": _q_ora_tstz_decode,
-        "ora_datetime_decode": _q_ora_datetime_decode,
-        "ora_charset_id_decode": _q_ora_charset_id_decode,
-        "oson_decode": _q_oson_decode,
-        "ora_rowid_decode": _q_ora_rowid_decode,
-        # --- K1 kafka record binding ---
-        "kafka_records": _q_kafka_records,
-        # --- multimodal plumbing (rows-only: stubbed codecs) ---
-        "multimodal_features": _q_multimodal_features,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_frame_plan": _q_multimodal_frame_plan,
         # --- declared relational operators (SURVEY §2.6) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -916,6 +866,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_span_fraction": _q_text_dup_spans,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_pii_scrub": _q_text_pii_scrub,
+        # --- CDC core (SURVEY §2.3, §2.5, §2.2) ---
+        "cdc_feed": _q_cdc_feed,
+        "cdc_op_filter": _q_cdc_op_filter,
+        "cdc_scn_window": _q_cdc_scn_window,
+        "cdc_table_include": _q_cdc_table_include,
+        "cdc_container_filter": _q_cdc_container_filter,
+        "cdc_partial_rollback": _q_cdc_partial_rollback,
+        "cdc_committed": _q_cdc_committed,
+        "cdc_commit_order": _q_cdc_commit_order,
+        "cdc_replay_filter": _q_cdc_replay_filter,
+        "cdc_txn_stats": _q_cdc_txn_stats,
+        "cdc_restart_scn": _q_cdc_restart_scn,
+        "cdc_batch_dedup": _q_cdc_batch_dedup,
+        "cdc_apply_changes": _q_cdc_apply_changes,
+        "cdc_replica_asof": _q_cdc_replica_asof,
+        "cdc_scd2_history": _q_cdc_scd2,
+        "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
+        "cdc_debezium": _q_cdc_debezium,
+        "cdc_tombstones": _q_cdc_tombstones,
+        "cdc_single_mode": _q_cdc_single_mode,
+        "cdc_pseudo_columns": _q_cdc_pseudo_columns,
+        "cdc_wrapped_flat": _q_cdc_wrapped_flat,
+        "cdc_wrapped_apply": _q_cdc_wrapped_apply,
+        "cdc_completeness_rejects": _q_cdc_completeness_rejects,
+        "cdc_delete_all_cols": _q_cdc_delete_all_cols,
+        "pipeline_curation": _q_pipeline_curation,
+        "cdc_row_fusion": _q_row_fusion,
+        "cdc_change_vector": _q_change_vector,
+        "cdc_chained_fusion": _q_chained_fusion,
+        "cdc_chained_incomplete": _q_chained_incomplete,
+        "cdc_multirow_expansion": _q_multirow_expansion,
+        "cdc_direct_load": _q_direct_load,
+        "lob_reassembly": _q_lob_reassembly,
+        "lob_inflate": _q_lob_inflate,
+        # --- sources (SURVEY §2.1: S6-S9) ---
+        "mvlog_batch": _q_mvlog_batch,
+        "initial_load_union": _q_initial_load,
+        # --- type decoders (SURVEY §2.4: P3-P6, P9) ---
+        "ora_number_decode": _q_ora_number_decode,
+        "ora_number_roundtrip": _q_ora_number_roundtrip,
+        "sql_redo_parse": _q_sql_redo_parse,
+        "ora_binary_fp_decode": _q_ora_binary_fp_decode,
+        "ora_charset_decode": _q_ora_charset_decode,
+        "ora_vector_decode": _q_ora_vector_decode,
+        "ora_tstz_decode": _q_ora_tstz_decode,
+        "ora_datetime_decode": _q_ora_datetime_decode,
+        "ora_charset_id_decode": _q_ora_charset_id_decode,
+        "oson_decode": _q_oson_decode,
+        "ora_rowid_decode": _q_ora_rowid_decode,
+        # --- K1 kafka record binding ---
+        "kafka_records": _q_kafka_records,
+        # --- multimodal plumbing (rows-only: stubbed codecs) ---
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
 
 

@@ -21,9 +21,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Column pruning / predicate pushdown are
     Catalyst's job — callers select/filter declaratively.
 
-    events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read nanos as long and rebuild the timestamp
-    at microsecond precision (integer division — no double round-trip)."""
+    events.parquet has stored its `ts` column as TIMESTAMP(NANOS)
+    (read nanos-as-long, rebuild at micros) and as TIMESTAMP(MICROS)
+    without a timezone (Spark reads TIMESTAMP_NTZ, which breaks
+    unix_micros/window arithmetic downstream). Normalize both encodings
+    to a plain TIMESTAMP — the session zone is pinned UTC below, so the
+    NTZ→TIMESTAMP cast is value-preserving."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     # rendered timestamps (date_format/date_trunc) must not depend on the
     # caller's session timezone — Oracle DATE semantics are zone-less
@@ -31,8 +34,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
