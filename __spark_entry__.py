@@ -933,29 +933,36 @@ _FEED_COLS_SQL = (
     "totalprice, status, before_totalprice, before_status, con_id, changed_cols"
 )
 
-# committed DML (partial-rollback pairs cancelled LIFO per occurrence,
+# committed DML (partial-rollback pairs cancelled greedy-LIFO backwards,
 # rolled-back/open txns dropped) — reused by several oracles.  Mirrors
-# cdc.partial_rollback_filter: n markers per (xid,row_id,scn) cancel the
-# n latest (ssn desc) originals, not every original sharing the key.
-_RB_COUNTS = """
-rb_counts AS (
-  SELECT xid, row_id, scn, CAST(COUNT(*) AS BIGINT) AS n_m
-  FROM changes WHERE rollback GROUP BY xid, row_id, scn
+# cdc.partial_rollback_filter's bracket-matching closed form: within a
+# pair key (xid,row_id,scn) ordered by ssn, rb_run = running (markers −
+# originals); an original is cancelled iff a later event's rb_run exceeds
+# its own (a marker's backward scan reaches it).  Unpaired markers —
+# including marker-before-original — cancel nothing (reference
+# OraCdcTransactionArrayList.java:82-107).
+_RB_RESOLVED = """
+rb_d AS (
+  SELECT c.*, SUM(CASE WHEN rollback THEN 1 ELSE -1 END) OVER (
+      PARTITION BY xid, row_id, scn ORDER BY ssn, rollback
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb_run
+  FROM changes c WHERE c.op IN (1,2,3)
+),
+rb_resolved AS (
+  SELECT *, MAX(rb_run) OVER (
+      PARTITION BY xid, row_id, scn ORDER BY ssn, rollback
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rb_mx
+  FROM rb_d
 )
 """
 
 _COMMITTED = (
-    _RB_COUNTS
+    _RB_RESOLVED
     + f""",
 committed AS (
   SELECT {_FEED_COLS_SQL}
-  FROM (
-    SELECT c.*, ROW_NUMBER() OVER (
-        PARTITION BY xid, row_id, scn ORDER BY ssn DESC) AS rb_rn
-    FROM changes c WHERE c.op IN (1,2,3) AND NOT c.rollback
-  ) d
-  LEFT JOIN rb_counts m USING (xid, row_id, scn)
-  WHERE (m.n_m IS NULL OR d.rb_rn > m.n_m)
+  FROM rb_resolved d
+  WHERE NOT rollback AND (rb_mx IS NULL OR rb_mx <= rb_run)
     AND EXISTS (SELECT 1 FROM commits cm WHERE cm.xid = d.xid)
 )
 """
@@ -1065,19 +1072,10 @@ FROM rid
     sql["cdc_container_filter"] = cte + (
         "SELECT * FROM all_changes WHERE con_id IN (3)"
     )
-    sql["cdc_partial_rollback"] = cte + ", " + _RB_COUNTS + (
-        f""",
-cancelled AS (
-  SELECT {_FEED_COLS_SQL}
-  FROM (
-    SELECT c.*, ROW_NUMBER() OVER (
-        PARTITION BY xid, row_id, scn ORDER BY ssn DESC) AS rb_rn
-    FROM changes c WHERE c.op IN (1,2,3) AND NOT c.rollback
-  ) d
-  LEFT JOIN rb_counts m USING (xid, row_id, scn)
-  WHERE m.n_m IS NULL OR d.rb_rn > m.n_m
-)
-SELECT * FROM cancelled"""
+    sql["cdc_partial_rollback"] = cte + ", " + _RB_RESOLVED + (
+        f"""
+SELECT {_FEED_COLS_SQL} FROM rb_resolved
+WHERE NOT rollback AND (rb_mx IS NULL OR rb_mx <= rb_run)"""
     )
     sql["cdc_committed"] = cte + ", " + _COMMITTED + "SELECT * FROM committed"
     sql["cdc_commit_order"] = cte + ", " + _STAMPED + "SELECT * FROM stamped"

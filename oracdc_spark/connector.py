@@ -169,18 +169,44 @@ class OraCdcConnector:
 
     # -- source side --------------------------------------------------------
 
-    def filtered_feed(self, spark: SparkSession, sf_dir: str) -> DataFrame:
-        """feed → SCN window → include/exclude → completeness policy."""
-        from oracdc_spark.feed import change_feed
-        from oracdc_spark.operators.filters import completeness_check, table_list_column
+    def source_filter(self, feed: DataFrame) -> DataFrame:
+        """The configured source surface as narrow column predicates —
+        SCN lower bound (F4), include/exclude table lists (F1),
+        completeness tolerance (F7) — applicable to BOTH the batch feed
+        and the streaming source (no shuffle, no action; streaming-safe).
 
-        feed = change_feed(spark, sf_dir)
+        Table-list predicates exempt transaction-control records (op
+        7/36): they carry no table of their own, and dropping them would
+        wrongly discard commits for multi-table transactions in which
+        only SOME tables are excluded."""
+        from oracdc_spark.operators.filters import incomplete_rows_predicate
+
+        feed = self.scoped_feed(feed)
+        if self._flag("a2.tolerate.incomplete.row", False):
+            feed = feed.filter(~incomplete_rows_predicate())
+        return feed
+
+    def scoped_feed(self, feed: DataFrame) -> DataFrame:
+        """SCN bound + include/exclude only (no completeness policy) —
+        the shared core of :meth:`source_filter` and
+        :meth:`filtered_feed`."""
+        from oracdc_spark.operators.filters import table_list_column
+
+        is_ctl = F.col("op").isin([7, 36])
         if "a2.first.change" in self.config:
             feed = feed.filter(F.col("scn") >= int(self.config["a2.first.change"]))
         if "a2.include" in self.config:
-            feed = feed.filter(table_list_column(self.config["a2.include"]))
+            feed = feed.filter(is_ctl | table_list_column(self.config["a2.include"]))
         if "a2.exclude" in self.config:
-            feed = feed.filter(~table_list_column(self.config["a2.exclude"]))
+            feed = feed.filter(is_ctl | ~table_list_column(self.config["a2.exclude"]))
+        return feed
+
+    def filtered_feed(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """feed → SCN window → include/exclude → completeness policy."""
+        from oracdc_spark.feed import change_feed
+        from oracdc_spark.operators.filters import completeness_check
+
+        feed = self.scoped_feed(change_feed(spark, sf_dir))
         tolerate = self._flag("a2.tolerate.incomplete.row", False)
         complete, rejects = completeness_check(feed, tolerate=tolerate)
         self.rejects = rejects
@@ -283,7 +309,13 @@ class OraCdcConnector:
         # LWW MERGE replica; audit_trail = keep every change as a version
         # row (materialized as SCD2 history)
         mode = self.config.get("a2.sink.connector.mode", "replicate")
+        # the SAME configured source surface the batch path applies
+        # (include/exclude/first-SCN/completeness) rides the streaming
+        # scan as narrow predicates — excluded tables never enter state
+        # (round-3 ADVICE item 1: streaming must not bypass the filters)
         return run_pipeline(
             spark, feed_dir, replica_path, checkpoint_dir,
             max_files_per_trigger=mfpt, impl=impl_map[impl_key], mode=mode,
+            pre_filter=self.source_filter,
+            strict_completeness=not self._flag("a2.tolerate.incomplete.row", False),
         )

@@ -24,14 +24,20 @@ Feed recipe (all constants in :class:`FeedSpec`):
 * orders with ``k % 7 == 0`` emit a DELETE (op=2) at ``scn = k*10+2``;
 * updates on ``k % 13 == 5`` get a paired partial-rollback record
   (rollback=true, same xid/row_id/scn) — G4 pairing must cancel both;
-* updates on ``k % 17 == 2`` emit a SECOND update (ssn=3) at the same
-  scn — combined with the marker at ssn=2 this interleaves
-  original/marker/original, so G4's LIFO discipline (the marker cancels
-  the latest *preceding* original, OraCdcTransaction.java:592-667) is
-  observable: the ssn=3 original must survive;
-* updates on ``k % 19 == 4`` emit a rollback marker at ssn=0, *before*
-  the original at ssn=1 — rollback-first pairing: the pending marker
-  cancels the next-arriving original;
+* updates on ``k % 17 == 2`` (within ``k % 3 == 0``, i.e. k ≡ 36 mod 51)
+  emit a SECOND update at ssn=3, same scn, whose before-image is the
+  first update's after-image.  When the ``k % 13 == 5`` marker is also
+  present — the triple intersection k%3==0 ∧ k%13==5 ∧ k%17==2, one k
+  per 663 — the group interleaves original(1)/marker(2)/original(3) and
+  G4's backward LIFO pairing is directly observable: the marker cancels
+  the ssn=1 original (latest *preceding*, OraCdcTransaction.java:592-667
+  + OraCdcTransactionArrayList.java:87-98), the ssn=3 original survives;
+* updates on ``k % 19 == 4`` (within ``k % 3 == 0``) additionally emit a
+  rollback marker at ssn=0, *before* the original at ssn=1.  The
+  reference's backward scan finds no preceding pair: the marker cancels
+  NOTHING, the transaction is flagged suspicious, and the ssn=1 original
+  survives (OraCdcTransactionArrayList.java:99-101,
+  OraCdcTransaction.java:598-608);
 * statements group into transactions by ``xid_n = k % 101``;
 * per xid one control record: ROLLBACK (op=36) when ``xid_n % 25 == 7``,
   *no* control record (transaction still open) when ``xid_n % 25 == 11``,
@@ -147,15 +153,26 @@ def _order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial update: only TOTALPRICE written (supplemental logging < ALL
     # COLUMNS) — STATUS keeps its prior value, absent from changed_cols
     partial = ~noop & (F.col("k") % s.partial_upd_mod == s.partial_upd_rem)
+    # the first update's after-image (the second update's before-image)
+    upd_total = F.when(noop, F.col("o_totalprice")).otherwise(
+        F.col("o_totalprice") + s.update_delta
+    )
+    upd_status = F.when(noop | partial, F.col("o_orderstatus")).otherwise(F.lit("U"))
     stmts = F.array(
         stmt(F.col("k") * 10, 0, OP_INSERT, False,
              F.col("o_totalprice"), F.col("o_orderstatus"), null_d, null_s,
              F.lit(ALL_COLS_CHANGED)),
+        # rollback-FIRST marker: ssn=0, precedes the ssn=1 original —
+        # stays unpaired under the reference's backward-only pairing
+        F.when(
+            is_upd & (F.col("k") % s.rb_first_mod == s.rb_first_rem),
+            stmt(F.col("k") * 10 + 1, 0, OP_UPDATE, True,
+                 null_d, null_s, null_d, null_s, F.lit("")),
+        ),
         F.when(
             is_upd,
             stmt(F.col("k") * 10 + 1, 1, OP_UPDATE, False,
-                 F.when(noop, F.col("o_totalprice")).otherwise(F.col("o_totalprice") + s.update_delta),
-                 F.when(noop | partial, F.col("o_orderstatus")).otherwise(F.lit("U")),
+                 upd_total, upd_status,
                  F.col("o_totalprice"), F.col("o_orderstatus"),
                  F.when(partial, F.lit("TOTALPRICE")).otherwise(F.lit(ALL_COLS_CHANGED))),
         ),
@@ -163,6 +180,15 @@ def _order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             is_upd & (F.col("k") % s.partial_rb_mod == s.partial_rb_rem),
             stmt(F.col("k") * 10 + 1, 2, OP_UPDATE, True,
                  null_d, null_s, null_d, null_s, F.lit("")),
+        ),
+        # SECOND update at the same scn, ssn=3 — the LIFO-observable
+        # original when the ssn=2 marker is present
+        F.when(
+            is_upd & (F.col("k") % s.double_upd_mod == s.double_upd_rem),
+            stmt(F.col("k") * 10 + 1, 3, OP_UPDATE, False,
+                 upd_total + s.update_delta, F.lit("W"),
+                 upd_total, upd_status,
+                 F.lit(ALL_COLS_CHANGED)),
         ),
         F.when(
             F.col("k") % s.delete_mod == 0,
@@ -320,12 +346,32 @@ data_rows AS (
               THEN 'TOTALPRICE' ELSE 'TOTALPRICE,STATUS' END
   FROM ord_base WHERE k % {s.update_mod} = 0
   UNION ALL
+  SELECT CAST(k*10+1 AS BIGINT), CAST(0 AS BIGINT), CAST(xid_n AS BIGINT),
+         3, TRUE, CAST(k AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), ''
+  FROM ord_base
+  WHERE k % {s.update_mod} = 0 AND k % {s.rb_first_mod} = {s.rb_first_rem}
+  UNION ALL
   SELECT CAST(k*10+1 AS BIGINT), CAST(2 AS BIGINT), CAST(xid_n AS BIGINT),
          3, TRUE, CAST(k AS BIGINT),
          CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
          CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), ''
   FROM ord_base
   WHERE k % {s.update_mod} = 0 AND k % {s.partial_rb_mod} = {s.partial_rb_rem}
+  UNION ALL
+  SELECT CAST(k*10+1 AS BIGINT), CAST(3 AS BIGINT), CAST(xid_n AS BIGINT),
+         3, FALSE, CAST(k AS BIGINT),
+         CAST(CASE WHEN k % {s.noop_update_mod} = 0 THEN o_totalprice
+              ELSE o_totalprice + {s.update_delta} END + {s.update_delta} AS DOUBLE),
+         CAST('W' AS VARCHAR),
+         CAST(CASE WHEN k % {s.noop_update_mod} = 0 THEN o_totalprice
+              ELSE o_totalprice + {s.update_delta} END AS DOUBLE),
+         CAST(CASE WHEN k % {s.noop_update_mod} = 0 THEN o_orderstatus
+              WHEN k % {s.partial_upd_mod} = {s.partial_upd_rem} THEN o_orderstatus
+              ELSE 'U' END AS VARCHAR),
+         'TOTALPRICE,STATUS'
+  FROM ord_base WHERE k % {s.update_mod} = 0 AND k % {s.double_upd_mod} = {s.double_upd_rem}
   UNION ALL
   SELECT CAST(k*10+2 AS BIGINT), CAST(0 AS BIGINT), CAST(xid_n AS BIGINT),
          2, FALSE, CAST(k AS BIGINT),

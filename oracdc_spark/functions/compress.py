@@ -69,7 +69,16 @@ def _inflate_one(b):
     if b[:2] == _GZIP_MAGIC:
         return gzip.decompress(b)
     if len(b) >= 2 and b[0] == _ZLIB_FIRST and ((b[0] << 8) | b[1]) % 31 == 0:
-        return zlib.decompress(b)
+        # the RFC1950 header check is a heuristic, not proof: an
+        # UNCOMPRESSED payload can begin with a valid-looking header
+        # (e.g. 0x78 0x20 — "x " — satisfies the FCHECK). A failed
+        # inflate therefore means "was never compressed", not "corrupt":
+        # pass the payload through, as the reference does when the
+        # SecureFile dataCompressed() flag is unset.
+        try:
+            return zlib.decompress(b)
+        except zlib.error:
+            return b
     return b
 
 

@@ -48,35 +48,47 @@ def scn_window(feed: DataFrame, lo: int, hi: int) -> DataFrame:
 
 
 def partial_rollback_filter(feed: DataFrame) -> DataFrame:
-    """G4 — cancel partial-rollback pairs, LIFO per pair key.
+    """G4 — cancel partial-rollback pairs, greedy LIFO per pair key.
 
-    A change record flagged ``rollback=true`` cancels its original change
-    (the reference pairs on RBA + ROWID, OraCdcTransaction.java:411-419,
-    592-667: each marker cancels exactly ONE original, the latest unmatched
-    one).  Pair key is (xid, row_id, scn).  When several originals share a
-    pair key (distinct ssn), n markers cancel the n *latest* originals —
-    matching the streaming assembly's LIFO pairing, not all of them.
+    A change record flagged ``rollback=true`` cancels the latest unmatched
+    original that *precedes* it in redo order: the reference scans
+    backwards from the marker's position and takes the first unpaired
+    rowid match (OraCdcTransactionArrayList.java:82-107); a marker with no
+    preceding match — including a marker that arrives *before* its
+    original — cancels NOTHING and only flags the transaction suspicious
+    (OraCdcTransaction.java:598-608).  Pair key is (xid, row_id, scn);
+    within a key, redo order is ssn.
 
-    Implementation: count markers per key, rank originals newest-first
-    (ssn desc) within the key, keep rank > marker count.  Marker rows are
-    always dropped.  The key starts with xid, so the window co-partitions
-    with the transaction-assembly shuffle; the marker-count aggregate is a
-    feed-derived set that grows with the feed — it joins on the same key
-    (no broadcast hint; AQE picks the strategy).
+    Closed form of the greedy backward pairing (bracket matching): order
+    the key's events by ssn and let D = running count of (markers −
+    originals).  An original o is cancelled iff some later event t has
+    D(t) ≥ D(o) + 1 — i.e. the suffix (o, t] holds more markers than
+    interleaved originals, so the backward scans reach o.  Marker rows are
+    always dropped.
+
+    One window partition key starting with xid → co-partitions with the
+    transaction-assembly shuffle; both frames (running sum, suffix max)
+    share a single sort, so the whole filter costs one exchange.
     """
     key = ["xid", "row_id", "scn"]
-    n_markers = (
-        feed.filter(F.col("rollback"))
-        .groupBy(*key)
-        .agg(F.count(F.lit(1)).alias("_n_markers"))
+    # markers sort after an equal-ssn original (rollback asc) so they can
+    # still cancel it; feed ssns are unique within a key, this is a
+    # determinism guard only
+    w = Window.partitionBy(*key).orderBy(F.col("ssn"), F.col("rollback"))
+    d = F.sum(F.when(F.col("rollback"), 1).otherwise(-1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.partitionBy(*key).orderBy(F.col("ssn").desc())
+    with_d = feed.withColumn("_rb_d", d)
+    suffix_max = F.max("_rb_d").over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
     return (
-        feed.filter(~F.col("rollback"))
-        .withColumn("_rb_rn", F.row_number().over(w))
-        .join(n_markers, key, "left")
-        .filter(F.col("_n_markers").isNull() | (F.col("_rb_rn") > F.col("_n_markers")))
-        .drop("_rb_rn", "_n_markers")
+        with_d.withColumn("_rb_mx", suffix_max)
+        .filter(
+            ~F.col("rollback")
+            & (F.col("_rb_mx").isNull() | (F.col("_rb_mx") <= F.col("_rb_d")))
+        )
+        .drop("_rb_d", "_rb_mx")
     )
 
 

@@ -85,8 +85,14 @@ def jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataFr
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|); intersection via shingle self-join,
-    set sizes via a broadcast-joined per-doc count. Output: (d1, d2,
+    set sizes via a per-doc count joined back on d1/d2. Output: (d1, d2,
     common, jac) with d1 < d2.
+
+    Scale note: the per-doc count table is one row per DOCUMENT — it grows
+    with the corpus, so it must NOT be broadcast (at 10⁹ docs that OOMs
+    every executor).  The pairs aggregate already hash-partitions on
+    d1/d2; the count joins co-partition on those same keys, and AQE still
+    broadcasts when the corpus is genuinely small at runtime.
     """
     # no cache: the two self-join branches share one shuffle via
     # ReusedExchange (cache materialization measured 4× slower at sf0.1)
@@ -103,8 +109,8 @@ def jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataFr
     c2 = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
     jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
-        pairs.join(F.broadcast(c1), "d1")
-        .join(F.broadcast(c2), "d2")
+        pairs.join(c1, "d1")
+        .join(c2, "d2")
         .withColumn("jac", F.round(jac, 4))
         .filter(F.col("jac") >= threshold)
         .select("d1", "d2", "common", "jac")

@@ -258,8 +258,12 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     KenLM-perplexity-filter analog used by CCNet/RedPajama — documents of
     rare/garbage tokens score low, fluent ones high).
 
-    Two corpus-wide aggregations (token counts; corpus total), then a
-    broadcastable count-table join back.  Determinism: log-probs are
+    Two corpus-wide aggregations (token counts; corpus total), then the
+    count table joins back on ``tok`` — with NO broadcast hint: on
+    web-scale text the token vocabulary is effectively unbounded (typos,
+    hashes, URLs), so forcing a broadcast OOMs at 100 TB; AQE still
+    broadcasts when the vocabulary is genuinely small at runtime.  The
+    one-row corpus total stays a broadcast.  Determinism: log-probs are
     quantized to integers (round(ln(p)*1e6) as bigint) before the
     per-doc sum, so the aggregation is an exact integer sum —
     float-summation order never matters (same contract as the cosine
@@ -273,7 +277,7 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         F.log(F.col("n_tok").cast("double") / F.col("n_total")) * 1_000_000, 0
     ).cast("bigint")
     scored = (
-        toks.join(F.broadcast(counts), "tok")
+        toks.join(counts, "tok")
         .crossJoin(F.broadcast(total))
         .select("doc_id", q_lp.alias("q_lp"))
     )
@@ -366,7 +370,8 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     scored = (
         bi.join(bic, ["w1", "w2"])
         .join(ctx, "w1")
-        .join(F.broadcast(uni), "w2")
+        # uni is vocabulary-sized (unbounded on web text) — no hint
+        .join(uni, "w2")
         .crossJoin(F.broadcast(total))
         .select("doc_id", q_lp.alias("q_lp"))
     )
@@ -747,9 +752,11 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     exact across engines — the float only reappears in the final
     presentation division.
 
-    Scale shape: df = one groupBy over doc-distinct tokens; idf table is
-    vocabulary-sized → broadcast; per-doc top-k via one doc_id window.
-    Output: (doc_id, term, tf, score)."""
+    Scale shape: df = one groupBy over doc-distinct tokens; the idf table
+    is vocabulary-sized — unbounded on web text, so NO broadcast hint (it
+    joins on ``term``, the key tf is already partitioned by; AQE
+    broadcasts genuinely small vocabularies at runtime); per-doc top-k
+    via one doc_id window.  Output: (doc_id, term, tf, score)."""
     toks = _parallel(docs).select("doc_id", F.explode(_tokens()).alias("term")).select(
         "doc_id", F.lower("term").alias("term")
     )
@@ -759,7 +766,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     idf_q = F.round(
         (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1) * 1_000_000, 0
     ).cast("bigint")
-    scored = tf.join(F.broadcast(df_.select("term", idf_q.alias("idf_q"))), "term")
+    scored = tf.join(df_.select("term", idf_q.alias("idf_q")), "term")
     score_q = (F.col("tf") * F.col("idf_q")).alias("score_q")
     from pyspark.sql import Window
 

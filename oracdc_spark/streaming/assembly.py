@@ -13,12 +13,18 @@ Semantics held in state per transaction (reference parity):
 * COMMIT (op=7) → every buffered DML is stamped with commit_scn and
   emitted, ordered (scn, ssn); state cleared (G2, G3's per-txn part);
 * ROLLBACK (op=36) → state discarded, nothing emitted (F6);
-* partial-rollback records (rollback=true) cancel their paired original
-  — match on (row_id, scn), LIFO when several originals share the pair
-  key (G4, OraCdcTransaction.java:592-667 pairing nuance);
-* a rollback marker may arrive *before* its original ("suspicious
-  first-record" case, OraCdcTransaction.java:351-369): unmatched markers
-  persist in state and cancel a later-arriving original.
+* partial-rollback records (rollback=true) buffer alongside statements;
+  pairing runs AT COMMIT over the complete (scn, ssn)-ordered statement
+  list, exactly when the reference runs processRollbackEntries
+  (OraCdcTransaction.java:459): each marker cancels the latest unmatched
+  original *preceding* it in redo order with the same (row_id, scn)
+  (backward scan, OraCdcTransactionArrayList.java:82-107);
+* a marker may arrive in an earlier micro-batch than its original — state
+  holds it until commit, where redo order (not arrival order) decides the
+  pairing.  A marker with no *preceding* original in redo order pairs
+  with nothing: the original survives and the transaction is flagged
+  suspicious (OraCdcTransaction.java:598-608) — markers never cancel
+  forward.
 
 Scale notes: state is keyed by xid → one shuffle, co-partitioned with
 the feed's natural key.  Statements are kept in state as records — on a
@@ -97,8 +103,13 @@ _STMT_STRUCT = StructType(
     ]
 )
 _MARKER_STRUCT = StructType(
-    [StructField("row_id", StringType()), StructField("scn", LongType())]
+    [
+        StructField("row_id", StringType()),
+        StructField("scn", LongType()),
+        StructField("ssn", LongType()),
+    ]
 )
+_MARKER_FIELDS = ["row_id", "scn", "ssn"]
 STATE_SCHEMA = StructType(
     [
         StructField("stmts", ArrayType(_STMT_STRUCT)),
@@ -122,7 +133,7 @@ def _load_state(state: GroupState) -> tuple[list[dict], list[dict]]:
         s = state.get
         return (
             _rows_to_dicts(s[0], _STMT_FIELDS),
-            _rows_to_dicts(s[1], ["row_id", "scn"]),
+            _rows_to_dicts(s[1], _MARKER_FIELDS),
         )
     return [], []
 
@@ -131,31 +142,37 @@ def _save_state(state: GroupState, stmts: list[dict], markers: list[dict]) -> No
     state.update(
         (
             [tuple(s[f] for f in _STMT_FIELDS) for s in stmts],
-            [(m["row_id"], m["scn"]) for m in markers],
+            [tuple(m[f] for f in _MARKER_FIELDS) for m in markers],
         )
     )
 
 
-def _cancel_pairs(stmts: list[dict], markers: list[dict]) -> tuple[list[dict], list[dict]]:
-    """LIFO partial-rollback pairing: each marker cancels the latest
-    unmatched original with the same (row_id, scn)."""
-    remaining_markers: list[dict] = []
-    for m in markers:
-        matched = None
-        for i in range(len(stmts) - 1, -1, -1):
-            s = stmts[i]
-            if (
-                not s["rollback"]
-                and s["row_id"] == m["row_id"]
-                and s["scn"] == m["scn"]
-            ):
-                matched = i
-                break
-        if matched is not None:
-            stmts.pop(matched)
+def _pair_lifo(stmts: list[dict], markers: list[dict]) -> tuple[list[dict], int]:
+    """Commit-time partial-rollback pairing over the complete transaction,
+    replaying redo (scn, ssn) order: an original pushes onto its
+    (row_id, scn) stack; a marker pops the latest preceding unpaired
+    original, or — with an empty stack (marker-before-original) — pairs
+    with nothing (reference backward scan + unpaired error,
+    OraCdcTransactionArrayList.java:82-107).  Returns the surviving
+    originals and the count of unpaired (suspicious) markers."""
+    events: list[tuple] = [(s["scn"], s["ssn"], False, s) for s in stmts]
+    events += [(m["scn"], m["ssn"], True, m) for m in markers]
+    # marker sorts AFTER an equal-(scn,ssn) original so it can cancel it
+    events.sort(key=lambda e: (e[0], e[1], e[2]))
+    stacks: dict[tuple, list[dict]] = {}
+    unpaired = 0
+    for scn, _ssn, is_marker, rec in events:
+        stack = stacks.setdefault((rec["row_id"], scn), [])
+        if is_marker:
+            if stack:
+                stack.pop()
+            else:
+                unpaired += 1
         else:
-            remaining_markers.append(m)
-    return stmts, remaining_markers
+            stack.append(rec)
+    survivors = [s for stack in stacks.values() for s in stack]
+    survivors.sort(key=lambda s: (s["scn"], s["ssn"]))
+    return survivors, unpaired
 
 
 SUSPICIOUS_XID_SUFFIX = "FFFFFFFF"
@@ -296,29 +313,32 @@ def _records_sorted(rows) -> list[dict]:
 
 
 def _replay(xid: str, stmts: list[dict], markers: list[dict], recs: list[dict]):
-    """Shared event-ordered replay (see assemble_fn docstring)."""
+    """Shared event-ordered replay (see assemble_fn docstring).
+
+    DML and markers only buffer here; partial-rollback pairing is
+    deferred to COMMIT (:func:`_pair_lifo`), matching the reference's
+    processRollbackEntries-at-completion and keeping the outcome
+    independent of micro-batch arrival order."""
     emitted: list[dict] = []
     for r in recs:
         op = r["op"]
         if op == OP_COMMIT:
-            stmts.sort(key=lambda s: (s["scn"], s["ssn"]))
+            survivors, _unpaired = _pair_lifo(stmts, markers)
             emitted.extend(
                 {
                     "xid": xid,
                     **{k: v for k, v in s.items() if k != "rollback"},
                     "commit_scn": r["scn"],
                 }
-                for s in stmts
+                for s in survivors
             )
             stmts, markers = [], []
         elif op == OP_ROLLBACK:
             stmts, markers = [], []
         elif r["rollback"]:
-            markers.append({"row_id": r["row_id"], "scn": r["scn"]})
-            stmts, markers = _cancel_pairs(stmts, markers)
+            markers.append({"row_id": r["row_id"], "scn": r["scn"], "ssn": r["ssn"]})
         else:
             stmts.append(r)
-            stmts, markers = _cancel_pairs(stmts, markers)
     return stmts, markers, emitted
 
 
@@ -339,7 +359,7 @@ try:  # Spark >= 4.0
         def handleInputRows(self, key, rows, timerValues):
             (xid,) = key
             stmts = _rows_to_dicts(list(self._stmts.get()), _STMT_FIELDS)
-            markers = _rows_to_dicts(list(self._markers.get()), ["row_id", "scn"])
+            markers = _rows_to_dicts(list(self._markers.get()), _MARKER_FIELDS)
             recs = _records_sorted(rows)
             stmts, markers, emitted = _replay(xid, stmts, markers, recs)
 
@@ -347,7 +367,9 @@ try:  # Spark >= 4.0
                 self._stmts.put(
                     [tuple(s[f] for f in _STMT_FIELDS) for s in stmts]
                 )
-                self._markers.put([(m["row_id"], m["scn"]) for m in markers])
+                self._markers.put(
+                    [tuple(m[f] for f in _MARKER_FIELDS) for m in markers]
+                )
             else:
                 self._stmts.clear()
                 self._markers.clear()

@@ -51,6 +51,8 @@ def run_pipeline(
     max_files_per_trigger: int = 1,
     impl: str = "apply",
     mode: str = "replicate",
+    pre_filter=None,
+    strict_completeness: bool = False,
 ) -> StreamingQuery:
     """Wire source → assembly → sink; returns the running query.
     ``impl`` selects the assembly state backend (see
@@ -58,15 +60,40 @@ def run_pipeline(
     (``a2.sink.connector.mode``, TargetDbConfig.java:57-59):
     ``replicate`` = last-write-wins MERGE replica, ``audit_trail`` =
     every change kept as a version row (SCD2 history, the queryable
-    superset of the reference's append-only audit table)."""
+    superset of the reference's append-only audit table).
+
+    ``pre_filter`` (DataFrame → DataFrame) applies the configured source
+    surface — include/exclude lists, first-SCN bound, completeness
+    tolerance — BEFORE the stateful assembly; all those predicates are
+    narrow (no shuffle), so they ride the scan and the excluded tables
+    never even enter state.  ``strict_completeness`` re-checks F7 inside
+    the sink and raises (failing the query) when an incomplete row
+    reaches emission — the streaming analog of the reference's
+    OraCdcDataException task stop."""
     if mode not in ("replicate", "audit_trail"):
         raise ValueError(f"bad sink mode: {mode}")
     stream = feed_stream(spark, feed_dir, max_files_per_trigger)
+    if pre_filter is not None:
+        stream = pre_filter(stream)
     assembled = assemble_transactions(stream, impl=impl)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if strict_completeness:
+            import pyspark.sql.functions as F
+
+            from oracdc_spark.operators.filters import (
+                assert_complete,
+                incomplete_rows_predicate,
+            )
+
+            # post-assembly records are all non-rollback survivors
+            assert_complete(
+                batch.withColumn("rollback", F.lit(False)).filter(
+                    incomplete_rows_predicate()
+                )
+            )
         if mode == "audit_trail":
             from oracdc_spark.sinks.merge import scd2_merge_batch
 

@@ -82,6 +82,74 @@ def test_partial_rollback_lifo_occurrence_match(spark):
     assert sorted((r.scn, r.ssn) for r in out) == [(10, 0), (11, 1)]
 
 
+def test_partial_rollback_marker_before_original_cancels_nothing(spark):
+    """A marker that PRECEDES its original in redo order (ssn 0 before
+    ssn 1) has no preceding pair under the reference's backward scan
+    (OraCdcTransactionArrayList.java:82-107): it cancels nothing — the
+    original survives (the txn is merely flagged suspicious,
+    OraCdcTransaction.java:598-608)."""
+    f = mk(
+        spark,
+        [
+            row(10, "A", 1, pk=1, ssn=0, totalprice=100.0, status="O"),
+            # rollback-first: marker at ssn=0 of scn 11, original at ssn=1
+            row(11, "A", 3, pk=1, ssn=0, rollback=True),
+            row(11, "A", 3, pk=1, ssn=1, totalprice=110.0, status="U", b_tp=100.0),
+            row(20, "A", 7),
+        ],
+    )
+    out = cdc.committed_changes(f).collect()
+    assert sorted((r.scn, r.ssn) for r in out) == [(10, 0), (11, 1)]
+
+
+def test_partial_rollback_interleaved_lifo(spark):
+    """original(1) / marker(2) / original(3) within one pair key: the
+    marker cancels the latest PRECEDING original (ssn=1); the ssn=3
+    original, although newest, survives — backward LIFO, not
+    newest-first (OraCdcTransaction.java:592-667)."""
+    f = mk(
+        spark,
+        [
+            row(10, "A", 1, pk=1, ssn=0, totalprice=100.0, status="O"),
+            row(11, "A", 3, pk=1, ssn=1, totalprice=110.0, status="U", b_tp=100.0),
+            row(11, "A", 3, pk=1, ssn=2, rollback=True),
+            row(11, "A", 3, pk=1, ssn=3, totalprice=120.0, status="W", b_tp=110.0),
+            row(20, "A", 7),
+        ],
+    )
+    out = cdc.committed_changes(f).collect()
+    assert sorted((r.scn, r.ssn) for r in out) == [(10, 0), (11, 3)]
+
+
+def test_streaming_pairing_matches_batch_rollback_first():
+    """_replay/_pair_lifo (streaming) must agree with
+    partial_rollback_filter (batch) on the rollback-first and the
+    interleaved-LIFO shapes, independent of arrival order."""
+    from oracdc_spark.streaming.assembly import _pair_lifo
+
+    def st(scn, ssn, pk=1):
+        return {"scn": scn, "ssn": ssn, "row_id": f"R{pk}", "pk": pk,
+                "rollback": False}
+
+    def mkr(scn, ssn, pk=1):
+        return {"scn": scn, "ssn": ssn, "row_id": f"R{pk}"}
+
+    # rollback-first: marker ssn=0, original ssn=1 → original survives
+    survivors, unpaired = _pair_lifo([st(11, 1)], [mkr(11, 0)])
+    assert [(s["scn"], s["ssn"]) for s in survivors] == [(11, 1)]
+    assert unpaired == 1
+
+    # interleave: originals ssn=1,3 + marker ssn=2 → ssn=1 cancelled
+    survivors, unpaired = _pair_lifo([st(11, 1), st(11, 3)], [mkr(11, 2)])
+    assert [(s["scn"], s["ssn"]) for s in survivors] == [(11, 3)]
+    assert unpaired == 0
+
+    # two markers, one original after both → nothing cancels forward
+    survivors, unpaired = _pair_lifo([st(11, 2)], [mkr(11, 0), mkr(11, 1)])
+    assert [(s["scn"], s["ssn"]) for s in survivors] == [(11, 2)]
+    assert unpaired == 2
+
+
 def test_commit_order_stamps_commit_scn(feed):
     out = cdc.commit_ordered(feed).collect()
     assert [r.scn for r in out] == [10, 11, 13, 15]

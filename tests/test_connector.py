@@ -39,11 +39,18 @@ def test_strict_mode_fails_on_partial_updates(spark):
 
 
 def test_include_exclude_and_first_change(spark):
+    import pyspark.sql.functions as F
+
     base = OraCdcConnector(TOL).filtered_feed(spark, SF).count()
     inc = OraCdcConnector({**TOL, "a2.include": "SCOTT.ORDERS"})
     assert inc.filtered_feed(spark, SF).count() == base
     exc = OraCdcConnector({**TOL, "a2.exclude": "SCOTT.%"})
-    assert exc.filtered_feed(spark, SF).count() == 0
+    excluded = exc.filtered_feed(spark, SF)
+    # all DML is gone; transaction-control records (op 7/36) are exempt
+    # from table lists — they carry no table and commits must survive for
+    # multi-table transactions where only SOME tables are excluded
+    assert excluded.filter(F.col("op").isin([1, 2, 3])).count() == 0
+    assert excluded.count() > 0
     fc = OraCdcConnector({**TOL, "a2.first.change": "8000"})
     out = fc.filtered_feed(spark, SF)
     assert out.count() > 0
@@ -106,6 +113,7 @@ def test_streaming_pipeline_with_notifier(spark, tmp_path):
 
     seq_file = tmp_path / "last.seq"
     c = OraCdcConnector({
+        **TOL,
         "a2.last.sequence.notifier": "file",
         "a2.last.sequence.notifier.file": str(seq_file),
         "a2.batch.size": "1",
@@ -123,12 +131,63 @@ def test_streaming_pipeline_with_notifier(spark, tmp_path):
             (r.pk, r.totalprice, r.status)
             for r in replica_state(spark, f"{d}/replica").collect()
         }
+        # streaming applies the SAME configured source surface as batch:
+        # the expected replica derives from the connector-filtered feed
+        # (tolerate mode drops partial updates before assembly)
         expected = {
             (r.pk, r.totalprice, r.status)
-            for r in apply_changes(change_feed(spark, SF)).collect()
+            for r in apply_changes(c.source_filter(change_feed(spark, SF))).collect()
         }
         assert got == expected
     assert seq_file.exists() and seq_file.read_text().strip()
+
+
+@pytest.mark.slow
+def test_streaming_respects_exclude_list(spark):
+    """Round-3 ADVICE item 1: streaming must route through the configured
+    include/exclude filters — an excluded table's changes must never
+    reach the replica, while other tables still replicate."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.sinks.merge import replica_state
+
+    with tempfile.TemporaryDirectory() as d:
+        from tests.test_streaming import _write_feed_chunks
+
+        feed_dir = _write_feed_chunks(spark, d, n_chunks=2)
+        c = OraCdcConnector({**TOL, "a2.exclude": "SCOTT.ORDERS"})
+        q = c.start_pipeline(spark, feed_dir, f"{d}/replica", f"{d}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        try:
+            replica = replica_state(spark, f"{d}/replica")
+            n_excluded = replica.filter(
+                (F.col("owner") == "SCOTT") & (F.col("table_name") == "ORDERS")
+            ).count()
+        except Exception:
+            n_excluded = 0  # nothing written at all — also correct
+        assert n_excluded == 0
+
+
+@pytest.mark.slow
+def test_streaming_strict_mode_fails_on_partial_updates(spark):
+    """Default (a2.tolerate.incomplete.row=false): a feed containing
+    short rows must fail the streaming query — the analog of the batch
+    surface's IncompleteRowError / the reference's OraCdcDataException
+    task stop."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        from tests.test_streaming import _write_feed_chunks
+
+        feed_dir = _write_feed_chunks(spark, d, n_chunks=1)
+        c = OraCdcConnector({})
+        q = c.start_pipeline(spark, feed_dir, f"{d}/replica", f"{d}/ckpt")
+        with pytest.raises(Exception, match="incomplete"):
+            q.processAllAvailable()
+        q.stop()
 
 
 def test_key_selection_modes():
@@ -201,7 +260,9 @@ def test_streaming_pipeline_audit_trail_mode(spark):
     from oracdc_spark.operators.cdc import scd2_history
     from oracdc_spark.sinks.merge import scd2_state
 
-    c = OraCdcConnector({"a2.sink.connector.mode": "audit_trail", "a2.batch.size": "1"})
+    c = OraCdcConnector(
+        {**TOL, "a2.sink.connector.mode": "audit_trail", "a2.batch.size": "1"}
+    )
     with tempfile.TemporaryDirectory() as d:
         from tests.test_streaming import _write_feed_chunks
 
@@ -217,6 +278,6 @@ def test_streaming_pipeline_audit_trail_mode(spark):
         expected = {
             (r.pk, r.version, r.valid_from_scn, r.valid_to_scn, r.is_deleted,
              r.is_current, r.totalprice, r.status)
-            for r in scd2_history(change_feed(spark, SF)).collect()
+            for r in scd2_history(c.source_filter(change_feed(spark, SF))).collect()
         }
         assert got == expected

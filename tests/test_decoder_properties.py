@@ -142,6 +142,18 @@ def test_inflate_passthrough_uncompressed(b):
     assert _inflate_one(b) == b
 
 
+def test_inflate_zlib_header_false_positive_passthrough():
+    """An UNCOMPRESSED payload starting 0x78 0x20 ("x ") passes the
+    RFC1950 FCHECK (0x7820 % 31 == 0) but is not deflate data: the
+    inflate attempt must fall back to pass-through instead of raising
+    and failing the job."""
+    from oracdc_spark.functions.compress import _inflate_one
+
+    payload = b"x is not compressed data at all"
+    assert (payload[0] << 8 | payload[1]) % 31 == 0  # the trap case
+    assert _inflate_one(payload) == payload
+
+
 # ---------------------------------------------------------------------------
 # SQ8 quantization properties (pure-python mirror of the column exprs)
 # ---------------------------------------------------------------------------
