@@ -660,6 +660,30 @@ def _q_sim_centroids(spark, sf_dir):
     return similarity.cell_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_sim_kmeans(spark, sf_dir):
+    """IVF cell training end-to-end: 2 Lloyd iterations from the
+    vec_id%8 seed over the quantized components (the trainer that
+    produces the coarse cells the `label` column stands in for)."""
+    from oracdc_spark.operators import clustering
+
+    return clustering.kmeans_profile(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    """Domain-authority ranking of the customer↔supplier trade graph:
+    3 damped PageRank iterations in exact integer micro-units."""
+    from oracdc_spark.operators import graph
+
+    return graph.pagerank_top(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        iters=3,
+        k=20,
+    )
+
+
 def _q_sim_bruteforce(spark, sf_dir):
     return similarity.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 100, 5)
 
@@ -846,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": _q_text_top_ngrams,
         "text_contamination": _q_text_contamination,
         "similarity_cell_centroids": _q_sim_centroids,
+        "similarity_kmeans_cells": _q_sim_kmeans,
+        "graph_pagerank": _q_graph_pagerank,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
         "similarity_ivf_multiprobe": _q_sim_ivf_mp,
@@ -1832,6 +1858,92 @@ FROM tc
 """
     )
     sql["similarity_cell_centroids"] = similarity.CELL_CENTROIDS_SQL
+
+    # kmeans: 2 Lloyd iterations unrolled as CTE pairs (refit c<n>,
+    # re-assign a<n>) — exact integer distances, floor-quantized centroid
+    # means, (dist2, cluster) argmin tie-break, vec_id%k seed: the literal
+    # SQL image of clustering.kmeans_profile
+    def _kmeans_sql(k: int, iters: int) -> str:
+        out = [
+            "WITH qv AS (",
+            "  SELECT vec_id, i,",
+            "         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q",
+            "  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)",
+            "),",
+            f"a0 AS (SELECT vec_id, CAST(vec_id % {k} AS BIGINT) AS cluster FROM embeddings)",
+        ]
+        for n in range(1, iters + 1):
+            out.append(
+                f""",
+c{n} AS (
+  SELECT cluster, i,
+         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM qv JOIN a{n - 1} USING (vec_id) GROUP BY cluster, i
+),
+d{n} AS (
+  SELECT qv.vec_id, c{n}.cluster, CAST(SUM((q - cq) * (q - cq)) AS BIGINT) AS dist2
+  FROM qv JOIN c{n} USING (i) GROUP BY qv.vec_id, c{n}.cluster
+),
+a{n} AS (
+  SELECT vec_id, cluster, dist2 FROM (
+    SELECT vec_id, cluster, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+    FROM d{n}) WHERE rk = 1
+)"""
+            )
+        out.append(
+            f"""
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dist2) AS BIGINT) AS wss
+FROM a{iters} GROUP BY cluster"""
+        )
+        return "\n".join(out)
+
+    sql["similarity_kmeans_cells"] = _kmeans_sql(8, 2)
+
+    # pagerank: 3 damped iterations unrolled, exact integer micro-units
+    # (pr//deg contributions, 150000 + (85*inbound)//100 update) — the
+    # literal SQL image of graph.pagerank_top; // and Spark's div agree
+    # on the non-negative values here
+    def _pagerank_sql(iters: int, k: int) -> str:
+        out = [
+            """WITH pairs AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+        ]
+        for n in range(1, iters + 1):
+            out.append(
+                f""",
+con{n} AS (
+  SELECT e.dst, SUM(p.pr // o.deg) AS inbound
+  FROM edges e JOIN pr{n - 1} p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+pr{n} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(c.inbound, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN con{n} c ON n.node = c.dst
+)"""
+            )
+        out.append(
+            f"""
+SELECT CAST(rank AS INT) AS rank, node, pr FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY pr DESC, node ASC) AS rank, node, pr
+  FROM pr{iters})
+WHERE rank <= {k}"""
+        )
+        return "\n".join(out)
+
+    sql["graph_pagerank"] = _pagerank_sql(3, 20)
     sql["similarity_bruteforce_topk"] = (
         "WITH "
         + _QUANT
