@@ -161,21 +161,39 @@ def strip_guard_columns(schema: StructType) -> StructType:
     )
 
 
+# identifiers may be bare (word chars + $ #) or "quoted exact case"
+_ID = r'(?:"[^"]+"|[\w$#]+)'
+
 # table name may be OWNER.TABLE with optional spaces around the dot
 # (OraCdcAlterTablePreProcessorTest: "alter table scott . dept …")
 _ALTER_PREFIX_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+[\w\"$]+(?:\s*\.\s*[\w\"$]+)?\s+", re.IGNORECASE
+    rf"^\s*ALTER\s+TABLE\s+{_ID}(?:\s*\.\s*{_ID})?\s+", re.IGNORECASE
 )
 _ADD_RE = re.compile(r"ADD\s*\(\s*(.+?)\s*\)\s*$", re.IGNORECASE | re.DOTALL)
 # optional COLUMN keyword: "add column AMOUNT number(5,2)"
-_ADD_BARE_RE = re.compile(r"ADD\s+(?:COLUMN\s+)?(\w+)\s+(.+?)\s*$", re.IGNORECASE)
-_DROP_RE = re.compile(r"DROP\s+COLUMN\s+(\w+)", re.IGNORECASE)
-_DROP_PAREN_RE = re.compile(r"DROP\s*\(\s*([\w\s,]+?)\s*\)", re.IGNORECASE)
+_ADD_BARE_RE = re.compile(
+    rf"ADD\s+(?:COLUMN\s+)?({_ID})\s+(.+?)\s*$", re.IGNORECASE
+)
+_DROP_RE = re.compile(rf"DROP\s+COLUMN\s+({_ID})", re.IGNORECASE)
+_DROP_PAREN_RE = re.compile(rf"DROP\s*\(\s*({_ID}(?:\s*,\s*{_ID})*)\s*\)", re.IGNORECASE)
 _MODIFY_BODY_RE = re.compile(
     r"MODIFY\s+(?:COLUMN\s+)?(.+?)\s*$", re.IGNORECASE | re.DOTALL
 )
-_RENAME_RE = re.compile(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", re.IGNORECASE)
-_UNUSED_RE = re.compile(r"SET\s+UNUSED\s+(?:COLUMN\s+)?\(?\s*([\w\s,]+?)\s*\)?\s*$", re.IGNORECASE)
+_RENAME_RE = re.compile(
+    rf"RENAME\s+COLUMN\s+({_ID})\s+TO\s+({_ID})", re.IGNORECASE
+)
+_UNUSED_RE = re.compile(
+    rf"SET\s+UNUSED\s+(?:COLUMN\s+)?\(?\s*({_ID}(?:\s*,\s*{_ID})*)\s*\)?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _unquote(name: str) -> str:
+    """'"Mixed Case"' → 'Mixed Case'; bare names pass through."""
+    name = name.strip()
+    if len(name) >= 2 and name[0] == '"' and name[-1] == '"':
+        return name[1:-1]
+    return name
 
 
 # ADD clauses that are not column specs (constraints, supplemental log
@@ -189,12 +207,13 @@ _NON_COLUMN_KEYWORDS = {
 
 def _parse_col_spec(spec: str) -> tuple[str, DataType, bool] | None:
     """Parse one ``name type [DEFAULT …] [NOT NULL]`` spec; None when the
-    clause is not a column spec (keyword lead-in or unparseable)."""
+    clause is not a column spec (keyword lead-in or unparseable).  The
+    name may be a "quoted exact-case" identifier."""
     spec = spec.strip()
-    mm = re.match(r"(\w+)\s+(.+)", spec, flags=re.DOTALL)
+    mm = re.match(rf"({_ID})\s+(.+)", spec, flags=re.DOTALL)
     if not mm or mm.group(1).upper() in _NON_COLUMN_KEYWORDS:
         return None
-    name, rest = mm.group(1), mm.group(2)
+    name, rest = _unquote(mm.group(1)), mm.group(2)
     nullable = "NOT NULL" not in rest.upper()
     type_part = re.split(r"\s+DEFAULT\s+|\s+NOT\s+NULL", rest, flags=re.IGNORECASE)[0]
     return name, oracle_type_to_spark(type_part), nullable
@@ -257,7 +276,7 @@ class SchemaRegistry:
             m = _DROP_RE.search(body) or _DROP_PAREN_RE.search(body)
             if not m:
                 return td  # DROP CONSTRAINT / PARTITION / … : no-op
-            names = [n.strip() for n in m.group(1).split(",")]
+            names = [_unquote(n) for n in re.findall(_ID, m.group(1))]
             for cname in names:
                 if cname.upper() in (k.upper() for k in td.key_cols):
                     raise ValueError(f"cannot drop key column {cname} of {td.fqn}")
@@ -286,7 +305,7 @@ class SchemaRegistry:
             m = _RENAME_RE.match(body)
             if not m:
                 return td  # RENAME CONSTRAINT / PARTITION: no-op
-            old, new = m.group(1), m.group(2)
+            old, new = _unquote(m.group(1)), _unquote(m.group(2))
             if old.upper() in (k.upper() for k in td.key_cols):
                 raise ValueError(f"cannot rename key column {old} of {td.fqn}")
             for i, f in enumerate(fields):
@@ -297,7 +316,7 @@ class SchemaRegistry:
             m = _UNUSED_RE.match(body)
             if not m:
                 return td  # unsupported SET UNUSED form: no-op
-            names = [n.strip() for n in m.group(1).split(",")]
+            names = [_unquote(n) for n in re.findall(_ID, m.group(1))]
             for cname in names:
                 if cname.upper() in (k.upper() for k in td.key_cols):
                     raise ValueError(f"cannot set unused key column {cname} of {td.fqn}")

@@ -26,6 +26,7 @@ replay-safety contract (F5 + K6).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -39,29 +40,79 @@ from oracdc_spark.operators.cdc import batch_pk_dedup
 VERSION_COLS = ("commit_scn", "scn", "ssn")
 BUCKET_COL = "pk_bucket"
 DEFAULT_BUCKETS = 16
+MANIFEST = "_MANIFEST.json"
 
 
 def _bucket(pk_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.hash(*[F.col(c) for c in pk_cols]), F.lit(n_buckets))
 
 
+# -- manifest-committed bucket storage ---------------------------------------
+#
+# Bucket data lives in generation-named directories (``b<bucket>-g<gen>``);
+# which directory is CURRENT for each bucket is recorded in _MANIFEST.json,
+# replaced atomically (os.replace) as the single commit point.  A crash at
+# any earlier instant leaves the previous manifest and every directory it
+# references untouched — the replica stays readable at its pre-merge state;
+# directories from the failed attempt are orphans, garbage-collected after
+# the next successful commit (round-3 ADVICE item 5: the old in-place
+# rmtree+rename loop could tear the replica mid-swap).  This is the
+# plain-parquet miniature of a Delta/Iceberg transaction log, restricted
+# to one snapshot.
+
+
+def _load_manifest(target_path: str) -> dict:
+    p = os.path.join(target_path, MANIFEST)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    # legacy layout (pre-manifest hive-style dirs): adopt in place
+    if os.path.exists(target_path):
+        buckets = {
+            e.split("=", 1)[1]: e
+            for e in os.listdir(target_path)
+            if e.startswith(f"{BUCKET_COL}=")
+        }
+        if buckets:
+            return {"gen": 0, "buckets": buckets}
+    return {"gen": 0, "buckets": {}}
+
+
+def _commit_manifest(target_path: str, manifest: dict) -> None:
+    """THE commit point: fsync'd temp file + atomic rename."""
+    tmp = os.path.join(target_path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(target_path, MANIFEST))
+
+
 def _read_affected(
     spark: SparkSession, target_path: str, affected: Sequence[int]
-) -> DataFrame:
-    """Partition-pruned read of only the buckets a batch touches."""
-    return (
-        spark.read.option("basePath", target_path)
-        .parquet(target_path)
-        .filter(F.col(BUCKET_COL).isin(list(affected)))
-    )
+) -> DataFrame | None:
+    """Read only the buckets a batch touches (manifest lookup — pruning
+    by construction).  Returns None when none of them exist yet.  The
+    result does NOT carry the bucket column (it is derivable from the
+    pk columns; callers recompute it)."""
+    man = _load_manifest(target_path)
+    dirs = [
+        os.path.join(target_path, man["buckets"][str(b)])
+        for b in affected
+        if str(b) in man["buckets"]
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
 
 
 def _swap_buckets(
     latest: DataFrame, target_path: str, affected: Sequence[int]
 ) -> None:
-    """Stage the merged affected-bucket data, then swap ONLY those bucket
-    directories into the replica.  A bucket whose rows were all deleted
-    is removed.  Untouched bucket directories are never opened."""
+    """Stage the merged affected-bucket data into generation-named
+    directories, then commit them with ONE atomic manifest replace.  A
+    bucket whose rows were all deleted leaves the manifest.  Untouched
+    buckets' directories are never opened."""
     staging = target_path + ".staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
@@ -72,20 +123,39 @@ def _swap_buckets(
     latest.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
 
     os.makedirs(target_path, exist_ok=True)
+    man = _load_manifest(target_path)
+    gen = int(man.get("gen", 0)) + 1
+    buckets = dict(man.get("buckets", {}))
+    replaced: list[str] = []
     for b in affected:
         src = os.path.join(staging, f"{BUCKET_COL}={b}")
-        dst = os.path.join(target_path, f"{BUCKET_COL}={b}")
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
+        old = buckets.pop(str(b), None)
+        if old is not None:
+            replaced.append(old)
         if os.path.exists(src):
+            new_name = f"b{b}-g{gen}"
+            dst = os.path.join(target_path, new_name)
+            if os.path.exists(dst):  # orphan of a crashed attempt
+                shutil.rmtree(dst)
             os.rename(src, dst)
-    shutil.rmtree(staging)
+            buckets[str(b)] = new_name
+
+    _commit_manifest(target_path, {"gen": gen, "buckets": buckets})
+
+    # past the commit point: failures below only leak directories, which
+    # the orphan sweep of any later merge reclaims
+    live = set(buckets.values())
+    for e in os.listdir(target_path):
+        full = os.path.join(target_path, e)
+        if e == MANIFEST or not os.path.isdir(full):
+            continue
+        if e not in live:
+            shutil.rmtree(full)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def _has_data(target_path: str) -> bool:
-    return os.path.exists(target_path) and any(
-        e.startswith(f"{BUCKET_COL}=") for e in os.listdir(target_path)
-    )
+    return bool(_load_manifest(target_path)["buckets"])
 
 
 def merge_batch(
@@ -110,11 +180,11 @@ def merge_batch(
     if not affected:
         return
 
-    if _has_data(target_path):
-        current = _read_affected(spark, target_path, affected).select(
-            *cols, BUCKET_COL
-        )
-        merged = current.unionByName(incoming)
+    current = _read_affected(spark, target_path, affected)
+    if current is not None:
+        merged = current.select(*cols).withColumn(
+            BUCKET_COL, _bucket(pk_cols, n_buckets)
+        ).unionByName(incoming)
     else:
         merged = incoming
 
@@ -130,8 +200,14 @@ def merge_batch(
     _swap_buckets(latest, target_path, affected)
 
 
+def _read_all(spark: SparkSession, target_path: str) -> DataFrame:
+    man = _load_manifest(target_path)
+    dirs = [os.path.join(target_path, d) for d in man["buckets"].values()]
+    return spark.read.parquet(*dirs)
+
+
 def replica_state(spark: SparkSession, target_path: str) -> DataFrame:
-    return spark.read.parquet(target_path).drop(BUCKET_COL)
+    return _read_all(spark, target_path)
 
 
 def merge_wrapped_batch(
@@ -162,8 +238,8 @@ def merge_wrapped_batch(
     if not affected:
         return
 
-    if _has_data(target_path):
-        current = _read_affected(spark, target_path, affected)
+    current = _read_affected(spark, target_path, affected)
+    if current is not None:
         # current rows re-enter as "all columns present" at their stored version
         cur_as_batch = current.select(
             *pk_cols,
@@ -177,8 +253,7 @@ def merge_wrapped_batch(
                     F.col(col).alias(f"{col}_v"),
                 )
             ],
-            F.col(BUCKET_COL),
-        )
+        ).withColumn(BUCKET_COL, _bucket(pk_cols, n_buckets))
         merged = cur_as_batch.unionByName(incoming)
     else:
         merged = incoming
@@ -234,9 +309,11 @@ def scd2_merge_batch(
     if not affected:
         return
 
-    if _has_data(target_path):
-        current = _read_affected(spark, target_path, affected).select(*cols, BUCKET_COL)
-        merged = current.unionByName(incoming)
+    current = _read_affected(spark, target_path, affected)
+    if current is not None:
+        merged = current.select(*cols).withColumn(
+            BUCKET_COL, _bucket(pk_cols, n_buckets)
+        ).unionByName(incoming)
     else:
         merged = incoming
     merged = merged.dropDuplicates([*pk_cols, *VERSION_COLS])
@@ -258,4 +335,4 @@ def scd2_merge_batch(
 
 
 def scd2_state(spark: SparkSession, target_path: str) -> DataFrame:
-    return spark.read.parquet(target_path).drop(BUCKET_COL)
+    return _read_all(spark, target_path)

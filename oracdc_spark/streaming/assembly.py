@@ -187,15 +187,24 @@ def normalize_xid(changes: DataFrame) -> DataFrame:
     normally share it — substituting against all of them (a plain
     prefix join) would fan out and duplicate records.
 
-    Open-transaction semantics instead: the canonical XID for a
+    Open-transaction semantics instead (the reference's
+    ``prefixedTransactions`` map holds the transaction currently ACTIVE
+    on the prefix — a record never resolves to a transaction that has
+    already committed or rolled back): the canonical XID for a
     suspicious record at SCN *s* is the one with the greatest
-    first-statement SCN ≤ *s* among non-suspicious XIDs of that prefix.
-    Candidates are collapsed to ONE row per prefix (a sorted
-    (first_scn, xid) array — prefixes hold a handful of concurrently
-    open transactions, so the array is tiny) and the pick is a
-    higher-order `filter` + `element_at(-1)`: no fan-out, no window,
-    and only the small suspicious slice joins at all; normal records
-    pass through untouched.
+    first-statement SCN ≤ *s* among non-suspicious XIDs of that prefix
+    **whose lifetime still covers s** — no control record seen yet, or
+    control-record SCN ≥ s.  A suspicious record in a prefix gap (before
+    the first transaction opens, or between one's end and the next's
+    start) stays unresolved, exactly like the reference's
+    transaction-starts-with-partial-rollback error path
+    (OraCdcLogMinerWorkerThread.java:398-431).  Candidates are collapsed
+    to ONE row per prefix (a sorted (first_scn, end_scn, xid) array —
+    prefixes hold a handful of concurrently open transactions, so the
+    array is tiny) and the pick is a higher-order `filter` +
+    `element_at(-1)`: no fan-out, no window, and only the small
+    suspicious slice joins at all; normal records pass through
+    untouched.
 
     Runs *before* the keyed shuffle so state groups see canonical XIDs.
     """
@@ -210,17 +219,29 @@ def normalize_xid(changes: DataFrame) -> DataFrame:
 
     candidates = (
         normal.groupBy(prefix.alias("xid_prefix"), F.col("xid").alias("cand_xid"))
-        .agg(F.min("scn").alias("first_scn"))
+        .agg(
+            F.min("scn").alias("first_scn"),
+            F.max(
+                F.when(
+                    F.col("op").isin([OP_COMMIT, OP_ROLLBACK]), F.col("scn")
+                )
+            ).alias("end_scn"),
+        )
         .groupBy("xid_prefix")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("first_scn", "cand_xid"))
+                F.collect_list(F.struct("first_scn", "end_scn", "cand_xid"))
             ).alias("cands")
         )
     )
 
     open_cand = F.try_element_at(
-        F.filter(F.col("cands"), lambda c: c["first_scn"] <= F.col("scn")), F.lit(-1)
+        F.filter(
+            F.col("cands"),
+            lambda c: (c["first_scn"] <= F.col("scn"))
+            & (c["end_scn"].isNull() | (c["end_scn"] >= F.col("scn"))),
+        ),
+        F.lit(-1),
     )
     resolved = (
         sus.join(candidates, "xid_prefix", "left")

@@ -271,3 +271,53 @@ class TestPreProcessorFixtures:
         assert td.version == 2
         names = [f.name for f in td.schema.fields]
         assert "jcol" in names and "AMOUNT" in names
+
+    def test_drop_paren_multi(self):
+        reg = self._reg()
+        reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT ADD (BONUS NUMBER(5))")
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", "alter table SCOTT.DEPT drop (DNAME, BONUS)"
+        )
+        names = [f.name for f in td.schema.fields]
+        assert "DNAME" not in names and "BONUS" not in names
+
+    def test_set_unused_multi(self):
+        reg = self._reg()
+        reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT ADD (BONUS NUMBER(5))")
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", "alter table SCOTT .DEPT set unused (BONUS, DNAME)"
+        )
+        names = [f.name for f in td.schema.fields]
+        assert "DNAME" not in names and "BONUS" not in names
+
+    def test_quoted_identifiers_add_rename_drop(self):
+        """Quoted exact-case identifiers survive ADD / RENAME / DROP
+        (the pre-processor's \"quoted\" forms)."""
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            'ALTER TABLE "SCOTT"."DEPT" ADD ("Mixed Case" varchar2(30))',
+        )
+        assert td.version == 2
+        assert "Mixed Case" in [f.name for f in td.schema.fields]
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            'alter table SCOTT.DEPT rename column "Mixed Case" to "Renamed Col"',
+        )
+        assert "Renamed Col" in [f.name for f in td.schema.fields]
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", 'alter table SCOTT.DEPT drop column "Renamed Col"'
+        )
+        assert "Renamed Col" not in [f.name for f in td.schema.fields]
+
+    def test_quoted_modify(self):
+        reg = self._reg()
+        reg.apply_ddl(
+            "SCOTT", "DEPT", 'ALTER TABLE SCOTT.DEPT ADD ("qCol" NUMBER(5))'
+        )
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", 'ALTER TABLE SCOTT.DEPT MODIFY ("qCol" NUMBER(12))'
+        )
+        from pyspark.sql.types import LongType as _Long
+
+        assert td.schema["qCol"].dataType == _Long()

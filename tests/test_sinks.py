@@ -137,7 +137,7 @@ def test_merge_touches_only_affected_buckets(spark):
 
     from oracdc_spark.feed import change_feed
     from oracdc_spark.operators.cdc import commit_stamped
-    from oracdc_spark.sinks.merge import BUCKET_COL, merge_batch, replica_state
+    from oracdc_spark.sinks.merge import _load_manifest, merge_batch, replica_state
 
     import pyspark.sql.functions as F
 
@@ -156,10 +156,8 @@ def test_merge_touches_only_affected_buckets(spark):
         merge_batch(spark, stamped, path)
 
         before = _files_digest(path)
-        buckets = sorted(
-            e for e in os.listdir(path) if e.startswith(f"{BUCKET_COL}=")
-        )
-        assert len(buckets) > 1  # layout is really bucketed
+        man_before = _load_manifest(path)["buckets"]
+        assert len(man_before) > 1  # layout is really bucketed
 
         # second batch: update a single pk → touches exactly one bucket
         one = stamped.filter(F.col("pk") == 3).withColumn(
@@ -169,24 +167,81 @@ def test_merge_touches_only_affected_buckets(spark):
         merge_batch(spark, one, path)
 
         after = _files_digest(path)
+        man_after = _load_manifest(path)["buckets"]
         from pyspark.sql.functions import hash as _hash, pmod, lit
         touched = {
-            f"{BUCKET_COL}={r[0]}"
+            str(r[0])
             for r in one.select(
                 pmod(_hash("owner", "table_name", "pk"), lit(16)).alias("b")
             ).distinct().collect()
         }
-        for b in buckets:
-            in_b_before = {k: v for k, v in before.items() if k.startswith(b)}
-            in_b_after = {k: v for k, v in after.items() if k.startswith(b)}
-            if b in touched:
-                assert in_b_before != in_b_after, f"{b} should have been rewritten"
+        for b_key, dirname in man_before.items():
+            if b_key in touched:
+                assert man_after[b_key] != dirname, f"bucket {b_key} should have advanced"
             else:
-                assert in_b_before == in_b_after, f"{b} was touched unnecessarily"
+                # untouched: same directory, byte-identical files
+                assert man_after[b_key] == dirname
+                in_b_before = {k: v for k, v in before.items() if k.startswith(dirname)}
+                in_b_after = {k: v for k, v in after.items() if k.startswith(dirname)}
+                assert in_b_before and in_b_before == in_b_after, (
+                    f"bucket {b_key} was touched unnecessarily"
+                )
 
         # and the merge itself is correct
         r = {x.pk: x.totalprice for x in replica_state(spark, path).collect()}
         assert r[3] == 9999.0
+
+
+def test_merge_crash_before_manifest_commit_leaves_replica_intact(spark, monkeypatch):
+    """Crash injection (round-3 ADVICE item 5): a merge that dies at any
+    point BEFORE the atomic manifest replace must leave the replica
+    readable at its previous state; retrying the merge then converges."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from oracdc_spark import sinks
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import commit_stamped
+    from oracdc_spark.sinks import merge as merge_mod
+    from oracdc_spark.sinks.merge import merge_batch, replica_state
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/replica"
+        stamped = commit_stamped(change_feed(spark, "/root/testdata/sf0.001"))
+        merge_batch(spark, stamped, path)
+        state_before = {
+            (r.pk, r.totalprice, r.status) for r in replica_state(spark, path).collect()
+        }
+
+        one = stamped.filter(F.col("pk") == 3).withColumn(
+            "commit_scn", F.col("commit_scn") + 1_000_000
+        ).withColumn("totalprice", F.lit(4242.0))
+
+        # crash at the last pre-commit instant: staging written, new
+        # generation directories already moved in, manifest NOT replaced
+        real_commit = merge_mod._commit_manifest
+
+        def _boom(*a, **k):
+            raise OSError("injected crash before manifest commit")
+
+        monkeypatch.setattr(merge_mod, "_commit_manifest", _boom)
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="injected"):
+            merge_batch(spark, one, path)
+
+        # replica still readable at the PRE-merge state
+        state_after_crash = {
+            (r.pk, r.totalprice, r.status) for r in replica_state(spark, path).collect()
+        }
+        assert state_after_crash == state_before
+
+        # retry with the real commit: converges, orphans reclaimed
+        monkeypatch.setattr(merge_mod, "_commit_manifest", real_commit)
+        merge_batch(spark, one, path)
+        r = {x.pk: x.totalprice for x in replica_state(spark, path).collect()}
+        assert r[3] == 4242.0
 
 
 def test_merge_delete_empties_bucket(spark):
@@ -211,7 +266,9 @@ def test_merge_delete_empties_bucket(spark):
             [("S", "T", 1, None, None, 200, 20, 0, 2)], schema
         )
         merge_batch(spark, b2, path, n_buckets=4)
-        assert not any(e.startswith("pk_bucket=") for e in os.listdir(path))
+        from oracdc_spark.sinks.merge import _load_manifest
+
+        assert _load_manifest(path)["buckets"] == {}
 
 
 def test_scd2_sink_converges_under_chunked_and_replayed_delivery(spark):

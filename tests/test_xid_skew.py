@@ -51,6 +51,42 @@ def test_normalize_xid_prefix_reuse_no_fanout(spark):
     assert by_scn[5] == "0011002AFFFFFFFF"
 
 
+def test_normalize_xid_bounded_by_transaction_lifetime(spark):
+    """Round-3 verdict item 10 / ADVICE item 4: a suspicious record must
+    never resolve to a transaction that already ENDED before its SCN (the
+    reference's prefixedTransactions map only holds the ACTIVE
+    transaction per prefix).  A record in the gap between one
+    transaction's control record and the next's first statement — the
+    marker-before-canonical-first-record case — stays unresolved."""
+    rows = [
+        # txn A: opens scn 10, COMMITS at scn 30
+        (10, "0011002A00000005", 1),
+        (30, "0011002A00000005", 7),
+        # txn B reuses the prefix, opening at scn 50
+        (50, "0011002A00000006", 1),
+        (70, "0011002A00000006", 7),
+        # suspicious inside A's lifetime → A
+        (20, "0011002AFFFFFFFF", 3),
+        # suspicious at A's exact commit SCN (still active) → A
+        (30, "0011002AFFFFFFFF", 3),
+        # suspicious in the gap AFTER A ended, BEFORE B's first record:
+        # must NOT resolve to the ended A, must not jump forward to B
+        (40, "0011002AFFFFFFFF", 3),
+        # suspicious inside B's lifetime → B
+        (60, "0011002AFFFFFFFF", 3),
+    ]
+    df = spark.createDataFrame(rows, "scn long, xid string, op int")
+    out = normalize_xid(df).collect()
+    assert len(out) == len(rows)
+    by_scn = {}
+    for r in out:
+        by_scn.setdefault(r.scn, set()).add(r.xid)
+    assert "0011002A00000005" in by_scn[20]
+    assert "0011002A00000005" in by_scn[30]
+    assert by_scn[40] == {"0011002AFFFFFFFF"}  # unresolved, stays suspicious
+    assert by_scn[60] == {"0011002A00000006"}
+
+
 def test_ensure_parallelism_gated(spark):
     """Repartition fires only when input partitions < cores: a wide input
     passes through with no added Exchange (round-1 verdict item 6)."""
