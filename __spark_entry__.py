@@ -456,6 +456,77 @@ _VECTOR_F32_VALS = [
 ]
 
 
+# P10 TDE goldens (public vectors, OraCdcTdeColumnDecrypterTest.java):
+# (id, data-key-blob hex, ENCALG, INTALG, salted, column-image hex, plaintext)
+_TDE_BLOB_256_SHA1 = (
+    "8AC759A42F0D447528014DEA2E9830631B3EB88E529DDE924D658AC280138F9D"
+    "21342A1AE4323EB0E70060DEE6F1C030CC5064D1DA70E70F9D49416A39B2EADE"
+    "449CB91F0C0C0C0C0C0C0C0C0C0C0C0C"
+)
+_TDE_BLOB_256_NOMAC = (
+    "8AC759A42F0D447528014DEA2E983063CE874BD9AC7DD1D3116F1ACB0733F83F"
+    "B6A725765986FF72F3436E8C5DBB15B24628FCEC8F1803B9ADFDD31CEFAF6124"
+    "9A7C283D0C0C0C0C0C0C0C0C0C0C0C0C"
+)
+_TDE_BLOB_192_SHA1 = (
+    "8AC759A42F0D447528014DEA2E983063CC5D432F4C62F8297E1C62068F06AD68"
+    "54322095944A21C4901B9F6305D655437A58D87AEABD7C81B062A60504040404"
+)
+_TDE_GOLDENS = [
+    (1, _TDE_BLOB_256_SHA1, 4, 1, True,
+     "2a1a581d67445ffe2d4209eefdbd53101156769066 53d5de29289d77ca5eab69"
+     "425888da4274b5d724f7ad0b08938074487f65af".replace(" ", ""),
+     "ABCDEFGHIJKLMN"),
+    (2, _TDE_BLOB_256_SHA1, 4, 1, True,
+     "cd340393b0c284f68024574c6481765d30234bb8b252889885f8b5e30be097e7"
+     "c5ad9c78f0ec066e8c0fcb763f565749c0c42503",
+     "OPQRSTUVWXYZ"),
+    (3, _TDE_BLOB_256_NOMAC, 4, 2, False,
+     "8cf71610a8a82e479bc3367f8f1e14ba", "ABCDEFGHIJKLMN"),
+    (4, _TDE_BLOB_256_NOMAC, 4, 2, False,
+     "da06e45b3c1f876f54be5b13116527cc", "0123456789"),
+    (5, _TDE_BLOB_192_SHA1, 3, 1, True,
+     "d08104ba0244ca2994cef53f76eb2b022785a9ec6663c50bd177d9344fed6ca3"
+     "9f19834433dbd9e2204f20f1ee774ae9b3f43820",
+     "ABCDEFGHIJKLMN"),
+    (6, _TDE_BLOB_192_SHA1, 3, 1, False,
+     "e8506d551d0bc2a36cb5c0563db6f7be659f1429d19db8ae591de7e5b2aac897"
+     "8c431794",
+     "ABCDEFGHIJKLMN"),
+]
+
+
+def _q_ora_tde_decrypt(spark, sf_dir):
+    """P10 — full Oracle TDE column decrypt over the reference's public
+    vectors: data-key blob parse, [ct‖mac‖salt-iv] layout, zero-IV
+    no-salt path, orcl pad strip (OraCdcTdeColumnDecrypter.java)."""
+    from oracdc_spark.functions.tde import OraTdeColumnDecrypter
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    rows = [(i, blob, enc, intg, salt, ct)
+            for i, blob, enc, intg, salt, ct, _ in _TDE_GOLDENS]
+    df = spark.createDataFrame(
+        rows, "id bigint, blob string, enc int, intg int, salted boolean, ct string"
+    ).coalesce(1)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _dec(blob, enc, intg, salted, ct):
+        # untyped on purpose: the module's future-annotations would make
+        # pd.Series hints unresolvable strings for the UDF inferrer
+        out = []
+        for b, e, g, s, c in zip(blob, enc, intg, salted, ct):
+            d = OraTdeColumnDecrypter(bytes.fromhex(b), int(e), int(g))
+            out.append(d.decrypt(bytes.fromhex(c), bool(s)).decode("ascii"))
+        return pd.Series(out)
+
+    return df.select("id", _dec("blob", "enc", "intg", "salted", "ct").alias("s"))
+
+
 def _q_ora_charset_decode(spark, sf_dir):
     from oracdc_spark.functions.decoders import ora_charset_decode
     from oracdc_spark.session import ship_package
@@ -872,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cell_centroids": _q_sim_centroids,
         "similarity_kmeans_cells": _q_sim_kmeans,
         "graph_pagerank": _q_graph_pagerank,
+        "ora_tde_decrypt": _q_ora_tde_decrypt,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
         "similarity_ivf_multiprobe": _q_sim_ivf_mp,
@@ -1288,6 +1360,10 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
     )
     sql["ora_charset_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, '{s}' AS s" for i, _, s in _CHARSET_GOLDENS
+    )
+    sql["ora_tde_decrypt"] = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS id, '{p}' AS s"
+        for i, _, _, _, _, _, p in _TDE_GOLDENS
     )
     sql["ora_charset_id_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, '{s}' AS s"

@@ -18,6 +18,7 @@ aes_decrypt consumes natively.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves the UDF's type hints
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -39,21 +40,38 @@ def tde_decrypt(col: Column | str, key: str, mode: str = "GCM") -> Column:
 # Oracle TDE column layout (OraCdcTdeColumnDecrypter.java:157-196)
 # ---------------------------------------------------------------------------
 #
-#     [ ciphertext | salt-IV (16B, when salted) | MAC ]
+#     [ ciphertext | MAC | salt-IV ]
 #
-# * salted columns carry their AES-CBC IV as the 16 bytes AFTER the
-#   ciphertext; no-salt columns use an all-zero IV (:171-174);
-# * integrity suffix: SHA-1 MAC = 20 bytes, GCM tag = 16, NOMAC = 0
-#   (:175-178);
-# * plaintext padding is the PKCS7 scheme (pad byte k repeated k times,
-#   `padOrclBytes` :198+);
+# * salted columns carry their CBC IV as the LAST 16 bytes (8 for 3DES):
+#   the reference computes the IV offset before subtracting the MAC
+#   (:160-168), so the integrity bytes sit BETWEEN ciphertext and IV;
+#   no-salt columns use an all-zero IV (:169-174);
+# * integrity suffix: SHA-1 MAC = 0x14 bytes, GCM tag = 0x10, NOMAC = 0
+#   (:175-178); MACs are stripped, not verified (:186 doFinal over the
+#   ciphertext only);
+# * plaintext padding is PKCS7-shaped but tolerated ABSENT: pad byte k
+#   (1..16) repeated k times strips; anything else passes through
+#   (`padOrclBytes` :197-233);
 # * the wallet-decrypted data key carries a 16-byte header before the
-#   actual AES key (:103, copyOfRange(decDataKey, 0x10, …)).
+#   actual key; key length 0x10/0x18/0x18/0x20 for ENCALG 2 (AES128) /
+#   1 (3DES168) / 3 (AES192) / 4 (AES256) (:80-101).
 #
-# The CBC paths (SHA-1 / NOMAC) restructure to Spark's aes_decrypt
-# convention (IV-prefixed input, 'CBC'/'PKCS') — staying a JVM
-# expression inside WholeStageCodegen.  The GCM path needs a 16-byte IV,
-# which Spark's builtin (12-byte IV) cannot express — documented out.
+# Spark's builtin aes_decrypt offers no CBC/NoPadding combination and a
+# 12-byte GCM IV (Oracle's is 16), so the byte-exact path is a pure-
+# Python AES-CBC inverse cipher (below) behind an Arrow-batched pandas
+# UDF — the cold decode hop of the change feed, same placement as the
+# LOB inflate UDF.  The S-box and round constants are DERIVED from
+# GF(2^8) arithmetic at import, not pasted tables.  3DES (ENCALG 1) has
+# no stdlib/public-dependency primitive here and raises; GCM (INTALG 3)
+# likewise — both are absent from the reference's own test vectors.
+
+ENCALG_3DES168 = 1
+ENCALG_AES128 = 2
+ENCALG_AES192 = 3
+ENCALG_AES256 = 4
+INTALG_SHA1 = 1
+INTALG_NOMAC = 2
+INTALG_GCM = 3
 
 MAC_SHA1 = "SHA1"    # ENC$.INTALG = 1
 MAC_NOMAC = "NOMAC"  # ENC$.INTALG = 2
@@ -63,26 +81,226 @@ _MAC_LEN = {MAC_SHA1: 20, MAC_NOMAC: 0}
 _ZERO_IV = bytes(16)
 
 
-def data_key_from_wallet_blob(blob: bytes, key_bytes: int = 16) -> bytes:
-    """Wallet-decrypted data key blob → AES key: skip the 16-byte header
-    (OraCdcTdeColumnDecrypter.java:103). key_bytes: 16/24/32 for
-    AES128/192/256 (ENC$.ENCALG 2/3/4)."""
-    return blob[0x10 : 0x10 + key_bytes]
+# -- AES inverse cipher (FIPS-197), table-free construction ------------------
+
+
+def _gf_mul(a: int, b: int) -> int:
+    r = 0
+    for _ in range(8):
+        if b & 1:
+            r ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return r
+
+
+def _build_boxes() -> tuple[list[int], list[int]]:
+    # multiplicative inverse via log/antilog over generator 3
+    alog = [0] * 255
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        alog[i] = x
+        log[x] = i
+        x = _gf_mul(x, 3)
+    sbox = [0] * 256
+    for a in range(256):
+        inv = 0 if a == 0 else alog[(255 - log[a]) % 255]
+        b = inv
+        for shift in (1, 2, 3, 4):
+            b ^= ((inv << shift) | (inv >> (8 - shift))) & 0xFF
+        sbox[a] = b ^ 0x63
+    inv_sbox = [0] * 256
+    for a, s in enumerate(sbox):
+        inv_sbox[s] = a
+    return sbox, inv_sbox
+
+
+_SBOX, _INV_SBOX = _build_boxes()
+
+
+def _expand_key(key: bytes) -> list[list[int]]:
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(words[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= rcon
+            rcon = _gf_mul(rcon, 2)
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return words
+
+
+def _decrypt_block(ct: bytes, words: list[list[int]]) -> bytes:
+    nr = len(words) // 4 - 1
+    # state[r + 4c] = input[r + 4c] (column-major per FIPS-197)
+    s = list(ct)
+
+    def add_round_key(rnd: int) -> None:
+        for c in range(4):
+            w = words[4 * rnd + c]
+            for r in range(4):
+                s[r + 4 * c] ^= w[r]
+
+    def inv_shift_rows() -> None:
+        for r in range(1, 4):
+            row = [s[r + 4 * c] for c in range(4)]
+            row = row[-r:] + row[:-r]  # rotate RIGHT by r
+            for c in range(4):
+                s[r + 4 * c] = row[c]
+
+    def inv_sub_bytes() -> None:
+        for i in range(16):
+            s[i] = _INV_SBOX[s[i]]
+
+    def inv_mix_columns() -> None:
+        for c in range(4):
+            a = s[4 * c : 4 * c + 4]
+            s[4 * c + 0] = _gf_mul(a[0], 14) ^ _gf_mul(a[1], 11) ^ _gf_mul(a[2], 13) ^ _gf_mul(a[3], 9)
+            s[4 * c + 1] = _gf_mul(a[0], 9) ^ _gf_mul(a[1], 14) ^ _gf_mul(a[2], 11) ^ _gf_mul(a[3], 13)
+            s[4 * c + 2] = _gf_mul(a[0], 13) ^ _gf_mul(a[1], 9) ^ _gf_mul(a[2], 14) ^ _gf_mul(a[3], 11)
+            s[4 * c + 3] = _gf_mul(a[0], 11) ^ _gf_mul(a[1], 13) ^ _gf_mul(a[2], 9) ^ _gf_mul(a[3], 14)
+
+    add_round_key(nr)
+    for rnd in range(nr - 1, 0, -1):
+        inv_shift_rows()
+        inv_sub_bytes()
+        add_round_key(rnd)
+        inv_mix_columns()
+    inv_shift_rows()
+    inv_sub_bytes()
+    add_round_key(0)
+    return bytes(s)
+
+
+def _aes_cbc_decrypt(ct: bytes, key: bytes, iv: bytes) -> bytes:
+    words = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(ct), 16):
+        block = ct[off : off + 16]
+        plain = _decrypt_block(block, words)
+        out.extend(a ^ b for a, b in zip(plain, prev))
+        prev = block
+    return bytes(out)
+
+
+def orcl_unpad(plaintext: bytes) -> bytes:
+    """padOrclBytes (:197-233): strip pad byte k (1..16) repeated k
+    times; tolerate absent padding (return unchanged)."""
+    if not plaintext:
+        return plaintext
+    k = plaintext[-1]
+    if 1 <= k <= 16 and len(plaintext) >= k and all(
+        b == k for b in plaintext[-k:]
+    ):
+        return plaintext[:-k]
+    return plaintext
+
+
+_KEY_LEN = {
+    ENCALG_3DES168: 0x18,
+    ENCALG_AES128: 0x10,
+    ENCALG_AES192: 0x18,
+    ENCALG_AES256: 0x20,
+}
+
+
+def data_key_from_wallet_blob(blob: bytes, enc_alg: int = ENCALG_AES128) -> bytes:
+    """Wallet-decrypted data key blob → cipher key: skip the 16-byte
+    header, take the algorithm's key length
+    (OraCdcTdeColumnDecrypter.java:80-101)."""
+    return blob[0x10 : 0x10 + _KEY_LEN[enc_alg]]
+
+
+class OraTdeColumnDecrypter:
+    """Python mirror of OraCdcTdeColumnDecrypter: construct from the
+    wallet-decrypted data-key blob + ENC$.ENCALG/INTALG, then
+    ``decrypt(column_bytes, salt)``.
+
+    Verified byte-for-byte against the reference's public test vectors
+    (OraCdcTdeColumnDecrypterTest.java) for AES-256/SHA-1/salt,
+    AES-256/NOMAC/no-salt and AES-192/SHA-1 both ways."""
+
+    def __init__(self, dec_data_key: bytes, enc_alg: int, int_alg: int):
+        if enc_alg == ENCALG_3DES168:
+            raise NotImplementedError(
+                "3DES TDE columns need a DES primitive with no public "
+                "stdlib implementation here (reference ships no test "
+                "vectors for it either)"
+            )
+        if enc_alg not in _KEY_LEN:
+            raise ValueError(f"unknown ENC$.ENCALG {enc_alg}")
+        if int_alg == INTALG_GCM:
+            raise NotImplementedError(
+                "GCM TDE columns use a 16-byte IV Spark's builtin cannot "
+                "express and a GHASH primitive not implemented here"
+            )
+        if int_alg not in (INTALG_SHA1, INTALG_NOMAC):
+            raise ValueError(f"unknown ENC$.INTALG {int_alg}")
+        self._key = data_key_from_wallet_blob(bytes(dec_data_key), enc_alg)
+        self._int_alg = int_alg
+
+    def decrypt(self, column_data: bytes, salt: bool) -> bytes:
+        data = bytes(column_data)
+        ct_len = len(data)
+        if salt:
+            ct_len -= 0x10
+            iv = data[ct_len : ct_len + 0x10]
+        else:
+            iv = _ZERO_IV
+        if self._int_alg == INTALG_SHA1:
+            ct_len -= 0x14
+        plain = _aes_cbc_decrypt(data[:ct_len], self._key, iv)
+        return orcl_unpad(plain)
+
+
+def tde_decrypt_udf(dec_data_key: bytes, enc_alg: int, int_alg: int, salt: bool):
+    """Arrow-batched pandas UDF decrypting a binary TDE column — the
+    cold decode hop, placed like the LOB-inflate UDF (behind the
+    existing feed shuffles, zero extra exchanges)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    dec = OraTdeColumnDecrypter(dec_data_key, enc_alg, int_alg)
+
+    @pandas_udf(BinaryType())
+    def _udf(data):
+        # (untyped signature: the module's future-annotations would turn
+        # pd.Series hints into unresolvable strings for the UDF inferrer)
+        return data.map(lambda b: None if b is None else dec.decrypt(b, salt))
+
+    return _udf
+
+
+# -- JVM-expression path (non-Oracle layouts) --------------------------------
 
 
 def tde_decrypt_column(
     col: Column | str, key: bytes, salt: bool = True, int_alg: str = MAC_SHA1
 ) -> Column:
-    """Decrypt an Oracle TDE column image laid out as above (AES-CBC
-    paths).  MAC bytes are stripped, not verified — the reference does
-    the same (:186 doFinal over ciphertext only)."""
+    """JVM-side decrypt of the Oracle layout via Spark's aes_decrypt —
+    usable when the payload carries valid PKCS padding (Spark has no
+    CBC/NoPadding); stays inside WholeStageCodegen.  MAC bytes are
+    stripped, not verified, like the reference."""
     c = F.col(col) if isinstance(col, str) else col
     mac_len = _MAC_LEN[int_alg.upper()]
     iv_len = 16 if salt else 0
     ct_len = F.length(c) - F.lit(iv_len + mac_len)
     ct = F.substring(c, 1, ct_len)
     if salt:
-        iv = c.substr(ct_len + 1, F.lit(16))
+        # IV = LAST 16 bytes (after the MAC — reference :160-168)
+        iv = c.substr(F.length(c) - F.lit(15), F.lit(16))
     else:
         iv = F.lit(_ZERO_IV)
     return F.aes_decrypt(
@@ -94,12 +312,12 @@ def tde_encrypt_column(
     col: Column | str, key: bytes, int_alg: str = MAC_SHA1
 ) -> Column:
     """Test-side inverse: produce the salted Oracle layout
-    (ct || iv || mac) from plaintext.  Spark's CBC encrypt emits
-    iv || ct; rearrange and append a placeholder MAC (the decrypter
+    (ct || mac || iv) from plaintext.  Spark's CBC encrypt emits
+    iv || ct; rearrange and insert a placeholder MAC (the decrypter
     strips without verifying, like the reference)."""
     c = F.col(col) if isinstance(col, str) else col
     enc = F.aes_encrypt(c, F.lit(key), F.lit("CBC"), F.lit("PKCS"))
     iv = F.substring(enc, 1, 16)
     ct = enc.substr(F.lit(17), F.length(enc) - F.lit(16))
     mac = F.lit(bytes(_MAC_LEN[int_alg.upper()]))
-    return F.concat(ct, iv, mac)
+    return F.concat(ct, mac, iv)

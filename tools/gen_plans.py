@@ -15,6 +15,16 @@ NOTES = {
     "cdc_commit_order": "co-partitioned commit map join; the only global sort in the engine (declared emission contract)",
     "cdc_wrapped_apply": "three windows share ONE pk exchange (ReusedExchange); absent-aware per-column resolution",
     "dedup_minhash_lsh": "wide min-aggregate signatures: one doc_id exchange, band self-join on tiny buckets",
+    "dedup_ngram_jaccard": "per-doc shingle counts join on d1/d2 WITHOUT broadcast hints (corpus-sized "
+                           "build side, round-3 verdict item 4) — AQE still broadcasts small corpora at runtime",
+    "text_tfidf_top_terms": "vocabulary-sized idf table joins on term with no forced broadcast (unbounded "
+                            "on web text); single doc_id window for top-k",
+    "text_unigram_logprob": "token-count table joins on tok unhinted (vocabulary unbounded at corpus scale); "
+                            "one-row corpus total stays broadcast",
+    "similarity_kmeans_cells": "per-iteration: one (cluster,i) refit aggregate (k*d rows, broadcast) + one "
+                               "(vec_id,cluster) assignment aggregate — nothing quadratic in the corpus",
+    "graph_pagerank": "per-iteration: one dst-keyed contribution aggregate + node-keyed merge join; "
+                      "top-k via TakeOrderedAndProject, no global sort",
     "similarity_bruteforce_topk": "query side broadcast; integer dot products; per-query window top-k",
     "similarity_near_dups": "in-cell hyperplane-LSH buckets bound the pair join; exact rescoring of candidates only",
     "cdc_chained_fusion": "full piece matrix fused in ONE aggregation on the transaction key (sort-based: struct-min buffers are not hash-aggregatable) — single exchange, no window, no self-join",
