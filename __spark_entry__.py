@@ -329,7 +329,7 @@ def _q_ora_number_decode(spark, sf_dir):
     ship_package(spark)
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in _NUMBER_GOLDENS], "id bigint, hex string"
-    ).coalesce(1)
+    )
     return df.select("id", ora_number_to_double(F.col("hex")).alias("val"))
 
 
@@ -340,7 +340,7 @@ def _q_ora_binary_fp_decode(spark, sf_dir):
     ship_package(spark)
     df = spark.createDataFrame(
         [(i, bf, bd) for i, bf, bd in _BF_BD_GOLDENS], "id bigint, bf string, bd string"
-    ).coalesce(1)
+    )
     return df.select(
         "id",
         ora_binary_float(F.col("bf")).cast("double").alias("bf_val"),
@@ -373,7 +373,7 @@ def _q_ora_datetime_decode(spark, sf_dir):
     ship_package(spark)
     def _frame(kind):
         rows = [(i, h) for i, h, k, _ in _DATETIME_GOLDENS if k == kind]
-        return spark.createDataFrame(rows, "id bigint, hex string").coalesce(1)
+        return spark.createDataFrame(rows, "id bigint, hex string")
 
     # one frame per kind: when() would evaluate every decode UDF on every
     # row (a 7-byte DATE decoder on interval bytes raises)
@@ -427,10 +427,10 @@ def _q_ora_tstz_decode(spark, sf_dir):
     ship_package(spark)
     tstz = spark.createDataFrame(
         [(i, h) for i, h, _ in _TSTZ_GOLDENS], "id bigint, hex string"
-    ).coalesce(1)
+    )
     ltz = spark.createDataFrame(
         [(i, h) for i, h, _ in _TSLTZ_GOLDENS], "id bigint, hex string"
-    ).coalesce(1)
+    )
     return tstz.select("id", ora_timestamp_tz_str(F.col("hex")).alias("s")).unionAll(
         ltz.select("id", ora_timestamp_ltz_str(_TSLTZ_DB_ZONE)(F.col("hex")).alias("s"))
     )
@@ -508,7 +508,7 @@ def _q_ora_tde_decrypt(spark, sf_dir):
             for i, blob, enc, intg, salt, ct, _ in _TDE_GOLDENS]
     df = spark.createDataFrame(
         rows, "id bigint, blob string, enc int, intg int, salted boolean, ct string"
-    ).coalesce(1)
+    )
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -534,7 +534,7 @@ def _q_ora_charset_decode(spark, sf_dir):
     ship_package(spark)
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in _CHARSET_GOLDENS], "id bigint, hex string"
-    ).coalesce(1)
+    )
     return df.select("id", ora_charset_decode("utf-8")(F.unhex(F.col("hex"))).alias("s"))
 
 
@@ -621,7 +621,7 @@ def _q_ora_charset_id_decode(spark, sf_dir):
     df = spark.createDataFrame(
         [(i, cs, h) for i, cs, h, _ in _CHARSET_ID_GOLDENS],
         "id bigint, cs_id bigint, hex string",
-    ).coalesce(1)
+    )
     return df.select(
         "id", ora_decode_by_charset_id(F.unhex(F.col("hex")), F.col("cs_id")).alias("s")
     )
@@ -636,7 +636,7 @@ def _q_oson_decode(spark, sf_dir):
     ship_package(spark)
     df = spark.createDataFrame(
         [(1, _OSON_GOLDEN_HEX)], "id bigint, hex string"
-    ).coalesce(1)
+    )
     return df.select("id", ora_oson_to_json(F.unhex(F.col("hex"))).alias("s"))
 
 
@@ -645,7 +645,7 @@ def _q_ora_vector_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    df = spark.createDataFrame([(1, _VECTOR_F32_HEX)], "id bigint, hex string").coalesce(1)
+    df = spark.createDataFrame([(1, _VECTOR_F32_HEX)], "id bigint, hex string")
     return df.select(
         "id", F.posexplode(ora_vector(F.col("hex"))).alias("i", "val")
     ).select("id", F.col("i").cast("bigint").alias("i"), "val")

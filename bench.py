@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "text_winnow_candidates",
     "text_dup_span_fraction",
+    # round-4 additions
+    "similarity_kmeans_cells",
+    "graph_pagerank",
+    "ora_tde_decrypt",
 ]
 
 
@@ -117,6 +121,7 @@ def main() -> None:
         "text_bigram_logprob", "text_winnow_candidates", "cdc_scd2_history",
         "events_funnel", "text_dup_span_fraction", "similarity_ivf_multiprobe",
         "q6_forecast_revenue",
+        "similarity_kmeans_cells", "graph_pagerank", "ora_tde_decrypt",
     }
     print(
         json.dumps(
