@@ -150,6 +150,63 @@ def test_streaming_pairing_matches_batch_rollback_first():
     assert unpaired == 2
 
 
+def test_partial_rollback_zero_rows(spark):
+    """OraCdcRollbackZeroRows analog (OraCdcRollbackALTest.java:113-127):
+    a committed transaction whose every original is cancelled by a
+    marker emits NOTHING — and is not treated as an error."""
+    rows = [row(10, "A", 1, pk=1, ssn=0, totalprice=100.0, status="O")]
+    # 5 originals + 5 pairing markers on the same row across scns
+    for j in range(5):
+        rows.append(row(20 + j, "A", 3, pk=2, ssn=0,
+                        totalprice=float(j), status="U"))
+        rows.append(row(20 + j, "A", 3, pk=2, ssn=1, rollback=True))
+    rows.append(row(90, "A", 7))
+    out = cdc.committed_changes(mk(spark, rows)).collect()
+    # only the untouched insert survives; the cancelled pk=2 rows are gone
+    assert [(r.pk, r.scn) for r in out] == [(1, 10)]
+
+    from oracdc_spark.streaming.assembly import _pair_lifo
+
+    stmts = [{"scn": 20 + j, "ssn": 0, "row_id": "R2", "rollback": False}
+             for j in range(5)]
+    markers = [{"scn": 20 + j, "ssn": 1, "row_id": "R2"} for j in range(5)]
+    survivors, unpaired = _pair_lifo(stmts, markers)
+    assert survivors == [] and unpaired == 0
+
+
+def test_partial_rollback_closed_form_matches_simulation(spark):
+    """The batch bracket-matching closed form (window running-count +
+    suffix max) must agree with the streaming commit-time simulator
+    (_pair_lifo) — and hence the reference's backward scan — on many
+    random marker/original interleavings, checked in ONE Spark pass."""
+    import random
+
+    from oracdc_spark.streaming.assembly import _pair_lifo
+
+    rng = random.Random(20260813)
+    rows, expected = [], set()
+    for g in range(200):
+        xid = f"G{g:03d}"
+        n_events = rng.randint(1, 8)
+        flags = [rng.random() < 0.4 for _ in range(n_events)]  # marker?
+        stmts = [
+            {"scn": 11, "ssn": ssn, "row_id": "R1", "rollback": False}
+            for ssn, is_m in enumerate(flags) if not is_m
+        ]
+        markers = [
+            {"scn": 11, "ssn": ssn, "row_id": "R1"}
+            for ssn, is_m in enumerate(flags) if is_m
+        ]
+        survivors, _ = _pair_lifo(list(stmts), list(markers))
+        expected |= {(xid, s["ssn"]) for s in survivors}
+        for ssn, is_m in enumerate(flags):
+            rows.append(row(11, xid, 3, pk=1, ssn=ssn, rollback=is_m,
+                            totalprice=float(ssn), status="U"))
+    df = mk(spark, rows)
+    got = {(r.xid, r.ssn) for r in cdc.partial_rollback_filter(df).collect()}
+    assert got == expected
+
+
 def test_commit_order_stamps_commit_scn(feed):
     out = cdc.commit_ordered(feed).collect()
     assert [r.scn for r in out] == [10, 11, 13, 15]
