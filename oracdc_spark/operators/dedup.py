@@ -137,16 +137,11 @@ def minhash_signatures(docs: DataFrame, n: int = 5, num_hashes: int = 8) -> Data
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def banded_signatures(
     docs: DataFrame, n: int = 5, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """LSH candidate pairs: signature split into `bands` bands of
-    num_hashes/bands rows; docs sharing any band value become candidates.
-
-    The final pair join runs per band-bucket — at 100 TB the bucket
-    groupBy is the only wide op and buckets are tiny (collision = near-dup
-    likelihood by design).  Output: (d1, d2, n_shared_bands).
-    """
+    """(doc_id, band, band_sig): the MinHash signature split into
+    `bands` bands of num_hashes/bands rows — the LSH index relation."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, n, num_hashes)
     band_cols = []
@@ -155,9 +150,21 @@ def minhash_lsh_candidates(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *members).alias("band_sig"))
         )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, n: int = 5, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band value become candidates.
+
+    The final pair join runs per band-bucket — at 100 TB the bucket
+    groupBy is the only wide op and buckets are tiny (collision = near-dup
+    likelihood by design).  Output: (d1, d2, n_shared_bands).
+    """
+    banded = banded_signatures(docs, n, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -168,6 +175,41 @@ def minhash_lsh_candidates(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    indexed_docs: DataFrame,
+    n: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental LSH index maintenance: screen a NEW document batch
+    against the already-indexed corpus without any corpus self-join —
+    the daily-crawl-increment shape of near-dup dedup.
+
+    The new batch's banded signatures join the stored index relation on
+    (band, band_sig); at 100 TB the index side is the persisted
+    :func:`banded_signatures` output, bucketed by band_sig so each
+    increment's join is co-located and touches only colliding buckets.
+    Corpus growth therefore costs O(batch), never O(corpus²) — and the
+    emitted signatures of accepted docs ARE the index delta to append.
+
+    Output: (new_doc_id, indexed_doc_id, n_shared_bands)."""
+    a = banded_signatures(new_docs, n, num_hashes, bands).alias("a")
+    b = banded_signatures(indexed_docs, n, num_hashes, bands).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("indexed_doc_id"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
