@@ -53,7 +53,9 @@ def main() -> None:
         q.processAllAvailable()
         q.stop()
         elapsed = time.time() - t0
-        replica_rows = spark.read.parquet(f"{d}/replica").count()
+        from oracdc_spark.sinks.merge import replica_state
+
+        replica_rows = replica_state(spark, f"{d}/replica").count()
 
     print(
         json.dumps(
