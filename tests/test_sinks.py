@@ -192,6 +192,51 @@ def test_merge_touches_only_affected_buckets(spark):
         assert r[3] == 9999.0
 
 
+def test_merge_adopts_legacy_hive_layout(spark):
+    """A pre-manifest replica (hive-style pk_bucket=N directories) is
+    adopted in place: readable through replica_state, and the next merge
+    commits a manifest over it without losing untouched buckets."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.sinks.merge import (
+        BUCKET_COL,
+        _load_manifest,
+        merge_batch,
+        replica_state,
+    )
+
+    schema = (
+        "owner string, table_name string, pk bigint, totalprice double, "
+        "status string, commit_scn bigint, scn bigint, ssn bigint, op int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/replica"
+        legacy = spark.createDataFrame(
+            [("S", "T", 1, 10.0, "A", 100, 10, 0, 1),
+             ("S", "T", 2, 20.0, "B", 100, 11, 0, 1)],
+            schema,
+        ).withColumn(
+            BUCKET_COL,
+            F.pmod(F.hash("owner", "table_name", "pk"), F.lit(4)),
+        )
+        # old-style write: hive partition dirs, no manifest
+        legacy.write.partitionBy(BUCKET_COL).parquet(path)
+        os.remove(os.path.join(path, "_SUCCESS"))
+        assert _load_manifest(path)["buckets"]  # adopted
+        assert replica_state(spark, path).count() == 2
+
+        # merge on top: update pk=1, leave pk=2's bucket untouched
+        upd = spark.createDataFrame(
+            [("S", "T", 1, 99.0, "A", 200, 20, 0, 3)], schema
+        )
+        merge_batch(spark, upd, path, n_buckets=4)
+        r = {x.pk: x.totalprice for x in replica_state(spark, path).collect()}
+        assert r == {1: 99.0, 2: 20.0}
+
+
 def test_merge_crash_before_manifest_commit_leaves_replica_intact(spark, monkeypatch):
     """Crash injection (round-3 ADVICE item 5): a merge that dies at any
     point BEFORE the atomic manifest replace must leave the replica
