@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "similarity_kmeans_cells",
     "graph_pagerank",
     "ora_tde_decrypt",
+    "dedup_lsh_incremental",
 ]
 
 
@@ -122,6 +123,7 @@ def main() -> None:
         "events_funnel", "text_dup_span_fraction", "similarity_ivf_multiprobe",
         "q6_forecast_revenue",
         "similarity_kmeans_cells", "graph_pagerank", "ora_tde_decrypt",
+        "dedup_lsh_incremental",
     }
     print(
         json.dumps(
