@@ -276,6 +276,14 @@ def _q_multimodal_decode(spark, sf_dir):
     return multimodal.decode_features(media)
 
 
+def _q_multimodal_image_ahash(spark, sf_dir):
+    """Perceptual-hash image dedup over REAL PPM decode: the arithmetic
+    pixel generator makes the whole pipeline (decode → grayscale → 4×4
+    block means → threshold bits) mirrorable in ANSI SQL."""
+    media = multimodal.synthetic_codec_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_ahash(media, grid=4)
+
+
 def _q_cdc_wrapped_flat(spark, sf_dir):
     """Wrapped tri-state mode, flattened for hashability: presence flag +
     value per wrapped column.  Presence comes from the statement's
@@ -1033,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
+        "multimodal_image_ahash": _q_multimodal_image_ahash,
     }
 
 
@@ -1431,6 +1440,39 @@ WITH vids AS (
 )
 SELECT media_id, CAST(i AS BIGINT) AS frame_idx
 FROM vids, UNNEST(generate_series(0, max_frame, 10)) AS t(i)
+"""
+    sql["multimodal_image_ahash"] = """
+WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+dims AS (
+  SELECT media_id, CAST((media_id % 16) + 1 AS BIGINT) AS w,
+         CAST((media_id % 8) + 1 AS BIGINT) AS h
+  FROM m
+),
+px AS (
+  SELECT media_id,
+         ( ((media_id*7 + (3*(y*w+x)+0)*13) % 256)
+         + ((media_id*7 + (3*(y*w+x)+1)*13) % 256)
+         + ((media_id*7 + (3*(y*w+x)+2)*13) % 256) ) // 3 AS gray,
+         (x * 4) // w AS bx, (y * 4) // h AS by
+  FROM dims,
+       UNNEST(generate_series(0, w - 1)) AS tx(x),
+       UNNEST(generate_series(0, h - 1)) AS ty(y)
+),
+blocks AS (
+  SELECT media_id, bx, by, SUM(gray) // COUNT(*) AS bv
+  FROM px GROUP BY media_id, bx, by
+),
+means AS (SELECT media_id, SUM(bv) // COUNT(*) AS mv FROM blocks GROUP BY media_id),
+hashes AS (
+  SELECT b.media_id,
+         CAST(SUM(CASE WHEN bv > mv
+                       THEN CAST(1 AS BIGINT) << CAST(by*4 + bx AS INT)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM blocks b JOIN means USING (media_id) GROUP BY b.media_id
+)
+SELECT media_id, ahash,
+       CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same_hash
+FROM hashes
 """
     sql["multimodal_decode"] = """
 WITH m AS (

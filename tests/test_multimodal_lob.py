@@ -204,3 +204,36 @@ class TestResize:
         w, h, _ = decode_ppm(bytes(out[1].content))
         assert (w, h) == (3, 3)
         assert bytes(out[2].content) == b"vv"  # non-image untouched
+
+
+class TestImageAHash:
+    def test_exact_duplicates_share_hash(self, spark):
+        """make_ppm(id) and make_ppm(id+256) are byte-identical (same
+        w/h, pixels mod 256): their aHashes must collide; a structurally
+        different image must not join the group."""
+        from oracdc_spark.operators.multimodal import image_ahash, make_ppm
+
+        rows = [
+            (7, "image", make_ppm(7), "x", "{}"),
+            (263, "image", make_ppm(263), "x", "{}"),   # 7 + 256 → dup
+            (8, "image", make_ppm(8), "x", "{}"),
+            (9, "audio", b"not an image", "x", "{}"),    # skipped
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, content binary, mime string, meta_json string",
+        )
+        out = {r.media_id: (r.ahash, r.n_same_hash) for r in image_ahash(df).collect()}
+        assert set(out) == {7, 263, 8}
+        assert out[7][0] == out[263][0] and out[7][1] == 2
+        assert make_ppm(7) == make_ppm(263)
+
+    def test_ahash_deterministic_integer(self):
+        """The hash definition is pure integer arithmetic on the
+        raster — byte-equal inputs give equal hashes regardless of
+        partitioning (no float anywhere)."""
+        from oracdc_spark.operators.multimodal import ppm_raster, make_ppm
+
+        w, h, raster = ppm_raster(make_ppm(12))
+        assert (w, h) == ((12 % 16) + 1, (12 % 8) + 1)
+        assert len(raster) == w * h * 3
