@@ -284,6 +284,14 @@ def _q_multimodal_image_ahash(spark, sf_dir):
     return multimodal.image_ahash(media, grid=4)
 
 
+def _q_multimodal_audio_ehash(spark, sf_dir):
+    """Energy-envelope audio fingerprint over REAL WAV decode; the
+    arithmetic sample generator mirrors decode → segment energies →
+    threshold bits in ANSI SQL."""
+    media = multimodal.synthetic_codec_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_energy_hash(media, segments=8)
+
+
 def _q_cdc_wrapped_flat(spark, sf_dir):
     """Wrapped tri-state mode, flattened for hashability: presence flag +
     value per wrapped column.  Presence comes from the statement's
@@ -1042,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "multimodal_image_ahash": _q_multimodal_image_ahash,
+        "multimodal_audio_ehash": _q_multimodal_audio_ehash,
     }
 
 
@@ -1472,6 +1481,31 @@ hashes AS (
 )
 SELECT media_id, ahash,
        CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same_hash
+FROM hashes
+"""
+    sql["multimodal_audio_ehash"] = """
+WITH a AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+dims AS (SELECT media_id, CAST((media_id % 100) + 1 AS BIGINT) AS n FROM a),
+smp AS (
+  SELECT media_id, n,
+         ((media_id*31 + i*17) % 65536) - 32768 AS s,
+         (i * 8) // n AS seg
+  FROM dims, UNNEST(generate_series(0, n - 1)) AS t(i)
+),
+segs AS (
+  SELECT media_id, seg, SUM(s * s) // COUNT(*) AS ev
+  FROM smp GROUP BY media_id, seg
+),
+means AS (SELECT media_id, SUM(ev) // COUNT(*) AS mv FROM segs GROUP BY media_id),
+hashes AS (
+  SELECT s.media_id,
+         CAST(SUM(CASE WHEN ev > mv
+                       THEN CAST(1 AS BIGINT) << CAST(seg AS INT)
+                       ELSE 0 END) AS BIGINT) AS ehash
+  FROM segs s JOIN means USING (media_id) GROUP BY s.media_id
+)
+SELECT media_id, ehash,
+       CAST(COUNT(*) OVER (PARTITION BY ehash) AS BIGINT) AS n_same_hash
 FROM hashes
 """
     sql["multimodal_decode"] = """
