@@ -186,6 +186,212 @@ def _q_initial_load(spark, sf_dir):
     return initial_load.initial_load_union(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# G8 schema evolution driver parity (registry_evolution)
+# ---------------------------------------------------------------------------
+
+_EVO_TYPES = [  # h → Oracle type text for generated ADD specs
+    "NUMBER(9)",
+    "VARCHAR2(100)",
+    "NUMBER(5,2)",
+    "TIMESTAMP",
+    "BINARY_DOUBLE",
+    "DATE",
+]
+
+
+def _evolution_ddls(n: int, nm: str) -> list[str]:
+    """Deterministic captured-DDL stream for nation key ``n``: K = 2+n%5
+    single-verb statements (ADD / DROP COLUMN / SET UNUSED) followed by
+    one compound multi-clause statement.  Drop-eligibility follows the
+    recurrence is_drop(k) = raw_drop(k) AND NOT is_drop(k-1) with
+    raw_drop(k) = (n*37 + k*101) % 10 >= 6, so a drop always targets the
+    column added by the immediately preceding step (C0 at k=1) — the
+    closed form the DuckDB oracle mirrors via gaps-and-islands."""
+    ddls = []
+    prev_drop = False
+    for k in range(1, 2 + n % 5 + 1):
+        h = (n * 37 + k * 101) % 10
+        is_drop = h >= 6 and not prev_drop
+        if is_drop:
+            target = f"C{k - 1}" if k > 1 else "C0"
+            if h % 2 == 1:
+                ddls.append(f'ALTER TABLE SCOTT."{nm}" SET UNUSED ({target})')
+            else:
+                ddls.append(f'ALTER TABLE SCOTT."{nm}" DROP COLUMN {target}')
+        else:
+            typ = _EVO_TYPES[h % 6]
+            if h % 2 == 1:
+                ddls.append(f'ALTER TABLE SCOTT."{nm}" ADD C{k} {typ}')
+            else:
+                ddls.append(f'ALTER TABLE SCOTT."{nm}" ADD (C{k} {typ})')
+        prev_drop = is_drop
+    ddls.append(
+        f'ALTER TABLE SCOTT."{nm}" ADD ("Z one" NUMBER(9), Z2 VARCHAR2(50)) '
+        'MODIFY (C0 VARCHAR2(200)) DROP (Z2) RENAME COLUMN "Z one" TO Z1'
+    )
+    return ddls
+
+
+def _q_registry_key_guard(spark, sf_dir):
+    """S10 key preference + F8 guard/unused suppression driver parity:
+    per nation-derived table, discover the key per the reference's
+    preference order (well-defined PK → NOT NULL unique index → ROWID
+    pseudo-key, with the per-table ROWID override taking precedence —
+    OraDictSqlTexts.java:242-356, OraCdcKeyOverrideTypes.java:28) and
+    register the schema with functional-index guard (``SYS_NC…$``) and
+    set-unused (``SYS_C…$``) columns hidden (OraCdcColumn.java:93-94).
+    Driver-side dictionary work, bounded by table count (see
+    ``_q_registry_evolution``)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from oracdc_spark import registry as R
+
+    nats = sorted(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+        key=lambda r: int(r.n_nationkey),
+    )
+    reg = R.SchemaRegistry()
+    rows = []
+    for r in nats:
+        n, nm = int(r.n_nationkey), r.n_name
+        fields = [
+            StructField("ID", LongType(), False),
+            StructField("VAL", StringType(), True),
+            StructField("SYS_NC00007$", StringType(), True),  # guard col
+        ]
+        if n % 2 == 0:
+            fields.append(StructField("EXTRA", StringType(), True))
+            # Oracle's rename of a set-unused column
+            fields.append(StructField("SYS_C42_20240101:12:34$", StringType(), True))
+        pk = ("ID",) if n % 3 == 0 else ()
+        uq = ("VAL",) if n % 3 == 1 else ()
+        override = R.OVERRIDE_ROWID if n % 7 == 0 else R.OVERRIDE_NONE
+        key_cols, key_kind = R.choose_key(pk, uq, override)
+        td = reg.register(
+            R.TableDef("SCOTT", nm, StructType(fields), key_cols, key_kind)
+        )
+        rows.append(
+            (
+                "SCOTT",
+                nm,
+                key_kind,
+                ",".join(key_cols),
+                ",".join(sorted(f.name for f in td.schema.fields)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "owner string, table_name string, key_kind string, "
+        "key_cols string, columns string",
+    )
+
+
+def _q_smt_sanitize(spark, sf_dir):
+    """P12 + §2.8 SMT chain driver parity: Avro-illegal field names
+    sanitized (KafkaUtils.fixAvroFieldName: non-[A-Za-z0-9_] → '_',
+    leading digit prefixed) then the ToLowerCase name converter —
+    pure schema rewrites, values pass through untouched."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("1PK"),
+        F.col("p_name").alias("NAME W SPACE"),
+        F.col("p_retailprice").cast("double").alias("PRICE@$!"),
+    )
+    return transforms.to_lowercase_names(transforms.sanitize_avro_names(p))
+
+
+def _q_jdbc_autocreate(spark, sf_dir):
+    """K4 auto-create driver parity: the CREATE TABLE text generated for
+    one sink schema across all five dialect type maps
+    (TargetDbSqlUtils.java:77-186); the oracle is an independent
+    hand-written restatement of the expected DDL (golden parity, like
+    the decoder vectors)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DecimalType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from oracdc_spark.sinks.jdbc_sql import DIALECTS, SinkTable, create_table_sql
+
+    t = SinkTable(
+        "ORDERS_SINK",
+        StructType(
+            [
+                StructField("PK", LongType(), False),
+                StructField("SKEY", StringType(), False),
+                StructField("AMOUNT", DecimalType(12, 2), True),
+                StructField("RATIO", DoubleType(), True),
+                StructField("NOTE", StringType(), True),
+                StructField("PAYLOAD", BinaryType(), True),
+                StructField("TS", TimestampType(), True),
+                StructField("OK", BooleanType(), True),
+            ]
+        ),
+        ("PK", "SKEY"),
+    )
+    rows = [(d, create_table_sql(t, d)) for d in DIALECTS]
+    return spark.createDataFrame(rows, "dialect string, ddl string")
+
+
+def _q_registry_evolution(spark, sf_dir):
+    """G8 driver parity: replay a deterministic captured-DDL stream
+    through the versioned SchemaRegistry (ADD / DROP / MODIFY / RENAME /
+    SET UNUSED, bare, paren, quoted-identifier and compound multi-clause
+    forms) and emit the final registry state per table.
+
+    The registry is driver-side dictionary metadata by design (the
+    reference keeps it in connector memory, OraCdcTableBase.java:404-530);
+    the 25-row nation dim supplies table identities, so this loop is
+    bounded by dictionary size, never data size — at 100 TB the table
+    count, not the row count, is the driver."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from oracdc_spark.registry import SchemaRegistry, TableDef
+
+    nats = sorted(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect(),
+        key=lambda r: int(r.n_nationkey),
+    )
+    reg = SchemaRegistry()
+    rows = []
+    for r in nats:
+        n, nm = int(r.n_nationkey), r.n_name
+        reg.register(
+            TableDef(
+                owner="SCOTT",
+                name=nm,
+                schema=StructType(
+                    [
+                        StructField("PK", LongType(), False),
+                        StructField("C0", StringType(), True),
+                    ]
+                ),
+                key_cols=("PK",),
+            )
+        )
+        for ddl in _evolution_ddls(n, nm):
+            reg.apply_ddl("SCOTT", nm, ddl)
+        td = reg.get("SCOTT", nm)
+        rows.append(
+            (
+                td.owner,
+                td.name,
+                td.version,
+                ",".join(sorted(f.name for f in td.schema.fields)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "owner string, table_name string, version long, columns string"
+    )
+
+
 def _q_cdc_pseudo_columns(spark, sf_dir):
     return transforms.add_pseudo_columns(cdc.commit_stamped(change_feed(spark, sf_dir)))
 
@@ -913,72 +1119,27 @@ def _q_text_pii_scrub(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver's correctness gate checks a
-    # 50-query window from the FRONT of this dict.  Rounds 1-3 had the CDC
-    # block first, so the analytics / dedup / similarity / text queries
-    # below never received a driver row.  Round 4 rotates them to the
-    # front; the CDC block (green in CORRECTNESS_r01..r03) moves behind.
-    # ROUND-5 TODO: rotate again so the ~18 keys still without any driver
-    # row move into the window: similarity_ivf_topk, ivf_multiprobe,
-    # sq8_recall, near_dups, and the text_* block from text_token_stats
-    # through text_pii_scrub.
+    # 50-query window from the FRONT of this dict.  Rounds 1-3 checked the
+    # CDC block; round 4 checked analytics/dedup/sampling/kmeans/pagerank.
+    # ROUND-5 rotation: front-load (a) the 22 queries that have never had
+    # a driver row (similarity ×5, text ×15, multimodal hashes ×2),
+    # (b) dedup_simhash (r4 red: oracle HUGEINT cast, fixed this round),
+    # (c) cdc_partial_rollback/cdc_committed/cdc_commit_order — G4's
+    # pairing semantics changed in r4 with no driver row since — plus the
+    # CDC consumers of the pairing output, and (d) the three analytics
+    # queries whose join plans changed this round (broadcast hints
+    # dropped).  Everything behind the window is green in r1–r4 driver
+    # files and unchanged.
     return {
-        # --- declared relational operators (SURVEY §2.6) ---
-        "q1_pricing_summary": analytics.q1_pricing_summary,
-        "q3_shipping_priority": analytics.q3_shipping_priority,
-        "q5_region_revenue": analytics.q5_region_revenue,
-        "top_orders": analytics.top_orders,
-        "customer_order_rank": analytics.customer_order_rank,
-        "customers_set_ops": analytics.customers_set_ops,
-        "orders_rollup": analytics.orders_rollup,
-        "orders_cube": analytics.orders_cube,
-        "orders_pivot": analytics.orders_pivot,
-        "q6_forecast_revenue": analytics.q6_forecast_revenue,
-        "orders_by_year": analytics.orders_by_year,
-        "lineitem_distinct_stats": analytics.lineitem_distinct_stats,
-        "supplier_min_acctbal": analytics.supplier_min_acctbal,
-        "events_topk_per_type": analytics.events_topk_per_type,
-        "big_orders_having": analytics.big_orders_having,
-        "conditional_agg": analytics.conditional_agg,
-        "customers_without_orders": analytics.customers_without_orders,
-        "promo_revenue": analytics.promo_revenue,
-        "orders_above_cust_avg": analytics.orders_above_cust_avg,
-        "events_hourly": analytics.events_hourly,
-        "events_range_join": analytics.events_range_join,
-        "events_asof_join": _q_events_asof,
-        "events_funnel": analytics.events_funnel,
-        "events_moving_avg": analytics.events_moving_avg,
-        "events_value_profile": analytics.events_value_profile,
-        "events_value_histogram": analytics.events_value_histogram,
-        "customers_with_orders_semi": analytics.customers_with_orders_semi,
-        "events_running_total": analytics.events_running_total,
-        "events_sessionize": analytics.events_sessionize,
-        "events_type_stats": analytics.events_type_stats,
-        # --- LLM-data-pipeline operators (BASELINE.json north star) ---
-        "dedup_exact_groups": _q_dedup_exact_groups,
-        "dedup_exact_keep": _q_dedup_exact_keep,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_minhash_signatures": _q_dedup_minhash_signatures,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_lsh_incremental": _q_dedup_lsh_incremental,
+        # --- (b) r4's one red row, oracle fixed this round ---
         "dedup_simhash": _q_dedup_simhash,
-        "dedup_decisions": _q_dedup_decisions,
-        "dedup_clusters": _q_dedup_clusters,
-        "pipeline_sample": _q_pipeline_sample,
-        "pipeline_quota_sample": _q_quota_sample,
-        "pipeline_temperature_mix": _q_temperature_mix,
-        "pipeline_split": _q_pipeline_split,
-        "text_vocab_coverage": _q_text_vocab_coverage,
-        "text_top_ngrams": _q_text_top_ngrams,
-        "text_contamination": _q_text_contamination,
-        "similarity_cell_centroids": _q_sim_centroids,
-        "similarity_kmeans_cells": _q_sim_kmeans,
-        "graph_pagerank": _q_graph_pagerank,
-        "ora_tde_decrypt": _q_ora_tde_decrypt,
+        # --- (a) first-ever driver rows: similarity block ---
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
         "similarity_ivf_multiprobe": _q_sim_ivf_mp,
         "similarity_sq8_recall": _q_sim_sq8_recall,
         "similarity_near_dups": _q_sim_near_dups,
+        # --- (a) first-ever driver rows: text block ---
         "text_token_stats": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_lang,
@@ -994,42 +1155,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_span_fraction": _q_text_dup_spans,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_pii_scrub": _q_text_pii_scrub,
-        # --- CDC core (SURVEY §2.3, §2.5, §2.2) ---
+        # --- (a) first-ever driver rows: multimodal content hashes ---
+        "multimodal_image_ahash": _q_multimodal_image_ahash,
+        "multimodal_audio_ehash": _q_multimodal_audio_ehash,
+        # --- (c) G4 pairing changed r4: first post-change driver rows ---
+        "cdc_partial_rollback": _q_cdc_partial_rollback,
+        "cdc_committed": _q_cdc_committed,
+        "cdc_commit_order": _q_cdc_commit_order,
+        # G8 schema evolution: first-ever driver row (new query, r5)
+        "registry_evolution": _q_registry_evolution,
+        # --- (d) analytics whose join plans changed r5 (hints dropped) ---
+        "q3_shipping_priority": analytics.q3_shipping_priority,
+        "q5_region_revenue": analytics.q5_region_revenue,
+        "promo_revenue": analytics.promo_revenue,
+        # --- CDC consumers of the changed pairing output ---
+        "cdc_replay_filter": _q_cdc_replay_filter,
+        "cdc_txn_stats": _q_cdc_txn_stats,
+        "cdc_batch_dedup": _q_cdc_batch_dedup,
+        "cdc_apply_changes": _q_cdc_apply_changes,
+        "kafka_records": _q_kafka_records,
+        "cdc_debezium": _q_cdc_debezium,
         "cdc_feed": _q_cdc_feed,
+        "cdc_wrapped_flat": _q_cdc_wrapped_flat,
+        "cdc_wrapped_apply": _q_cdc_wrapped_apply,
+        "cdc_replica_asof": _q_cdc_replica_asof,
+        "cdc_scd2_history": _q_cdc_scd2,
+        "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
+        "cdc_restart_scn": _q_cdc_restart_scn,
+        "cdc_tombstones": _q_cdc_tombstones,
+        "cdc_row_fusion": _q_row_fusion,
+        "cdc_change_vector": _q_change_vector,
+        "ora_tde_decrypt": _q_ora_tde_decrypt,
+        # first-ever driver rows for S10/F8, P12/§2.8 SMTs, K4 (new r5)
+        "registry_key_guard": _q_registry_key_guard,
+        "smt_sanitize": _q_smt_sanitize,
+        "jdbc_autocreate": _q_jdbc_autocreate,
+        # ================= end of 50-query window =================
+        "lob_reassembly": _q_lob_reassembly,
+        "mvlog_batch": _q_mvlog_batch,
+        "pipeline_curation": _q_pipeline_curation,
+        # --- declared relational operators (SURVEY §2.6, all green r4) ---
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "top_orders": analytics.top_orders,
+        "customer_order_rank": analytics.customer_order_rank,
+        "customers_set_ops": analytics.customers_set_ops,
+        "orders_rollup": analytics.orders_rollup,
+        "orders_cube": analytics.orders_cube,
+        "orders_pivot": analytics.orders_pivot,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "orders_by_year": analytics.orders_by_year,
+        "lineitem_distinct_stats": analytics.lineitem_distinct_stats,
+        "supplier_min_acctbal": analytics.supplier_min_acctbal,
+        "events_topk_per_type": analytics.events_topk_per_type,
+        "big_orders_having": analytics.big_orders_having,
+        "conditional_agg": analytics.conditional_agg,
+        "customers_without_orders": analytics.customers_without_orders,
+        "orders_above_cust_avg": analytics.orders_above_cust_avg,
+        "events_hourly": analytics.events_hourly,
+        "events_range_join": analytics.events_range_join,
+        "events_asof_join": _q_events_asof,
+        "events_funnel": analytics.events_funnel,
+        "events_moving_avg": analytics.events_moving_avg,
+        "events_value_profile": analytics.events_value_profile,
+        "events_value_histogram": analytics.events_value_histogram,
+        "customers_with_orders_semi": analytics.customers_with_orders_semi,
+        "events_running_total": analytics.events_running_total,
+        "events_sessionize": analytics.events_sessionize,
+        "events_type_stats": analytics.events_type_stats,
+        # --- LLM-data-pipeline operators (green r4) ---
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_keep": _q_dedup_exact_keep,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_signatures": _q_dedup_minhash_signatures,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_lsh_incremental": _q_dedup_lsh_incremental,
+        "dedup_decisions": _q_dedup_decisions,
+        "dedup_clusters": _q_dedup_clusters,
+        "pipeline_sample": _q_pipeline_sample,
+        "pipeline_quota_sample": _q_quota_sample,
+        "pipeline_temperature_mix": _q_temperature_mix,
+        "pipeline_split": _q_pipeline_split,
+        "text_vocab_coverage": _q_text_vocab_coverage,
+        "text_top_ngrams": _q_text_top_ngrams,
+        "text_contamination": _q_text_contamination,
+        "similarity_cell_centroids": _q_sim_centroids,
+        "similarity_kmeans_cells": _q_sim_kmeans,
+        "graph_pagerank": _q_graph_pagerank,
+        # --- CDC core (SURVEY §2.3, §2.5, §2.2; green r1–r3) ---
         "cdc_op_filter": _q_cdc_op_filter,
         "cdc_scn_window": _q_cdc_scn_window,
         "cdc_table_include": _q_cdc_table_include,
         "cdc_container_filter": _q_cdc_container_filter,
-        "cdc_partial_rollback": _q_cdc_partial_rollback,
-        "cdc_committed": _q_cdc_committed,
-        "cdc_commit_order": _q_cdc_commit_order,
-        "cdc_replay_filter": _q_cdc_replay_filter,
-        "cdc_txn_stats": _q_cdc_txn_stats,
-        "cdc_restart_scn": _q_cdc_restart_scn,
-        "cdc_batch_dedup": _q_cdc_batch_dedup,
-        "cdc_apply_changes": _q_cdc_apply_changes,
-        "cdc_replica_asof": _q_cdc_replica_asof,
-        "cdc_scd2_history": _q_cdc_scd2,
-        "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
-        "cdc_debezium": _q_cdc_debezium,
-        "cdc_tombstones": _q_cdc_tombstones,
         "cdc_single_mode": _q_cdc_single_mode,
         "cdc_pseudo_columns": _q_cdc_pseudo_columns,
-        "cdc_wrapped_flat": _q_cdc_wrapped_flat,
-        "cdc_wrapped_apply": _q_cdc_wrapped_apply,
         "cdc_completeness_rejects": _q_cdc_completeness_rejects,
         "cdc_delete_all_cols": _q_cdc_delete_all_cols,
-        "pipeline_curation": _q_pipeline_curation,
-        "cdc_row_fusion": _q_row_fusion,
-        "cdc_change_vector": _q_change_vector,
         "cdc_chained_fusion": _q_chained_fusion,
         "cdc_chained_incomplete": _q_chained_incomplete,
         "cdc_multirow_expansion": _q_multirow_expansion,
         "cdc_direct_load": _q_direct_load,
-        "lob_reassembly": _q_lob_reassembly,
         "lob_inflate": _q_lob_inflate,
         # --- sources (SURVEY §2.1: S6-S9) ---
-        "mvlog_batch": _q_mvlog_batch,
         "initial_load_union": _q_initial_load,
         # --- type decoders (SURVEY §2.4: P3-P6, P9) ---
         "ora_number_decode": _q_ora_number_decode,
@@ -1043,14 +1269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ora_charset_id_decode": _q_ora_charset_id_decode,
         "oson_decode": _q_oson_decode,
         "ora_rowid_decode": _q_ora_rowid_decode,
-        # --- K1 kafka record binding ---
-        "kafka_records": _q_kafka_records,
         # --- multimodal plumbing (rows-only: stubbed codecs) ---
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
-        "multimodal_image_ahash": _q_multimodal_image_ahash,
-        "multimodal_audio_ehash": _q_multimodal_audio_ehash,
     }
 
 
@@ -1546,6 +1768,117 @@ UNION ALL
 SELECT a.media_id, 'audio', CAST(NULL AS INT), CAST(NULL AS INT),
        CAST(NULL AS BIGINT), a.n_samples, a.n_samples * 125, q.sum_sq_amplitude
 FROM aud a JOIN audsum q USING (media_id)
+"""
+    # S10 + F8 — closed form of _q_registry_key_guard's table specs
+    sql["registry_key_guard"] = """
+WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS n, n_name AS nm FROM nation)
+SELECT 'SCOTT' AS owner, nm AS table_name,
+       CASE WHEN n % 7 = 0 THEN 'rowid'
+            WHEN n % 3 = 0 THEN 'pk'
+            WHEN n % 3 = 1 THEN 'unique_index'
+            ELSE 'rowid' END AS key_kind,
+       CASE WHEN n % 7 = 0 THEN 'ORA_ROW_ID'
+            WHEN n % 3 = 0 THEN 'ID'
+            WHEN n % 3 = 1 THEN 'VAL'
+            ELSE 'ORA_ROW_ID' END AS key_cols,
+       CASE WHEN n % 2 = 0 THEN 'EXTRA,ID,VAL' ELSE 'ID,VAL' END AS columns
+FROM nat
+"""
+    # P12 + ToLowerCase SMT — sanitized + lowercased aliases, values as-is
+    sql["smt_sanitize"] = """
+SELECT p_partkey AS _1pk, p_name AS name_w_space,
+       CAST(p_retailprice AS DOUBLE) AS price___
+FROM part
+"""
+    # K4 — hand-written expected DDL per dialect (independent golden
+    # restatement of TargetDbSqlUtils.java:77-186 type maps)
+    _acreate = {
+        "postgresql": (
+            "CREATE TABLE ORDERS_SINK (\n"
+            "  PK bigint NOT NULL,\n  SKEY varchar(255) NOT NULL,\n"
+            "  AMOUNT decimal(12,2),\n  RATIO double precision,\n"
+            "  NOTE text,\n  PAYLOAD bytea,\n  TS timestamp,\n  OK boolean,\n"
+            "  PRIMARY KEY (PK, SKEY)\n)"
+        ),
+        "mysql": (
+            "CREATE TABLE ORDERS_SINK (\n"
+            "  PK bigint NOT NULL,\n  SKEY varchar(255) NOT NULL,\n"
+            "  AMOUNT decimal(12,2),\n  RATIO double,\n"
+            "  NOTE text,\n  PAYLOAD blob,\n  TS datetime(6),\n  OK boolean,\n"
+            "  PRIMARY KEY (PK, SKEY)\n)"
+        ),
+        "oracle": (
+            "CREATE TABLE ORDERS_SINK (\n"
+            "  PK NUMBER(19) NOT NULL,\n  SKEY VARCHAR2(255) NOT NULL,\n"
+            "  AMOUNT NUMBER(12,2),\n  RATIO BINARY_DOUBLE,\n"
+            "  NOTE VARCHAR2(4000),\n  PAYLOAD BLOB,\n  TS TIMESTAMP,\n"
+            "  OK NUMBER(1),\n  PRIMARY KEY (PK, SKEY)\n)"
+        ),
+        "mssql": (
+            "CREATE TABLE ORDERS_SINK (\n"
+            "  PK bigint NOT NULL,\n  SKEY nvarchar(255) NOT NULL,\n"
+            "  AMOUNT decimal(12,2),\n  RATIO float,\n"
+            "  NOTE nvarchar(max),\n  PAYLOAD varbinary(max),\n"
+            "  TS datetime2,\n  OK bit,\n  PRIMARY KEY (PK, SKEY)\n)"
+        ),
+        "clickhouse": (
+            "CREATE TABLE ORDERS_SINK (\n"
+            "  PK Int64 NOT NULL,\n  SKEY String NOT NULL,\n"
+            "  AMOUNT Decimal(12, 2),\n  RATIO Float64,\n"
+            "  NOTE String,\n  PAYLOAD String,\n  TS DateTime64(6),\n"
+            "  OK Bool\n) ENGINE = ReplacingMergeTree ORDER BY (PK, SKEY)"
+        ),
+    }
+    sql["jdbc_autocreate"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            "('{}', e'{}')".format(
+                d, ddl.replace("'", "''").replace("\n", "\\n")
+            )
+            for d, ddl in _acreate.items()
+        )
+        + ") AS t(dialect, ddl)"
+    )
+    # G8 schema evolution — closed form of _evolution_ddls: is_drop
+    # alternates within each maximal run of raw_drop=true steps
+    # (gaps-and-islands), a drop kills the previous step's column (C0 at
+    # k=1), the trailing compound statement nets +Z1; version = initial 1
+    # + K single-verb bumps + 1 compound bump = 4 + n%5.
+    sql["registry_evolution"] = """
+WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS n, n_name AS nm FROM nation),
+steps AS (
+  SELECT n, nm, CAST(t.k AS BIGINT) AS k,
+         ((n*37 + t.k*101) % 10) >= 6 AS raw_drop
+  FROM nat, UNNEST(generate_series(1, 2 + (n % 5))) AS t(k)
+),
+isl AS (
+  SELECT *, k - ROW_NUMBER() OVER (PARTITION BY n, raw_drop ORDER BY k) AS grp
+  FROM steps
+),
+flags AS (
+  SELECT n, nm, k,
+         raw_drop AND (ROW_NUMBER() OVER (
+             PARTITION BY n, raw_drop, grp ORDER BY k) % 2 = 1) AS is_drop
+  FROM isl
+),
+ordered AS (
+  SELECT *, COALESCE(LEAD(is_drop) OVER (PARTITION BY n ORDER BY k), FALSE) AS next_drop
+  FROM flags
+),
+kept AS (
+  SELECT n, nm, 'C' || CAST(k AS VARCHAR) AS col
+  FROM ordered WHERE NOT is_drop AND NOT next_drop
+  UNION ALL
+  SELECT n, nm, 'C0' FROM ordered WHERE k = 1 AND NOT is_drop
+  UNION ALL
+  SELECT n, nm, 'PK' FROM nat
+  UNION ALL
+  SELECT n, nm, 'Z1' FROM nat
+)
+SELECT 'SCOTT' AS owner, nm AS table_name,
+       CAST(4 + (n % 5) AS BIGINT) AS version,
+       string_agg(col, ',' ORDER BY col) AS columns
+FROM kept GROUP BY n, nm
 """
     sql["mvlog_batch"] = mvlog.MVLOG_BATCH_SQL.format(last_seq=1000, batch_size=500)
     sql["initial_load_union"] = initial_load.INITIAL_LOAD_SQL.format(
@@ -2462,10 +2795,11 @@ bits AS (
   GROUP BY doc_id, b
 ),
 sig AS (
-  SELECT doc_id, SUM(bit_val << b) AS simhash FROM bits GROUP BY doc_id
+  -- CAST: DuckDB widens SUM(BIGINT) to HUGEINT (int128); Spark stays int64.
+  SELECT doc_id, CAST(SUM(bit_val << b) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
 ),
 bkt AS (
-  SELECT doc_id, (simhash >> 48) AS bucket FROM sig
+  SELECT doc_id, CAST(simhash >> 48 AS BIGINT) AS bucket FROM sig
 )
 SELECT a.doc_id AS d1, b.doc_id AS d2, a.bucket
 FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id

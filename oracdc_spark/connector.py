@@ -275,7 +275,24 @@ class OraCdcConnector:
 
         threshold = int(self.config.get("a2.transactions.threshold", "0"))
         feed = self.scoped_feed(change_feed(spark, sf_dir))
-        return cdc.txn_stats(feed, salt_buckets=16 if threshold > 0 else None)
+        return cdc.txn_stats(feed, salt_buckets=self._salt_buckets(threshold))
+
+    @staticmethod
+    def _salt_buckets(threshold: int) -> int | None:
+        """Map the reference's concurrency budget to a salt fan-out.
+
+        The reference bounds *simultaneously processed transactions*
+        (Parameters.java:478-484; 0 = auto from vm.max_map_count).  In
+        the Spark re-expression the analogous pressure point is a reducer
+        buffering one mega-transaction, so the configured budget scales
+        the two-phase salted aggregation instead: a tighter budget →
+        more salt buckets, ``clamp(2048/threshold, 2, 64)``.  The gate is
+        static (plan shape is declared before any sizes are known —
+        runtime skew beyond the salt fan-out is AQE's job); 0/absent
+        keeps the single-phase plan."""
+        if threshold <= 0:
+            return None
+        return max(2, min(64, 2048 // threshold))
 
     def kafka_records(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         """K1 records under the configured topic naming + delete mode."""

@@ -53,6 +53,8 @@ hex-byte maps — the byte-level decode path is covered separately by
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -218,11 +220,49 @@ def _order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def change_feed(spark: SparkSession, sf_dir: str, with_customer: bool = False) -> DataFrame:
     """The structured change feed as a DataFrame (see module docstring).
 
+    When :func:`materialize_feeds` has been called for this ``sf_dir``
+    (the bench does this once per session), the feed is served from its
+    parquet snapshot instead of being re-derived from orders/customer —
+    so downstream timings measure the CDC operators, not this fixture
+    generator.  Semantically identical: the feed is an unordered relation
+    and every consumer orders by (scn, ssn) internally.
+
     Scale note: every step is narrow except the per-xid max for control
     records, which is one partial-aggregated shuffle on ``xid`` — the same
     key the stateful assembly operator groups by downstream, so at scale the
     exchange is reused rather than repeated.
     """
+    path = _FEED_CACHE.get((os.path.abspath(sf_dir), with_customer))
+    if path is not None:
+        return spark.read.parquet(path)
+    return _build_change_feed(spark, sf_dir, with_customer)
+
+
+def materialize_feeds(spark: SparkSession, sf_dir: str, cache_dir: str | None = None) -> str:
+    """Snapshot both change-feed variants to parquet once per session;
+    later ``change_feed`` calls for the same ``sf_dir`` read the snapshot.
+    Returns the cache directory (caller owns its lifetime)."""
+    base = cache_dir or tempfile.mkdtemp(prefix="oracdc_feed_")
+    for wc in (False, True):
+        key = (os.path.abspath(sf_dir), wc)
+        if key in _FEED_CACHE:
+            continue
+        path = os.path.join(base, "feed_wc" if wc else "feed_plain")
+        _build_change_feed(spark, sf_dir, wc).write.mode("overwrite").parquet(path)
+        _FEED_CACHE[key] = path
+    return base
+
+
+def clear_feed_cache() -> None:
+    _FEED_CACHE.clear()
+
+
+_FEED_CACHE: dict[tuple[str, bool], str] = {}
+
+
+def _build_change_feed(
+    spark: SparkSession, sf_dir: str, with_customer: bool = False
+) -> DataFrame:
     s = SPEC
     data = _order_rows(spark, sf_dir)
 

@@ -61,9 +61,12 @@ def tde_decrypt(col: Column | str, key: str, mode: str = "GCM") -> Column:
 # Python AES-CBC inverse cipher (below) behind an Arrow-batched pandas
 # UDF — the cold decode hop of the change feed, same placement as the
 # LOB inflate UDF.  The S-box and round constants are DERIVED from
-# GF(2^8) arithmetic at import, not pasted tables.  3DES (ENCALG 1) has
-# no stdlib/public-dependency primitive here and raises; GCM (INTALG 3)
-# likewise — both are absent from the reference's own test vectors.
+# GF(2^8) arithmetic at import, not pasted tables.  3DES (ENCALG 1) is a
+# pure-Python FIPS 46-3 implementation (functions/des.py), byte-exact vs
+# JCE DESede/CBC/NoPadding golden vectors; GCM (INTALG 3) stays
+# documented out — the reference's own GCM branch hands JCE a tagless
+# ciphertext with the tag region as AAD (it cannot verify) and ships no
+# vector, so there is no behavior to pin.
 
 ENCALG_3DES168 = 1
 ENCALG_AES128 = 2
@@ -232,35 +235,51 @@ class OraTdeColumnDecrypter:
     AES-256/NOMAC/no-salt and AES-192/SHA-1 both ways."""
 
     def __init__(self, dec_data_key: bytes, enc_alg: int, int_alg: int):
-        if enc_alg == ENCALG_3DES168:
-            raise NotImplementedError(
-                "3DES TDE columns need a DES primitive with no public "
-                "stdlib implementation here (reference ships no test "
-                "vectors for it either)"
-            )
         if enc_alg not in _KEY_LEN:
             raise ValueError(f"unknown ENC$.ENCALG {enc_alg}")
         if int_alg == INTALG_GCM:
+            # The reference's own GCM branch cannot succeed as written:
+            # it hands JCE a tag-LESS ciphertext while passing the tag
+            # region as AAD (OraCdcTdeColumnDecrypter.java:166,177-183 —
+            # JCE GCM doFinal requires ciphertext‖tag), and no GCM test
+            # vector exists in its suite.  Replicating apparently-dead
+            # behavior byte-for-byte is not possible; documented out.
             raise NotImplementedError(
-                "GCM TDE columns use a 16-byte IV Spark's builtin cannot "
-                "express and a GHASH primitive not implemented here"
+                "GCM TDE columns: the reference's GCM branch passes the "
+                "tag region as AAD and a tagless ciphertext to JCE — it "
+                "cannot verify; no public vectors exist to pin semantics"
             )
         if int_alg not in (INTALG_SHA1, INTALG_NOMAC):
             raise ValueError(f"unknown ENC$.INTALG {int_alg}")
         self._key = data_key_from_wallet_blob(bytes(dec_data_key), enc_alg)
         self._int_alg = int_alg
+        if enc_alg == ENCALG_3DES168:
+            # ENCALG 1: DESede/CBC/NoPadding, 8-byte blocks and IV
+            # (OraCdcTdeColumnDecrypter.java:62-72,102-107,160-173)
+            from oracdc_spark.functions.des import Des3Ede
+
+            self._block = 8
+            self._des3 = Des3Ede(self._key)
+        else:
+            self._block = 16
+            self._des3 = None
 
     def decrypt(self, column_data: bytes, salt: bool) -> bytes:
         data = bytes(column_data)
         ct_len = len(data)
         if salt:
-            ct_len -= 0x10
-            iv = data[ct_len : ct_len + 0x10]
+            # salted columns carry the CBC IV as the LAST block-size
+            # bytes (16 for AES, 8 for 3DES — reference :160-168)
+            ct_len -= self._block
+            iv = data[ct_len : ct_len + self._block]
         else:
-            iv = _ZERO_IV
+            iv = bytes(self._block)
         if self._int_alg == INTALG_SHA1:
             ct_len -= 0x14
-        plain = _aes_cbc_decrypt(data[:ct_len], self._key, iv)
+        if self._des3 is not None:
+            plain = self._des3.cbc_decrypt(data[:ct_len], iv)
+        else:
+            plain = _aes_cbc_decrypt(data[:ct_len], self._key, iv)
         return orcl_unpad(plain)
 
 

@@ -51,15 +51,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join customer⨝orders⨝lineitem with selective filters + top-10 by
-    revenue. customer is a broadcast dimension; lineitem never shuffles
-    for the join (broadcast hash join), only for the final groupBy."""
+    revenue.  orders and customer grow with scale factor — no broadcast
+    hints: lineitem⨝orders shuffles on orderkey and AQE promotes a side
+    to broadcast only when its post-filter size is genuinely small."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-01-01"))
     l = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -75,8 +76,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-way star join (region→nation→customer→orders→lineitem) +
-    revenue per nation. All dimensions broadcast; the single shuffle is
-    the final groupBy on n_name."""
+    revenue per nation.  region/nation are true fixed-size dimensions
+    (25 rows) and get explicit broadcasts; orders/customer are fact-sized
+    and shuffle on their keys, with AQE free to broadcast at runtime."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -84,8 +86,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
@@ -162,13 +164,15 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style: LIKE-filtered revenue share (promo part revenue /
-    total revenue). Ratio = one double division of exact decimal sums."""
+    total revenue). Ratio = one double division of exact decimal sums.
+    part is fact-sized (grows with SF) — the join shuffles on partkey
+    unless AQE measures the scan small enough to broadcast."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).cast(
         "decimal(18,4)"
     )
-    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     return j.agg(
         (
             F.lit(100.0)
@@ -180,14 +184,20 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery pattern: orders exceeding their customer's
-    average order value (decorrelated to join-with-aggregate; avg derived
-    as exact-sum / count → engine-deterministic double)."""
+    average order value.  Decorrelated to a *window* aggregate rather
+    than aggregate+self-join: one shuffle on o_custkey, no join, and no
+    broadcast of a per-customer (fact-sized) aggregate.  avg derived as
+    exact-decimal sum / count → engine-deterministic double."""
+    from pyspark.sql.window import Window
+
     o = load_table(spark, sf_dir, "orders")
-    avg = o.groupBy("o_custkey").agg(
-        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    w = Window.partitionBy("o_custkey")
+    avg_price = (
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        o.join(F.broadcast(avg), "o_custkey")
+        o.withColumn("avg_price", avg_price)
         .filter(F.col("o_totalprice") > F.col("avg_price"))
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
@@ -274,7 +284,9 @@ def lineitem_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def supplier_min_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 pattern: min-per-group subquery joined back (suppliers
-    holding their nation's minimum account balance)."""
+    holding their nation's minimum account balance).  The broadcast side
+    is one row per nation — ≤25 rows at any scale factor — so the hint
+    is scale-safe."""
     s = load_table(spark, sf_dir, "supplier")
     m = s.groupBy("s_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
     return (

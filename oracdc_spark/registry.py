@@ -188,6 +188,70 @@ _UNUSED_RE = re.compile(
 )
 
 
+_CLAUSE_VERB_RE = re.compile(r"(ADD|DROP|MODIFY|RENAME|SET)\b", re.IGNORECASE)
+
+
+def _split_clauses(body: str) -> list[str]:
+    """Split a compound ALTER body into top-level verb clauses:
+    ``ADD (a NUMBER, b VARCHAR2(10)) MODIFY (c NOT NULL) DROP (d)`` →
+    ``['ADD (…)', 'MODIFY (c NOT NULL)', 'DROP (d)']``.
+
+    Oracle permits several column clauses in one ALTER TABLE statement;
+    the reference's pre-processor handles single-verb statements only
+    (utils/OraSqlUtils.java:143-226 switches on the first verb), so this
+    is a superset.  Splits only at paren depth 0, outside "quoted
+    identifiers" and outside 'string literals' (a DEFAULT 'drop me'
+    literal must not split); SET splits only when followed by UNUSED and
+    RENAME only when followed by COLUMN, so a DEFAULT expression can't
+    mis-split."""
+    starts: list[int] = []
+    depth = 0
+    in_dq = in_sq = False
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if in_sq:
+            if ch == "'":
+                in_sq = False
+        elif in_dq:
+            if ch == '"':
+                in_dq = False
+        elif ch == "'":
+            in_sq = True
+        elif ch == '"':
+            in_dq = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.isalpha():
+            prev = body[i - 1] if i else " "
+            if not (prev.isalnum() or prev in '_$#"'):
+                m = _CLAUSE_VERB_RE.match(body, i)
+                if m:
+                    verb = m.group(1).upper()
+                    rest = body[m.end() :]
+                    ok = True
+                    if verb == "SET":
+                        ok = bool(re.match(r"\s+UNUSED\b", rest, re.IGNORECASE))
+                    elif verb == "RENAME":
+                        ok = bool(re.match(r"\s+COLUMN\b", rest, re.IGNORECASE))
+                    if ok:
+                        starts.append(i)
+                        i = m.end()
+                        continue
+            i += 1
+            continue
+        i += 1
+    if len(starts) <= 1:
+        return [body]
+    segs = []
+    for j, s in enumerate(starts):
+        e = starts[j + 1] if j + 1 < len(starts) else n
+        segs.append(body[s:e].strip())
+    return segs
+
+
 def _unquote(name: str) -> str:
     """'"Mixed Case"' → 'Mixed Case'; bare names pass through."""
     name = name.strip()
@@ -216,6 +280,9 @@ def _parse_col_spec(spec: str) -> tuple[str, DataType, bool] | None:
     name, rest = _unquote(mm.group(1)), mm.group(2)
     nullable = "NOT NULL" not in rest.upper()
     type_part = re.split(r"\s+DEFAULT\s+|\s+NOT\s+NULL", rest, flags=re.IGNORECASE)[0]
+    if not type_part.strip():
+        # nullability-only spec, e.g. MODIFY (C NOT NULL): no type change
+        return name, None, nullable
     return name, oracle_type_to_spark(type_part), nullable
 
 
@@ -245,10 +312,26 @@ class SchemaRegistry:
 
     def apply_ddl(self, owner: str, name: str, ddl: str) -> TableDef:
         """G8 — apply one ALTER TABLE statement; returns the (possibly
-        unchanged) table def. Key-column drops are rejected."""
+        unchanged) table def. Key-column drops are rejected.  Compound
+        statements (``ADD (…) MODIFY (…) DROP (…)``) apply each clause in
+        order; the version bumps once per statement."""
         td = self.get(owner, name)
         body = _ALTER_PREFIX_RE.sub("", ddl.strip())
         fields = list(td.schema.fields)
+        changed = False
+        for clause in _split_clauses(body):
+            fields, clause_changed = self._apply_clause(td, clause, fields)
+            changed |= clause_changed
+        if changed:
+            td.schema = StructType(fields)
+            td.version += 1
+            td.history.append((td.version, ddl.strip()))
+        return td
+
+    def _apply_clause(
+        self, td: TableDef, body: str, fields: list[StructField]
+    ) -> tuple[list[StructField], bool]:
+        """Apply one verb clause to the working field list."""
         changed = False
         up = body.upper()
 
@@ -259,7 +342,7 @@ class SchemaRegistry:
             else:
                 mb = _ADD_BARE_RE.match(body)
                 if not mb:
-                    return td  # unsupported ADD form: no-op
+                    return fields, False  # unsupported ADD form: no-op
                 specs = [f"{mb.group(1)} {mb.group(2)}"]
             for spec in specs:
                 parsed = _parse_col_spec(spec)
@@ -268,6 +351,8 @@ class SchemaRegistry:
                     # not a schema change (pre-processor drop path)
                     continue
                 cname, dtype, nullable = parsed
+                if dtype is None:
+                    continue  # ADD without a type: not a column spec
                 if any(f.name.upper() == cname.upper() for f in fields):
                     continue
                 fields.append(StructField(cname, dtype, nullable))
@@ -275,7 +360,7 @@ class SchemaRegistry:
         elif up.startswith("DROP"):
             m = _DROP_RE.search(body) or _DROP_PAREN_RE.search(body)
             if not m:
-                return td  # DROP CONSTRAINT / PARTITION / … : no-op
+                return fields, False  # DROP CONSTRAINT / PARTITION / …: no-op
             names = [_unquote(n) for n in re.findall(_ID, m.group(1))]
             for cname in names:
                 if cname.upper() in (k.upper() for k in td.key_cols):
@@ -286,7 +371,7 @@ class SchemaRegistry:
         elif up.startswith("MODIFY"):
             m = _MODIFY_BODY_RE.match(body)
             if not m:
-                return td
+                return fields, False
             inner = m.group(1).strip()
             pm = re.match(r"^\(\s*(.+?)\s*\)$", inner, flags=re.DOTALL)
             if pm:  # MODIFY (a spec, b spec) multi-clause form
@@ -299,12 +384,14 @@ class SchemaRegistry:
                 cname, newtype, nullable = parsed
                 for i, f in enumerate(fields):
                     if f.name.upper() == cname.upper():
-                        fields[i] = StructField(f.name, newtype, nullable)
+                        fields[i] = StructField(
+                            f.name, newtype or f.dataType, nullable
+                        )
                         changed = True
         elif up.startswith("RENAME"):
             m = _RENAME_RE.match(body)
             if not m:
-                return td  # RENAME CONSTRAINT / PARTITION: no-op
+                return fields, False  # RENAME CONSTRAINT / PARTITION: no-op
             old, new = _unquote(m.group(1)), _unquote(m.group(2))
             if old.upper() in (k.upper() for k in td.key_cols):
                 raise ValueError(f"cannot rename key column {old} of {td.fqn}")
@@ -315,7 +402,7 @@ class SchemaRegistry:
         elif up.startswith("SET UNUSED"):
             m = _UNUSED_RE.match(body)
             if not m:
-                return td  # unsupported SET UNUSED form: no-op
+                return fields, False  # unsupported SET UNUSED form: no-op
             names = [_unquote(n) for n in re.findall(_ID, m.group(1))]
             for cname in names:
                 if cname.upper() in (k.upper() for k in td.key_cols):
@@ -324,10 +411,6 @@ class SchemaRegistry:
                 fields = [f for f in fields if f.name.upper() != cname.upper()]
                 changed |= len(fields) != before
         else:
-            return td  # unsupported verb: no-op, version unchanged
+            return fields, False  # unsupported verb: no-op
 
-        if changed:
-            td.schema = StructType(fields)
-            td.version += 1
-            td.history.append((td.version, ddl.strip()))
-        return td
+        return fields, changed

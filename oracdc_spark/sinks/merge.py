@@ -86,6 +86,13 @@ def _commit_manifest(target_path: str, manifest: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(target_path, MANIFEST))
+    # fsync the directory too: on some filesystems the rename itself is
+    # not durable until the parent's metadata hits disk
+    dfd = os.open(target_path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _read_affected(
@@ -126,12 +133,10 @@ def _swap_buckets(
     man = _load_manifest(target_path)
     gen = int(man.get("gen", 0)) + 1
     buckets = dict(man.get("buckets", {}))
-    replaced: list[str] = []
     for b in affected:
         src = os.path.join(staging, f"{BUCKET_COL}={b}")
-        old = buckets.pop(str(b), None)
-        if old is not None:
-            replaced.append(old)
+        # the replaced directory is reclaimed by the post-commit sweep
+        buckets.pop(str(b), None)
         if os.path.exists(src):
             new_name = f"b{b}-g{gen}"
             dst = os.path.join(target_path, new_name)

@@ -316,3 +316,18 @@ def test_streaming_pipeline_audit_trail_mode(spark):
             for r in scd2_history(c.source_filter(change_feed(spark, SF))).collect()
         }
         assert got == expected
+
+
+def test_salt_buckets_derived_from_threshold():
+    """G11: a2.transactions.threshold's magnitude drives the salt
+    fan-out (tighter concurrency budget -> more buckets), not just its
+    presence (r4 advice)."""
+    from oracdc_spark.connector import OraCdcConnector
+
+    f = OraCdcConnector._salt_buckets
+    assert f(0) is None and f(-1) is None
+    assert f(32) == 64          # tight budget: max spread
+    assert f(128) == 16
+    assert f(1024) == 2
+    assert f(100_000) == 2      # loose budget: minimum spread, never 0/1
+    assert all(2 <= f(t) <= 64 for t in (1, 7, 33, 500, 9999))

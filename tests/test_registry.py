@@ -321,3 +321,78 @@ class TestPreProcessorFixtures:
         from pyspark.sql.types import LongType as _Long
 
         assert td.schema["qCol"].dataType == _Long()
+
+
+class TestCompoundAlter:
+    """Compound multi-clause ALTER statements: Oracle allows several
+    column clauses in one statement; the reference pre-processor is
+    single-verb (OraSqlUtils.java:143-226), so this is a documented
+    superset. One statement = one version bump."""
+
+    def _reg(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        return reg
+
+    def test_add_modify_drop_in_one_statement(self):
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "ALTER TABLE SCOTT.DEPT ADD (A NUMBER(9), B VARCHAR2(10)) "
+            "MODIFY (DNAME VARCHAR2(200) NOT NULL) DROP (LOC)",
+        )
+        names = [f.name for f in td.schema.fields]
+        assert td.version == 2  # single bump for the whole statement
+        assert "A" in names and "B" in names and "LOC" not in names
+        assert td.schema["DNAME"].nullable is False
+
+    def test_modify_nullability_only_keeps_type(self):
+        from pyspark.sql.types import StringType as _Str
+
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT MODIFY (DNAME NOT NULL)"
+        )
+        assert td.schema["DNAME"].dataType == _Str()
+        assert td.schema["DNAME"].nullable is False
+
+    def test_compound_with_rename_and_set_unused(self):
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            'ALTER TABLE SCOTT.DEPT ADD ("Z one" NUMBER(9), Z2 VARCHAR2(50)) '
+            'SET UNUSED (Z2) RENAME COLUMN "Z one" TO Z1',
+        )
+        names = [f.name for f in td.schema.fields]
+        assert "Z1" in names and "Z2" not in names and "Z one" not in names
+        assert td.version == 2
+
+    def test_default_string_literal_does_not_split(self):
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "ALTER TABLE SCOTT.DEPT ADD NOTE VARCHAR2(40) DEFAULT 'drop me add'",
+        )
+        names = [f.name for f in td.schema.fields]
+        assert "NOTE" in names and len(names) == 4  # DEPTNO DNAME LOC NOTE
+        assert td.version == 2
+
+    def test_clauses_apply_in_order(self):
+        # DROP of a column ADDed earlier in the same statement
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "ALTER TABLE SCOTT.DEPT ADD (T1 NUMBER(9), T2 NUMBER(9)) DROP (T2)",
+        )
+        names = [f.name for f in td.schema.fields]
+        assert "T1" in names and "T2" not in names
+
+    def test_key_drop_in_compound_rejected(self):
+        import pytest as _pytest
+
+        reg = self._reg()
+        with _pytest.raises(ValueError):
+            reg.apply_ddl(
+                "SCOTT", "DEPT",
+                "ALTER TABLE SCOTT.DEPT ADD (OK1 NUMBER(9)) DROP (DEPTNO)",
+            )

