@@ -233,6 +233,50 @@ def _evolution_ddls(n: int, nm: str) -> list[str]:
     return ddls
 
 
+def _q_registry_defaults(spark, sf_dir):
+    """P11 driver parity: dictionary DEFAULT values parsed from captured
+    DDL (OraCdcColumn.java:123-194) substitute for NULLs at record
+    binding (KafkaConnectSchema.java:181-279 schema defaults) — DELETE
+    statements and rollback markers carry no after-image, so their value
+    columns take the defaults.  Substitution is a pure coalesce
+    projection (codegen, no shuffle)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from oracdc_spark.registry import SchemaRegistry, TableDef
+
+    reg = SchemaRegistry()
+    reg.register(
+        TableDef(
+            "SCOTT",
+            "ORDERS",
+            StructType(
+                [
+                    StructField("PK", LongType(), False),
+                    StructField("TOTALPRICE", DoubleType(), True),
+                    StructField("STATUS", StringType(), True),
+                ]
+            ),
+            ("PK",),
+        )
+    )
+    td = reg.apply_ddl(
+        "SCOTT",
+        "ORDERS",
+        "ALTER TABLE SCOTT.ORDERS MODIFY "
+        "(TOTALPRICE BINARY_DOUBLE DEFAULT 0, STATUS VARCHAR2(1) DEFAULT 'N')",
+    )
+    feed = change_feed(spark, sf_dir).select(
+        "scn", "ssn", "op", "rollback", "pk", "totalprice", "status"
+    )
+    return transforms.apply_default_values(feed, td.defaults)
+
+
 def _q_registry_key_guard(spark, sf_dir):
     """S10 key preference + F8 guard/unused suppression driver parity:
     per nation-derived table, discover the key per the reference's
@@ -1070,6 +1114,37 @@ def _q_pipeline_split(spark, sf_dir):
     return sampling.train_split(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster-bucketed embedding-cosine near-dup pairs
+    (LSH-banded inside k-means cells — never all-pairs) reduced to a
+    keep-min/drop-rest decision list, the delete-list a curation
+    pipeline applies before training.  Composition of two verified
+    operators: similarity.embedding_near_dups × dedup.dedup_decisions."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(vecs).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    return dedup.dedup_decisions(pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("keeper_doc_id").alias("keeper_vec_id"),
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_bm25(spark, sf_dir):
+    return textops.bm25_rank(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_dsir(spark, sf_dir):
+    return textops.dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_vocab_coverage(spark, sf_dir):
     return textops.vocab_coverage(load_table(spark, sf_dir, "documents"))
 
@@ -1174,15 +1249,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_batch_dedup": _q_cdc_batch_dedup,
         "cdc_apply_changes": _q_cdc_apply_changes,
         "kafka_records": _q_kafka_records,
-        "cdc_debezium": _q_cdc_debezium,
+        "pipeline_pack_sequences": _q_pack_sequences,
         "cdc_feed": _q_cdc_feed,
         "cdc_wrapped_flat": _q_cdc_wrapped_flat,
         "cdc_wrapped_apply": _q_cdc_wrapped_apply,
         "cdc_replica_asof": _q_cdc_replica_asof,
-        "cdc_scd2_history": _q_cdc_scd2,
+        "dedup_semantic": _q_dedup_semantic,
         "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
         "cdc_restart_scn": _q_cdc_restart_scn,
-        "cdc_tombstones": _q_cdc_tombstones,
+        "registry_defaults": _q_registry_defaults,
         "cdc_row_fusion": _q_row_fusion,
         "cdc_change_vector": _q_change_vector,
         "ora_tde_decrypt": _q_ora_tde_decrypt,
@@ -1191,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smt_sanitize": _q_smt_sanitize,
         "jdbc_autocreate": _q_jdbc_autocreate,
         # ================= end of 50-query window =================
+        "cdc_debezium": _q_cdc_debezium,
+        "cdc_scd2_history": _q_cdc_scd2,
+        "cdc_tombstones": _q_cdc_tombstones,
         "lob_reassembly": _q_lob_reassembly,
         "mvlog_batch": _q_mvlog_batch,
         "pipeline_curation": _q_pipeline_curation,
@@ -1238,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": _q_text_vocab_coverage,
         "text_top_ngrams": _q_text_top_ngrams,
         "text_contamination": _q_text_contamination,
+        # declared r5, outside the current 50-window — rotate in next round
+        "text_bm25": _q_text_bm25,
+        "text_dsir": _q_text_dsir,
         "similarity_cell_centroids": _q_sim_centroids,
         "similarity_kmeans_cells": _q_sim_kmeans,
         "graph_pagerank": _q_graph_pagerank,
@@ -1768,6 +1849,13 @@ UNION ALL
 SELECT a.media_id, 'audio', CAST(NULL AS INT), CAST(NULL AS INT),
        CAST(NULL AS BIGINT), a.n_samples, a.n_samples * 125, q.sum_sq_amplitude
 FROM aud a JOIN audsum q USING (media_id)
+"""
+    # P11 — defaults substitute for NULL value columns (orders feed)
+    sql["registry_defaults"] = cte + """
+SELECT scn, ssn, op, rollback, pk,
+       COALESCE(totalprice, 0.0) AS totalprice,
+       COALESCE(status, 'N') AS status
+FROM changes
 """
     # S10 + F8 — closed form of _q_registry_key_guard's table specs
     sql["registry_key_guard"] = """
@@ -2701,6 +2789,111 @@ FROM agg
 WHERE (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
       * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
       / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) >= 0.16
+"""
+    )
+    # SemDeDup decision list: keep-min / drop-rest over the near-dup
+    # pair list (MIN keeps BIGINT — no HUGEINT widening)
+    sql["dedup_semantic"] = (
+        "SELECT v2 AS vec_id, MIN(v1) AS keeper_vec_id FROM ("
+        + sql["similarity_near_dups"]
+        + ") p GROUP BY v2"
+    )
+    # Okapi BM25 (text_bm25): quantized-integer formulation — numerator
+    # and denominator are exact bigints (see bm25_rank docstring), the
+    # score division is IEEE-identical across engines
+    sql["text_bm25"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tkall AS (SELECT doc_id, lower(t.tok) AS term FROM toks, UNNEST(w) AS t(tok)),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tkall GROUP BY doc_id),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tkall),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tkall
+       WHERE term IN ('merge','window','hash') GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(round(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                    * 1000000) AS BIGINT) AS idf_q
+  FROM dfreq, nd
+),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         CAST(idf.idf_q * 22 * tf.tf * tot.total AS DOUBLE)
+         / CAST(10 * tot.total * tf.tf + 3 * tot.total
+                + 9 * nd.n_docs * dl.dl AS DOUBLE)
+         / 1000000.0 AS score
+  FROM tf
+  JOIN idf ON tf.term = idf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, tot, nd
+)
+SELECT term, rank, doc_id, tf, ROUND(score, 6) AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored) t
+WHERE rank <= 10
+"""
+    )
+    # DSIR importance weights (text_dsir): hashed-unigram log-ratios
+    # quantized to integers; per-doc sum order-independent
+    sql["text_dsir"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tk AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(lower(t.tok)), 1, 6) AS BIGINT) % 256 AS b
+  FROM toks, UNNEST(w) AS t(tok)
+),
+raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS raw_n FROM tk GROUP BY b),
+tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tgt_n FROM tk
+        WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS raw_total,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tgt_total
+  FROM tk
+),
+ratios AS (
+  SELECT r.b,
+         CAST(round((ln(CAST(COALESCE(t.tgt_n, 0) + 1 AS DOUBLE)
+                        / (tgt_total + 256))
+                     - ln(CAST(r.raw_n + 1 AS DOUBLE)
+                          / (raw_total + 256))) * 1000000) AS BIGINT) AS lr_q
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b, tot
+),
+weights AS (
+  SELECT doc_id, CAST(SUM(lr_q) AS BIGINT) AS weight_q
+  FROM tk JOIN ratios USING (b) GROUP BY doc_id
+),
+top AS (SELECT * FROM weights ORDER BY weight_q DESC, doc_id LIMIT 50)
+SELECT ROW_NUMBER() OVER (ORDER BY weight_q DESC, doc_id) AS rank, doc_id,
+       ROUND(CAST(weight_q AS DOUBLE) / 1000000, 6) AS weight
+FROM top
+"""
+    )
+    # greedy contiguous sequence packing (pipeline_pack_sequences):
+    # shard-local prefix sums, integer div binning — mirrors
+    # sampling.pack_sequences exactly (budget 1024, 64 shards)
+    sql["pipeline_pack_sequences"] = (
+        "WITH "
+        + _TOKS
+        + """,
+nt AS (
+  SELECT doc_id, CAST(doc_id % 64 AS BIGINT) AS shard,
+         CAST(len(w) AS BIGINT) AS n_tokens
+  FROM toks
+),
+pf AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+  FROM nt
+),
+b AS (SELECT *, CAST(prefix // 1024 AS BIGINT) AS seq_id FROM pf)
+SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM b GROUP BY shard, seq_id
 """
     )
     sql["text_token_stats"] = (

@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "multimodal_image_ahash",
     "multimodal_audio_ehash",
     "registry_evolution",
+    "pipeline_pack_sequences",
+    "dedup_semantic",
 ]
 
 
@@ -139,6 +141,7 @@ def main() -> None:
         "similarity_kmeans_cells", "graph_pagerank", "ora_tde_decrypt",
         "dedup_lsh_incremental", "multimodal_image_ahash",
         "multimodal_audio_ehash", "registry_evolution",
+        "pipeline_pack_sequences", "dedup_semantic",
     }
     print(
         json.dumps(

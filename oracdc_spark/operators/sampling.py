@@ -104,3 +104,47 @@ def temperature_mix(docs: DataFrame, group_col: str = "lang") -> DataFrame:
     )
     rhs = F.col("w_l") * F.col("n_tot") * F.lit(2**32).cast(_DEC)
     return j.filter(lhs < rhs).select("doc_id", group_col, F.col("n_l").cast("bigint").alias("n_l"))
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 1024, n_shards: int = 64
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assemble documents into
+    fixed-token-budget training sequences (the T5/GPT data-loader
+    packing step).  Deterministic and shard-local:
+
+    * documents shard by ``doc_id % n_shards``;
+    * within a shard, documents pack in doc_id order — each starts in
+      the bin its token prefix-sum falls in (``prefix_before div
+      budget``); an over-budget document overflows into the next bin
+      (spillover packing, no document is split here — splitting is the
+      tokenizer's job downstream);
+    * output is per-sequence: how many documents and tokens each packed
+      sequence holds, and its doc_id span (the loader's fetch range).
+
+    Scale: ONE shuffle on the shard key; the prefix sum is a
+    within-partition window (no global ordering, no driver state);
+    ``n_shards`` scales with the cluster exactly like a distributed
+    loader's worker count.  Token counts use the corpus whitespace
+    tokenizer (textops._tokens) so packing agrees with token_stats."""
+    from oracdc_spark.operators.textops import _parallel, _tokens
+
+    nt = _parallel(docs).select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("bigint").alias("shard"),
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = nt.withColumn(
+        "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("seq_id", F.expr(f"prefix div {budget}"))
+    return binned.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

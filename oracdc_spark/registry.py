@@ -115,10 +115,40 @@ class TableDef:
     key_kind: str = KEY_WELL_DEFINED_PK
     version: int = 1
     history: list[tuple[int, str]] = field(default_factory=list)
+    # P11 — typed column DEFAULT values, keyed by upper-cased column name
+    # (OraCdcColumn.java:123-194 FLG_DEFAULT_VALUE; typed per
+    # KafkaConnectSchema.java:181-279)
+    defaults: dict[str, object] = field(default_factory=dict)
 
     @property
     def fqn(self) -> str:
         return f"{self.owner}.{self.name}"
+
+
+def typed_default(dtype: DataType, raw: str):
+    """DDL DEFAULT literal → typed value, mirroring the reference's
+    per-jdbcType conversion (KafkaConnectSchema.java:181-279: strings
+    strip quotes, NUMBER family parses numerically); DEFAULT NULL is no
+    default (OraCdcColumn.java:191-192)."""
+    raw = raw.strip()
+    if not raw or raw.upper() == "NULL":
+        return None
+    if isinstance(dtype, StringType):
+        if len(raw) >= 2 and raw[0] == "'" and raw[-1] == "'":
+            return raw[1:-1]
+        return raw
+    try:
+        if isinstance(dtype, (DoubleType, FloatType)):
+            return float(raw)
+        if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+            return int(float(raw))
+        if isinstance(dtype, DecimalType):
+            from decimal import Decimal
+
+            return Decimal(raw)
+    except ValueError:
+        return None  # non-literal default (SYSDATE, sequences): skip
+    return None
 
 
 # per-table key overrides (OraCdcKeyOverrideTypes.java:28 /
@@ -269,21 +299,29 @@ _NON_COLUMN_KEYWORDS = {
 }
 
 
-def _parse_col_spec(spec: str) -> tuple[str, DataType, bool] | None:
+def _parse_col_spec(
+    spec: str,
+) -> tuple[str, DataType | None, bool, str | None] | None:
     """Parse one ``name type [DEFAULT …] [NOT NULL]`` spec; None when the
     clause is not a column spec (keyword lead-in or unparseable).  The
-    name may be a "quoted exact-case" identifier."""
+    name may be a "quoted exact-case" identifier.  The fourth element is
+    the raw DEFAULT literal text (P11), if present."""
     spec = spec.strip()
     mm = re.match(rf"({_ID})\s+(.+)", spec, flags=re.DOTALL)
     if not mm or mm.group(1).upper() in _NON_COLUMN_KEYWORDS:
         return None
     name, rest = _unquote(mm.group(1)), mm.group(2)
     nullable = "NOT NULL" not in rest.upper()
+    dm = re.search(
+        r"\bDEFAULT\s+(.+?)(?:\s+NOT\s+NULL)?\s*$", rest,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+    default_raw = dm.group(1) if dm else None
     type_part = re.split(r"\s+DEFAULT\s+|\s+NOT\s+NULL", rest, flags=re.IGNORECASE)[0]
     if not type_part.strip():
         # nullability-only spec, e.g. MODIFY (C NOT NULL): no type change
-        return name, None, nullable
-    return name, oracle_type_to_spark(type_part), nullable
+        return name, None, nullable, default_raw
+    return name, oracle_type_to_spark(type_part), nullable, default_raw
 
 
 class SchemaRegistry:
@@ -303,6 +341,7 @@ class SchemaRegistry:
             td.key_kind,
             td.version,
             list(td.history),
+            dict(td.defaults),
         )
         self._tables[td.fqn] = td
         return td
@@ -350,12 +389,16 @@ class SchemaRegistry:
                     # constraint / supplemental-log / partition clause —
                     # not a schema change (pre-processor drop path)
                     continue
-                cname, dtype, nullable = parsed
+                cname, dtype, nullable, default_raw = parsed
                 if dtype is None:
                     continue  # ADD without a type: not a column spec
                 if any(f.name.upper() == cname.upper() for f in fields):
                     continue
                 fields.append(StructField(cname, dtype, nullable))
+                if default_raw is not None:
+                    tv = typed_default(dtype, default_raw)
+                    if tv is not None:
+                        td.defaults[cname.upper()] = tv
                 changed = True
         elif up.startswith("DROP"):
             m = _DROP_RE.search(body) or _DROP_PAREN_RE.search(body)
@@ -367,6 +410,7 @@ class SchemaRegistry:
                     raise ValueError(f"cannot drop key column {cname} of {td.fqn}")
                 before = len(fields)
                 fields = [f for f in fields if f.name.upper() != cname.upper()]
+                td.defaults.pop(cname.upper(), None)
                 changed |= len(fields) != before
         elif up.startswith("MODIFY"):
             m = _MODIFY_BODY_RE.match(body)
@@ -381,12 +425,18 @@ class SchemaRegistry:
                 parsed = _parse_col_spec(spec)
                 if parsed is None:
                     continue  # MODIFY CONSTRAINT … — not a schema change
-                cname, newtype, nullable = parsed
+                cname, newtype, nullable, default_raw = parsed
                 for i, f in enumerate(fields):
                     if f.name.upper() == cname.upper():
                         fields[i] = StructField(
                             f.name, newtype or f.dataType, nullable
                         )
+                        if default_raw is not None:
+                            tv = typed_default(newtype or f.dataType, default_raw)
+                            if tv is None:
+                                td.defaults.pop(cname.upper(), None)
+                            else:
+                                td.defaults[cname.upper()] = tv
                         changed = True
         elif up.startswith("RENAME"):
             m = _RENAME_RE.match(body)
@@ -398,6 +448,8 @@ class SchemaRegistry:
             for i, f in enumerate(fields):
                 if f.name.upper() == old.upper():
                     fields[i] = StructField(new, f.dataType, f.nullable)
+                    if old.upper() in td.defaults:
+                        td.defaults[new.upper()] = td.defaults.pop(old.upper())
                     changed = True
         elif up.startswith("SET UNUSED"):
             m = _UNUSED_RE.match(body)
@@ -409,6 +461,7 @@ class SchemaRegistry:
                     raise ValueError(f"cannot set unused key column {cname} of {td.fqn}")
                 before = len(fields)
                 fields = [f for f in fields if f.name.upper() != cname.upper()]
+                td.defaults.pop(cname.upper(), None)
                 changed |= len(fields) != before
         else:
             return fields, False  # unsupported verb: no-op

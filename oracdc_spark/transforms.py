@@ -100,6 +100,30 @@ def sanitize_avro_names(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P11 — default-value substitution at record binding
+# ---------------------------------------------------------------------------
+
+
+def apply_default_values(df: DataFrame, defaults: dict[str, object]) -> DataFrame:
+    """Missing (NULL) values fall back to the dictionary DEFAULT for
+    their column — the Spark restatement of the reference's Kafka
+    Connect schema defaults (KafkaConnectSchema.java:181-279
+    ``builder.defaultValue``; values typed by ``registry.typed_default``).
+    Column match is case-insensitive (dictionary names are upper-case,
+    feed columns lower-case).  Pure ``coalesce`` projection — stays in
+    WholeStageCodegen, no shuffle."""
+    by_lower = {k.lower(): v for k, v in defaults.items()}
+    return df.select(
+        *[
+            F.coalesce(F.col(c), F.lit(by_lower[c.lower()])).alias(c)
+            if c.lower() in by_lower
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # pseudo-columns (KafkaPseudoColumnsProcessor.java:88-241)
 # ---------------------------------------------------------------------------
 

@@ -396,3 +396,66 @@ class TestCompoundAlter:
                 "SCOTT", "DEPT",
                 "ALTER TABLE SCOTT.DEPT ADD (OK1 NUMBER(9)) DROP (DEPTNO)",
             )
+
+
+class TestDefaultValues:
+    """P11 — DDL DEFAULT literals are retained as typed dictionary
+    defaults (OraCdcColumn.java:123-194, KafkaConnectSchema.java:181-279)
+    and follow the column through RENAME / DROP."""
+
+    def _reg(self):
+        reg = SchemaRegistry()
+        reg.register(_dept())
+        return reg
+
+    def test_add_with_default_retains_typed_value(self):
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "ALTER TABLE SCOTT.DEPT ADD (BUDGET BINARY_DOUBLE DEFAULT 0, "
+            "TAG VARCHAR2(10) DEFAULT 'x y', CNT NUMBER(9) DEFAULT 42 NOT NULL)",
+        )
+        assert td.defaults["BUDGET"] == 0.0
+        assert td.defaults["TAG"] == "x y"
+        assert td.defaults["CNT"] == 42
+
+    def test_default_null_and_non_literal_skipped(self):
+        reg = self._reg()
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT",
+            "ALTER TABLE SCOTT.DEPT ADD (A VARCHAR2(5) DEFAULT NULL, "
+            "B TIMESTAMP DEFAULT SYSDATE)",
+        )
+        assert "A" not in td.defaults and "B" not in td.defaults
+
+    def test_default_follows_rename_and_drop(self):
+        reg = self._reg()
+        reg.apply_ddl(
+            "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT ADD (Q NUMBER(9) DEFAULT 7)"
+        )
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT RENAME COLUMN Q TO QQ"
+        )
+        assert td.defaults == {"QQ": 7}
+        td = reg.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT DROP (QQ)")
+        assert td.defaults == {}
+
+    def test_modify_replaces_default(self):
+        reg = self._reg()
+        reg.apply_ddl(
+            "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT ADD (Q NUMBER(9) DEFAULT 7)"
+        )
+        td = reg.apply_ddl(
+            "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT MODIFY (Q NUMBER(9) DEFAULT 9)"
+        )
+        assert td.defaults["Q"] == 9
+
+    def test_apply_default_values_binding(self, spark):
+        from oracdc_spark.transforms import apply_default_values
+
+        df = spark.createDataFrame(
+            [(1, None, None), (2, 5.5, "A")], "pk int, price double, st string"
+        )
+        out = apply_default_values(df, {"PRICE": 0.0, "ST": "N"})
+        rows = {r.pk: (r.price, r.st) for r in out.collect()}
+        assert rows[1] == (0.0, "N") and rows[2] == (5.5, "A")

@@ -94,3 +94,60 @@ def test_quota_sample_single_exchange(spark):
     docs = _docs(spark, {"en": 200, "de": 100})
     plan = quota_sample(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+class TestPackSequences:
+    """Greedy contiguous packing invariants."""
+
+    def _packed(self, spark):
+        from oracdc_spark.operators.sampling import pack_sequences
+
+        from tests.conftest import SF_SMOKE
+        from oracdc_spark.catalog import load_table
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        return docs, pack_sequences(docs, budget=256, n_shards=8)
+
+    def test_all_docs_packed_once(self, spark):
+        docs, packed = self._packed(spark)
+        import pyspark.sql.functions as F
+
+        assert packed.agg(F.sum("n_docs")).first()[0] == docs.count()
+
+    def test_seq_ids_contiguous_per_shard(self, spark):
+        _, packed = self._packed(spark)
+        for row in packed.groupBy("shard").agg(
+            {"seq_id": "max", "*": "count"}
+        ).collect():
+            assert row["max(seq_id)"] == row["count(1)"] - 1
+
+    def test_start_offsets_stay_in_bin(self, spark):
+        """Every doc STARTS inside its bin: the span of start offsets in
+        one sequence is < budget (the last doc may overflow past it)."""
+        from oracdc_spark.operators.sampling import pack_sequences
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import _tokens
+
+        from tests.conftest import SF_SMOKE
+
+        budget = 256
+        docs = load_table(spark, SF_SMOKE, "documents")
+        nt = docs.select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        )
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        binned = nt.withColumn(
+            "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).withColumn("seq_id", F.expr(f"prefix div {budget}"))
+        spans = binned.groupBy("shard", "seq_id").agg(
+            (F.max("prefix") - F.min("prefix")).alias("span")
+        )
+        assert spans.filter(F.col("span") >= budget).count() == 0

@@ -284,3 +284,44 @@ class TestVocabCoverage:
         rows = sorted(vocab_coverage(docs).collect(), key=lambda r: r.pct)
         sizes = [r.vocab_size for r in rows]
         assert sizes == sorted(sizes)
+
+
+class TestBm25AndDsir:
+    """Retrieval scorer + DSIR importance weights invariants (exact
+    parity vs DuckDB is covered by run_parity)."""
+
+    def test_bm25_ranks_contiguous_and_ordered(self, spark):
+        import pyspark.sql.functions as F
+
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import bm25_rank
+        from tests.conftest import SF_SMOKE
+
+        out = bm25_rank(load_table(spark, SF_SMOKE, "documents"), k=5)
+        rows = out.collect()
+        assert rows, "bm25 returned nothing"
+        by_term = {}
+        for r in rows:
+            by_term.setdefault(r.term, []).append(r)
+        for term, rs in by_term.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            scores = [r.score for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            assert all(r.tf > 0 for r in rs)
+
+    def test_dsir_targets_rank_higher(self, spark):
+        """Top DSIR docs should skew toward the target language."""
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import dsir_weights
+        from tests.conftest import SF_SMOKE
+
+        docs = load_table(spark, SF_SMOKE, "documents")
+        top = dsir_weights(docs, target_lang="en", k=20)
+        joined = top.join(docs.select("doc_id", "lang"), "doc_id")
+        langs = [r.lang for r in joined.collect()]
+        assert len(langs) == 20
+        en_share_top = sum(1 for l in langs if l == "en") / len(langs)
+        total = docs.count()
+        en_share_corpus = docs.filter("lang = 'en'").count() / total
+        assert en_share_top >= en_share_corpus
