@@ -34,6 +34,9 @@ a2.batch.size                   micro-batch trigger sizing
 a2.transaction.implementation   state backend: ChronicleQueue -> typed
                                 ListState (transformWithStateInPandas),
                                 ArrayList -> applyInPandasWithState blob
+a2.map.number.*                 per-column NUMBER type overrides
+                                (registry.NumberMap; exact > prefix >
+                                suffix patterns, PDB-qualified first)
 ==============================  =============================================
 """
 
@@ -142,15 +145,22 @@ class OraCdcConnector:
                 continue  # connect framework keys (name, connector.class, …)
             if k in _SUPPORTED or k.startswith("a2.map.topic."):
                 continue
+            if k.startswith("a2.map.number."):
+                continue  # parsed below into the NumberMap
             if (
                 k in _TRANSPORT_KEYS
                 or k in _RECOGNIZED_NOOP_KEYS
                 or k.startswith(_TRANSPORT_PREFIXES)
-                or k.startswith("a2.map.number.")
             ):
                 self.ignored_keys.append(k)
                 continue
             raise ValueError(f"unknown oracdc property: {k}")
+
+        # a2.map.number.[PDB.]SCHEMA.TABLE.COL_OR_PATTERN — per-column
+        # NUMBER type overrides (SourceConnectorConfig.java:531-596)
+        from oracdc_spark.registry import NumberMap
+
+        self.number_map = NumberMap(self.config)
 
         self.schema_type = self.config.get("a2.schema.type", SCHEMA_KAFKA)
         if self.schema_type not in (SCHEMA_KAFKA, SCHEMA_SINGLE, SCHEMA_DEBEZIUM):
@@ -246,6 +256,27 @@ class OraCdcConnector:
         )
         uniq = unique_not_null_cols if self.pk_type == "any_unique" else ()
         return choose_key(pk_cols, uniq, override=override)
+
+    def column_type_for(
+        self,
+        owner: str,
+        table: str,
+        column: str,
+        type_text: str,
+        pdb: str | None = None,
+    ):
+        """Dictionary column type under the configured a2.map.number
+        overrides: a NUMBER-family column matching an override takes the
+        override's engine type (exact > prefix > suffix, PDB-qualified
+        entry first — OraCdcNumberMapTest); everything else follows the
+        standard tiering (oracle_type_to_spark)."""
+        from oracdc_spark.registry import oracle_type_to_spark
+
+        if type_text.strip().upper().startswith("NUMBER"):
+            override = self.number_map.resolve(owner, table, column, pdb)
+            if override is not None:
+                return override
+        return oracle_type_to_spark(type_text)
 
     def topic_for(self, pdb: str | None, owner: str, table: str) -> str:
         if (owner, table) in self.topic_map:

@@ -53,6 +53,10 @@ def oracle_type_to_spark(type_str: str) -> DataType:
     """Oracle column-type text → Spark type, following the NUMBER tiering
     rules of OraCdcColumn.java:462-501 (documented in SURVEY §1.2)."""
     t = type_str.strip().upper()
+    # a bare trailing nullability marker is part of the column spec, not
+    # the type: "date null default SYSDATE" (OraCdcColumnFromTextTest)
+    if t.endswith(" NULL"):
+        t = t[:-5].rstrip()
     m = re.match(r"NUMBER\s*\(\s*(\d+)\s*(?:,\s*(-?\d+)\s*)?\)", t)
     if m:
         p = int(m.group(1))
@@ -467,3 +471,101 @@ class SchemaRegistry:
             return fields, False  # unsupported verb: no-op
 
         return fields, changed
+
+
+# ---------------------------------------------------------------------------
+# per-column NUMBER type override map (a2.map.number.*)
+# ---------------------------------------------------------------------------
+#
+# a2.map.number.[PDB.]SCHEMA.TABLE.COL_OR_PATTERN = TYPE redefines how a
+# NUMBER column maps to an engine type (SourceConnectorConfig.java:531-596,
+# OraCdcNumberMapTest).  COL may be exact, a prefix pattern ``SAL%`` or a
+# suffix pattern ``%ID``; resolution order is exact > prefix > suffix,
+# with a PDB-qualified table entry consulted before the unqualified one.
+
+_NUMBER_MAP_PREFIX = "a2.map.number."
+
+
+def _number_map_type(type_text: str) -> DataType | None:
+    """BOOL|BOOLEAN|BYTE|TINYINT|SHORT|SMALLINT|INT|INTEGER|LONG|BIGINT|
+    FLOAT|DOUBLE|DECIMAL([P],S)|NUMERIC([P],S) → Spark type."""
+    t = type_text.strip().upper()
+    simple = {
+        "BOOL": BooleanType(), "BOOLEAN": BooleanType(),
+        "BYTE": ByteType(), "TINYINT": ByteType(),
+        "SHORT": ShortType(), "SMALLINT": ShortType(),
+        "INT": IntegerType(), "INTEGER": IntegerType(),
+        "LONG": LongType(), "BIGINT": LongType(),
+        "FLOAT": FloatType(), "DOUBLE": DoubleType(),
+    }
+    if t in simple:
+        return simple[t]
+    m = re.match(r"(?:DECIMAL|NUMERIC)\s*\(\s*(?:(\d+)\s*,\s*)?(\d+)\s*\)$", t)
+    if m:
+        p = int(m.group(1)) if m.group(1) else 38
+        return DecimalType(min(p, 38), int(m.group(2)))
+    return None
+
+
+class NumberMap:
+    """Parsed ``a2.map.number.*`` properties with the reference's
+    resolution semantics."""
+
+    def __init__(self, props: dict[str, str]):
+        # fqn (with or without pdb) → (exact: {col: type},
+        #                              prefix: [(stem, type)],
+        #                              suffix: [(stem, type)])
+        self._tables: dict[str, tuple[dict, list, list]] = {}
+        for key, type_text in props.items():
+            if not key.startswith(_NUMBER_MAP_PREFIX):
+                continue
+            parts = key[len(_NUMBER_MAP_PREFIX):].split(".")
+            if len(parts) not in (3, 4):
+                continue
+            dtype = _number_map_type(type_text)
+            if dtype is None:
+                continue
+            fqn, col = ".".join(parts[:-1]), parts[-1]
+            exact, pre, suf = self._tables.setdefault(fqn, ({}, [], []))
+            if col.endswith("%") and not col.startswith("%"):
+                pre.append((col[:-1], dtype))
+            elif col.startswith("%") and not col.endswith("%"):
+                suf.append((col[1:], dtype))
+            elif "%" not in col:
+                exact[col] = dtype
+
+    def table_mapping(
+        self, owner: str, table: str, pdb: str | None = None
+    ) -> list[tuple[dict, list, list]]:
+        """PDB-qualified entry first, then the unqualified one
+        (SourceConnectorConfig.java:532-566)."""
+        out = []
+        if pdb is not None:
+            exact = self._tables.get(f"{pdb}.{owner}.{table}")
+            if exact is not None:
+                out.append(exact)
+        for_all = self._tables.get(f"{owner}.{table}")
+        if for_all is not None:
+            out.append(for_all)
+        return out
+
+    def column_type(
+        self, mapping: list[tuple[dict, list, list]], column: str
+    ) -> DataType | None:
+        """exact > prefix > suffix within each table entry
+        (SourceConnectorConfig.java:568-596, case-sensitive match)."""
+        for exact, pre, suf in mapping:
+            if column in exact:
+                return exact[column]
+            for stem, dtype in pre:
+                if column.startswith(stem):
+                    return dtype
+            for stem, dtype in suf:
+                if column.endswith(stem):
+                    return dtype
+        return None
+
+    def resolve(
+        self, owner: str, table: str, column: str, pdb: str | None = None
+    ) -> DataType | None:
+        return self.column_type(self.table_mapping(owner, table, pdb), column)

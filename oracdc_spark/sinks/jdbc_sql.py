@@ -122,24 +122,42 @@ class SinkTable:
         return tuple(f.name for f in self.schema.fields)
 
 
+def _leaf_fields(schema: StructType):
+    """Struct-typed value fields (a transformed LOB column, e.g.
+    FILE_DATA → {S3_URL}) unnest into their LEAF columns in the created
+    table, bare leaf names — JdbcSinkTransformNestedSchemaTest asserts
+    ``S3_URL VARCHAR2(4000)``, not a prefixed name."""
+    for f in schema.fields:
+        if isinstance(f.dataType, StructType):
+            yield from _leaf_fields(f.dataType)
+        else:
+            yield f
+
+
 def create_table_sql(t: SinkTable, dialect: str) -> str:
-    """K4 — CREATE TABLE from the record schema (auto-create target)."""
+    """K4 — CREATE TABLE from the record schema (auto-create target).
+    A keyless table (a view-object sink, JdbcSinkVOCreateTableTest /
+    TargetDbSqlUtils.java:216-226 ``onlyValue``) omits the PRIMARY KEY
+    clause entirely."""
     if dialect not in DIALECTS:
         raise ValueError(f"unknown dialect {dialect}")
     cols = []
-    for f in t.schema.fields:
+    for f in _leaf_fields(t.schema):
         is_pk = f.name in t.pk_cols
         null = " NOT NULL" if (is_pk or not f.nullable) else ""
         cols.append(f"  {f.name} {_col_type(dialect, f, is_pk)}{null}")
     pk = ", ".join(t.pk_cols)
     if dialect == CLICKHOUSE:
-        # idempotence via ReplacingMergeTree keyed on the PK
+        # idempotence via ReplacingMergeTree keyed on the PK; a keyless
+        # table still needs an ORDER BY — empty tuple
         body = ",\n".join(cols)
+        order = f"({pk})" if t.pk_cols else "tuple()"
         return (
             f"CREATE TABLE {t.name} (\n{body}\n) "
-            f"ENGINE = ReplacingMergeTree ORDER BY ({pk})"
+            f"ENGINE = ReplacingMergeTree ORDER BY {order}"
         )
-    cols.append(f"  PRIMARY KEY ({pk})")
+    if t.pk_cols:
+        cols.append(f"  PRIMARY KEY ({pk})")
     body = ",\n".join(cols)
     return f"CREATE TABLE {t.name} (\n{body}\n)"
 

@@ -65,11 +65,25 @@ def ora_interval_convert(col: Column | str, kind: str = "ds") -> Column:
 # ---------------------------------------------------------------------------
 
 
-def header_to_field(df: DataFrame, header_col: str, field_name: str) -> DataFrame:
-    """HeaderToFieldConverter: copy a record header into a value field.
+def header_to_field(
+    df: DataFrame,
+    header_col: str,
+    field_name: str,
+    value_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """HeaderToFieldConverter: copy a record header into a value field,
+    optionally translating values through the configured map — e.g.
+    ``map=c:I,u:U,d:D`` turns op header ``c`` into ``_oracdcp = 'I'``
+    (HeaderToFieldConverterTest fixture).  Unmapped values pass through.
     In the Spark Kafka model headers are an array<struct<key,value>>;
     scalar header columns copy directly."""
-    return df.withColumn(field_name, F.col(header_col))
+    src = F.col(header_col)
+    if value_map:
+        expr = src
+        for k, v in value_map.items():
+            expr = F.when(src == F.lit(k), F.lit(v)).otherwise(expr)
+        src = expr
+    return df.withColumn(field_name, src)
 
 
 def key_to_value(df: DataFrame, key_cols: list[str], prefix: str = "") -> DataFrame:

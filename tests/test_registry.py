@@ -459,3 +459,158 @@ class TestDefaultValues:
         out = apply_default_values(df, {"PRICE": 0.0, "ST": "N"})
         rows = {r.pk: (r.price, r.st) for r in out.collect()}
         assert rows[1] == (0.0, "N") and rows[2] == (5.5, "A")
+
+
+class TestNumberMap:
+    """a2.map.number.* per-column NUMBER overrides — fixtures from
+    OraCdcNumberMapTest.java (exact > prefix > suffix, PDB-qualified
+    table entry before unqualified)."""
+
+    _PROPS = {
+        "a2.map.number.SCOTT.DEPT.DEPTNO": "SHORT",
+        "a2.map.number.SCOTT.EMP.EMPNO": "LONG",
+        "a2.map.number.SCOTT.EMP.%NO": "INT",
+        "a2.map.number.KAFKA19.SCOTT.EMP.%ID": "SHORT",
+        "a2.map.number.KAFKA19.SCOTT.EMP.SAL%": "DECIMAL(38,2)",
+        "a2.map.number.AP.AP_INVOICES_ALL.%ID": "INTEGER",
+        "a2.map.number.EBS122.AP.AP_INVOICES_ALL.INVOICE_ID": "LONG",
+    }
+
+    def _nm(self):
+        from oracdc_spark.registry import NumberMap
+
+        return NumberMap(self._PROPS)
+
+    def test_reference_fixtures(self):
+        from pyspark.sql.types import IntegerType, LongType, ShortType
+
+        nm = self._nm()
+        # OraCdcNumberMapTest assertions
+        assert nm.resolve("SCOTT", "DEPT", "DEPTNO") == ShortType()  # SMALLINT
+        assert (
+            nm.resolve("AP", "AP_INVOICES_ALL", "INVOICE_ID", pdb="EBS122")
+            == LongType()  # BIGINT: pdb-qualified exact beats %ID
+        )
+        assert (
+            nm.resolve("AP", "AP_INVOICES_ALL", "LEGAL_ENTITY_ID", pdb="EBS122")
+            == IntegerType()  # falls through to the unqualified %ID
+        )
+
+    def test_precedence_exact_prefix_suffix(self):
+        from pyspark.sql.types import DecimalType, IntegerType, LongType, ShortType
+
+        nm = self._nm()
+        assert nm.resolve("SCOTT", "EMP", "EMPNO") == LongType()  # exact
+        assert nm.resolve("SCOTT", "EMP", "DEPTNO") == IntegerType()  # %NO
+        assert nm.resolve("SCOTT", "EMP", "SALARY", pdb="KAFKA19") == DecimalType(38, 2)
+        assert nm.resolve("SCOTT", "EMP", "MGRID", pdb="KAFKA19") == ShortType()
+        assert nm.resolve("SCOTT", "EMP", "ENAME") is None
+
+    def test_connector_applies_override_to_number_only(self):
+        from pyspark.sql.types import LongType, ShortType, StringType
+
+        from oracdc_spark.connector import OraCdcConnector
+
+        c = OraCdcConnector(dict(self._PROPS))
+        assert c.column_type_for("SCOTT", "DEPT", "DEPTNO", "NUMBER(22)") == ShortType()
+        # non-NUMBER column ignores the map
+        assert c.column_type_for("SCOTT", "DEPT", "DEPTNO", "VARCHAR2(9)") == StringType()
+        # unmapped NUMBER follows the tiering
+        assert c.column_type_for("SCOTT", "DEPT", "OTHER", "NUMBER(10)") == LongType()
+
+
+def test_trailing_null_marker_stripped_from_type():
+    """OraCdcColumnFromTextTest: 'date null default SYSDATE' — the bare
+    nullability marker is not part of the type text."""
+    from pyspark.sql.types import StringType, TimestampNTZType
+
+    from oracdc_spark.registry import oracle_type_to_spark
+
+    assert oracle_type_to_spark("date null") == TimestampNTZType()
+    assert oracle_type_to_spark("varchar2(100) null") == StringType()
+
+
+def test_parse_col_spec_null_default_forms():
+    """'varchar2(100) null default 'SALES'' parses name/type/nullable/
+    default exactly like OraCdcColumnFromTextTest pins."""
+    from pyspark.sql.types import StringType, TimestampNTZType
+
+    from oracdc_spark.registry import _parse_col_spec, typed_default
+
+    name, dtype, nullable, raw = _parse_col_spec(
+        "DNAME varchar2(100) null default 'SALES'"
+    )
+    assert (name, dtype, nullable) == ("DNAME", StringType(), True)
+    assert typed_default(dtype, raw) == "SALES"
+
+    name, dtype, nullable, raw = _parse_col_spec(
+        "DLOC varchar2(10) not null default 'NY'"
+    )
+    assert (name, dtype, nullable) == ("DLOC", StringType(), False)
+    assert typed_default(dtype, raw) == "NY"
+
+    name, dtype, nullable, raw = _parse_col_spec(
+        "DEPT_FOUNDED date not null default SYSDATE"
+    )
+    assert (name, dtype, nullable) == ("DEPT_FOUNDED", TimestampNTZType(), False)
+    assert typed_default(dtype, raw) is None
+
+
+class TestCompoundAlterProperty:
+    """Property: applying one compound statement equals applying its
+    clauses as separate statements (except the version, which bumps once
+    per statement)."""
+
+    def test_random_compound_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        types = ["NUMBER(9)", "VARCHAR2(40)", "BINARY_DOUBLE", "DATE"]
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["add", "modify", "rename", "drop", "unused"]),
+                    st.integers(0, 5),
+                    st.sampled_from(types),
+                ),
+                min_size=1,
+                max_size=6,
+            )
+        )
+        def check(ops):
+            def fresh():
+                reg = SchemaRegistry()
+                reg.register(_dept())
+                return reg
+
+            clauses = []
+            for verb, i, typ in ops:
+                col = f"X{i}"
+                if verb == "add":
+                    clauses.append(f"ADD ({col} {typ})")
+                elif verb == "modify":
+                    clauses.append(f"MODIFY ({col} {typ})")
+                elif verb == "rename":
+                    clauses.append(f"RENAME COLUMN {col} TO {col}R")
+                elif verb == "drop":
+                    clauses.append(f"DROP COLUMN {col}")
+                else:
+                    clauses.append(f"SET UNUSED ({col})")
+
+            compound = fresh()
+            compound.apply_ddl(
+                "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT " + " ".join(clauses)
+            )
+            sequential = fresh()
+            for cl in clauses:
+                sequential.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT " + cl)
+
+            a, b = compound.get("SCOTT", "DEPT"), sequential.get("SCOTT", "DEPT")
+            assert [
+                (f.name, f.dataType, f.nullable) for f in a.schema.fields
+            ] == [(f.name, f.dataType, f.nullable) for f in b.schema.fields]
+            assert a.defaults == b.defaults
+
+        check()

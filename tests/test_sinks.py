@@ -347,3 +347,70 @@ def test_scd2_sink_converges_under_chunked_and_replayed_delivery(spark):
         scd2_merge_batch(spark, chunks[0], path)  # replay
         got = _key(scd2_state(spark, path))
     assert got == expected
+
+
+class TestNestedAndKeylessCreate:
+    """K4 edge behaviors from the reference sink tests."""
+
+    def test_struct_field_unnests_to_leaf_columns(self):
+        """JdbcSinkTransformNestedSchemaTest: a struct-typed value field
+        (transformed LOB) contributes its LEAF columns, bare names."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from oracdc_spark.sinks.jdbc_sql import SinkTable, create_table_sql
+
+        t = SinkTable(
+            "FND_LOBS",
+            StructType(
+                [
+                    StructField("FILE_ID", LongType(), False),
+                    StructField("FILE_NAME", StringType(), True),
+                    StructField(
+                        "FILE_DATA",
+                        StructType([StructField("S3_URL", StringType(), True)]),
+                        True,
+                    ),
+                ]
+            ),
+            ("FILE_ID",),
+        )
+        ora = create_table_sql(t, "oracle")
+        pg = create_table_sql(t, "postgresql")
+        assert "S3_URL VARCHAR2(4000)" in ora
+        assert "S3_URL text" in pg
+        assert "FILE_DATA" not in ora  # the struct itself is not a column
+
+    def test_keyless_view_object_table_has_no_pk_clause(self):
+        """JdbcSinkVOCreateTableTest: no key columns → no PRIMARY KEY."""
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        from oracdc_spark.sinks.jdbc_sql import (
+            DIALECTS,
+            SinkTable,
+            create_table_sql,
+        )
+
+        t = SinkTable(
+            "SALGRADE",
+            StructType(
+                [
+                    StructField("GRADE", DoubleType(), True),
+                    StructField("LOSAL", DoubleType(), True),
+                    StructField("HISAL", DoubleType(), True),
+                ]
+            ),
+            (),
+        )
+        for d in DIALECTS:
+            ddl = create_table_sql(t, d)
+            assert "PRIMARY KEY" not in ddl
+        assert "GRADE BINARY_DOUBLE" in create_table_sql(t, "oracle")
+        assert "GRADE double precision" in create_table_sql(t, "postgresql")
+        assert "GRADE double" in create_table_sql(t, "mysql")
+        assert "GRADE float" in create_table_sql(t, "mssql")
+        assert "ORDER BY tuple()" in create_table_sql(t, "clickhouse")

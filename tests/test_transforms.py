@@ -75,3 +75,18 @@ def test_pseudo_columns(spark):
     assert row.ORA_ROW_SCN == row.scn
     assert row.ORA_COMMIT_SCN == row.commit_scn
     assert row.ORA_OP == "c"
+
+
+def test_header_to_field_with_value_map(spark):
+    """HeaderToFieldConverterTest: header=op, field=_oracdcp,
+    map=c:I,u:U,d:D."""
+    from oracdc_spark.transforms import header_to_field
+
+    df = spark.createDataFrame(
+        [(1, "20250308/001", "c"), (2, "20250308/002", "u"),
+         (3, "20250308/003", "d"), (4, "20250308/004", "x")],
+        "INVOICE_ID long, INVOICE_NUMBER string, op string",
+    )
+    out = header_to_field(df, "op", "_oracdcp", {"c": "I", "u": "U", "d": "D"})
+    got = {r.INVOICE_ID: r._oracdcp for r in out.collect()}
+    assert got == {1: "I", 2: "U", 3: "D", 4: "x"}
