@@ -67,7 +67,6 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.fetch.size",
     "a2.ignore.stored.offset",
     "a2.initial.load",
-    "a2.key.override",
     "a2.lob.transformation.class",
     "a2.log.miner.reconnect.ms",
     "a2.logminer.trace",
@@ -112,7 +111,7 @@ _SUPPORTED = {
     "a2.kafka.topic", "a2.use.all.columns.on.delete",
     "a2.tolerate.incomplete.row", "a2.use.rowid.as.key", "a2.pk.type",
     "a2.last.sequence.notifier", "a2.last.sequence.notifier.file",
-    "a2.batch.size", "a2.transaction.implementation",
+    "a2.batch.size", "a2.transaction.implementation", "a2.key.override",
     "a2.sink.connector.mode",
     "a2.transactions.threshold", "a2.reduce.load.ms",
 }
@@ -161,6 +160,28 @@ class OraCdcConnector:
         from oracdc_spark.registry import NumberMap
 
         self.number_map = NumberMap(self.config)
+
+        # a2.key.override = OWNER.TABLE=NOKEY|ROWID|INDEX(NAME), comma
+        # separated; a listed table ignores a2.pk.type and
+        # a2.use.rowid.as.key (Parameters.java:358-368,
+        # SourceConnectorConfig.java:289-313)
+        self.key_override: dict[str, tuple[str, str]] = {}
+        for token in self.config.get("a2.key.override", "").split(","):
+            token = token.strip()
+            if not token:
+                continue
+            fqn, _, value = token.partition("=")
+            fqn, value = fqn.strip().upper(), value.strip()
+            vu = value.upper()
+            if vu == "NOKEY":
+                self.key_override[fqn] = ("NOKEY", "")
+            elif vu == "ROWID":
+                self.key_override[fqn] = ("ROWID", "")
+            elif vu.startswith("INDEX"):
+                idx = value[value.find("(") + 1 : value.rfind(")")].strip()
+                self.key_override[fqn] = ("INDEX", idx)
+            else:
+                raise ValueError(f"bad a2.key.override entry: {token!r}")
 
         self.schema_type = self.config.get("a2.schema.type", SCHEMA_KAFKA)
         if self.schema_type not in (SCHEMA_KAFKA, SCHEMA_SINGLE, SCHEMA_DEBEZIUM):
@@ -244,13 +265,43 @@ class OraCdcConnector:
         self,
         pk_cols: tuple[str, ...],
         unique_not_null_cols: tuple[str, ...] = (),
+        owner: str | None = None,
+        table: str | None = None,
+        indexes: dict[str, tuple[str, ...]] | None = None,
     ) -> tuple[tuple[str, ...], str]:
         """S10 key preference under the configured a2.pk.type /
         a2.use.rowid.as.key: well_defined restricts the fallback chain to
         real PKs (no unique-index substitution); any_unique allows it;
-        use.rowid.as.key forces the ROWID pseudo-key."""
-        from oracdc_spark.registry import OVERRIDE_NONE, OVERRIDE_ROWID, choose_key
+        use.rowid.as.key forces the ROWID pseudo-key.  A per-table
+        a2.key.override entry IGNORES those globals (Parameters.java:362):
+        NOKEY emits no key fields, ROWID forces the pseudo-key, and
+        INDEX(NAME) keys on that index's columns (``indexes`` supplies
+        the dictionary's index→columns map)."""
+        from oracdc_spark.registry import (
+            KEY_FROM_INDEX,
+            KEY_NOKEY,
+            KEY_ROWID_PSEUDO,
+            OVERRIDE_NONE,
+            OVERRIDE_ROWID,
+            choose_key,
+        )
 
+        if owner is not None and table is not None:
+            kind, idx_name = self.key_override.get(
+                f"{owner}.{table}".upper(), ("NONE", "")
+            )
+            if kind == "NOKEY":
+                return (), KEY_NOKEY
+            if kind == "ROWID":
+                return ("ORA_ROW_ID",), KEY_ROWID_PSEUDO
+            if kind == "INDEX":
+                cols = (indexes or {}).get(idx_name)
+                if not cols:
+                    raise ValueError(
+                        f"a2.key.override INDEX({idx_name}) for "
+                        f"{owner}.{table}: index not in the dictionary"
+                    )
+                return tuple(cols), KEY_FROM_INDEX
         override = (
             OVERRIDE_ROWID if self._flag("a2.use.rowid.as.key", False) else OVERRIDE_NONE
         )

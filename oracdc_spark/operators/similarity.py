@@ -88,7 +88,14 @@ def brute_force_topk(
     vecs: DataFrame, query_mod: int = 100, k: int = 5
 ) -> DataFrame:
     """Top-k cosine neighbors for the query subset (vec_id % query_mod == 0)
-    against the full corpus. Output: (query_id, neighbor_id, rank)."""
+    against the full corpus. Output: (query_id, neighbor_id, rank).
+
+    Input contract at scale: the query side must be a BOUNDED batch
+    (user queries, an eval set — ~1e3..1e5 rows); the %-derived subset
+    is the sandbox stand-in for that external batch.  Brute force is
+    O(|Q|·|C|·d) with the queries broadcast — if the query load itself
+    is corpus-sized, this operator is the wrong tool (use
+    embedding_near_dups' banded self-join instead)."""
     queries = vecs.filter(F.col("vec_id") % query_mod == 0)
     scores = cosine_scores(queries, vecs)
     w = Window.partitionBy("query_id").orderBy(
@@ -105,7 +112,10 @@ def ivf_topk(vecs: DataFrame, query_mod: int = 100, k: int = 3) -> DataFrame:
     """IVF-bucketed ANN: search only the query's coarse cell (`label`).
 
     At scale: corpus pre-partitioned (bucketed) by cell id → the candidate
-    join is co-located, no corpus shuffle per query batch.
+    join is co-located, no corpus shuffle per query batch.  Same bounded
+    query-batch input contract as brute_force_topk — the broadcast hint
+    assumes |Q| is an external batch, not a corpus fraction; the
+    %-derived subset here is the sandbox stand-in.
     """
     queries = vecs.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("cell"), F.col("embedding").alias("qe")

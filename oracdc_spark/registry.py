@@ -47,6 +47,9 @@ UNUSED_COL_RE = re.compile(r"^SYS_C\d+_\d{8}:\d{2}:\d{2}\$$", re.IGNORECASE)
 KEY_WELL_DEFINED_PK = "pk"
 KEY_UNIQUE_NOT_NULL = "unique_index"
 KEY_ROWID_PSEUDO = "rowid"
+# a2.key.override per-table forms (OraCdcKeyOverrideTypes.java):
+KEY_NOKEY = "nokey"          # NOKEY — emit no key fields for this table
+KEY_FROM_INDEX = "index"     # INDEX(NAME) — key = that index's columns
 
 
 def oracle_type_to_spark(type_str: str) -> DataType:

@@ -331,3 +331,54 @@ def test_salt_buckets_derived_from_threshold():
     assert f(1024) == 2
     assert f(100_000) == 2      # loose budget: minimum spread, never 0/1
     assert all(2 <= f(t) <= 64 for t in (1, 7, 33, 500, 9999))
+
+
+class TestKeyOverride:
+    """a2.key.override = OWNER.TABLE=NOKEY|ROWID|INDEX(NAME): a listed
+    table ignores a2.pk.type / a2.use.rowid.as.key
+    (Parameters.java:358-368, SourceConnectorConfig.java:289-313)."""
+
+    def _c(self, **extra):
+        from oracdc_spark.connector import OraCdcConnector
+
+        cfg = {
+            "a2.key.override": "SCOTT.DEPT=NOKEY, SCOTT.EMP=INDEX(EMP_UQ), AP.INV=ROWID",
+        }
+        cfg.update(extra)
+        return OraCdcConnector(cfg)
+
+    def test_nokey_rowid_index_forms(self):
+        c = self._c()
+        assert c.key_for(("PK",), owner="SCOTT", table="DEPT") == ((), "nokey")
+        assert c.key_for(("PK",), owner="AP", table="INV") == (
+            ("ORA_ROW_ID",),
+            "rowid",
+        )
+        assert c.key_for(
+            ("PK",), owner="SCOTT", table="EMP", indexes={"EMP_UQ": ("EMPNO",)}
+        ) == (("EMPNO",), "index")
+
+    def test_override_beats_global_flags(self):
+        # global rowid flag would force ORA_ROW_ID — the override wins
+        c = self._c(**{"a2.use.rowid.as.key": "true"})
+        assert c.key_for(("PK",), owner="SCOTT", table="DEPT") == ((), "nokey")
+        # unlisted table still follows the global flag
+        assert c.key_for(("PK",), owner="X", table="Y") == (
+            ("ORA_ROW_ID",),
+            "rowid",
+        )
+
+    def test_unknown_index_raises(self):
+        import pytest as _pytest
+
+        c = self._c()
+        with _pytest.raises(ValueError, match="EMP_UQ"):
+            c.key_for(("PK",), owner="SCOTT", table="EMP", indexes={})
+
+    def test_bad_entry_rejected(self):
+        import pytest as _pytest
+
+        from oracdc_spark.connector import OraCdcConnector
+
+        with _pytest.raises(ValueError, match="key.override"):
+            OraCdcConnector({"a2.key.override": "SCOTT.DEPT=WAT"})

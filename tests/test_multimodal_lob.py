@@ -237,3 +237,54 @@ class TestImageAHash:
         w, h, raster = ppm_raster(make_ppm(12))
         assert (w, h) == ((12 % 16) + 1, (12 % 8) + 1)
         assert len(raster) == w * h * 3
+
+
+def test_audio_ehash_empty_segments_bit_positions():
+    """Regression: with fewer samples than segments, EMPTY segments must
+    not shift later segments' bit positions (the vectorized reduceat
+    labeling bug caught by the sf0.01 oracle) — checked against the
+    scalar definition for several short-sample shapes."""
+    import struct
+
+    import numpy as np
+
+    def wav(samples, rate=8000):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def scalar_ehash(samples, segments=8):
+        n = len(samples)
+        segs = {}
+        for i, s in enumerate(samples):
+            acc = segs.setdefault((i * segments) // n, [0, 0])
+            acc[0] += s * s
+            acc[1] += 1
+        evs = {k: e // c for k, (e, c) in segs.items()}
+        mean = sum(evs.values()) // len(evs)
+        return sum(1 << k for k, ev in evs.items() if ev > mean)
+
+    from oracdc_spark.operators.multimodal import wav_pcm
+
+    for samples in ([100, -30000, 7], [5], [1, 2], [0, 0, 32000, 1, 2, 3, 4]):
+        payload = wav(samples)
+        rate, data = wav_pcm(payload)
+        sm = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        assert list(sm) == samples
+        # reproduce the operator's vector path
+        segments, n = 8, len(sm)
+        s2 = sm * sm
+        starts = (np.arange(segments, dtype=np.int64) * n + segments - 1) // segments
+        ends = np.append(starts[1:], np.int64(n))
+        nonempty = starts < ends
+        ks = np.flatnonzero(nonempty)
+        ener = np.add.reduceat(s2, starts[nonempty])
+        cnts = ends[nonempty] - starts[nonempty]
+        evs = ener // cnts
+        mean = int(evs.sum()) // len(ks)
+        eh = int(((evs > mean).astype(np.int64) << ks).sum())
+        assert eh == scalar_ehash(samples), samples
