@@ -29,6 +29,7 @@ from oracdc_spark.operators import (
     fusion,
     lob,
     multimodal,
+    pq,
     similarity,
     textops,
 )
@@ -1052,12 +1053,24 @@ def _q_sim_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), 0.16)
 
 
+def _q_sim_pq_topk(spark, sf_dir):
+    return pq.pq_topk(load_table(spark, sf_dir, "embeddings"), 100, 5)
+
+
+def _q_sim_pq_recall(spark, sf_dir):
+    return pq.pq_recall(load_table(spark, sf_dir, "embeddings"), 100, 5)
+
+
 def _q_text_tokens(spark, sf_dir):
     return textops.token_stats(load_table(spark, sf_dir, "documents"))
 
 
 def _q_text_quality(spark, sf_dir):
     return textops.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_gopher(spark, sf_dir):
+    return textops.gopher_quality(load_table(spark, sf_dir, "documents"))
 
 
 def _q_text_lang(spark, sf_dir):
@@ -1214,9 +1227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_multiprobe": _q_sim_ivf_mp,
         "similarity_sq8_recall": _q_sim_sq8_recall,
         "similarity_near_dups": _q_sim_near_dups,
+        # PQ ADC top-k + recall audit (new r5 — first driver rows)
+        "similarity_pq_topk": _q_sim_pq_topk,
+        "similarity_pq_recall": _q_sim_pq_recall,
         # --- (a) first-ever driver rows: text block ---
         "text_token_stats": _q_text_tokens,
         "text_quality": _q_text_quality,
+        # Gopher-rules quality gate (new r5 — first driver row)
+        "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
         "text_fingerprint": _q_text_fingerprint,
         "text_fingerprint_groups": _q_text_fp_groups,
@@ -1255,17 +1273,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wrapped_apply": _q_cdc_wrapped_apply,
         "cdc_replica_asof": _q_cdc_replica_asof,
         "dedup_semantic": _q_dedup_semantic,
-        "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
-        "cdc_restart_scn": _q_cdc_restart_scn,
         "registry_defaults": _q_registry_defaults,
         "cdc_row_fusion": _q_row_fusion,
-        "cdc_change_vector": _q_change_vector,
         "ora_tde_decrypt": _q_ora_tde_decrypt,
         # first-ever driver rows for S10/F8, P12/§2.8 SMTs, K4 (new r5)
         "registry_key_guard": _q_registry_key_guard,
         "smt_sanitize": _q_smt_sanitize,
         "jdbc_autocreate": _q_jdbc_autocreate,
         # ================= end of 50-query window =================
+        # moved behind the window r5 to make room for the new PQ queries:
+        # green r1–r3, operators unchanged (feed changes covered in-window
+        # by cdc_feed + the pairing trio)
+        "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
+        "cdc_restart_scn": _q_cdc_restart_scn,
+        "cdc_change_vector": _q_change_vector,
         "cdc_debezium": _q_cdc_debezium,
         "cdc_scd2_history": _q_cdc_scd2,
         "cdc_tombstones": _q_cdc_tombstones,
@@ -2798,6 +2819,132 @@ WHERE (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
         + sql["similarity_near_dups"]
         + ") p GROUP BY v2"
     )
+
+    # Product quantization (operators/pq.py): interleaved-subspace
+    # ((i-1) % m over DuckDB's 1-based index == Spark's i % m over
+    # 0-based posexplode), per-subspace Lloyd iterations unrolled as
+    # CTEs (the clustering.py integer-exact recipe keyed by (sub,
+    # cluster)), codes = final assignment, codebook = refit over codes,
+    # ADC scoring through the per-query (sub, cluster) dot LUT with the
+    # decoded corpus norm — every intermediate an exact bigint, one
+    # final double division.
+    def _pq_sql(m: int, k: int, iters: int, query_mod: int, topk: int, recall: bool) -> str:
+        out = [
+            f"""WITH qv AS (
+  SELECT vec_id, i, CAST((i - 1) % {m} AS BIGINT) AS sub,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+a0 AS (
+  SELECT vec_id, CAST(s.sub AS BIGINT) AS sub,
+         CAST(vec_id % {k} AS BIGINT) AS cluster
+  FROM embeddings, UNNEST(generate_series(0, {m - 1})) AS s(sub)
+)"""
+        ]
+        for n in range(1, iters + 1):
+            out.append(
+                f""",
+c{n} AS (
+  SELECT sub, cluster, i,
+         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM qv JOIN a{n - 1} USING (vec_id, sub) GROUP BY sub, cluster, i
+),
+d{n} AS (
+  SELECT qv.vec_id, qv.sub, c{n}.cluster,
+         CAST(SUM((q - cq) * (q - cq)) AS BIGINT) AS dist2
+  FROM qv JOIN c{n} ON qv.sub = c{n}.sub AND qv.i = c{n}.i
+  GROUP BY qv.vec_id, qv.sub, c{n}.cluster
+),
+a{n} AS (
+  SELECT vec_id, sub, cluster FROM (
+    SELECT vec_id, sub, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist2, cluster) AS rk
+    FROM d{n}) WHERE rk = 1
+)"""
+            )
+        out.append(
+            f""",
+cb AS (
+  SELECT sub, cluster, i,
+         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM qv JOIN a{iters} USING (vec_id, sub) GROUP BY sub, cluster, i
+),
+qq AS (SELECT vec_id AS query_id, sub, i, q FROM qv WHERE vec_id % {query_mod} = 0),
+lut AS (
+  SELECT query_id, cb.sub, cb.cluster, CAST(SUM(qq.q * cb.cq) AS BIGINT) AS pdot
+  FROM qq JOIN cb ON qq.sub = cb.sub AND qq.i = cb.i
+  GROUP BY query_id, cb.sub, cb.cluster
+),
+nn AS (SELECT sub, cluster, CAST(SUM(cq * cq) AS BIGINT) AS nn FROM cb GROUP BY sub, cluster),
+qn AS (SELECT query_id, CAST(SUM(q * q) AS BIGINT) AS qn FROM qq GROUP BY query_id),
+pagg AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(l.pdot) AS BIGINT) AS dot, CAST(SUM(n.nn) AS BIGINT) AS cn
+  FROM a{iters} cd
+  JOIN lut l ON cd.sub = l.sub AND cd.cluster = l.cluster
+  JOIN nn n ON cd.sub = n.sub AND cd.cluster = n.cluster
+  WHERE l.query_id <> cd.vec_id
+  GROUP BY l.query_id, cd.vec_id
+),
+pscored AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM pagg JOIN qn USING (query_id)
+),
+approx AS (
+  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM pscored) t
+  WHERE rank <= {topk}
+)"""
+        )
+        if not recall:
+            out.append("\nSELECT query_id, neighbor_id, rank FROM approx")
+            return "".join(out)
+        out.append(
+            f""",
+ec AS (SELECT vec_id AS neighbor_id, i, q FROM qv),
+edots AS (
+  SELECT query_id, neighbor_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM qq a JOIN ec b USING (i)
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+ecn AS (SELECT neighbor_id, CAST(SUM(q * q) AS BIGINT) AS cn FROM ec GROUP BY neighbor_id),
+escored AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM edots JOIN qn USING (query_id) JOIN ecn USING (neighbor_id)
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM escored) t
+  WHERE rank <= {topk}
+),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT eq.query_id,
+       COALESCE(h.n_matches, 0) AS n_matches,
+       ROUND(CAST(COALESCE(h.n_matches, 0) AS DOUBLE) / {topk}, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) eq
+LEFT JOIN hits h ON eq.query_id = h.query_id"""
+        )
+        return "".join(out)
+
+    sql["similarity_pq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False)
+    sql["similarity_pq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True)
     # Okapi BM25 (text_bm25): quantized-integer formulation — numerator
     # and denominator are exact bigints (see bm25_rank docstring), the
     # score division is IEEE-identical across engines
@@ -2927,6 +3074,43 @@ SELECT doc_id, n_chars_calc, n_tokens,
        ROUND(CAST(n_nonspace AS DOUBLE) / n_tokens, 6) AS mean_token_len,
        (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.6) AS keep
 FROM m
+"""
+    )
+    # Gopher-rules gate (textops.gopher_quality): every keep condition
+    # an exact integer comparison — bit-deterministic across engines
+    gopher_stops = "['" + "','".join(textops.GOPHER_STOPWORDS) + "']"
+    sql["text_gopher_quality"] = (
+        "WITH "
+        + _TOKS
+        + f""",
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS wc,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS chars,
+         CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT) AS sym,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         CAST(len(list_intersect(list_distinct(w), {gopher_stops})) AS BIGINT) AS stop_hits,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM toks
+),
+m2 AS (
+  SELECT doc_id, wc, chars, sym, alpha, stop_hits,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, x -> starts_with(x, '•') OR starts_with(x, '- '))) AS BIGINT) AS bullets,
+         CAST(len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS BIGINT) AS ellipses
+  FROM m
+)
+SELECT doc_id, wc AS n_words,
+       ROUND(CAST(chars AS DOUBLE) / wc, 6) AS mean_word_len,
+       sym AS n_symbols, alpha AS alpha_words, stop_hits,
+       (wc >= 50 AND wc <= 100000
+        AND 3 * wc <= chars AND chars <= 10 * wc
+        AND 10 * sym <= wc
+        AND 5 * alpha >= 4 * wc
+        AND stop_hits >= 2
+        AND 10 * bullets <= 9 * n_lines
+        AND 10 * ellipses <= 3 * n_lines) AS keep
+FROM m2
 """
     )
     lang_cases = []

@@ -54,7 +54,9 @@ BENCH_QUERIES = [
     "similarity_ivf_multiprobe",
     "similarity_near_dups",
     "similarity_sq8_recall",
+    "similarity_pq_topk",
     "text_quality",
+    "text_gopher_quality",
     "text_fingerprint",
     "text_contamination",
     "text_repetition",

@@ -1,0 +1,201 @@
+"""Product quantization (PQ) ANN: interleaved-subspace codebooks,
+corpus codes, asymmetric-distance (ADC) top-k, and a recall audit.
+
+Role in the engine: completes the ANN ladder in
+``operators/similarity.py`` — brute force (exact baseline), IVF /
+IVF-multiprobe (coarse pruning), SQ8 (4x storage compression) — with
+the standard FAISS-style scale path for billion-vector corpora: PQ
+compresses each vector to ``m`` one-byte codes (here m=16 over 64 dims:
+16x compression vs float32) and query scoring never touches the
+original vectors, only a per-query lookup table of size m*k.
+
+Decomposition: dimension ``i`` (0-based) belongs to subspace
+``i % m`` — INTERLEAVED grouping rather than contiguous blocks, so the
+subspace split needs no knowledge of the vector length (the operator
+works on ragged/unknown-d corpora, and the SQL oracle mirrors it as
+``(i-1) % m`` over DuckDB's 1-based UNNEST index).
+
+Training is per-subspace Lloyd k-means reusing the exact-integer
+recipe of ``operators/clustering.py`` (quantized bigint components,
+floor-mean centroids, integer squared distances, argmin ties on the
+lower cluster id, ``vec_id % k`` seeding — no RNG to synchronize), run
+for a fixed ``iters`` so the whole loop is a deterministic, bounded
+DataFrame plan.  Codes are the final assignment; the codebook is the
+refit over the final codes.
+
+ADC scoring (the PQ trick): for each query precompute
+``lut[sub, cluster] = <query_sub, centroid>`` — an m*k-row table per
+query, built by ONE broadcast join of the (tiny) codebook against the
+(bounded, see brute_force_topk's input contract) query batch.  A
+neighbor's approximate dot product is then ``sum_sub lut[sub,
+code[neighbor, sub]]`` — the corpus is touched once, at m rows per
+vector, with no per-pair dimension loop.  Scores use the engine's
+sign(dot)*dot^2/(qn*cn) quantized-cosine form with the DECODED corpus
+norm (sum of centroid norms per code), mirroring SQ8's
+decoded-components-re-enter-scoring convention.
+
+Scale shape (100 TB): training touches the corpus 2x per iteration
+(same as clustering.py — k*m*d centroid rows, always broadcastable);
+encoding is one more assignment pass; the serving-path state is codes
+(m bigints per vector, stored once) plus the k*d codebook.  The ADC
+join is corpus-codes x broadcast-LUT keyed on (sub, cluster) — 16
+distinct key values per sub at k=16, so the groupBy(query, neighbor)
+partial-aggregates map-side; nothing quadratic in the corpus, no
+per-pair d-dim work.
+
+Reference parity: the reference ships no ANN operator — this is part
+of the LLM-data-pipeline surface the task brief adds on top of the
+oracdc operator set (SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from oracdc_spark.operators.similarity import brute_force_topk, quantized
+
+PQ_M = 16       # subspaces (interleaved by i % m): 4-dim sub-vectors at
+                # d=64 — 16 one-byte codes = 16x compression vs float32.
+                # Fewer, wider subspaces compress harder but collapse
+                # recall on unclustered data (m=4 ~0.08, m=8 ~0.3,
+                # m=16 ~0.4 on the synthetic corpus vs exact top-5).
+PQ_K = 16       # centroids per subspace (one-byte codes up to k=256)
+PQ_ITERS = 2    # fixed Lloyd iterations (bounded, deterministic plan)
+
+
+def pq_components(vecs: DataFrame, m: int = PQ_M) -> DataFrame:
+    """Unnested exact-integer components tagged with their subspace:
+    (vec_id, sub, i, q)."""
+    return quantized(vecs).withColumn("sub", (F.col("i") % m).cast("bigint"))
+
+
+def _codebook(comps: DataFrame, assign: DataFrame) -> DataFrame:
+    """Refit step: floor-mean centroid components per (sub, cluster, i).
+    Result is at most k*d rows — always broadcastable."""
+    return (
+        comps.join(assign, ["vec_id", "sub"])
+        .groupBy("sub", "cluster", "i")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("cq")
+        )
+    )
+
+
+def _assign(comps: DataFrame, cb: DataFrame) -> DataFrame:
+    """Assignment step: exact integer squared distance per (vec, sub,
+    cluster), argmin with (dist2, cluster) tie-break."""
+    diff = F.col("q") - F.col("cq")
+    d = (
+        comps.join(F.broadcast(cb), ["sub", "i"])
+        .groupBy("vec_id", "sub", "cluster")
+        .agg(F.sum(diff * diff).alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("dist2").asc(), F.col("cluster").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "cluster")
+    )
+
+
+def pq_train_encode(
+    vecs: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    Returns (codes, codebook): codes = (vec_id, sub, cluster) — m rows
+    per vector, the stored index; codebook = (sub, cluster, i, cq) —
+    the final refit over the codes (k*d rows).
+    """
+    comps = pq_components(vecs, m)
+    assign = vecs.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
+    ).select(
+        "vec_id",
+        F.col("sub").cast("bigint").alias("sub"),
+        (F.col("vec_id") % k).cast("bigint").alias("cluster"),
+    )
+    for _ in range(iters):
+        assign = _assign(comps, _codebook(comps, assign))
+    return assign, _codebook(comps, assign)
+
+
+def pq_topk(
+    vecs: DataFrame,
+    query_mod: int = 100,
+    k_neighbors: int = 5,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """ADC top-k: PQ-coded corpus scored against full-precision queries
+    through the per-query (sub, cluster) dot-product LUT.  Output:
+    (query_id, neighbor_id, rank).
+
+    Same bounded-query-batch input contract as brute_force_topk; the
+    %-derived subset is the sandbox stand-in for an external batch."""
+    codes, cb = pq_train_encode(vecs, m, k, iters)
+    qq = pq_components(vecs.filter(F.col("vec_id") % query_mod == 0), m).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    lut = (
+        qq.join(F.broadcast(cb), ["sub", "i"])
+        .groupBy("query_id", "sub", "cluster")
+        .agg(F.sum(F.col("q") * F.col("cq")).alias("pdot"))
+    )
+    nn = cb.groupBy("sub", "cluster").agg(
+        F.sum(F.col("cq") * F.col("cq")).alias("nn")
+    )
+    qn = qq.groupBy("query_id").agg(F.sum(F.col("q") * F.col("q")).alias("qn"))
+    agg = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(lut), ["sub", "cluster"])
+        .join(F.broadcast(nn), ["sub", "cluster"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdot").alias("dot"), F.sum("nn").alias("cn"))
+    )
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        agg.join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def pq_recall(vecs: DataFrame, query_mod: int = 100, k_neighbors: int = 5) -> DataFrame:
+    """Quantization quality audit: per-query overlap between PQ-ADC
+    top-k and exact top-k.  Output: (query_id, n_matches, recall)."""
+    approx = pq_topk(vecs, query_mod, k_neighbors)
+    exact = brute_force_topk(vecs, query_mod, k_neighbors)
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
+            F.round(
+                F.coalesce(F.col("n_matches"), F.lit(0)).cast("double") / k_neighbors, 6
+            ).alias("recall"),
+        )
+    )

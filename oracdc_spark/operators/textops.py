@@ -82,6 +82,66 @@ def quality_scores(docs: DataFrame, min_tokens: int = 20, max_stopword_ratio: fl
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, min_words: int = 50, max_words: int = 100000) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word count in [min_words, max_words], mean word length in [3, 10],
+    symbol-to-word ratio (# and ellipsis) <= 0.1, >= 80% of words with
+    an alphabetic character, >= 2 of the paper's 8 stop words present,
+    <= 90% of lines bullet-led and <= 30% ellipsis-terminated.
+
+    Every gate is an EXACT INTEGER comparison (3*wc <= chars <= 10*wc,
+    10*symbols <= wc, 5*alpha >= 4*wc, 10*bullets <= 9*lines,
+    10*ellipsis_lines <= 3*lines) so `keep` is bit-deterministic across
+    engines; the reported ratios are single double divisions of the
+    same integers.  Pure codegen — no UDFs, no shuffle (a per-row map
+    over the corpus scan).
+    """
+    words = _tokens()
+    wc = F.size(words).cast("bigint")
+    chars = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("bigint")
+    sym = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), r"[#…]", ""))
+    ).cast("bigint")
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("bigint")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    ).cast("bigint")
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: x != F.lit(""))
+    n_lines = F.size(lines).cast("bigint")
+    bullets = F.size(
+        F.filter(lines, lambda x: x.startswith("•") | x.startswith("- "))
+    ).cast("bigint")
+    ellipses = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    ).cast("bigint")
+    keep = (
+        (wc >= min_words)
+        & (wc <= max_words)
+        & (3 * wc <= chars)
+        & (chars <= 10 * wc)
+        & (10 * sym <= wc)
+        & (5 * alpha >= 4 * wc)
+        & (stop_hits >= 2)
+        & (10 * bullets <= 9 * n_lines)
+        & (10 * ellipses <= 3 * n_lines)
+    )
+    return _parallel(docs).select(
+        "doc_id",
+        wc.alias("n_words"),
+        F.round(chars.cast("double") / wc, 6).alias("mean_word_len"),
+        sym.alias("n_symbols"),
+        alpha.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Heuristic language-ID: marker-lexicon hit counts per language,
     argmax with lexicographic tie-break. Output: (doc_id, lang, pred_lang,

@@ -1,0 +1,75 @@
+"""Product quantization (operators/pq.py) invariants."""
+
+import pyspark.sql.functions as F
+
+from oracdc_spark.catalog import load_table
+from oracdc_spark.operators import pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_codes_cover_corpus_and_stay_in_range(spark):
+    """Every vector gets exactly m codes, one per subspace, each a valid
+    cluster id in [0, k)."""
+    vecs = load_table(spark, SF, "embeddings")
+    n = vecs.count()
+    codes, cb = pq.pq_train_encode(vecs, m=4, k=16, iters=2)
+    per_vec = codes.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("sub").alias("nsub")
+    )
+    bad = per_vec.filter((F.col("n") != 4) | (F.col("nsub") != 4)).count()
+    assert bad == 0
+    assert per_vec.count() == n
+    mm = codes.agg(F.min("cluster"), F.max("cluster")).first()
+    assert mm[0] >= 0 and mm[1] < 16
+
+
+def test_codebook_shape_and_subspace_partition(spark):
+    """Codebook centroids exist only for dimensions of their own
+    subspace (interleaved i % m grouping) and stay <= k per subspace."""
+    vecs = load_table(spark, SF, "embeddings")
+    _, cb = pq.pq_train_encode(vecs, m=4, k=16, iters=2)
+    mismatched = cb.filter(F.col("i") % 4 != F.col("sub")).count()
+    assert mismatched == 0
+    per_sub = cb.select("sub", "cluster").distinct().groupBy("sub").count()
+    assert per_sub.filter(F.col("count") > 16).count() == 0
+
+
+def test_adc_recall_sane(spark):
+    """PQ-ADC search must recover a meaningful share of the exact
+    top-k (the synthetic corpus is unclustered — the hardest case for
+    PQ — so the bar is below SQ8's, but far above the ~k/|corpus|
+    random-order floor)."""
+    vecs = load_table(spark, SF, "embeddings")
+    rec = pq.pq_recall(vecs, 100, 5).agg(F.avg("recall")).first()[0]
+    assert rec >= 0.3
+
+
+def test_lloyd_iterations_do_not_increase_distortion(spark):
+    """Per-subspace within-cluster squared distance must not grow from
+    the seed assignment to the trained assignment (Lloyd monotonicity,
+    measured against each step's own refit centroids)."""
+    vecs = load_table(spark, SF, "embeddings")
+    comps = pq.pq_components(vecs, 4)
+
+    def distortion(assign):
+        cbk = pq._codebook(comps, assign)
+        d = (
+            comps.join(assign, ["vec_id", "sub"])
+            .join(cbk, ["sub", "cluster", "i"])
+            .select(((F.col("q") - F.col("cq")) ** 2).alias("d2"))
+            .agg(F.sum("d2"))
+            .first()[0]
+        )
+        return d
+
+    seed = vecs.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("sub"),
+    ).select(
+        "vec_id",
+        F.col("sub").cast("bigint").alias("sub"),
+        (F.col("vec_id") % 16).cast("bigint").alias("cluster"),
+    )
+    trained, _ = pq.pq_train_encode(vecs, m=4, k=16, iters=2)
+    assert distortion(trained) <= distortion(seed)

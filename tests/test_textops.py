@@ -325,3 +325,43 @@ class TestBm25AndDsir:
         total = docs.count()
         en_share_corpus = docs.filter("lang = 'en'").count() / total
         assert en_share_top >= en_share_corpus
+
+
+class TestGopherQuality:
+    def _run(self, spark, rows):
+        from oracdc_spark.operators.textops import gopher_quality
+
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {r.doc_id: r for r in gopher_quality(docs, min_words=5).collect()}
+
+    def test_rules(self, spark):
+        good = "the quick brown fox and that dog have run with the pack again"
+        out = self._run(
+            spark,
+            [
+                (1, good),
+                (2, "tiny doc"),  # below min word count
+                (3, "the of and " + "# " * 40 + "that have with more words here"),  # symbol ratio
+                (4, "12 34 56 78 90 11 22 33 44 55 the of"),  # alpha fraction
+                (5, "nothing matching stop list here at all friends"),  # stop hits < 2
+                (6, "\n".join(["• the of and that item"] * 10)),  # all bullet lines
+            ],
+        )
+        assert out[1].keep
+        assert not out[2].keep
+        assert not out[3].keep
+        assert not out[4].keep
+        assert not out[5].keep
+        assert not out[6].keep
+        assert out[1].stop_hits >= 4
+        assert out[3].n_symbols == 40
+
+    def test_ellipsis_lines(self, spark):
+        bad = "\n".join(["the of and that words trail off …"] * 10)
+        mostly_ok = "\n".join(
+            ["the of and that fine line here"] * 8
+            + ["the of and that words trail off …"] * 2
+        )
+        out = self._run(spark, [(1, bad), (2, mostly_ok)])
+        assert not out[1].keep
+        assert out[2].keep
