@@ -1061,6 +1061,10 @@ def _q_sim_pq_recall(spark, sf_dir):
     return pq.pq_recall(load_table(spark, sf_dir, "embeddings"), 100, 5)
 
 
+def _q_sim_ivfpq(spark, sf_dir):
+    return pq.ivfpq_topk(load_table(spark, sf_dir, "embeddings"), 100, 5, 2)
+
+
 def _q_text_tokens(spark, sf_dir):
     return textops.token_stats(load_table(spark, sf_dir, "documents"))
 
@@ -1230,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PQ ADC top-k + recall audit (new r5 — first driver rows)
         "similarity_pq_topk": _q_sim_pq_topk,
         "similarity_pq_recall": _q_sim_pq_recall,
+        "similarity_ivfpq_topk": _q_sim_ivfpq,
         # --- (a) first-ever driver rows: text block ---
         "text_token_stats": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1274,7 +1279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replica_asof": _q_cdc_replica_asof,
         "dedup_semantic": _q_dedup_semantic,
         "registry_defaults": _q_registry_defaults,
-        "cdc_row_fusion": _q_row_fusion,
         "ora_tde_decrypt": _q_ora_tde_decrypt,
         # first-ever driver rows for S10/F8, P12/§2.8 SMTs, K4 (new r5)
         "registry_key_guard": _q_registry_key_guard,
@@ -1287,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
         "cdc_restart_scn": _q_cdc_restart_scn,
         "cdc_change_vector": _q_change_vector,
+        "cdc_row_fusion": _q_row_fusion,
         "cdc_debezium": _q_cdc_debezium,
         "cdc_scd2_history": _q_cdc_scd2,
         "cdc_tombstones": _q_cdc_tombstones,
@@ -2828,10 +2833,13 @@ WHERE (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
     # ADC scoring through the per-query (sub, cluster) dot LUT with the
     # decoded corpus norm — every intermediate an exact bigint, one
     # final double division.
-    def _pq_sql(m: int, k: int, iters: int, query_mod: int, topk: int, recall: bool) -> str:
+    def _pq_sql(
+        m: int, k: int, iters: int, query_mod: int, topk: int, recall: bool,
+        n_probe: int | None = None,
+    ) -> str:
         out = [
             f"""WITH qv AS (
-  SELECT vec_id, i, CAST((i - 1) % {m} AS BIGINT) AS sub,
+  SELECT vec_id, label, i, CAST((i - 1) % {m} AS BIGINT) AS sub,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
 ),
@@ -2877,7 +2885,45 @@ lut AS (
   GROUP BY query_id, cb.sub, cb.cluster
 ),
 nn AS (SELECT sub, cluster, CAST(SUM(cq * cq) AS BIGINT) AS nn FROM cb GROUP BY sub, cluster),
-qn AS (SELECT query_id, CAST(SUM(q * q) AS BIGINT) AS qn FROM qq GROUP BY query_id),
+qn AS (SELECT query_id, CAST(SUM(q * q) AS BIGINT) AS qn FROM qq GROUP BY query_id)"""
+        )
+        if n_probe is not None:
+            # IVF-PQ: integer coarse centroids, n_probe nearest cells per
+            # query, PQ-ADC over probed cells only
+            out.append(
+                f""",
+cents AS (
+  SELECT label AS cell, i,
+         CAST(round(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ccq
+  FROM qv GROUP BY label, i
+),
+pdist AS (
+  SELECT qq.query_id, cents.cell,
+         CAST(SUM((qq.q - ccq) * (qq.q - ccq)) AS BIGINT) AS d2
+  FROM qq JOIN cents USING (i) GROUP BY qq.query_id, cents.cell
+),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cell) AS rk
+    FROM pdist) WHERE rk <= {n_probe}
+),
+cellmap AS (SELECT vec_id, label AS cell FROM embeddings),
+pagg AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(l.pdot) AS BIGINT) AS dot, CAST(SUM(n.nn) AS BIGINT) AS cn
+  FROM a{iters} cd
+  JOIN cellmap cm ON cd.vec_id = cm.vec_id
+  JOIN probe p ON cm.cell = p.cell
+  JOIN lut l ON p.query_id = l.query_id AND cd.sub = l.sub AND cd.cluster = l.cluster
+  JOIN nn n ON cd.sub = n.sub AND cd.cluster = n.cluster
+  WHERE l.query_id <> cd.vec_id
+  GROUP BY l.query_id, cd.vec_id
+)"""
+            )
+        else:
+            out.append(
+                f""",
 pagg AS (
   SELECT l.query_id, cd.vec_id AS neighbor_id,
          CAST(SUM(l.pdot) AS BIGINT) AS dot, CAST(SUM(n.nn) AS BIGINT) AS cn
@@ -2886,7 +2932,10 @@ pagg AS (
   JOIN nn n ON cd.sub = n.sub AND cd.cluster = n.cluster
   WHERE l.query_id <> cd.vec_id
   GROUP BY l.query_id, cd.vec_id
-),
+)"""
+            )
+        out.append(
+            f""",
 pscored AS (
   SELECT query_id, neighbor_id,
          (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
@@ -2945,6 +2994,7 @@ LEFT JOIN hits h ON eq.query_id = h.query_id"""
 
     sql["similarity_pq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False)
     sql["similarity_pq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True)
+    sql["similarity_ivfpq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False, n_probe=2)
     # Okapi BM25 (text_bm25): quantized-integer formulation — numerator
     # and denominator are exact bigints (see bm25_rank docstring), the
     # score division is IEEE-identical across engines

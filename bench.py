@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "similarity_near_dups",
     "similarity_sq8_recall",
     "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     "text_quality",
     "text_gopher_quality",
     "text_fingerprint",

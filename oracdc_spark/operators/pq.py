@@ -176,6 +176,93 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    vecs: DataFrame,
+    query_mod: int = 100,
+    k_neighbors: int = 5,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale index layout — coarse-cell
+    pruning composed with PQ-ADC scoring.
+
+    Each query ranks the coarse cells (the precomputed ``label``
+    assignment, integer centroids at the quantized scale — the
+    ivf_multiprobe_topk recipe) and probes its ``n_probe`` nearest;
+    only the CODES of vectors in probed cells are scored, through the
+    same per-query (sub, cluster) LUT as pq_topk.  Candidate work is
+    n_probe/C of the corpus at m rows per vector — the multiplicative
+    composition of IVF's pruning and PQ's compression, with no
+    full-precision corpus access on the serving path.
+
+    Scale shape: corpus codes bucketed by cell id make the probe join
+    co-located; the LUT/centroid/codebook tables are all broadcast
+    constants (bounded query batch x m x k).  Output: (query_id,
+    neighbor_id, rank).
+    """
+    codes, cb = pq_train_encode(vecs, m, k, iters)
+    q = quantized(vecs)
+    lab = vecs.select("vec_id", F.col("label").alias("cell"))
+    cents = (
+        q.join(F.broadcast(lab), "vec_id")
+        .groupBy("cell", "i")
+        .agg(
+            F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 0)
+            .cast("bigint")
+            .alias("ccq")
+        )
+    )
+    qq = pq_components(vecs.filter(F.col("vec_id") % query_mod == 0), m).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cdiff = F.col("q") - F.col("ccq")
+    dist = (
+        qq.join(F.broadcast(cents), "i")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(cdiff * cdiff).alias("d2"))
+    )
+    wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probe = (
+        dist.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell")
+    )
+    lut = (
+        qq.join(F.broadcast(cb), ["sub", "i"])
+        .groupBy("query_id", "sub", "cluster")
+        .agg(F.sum(F.col("q") * F.col("cq")).alias("pdot"))
+    )
+    nn = cb.groupBy("sub", "cluster").agg(
+        F.sum(F.col("cq") * F.col("cq")).alias("nn")
+    )
+    qn = qq.groupBy("query_id").agg(F.sum(F.col("q") * F.col("q")).alias("qn"))
+    agg = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(lab.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(probe), "cell")
+        .join(F.broadcast(lut), ["query_id", "sub", "cluster"])
+        .join(F.broadcast(nn), ["sub", "cluster"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pdot").alias("dot"), F.sum("nn").alias("cn"))
+    )
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        agg.join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 def pq_recall(vecs: DataFrame, query_mod: int = 100, k_neighbors: int = 5) -> DataFrame:
     """Quantization quality audit: per-query overlap between PQ-ADC
     top-k and exact top-k.  Output: (query_id, n_matches, recall)."""

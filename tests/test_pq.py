@@ -73,3 +73,38 @@ def test_lloyd_iterations_do_not_increase_distortion(spark):
     )
     trained, _ = pq.pq_train_encode(vecs, m=4, k=16, iters=2)
     assert distortion(trained) <= distortion(seed)
+
+
+def test_ivfpq_neighbors_come_from_probed_cells(spark):
+    """Every IVF-PQ result must lie in one of its query's n_probe
+    nearest coarse cells — the pruning contract of the composed index."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from oracdc_spark.operators.similarity import quantized
+
+    vecs = load_table(spark, SF, "embeddings")
+    out = pq.ivfpq_topk(vecs, 100, 5, 2)
+    # recompute the probe sets the operator's way
+    q = quantized(vecs)
+    lab = vecs.select("vec_id", F.col("label").alias("cell"))
+    cents = (
+        q.join(lab, "vec_id")
+        .groupBy("cell", "i")
+        .agg(F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 0).cast("bigint").alias("ccq"))
+    )
+    qd = q.filter(F.col("vec_id") % 100 == 0).withColumnRenamed("vec_id", "query_id")
+    dist = (
+        qd.join(cents, "i")
+        .groupBy("query_id", "cell")
+        .agg(F.sum((F.col("q") - F.col("ccq")) * (F.col("q") - F.col("ccq"))).alias("d2"))
+    )
+    wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probe = dist.withColumn("rk", F.row_number().over(wp)).filter(F.col("rk") <= 2).select("query_id", "cell")
+    stray = (
+        out.join(lab.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(probe, ["query_id", "cell"], "left_anti")
+        .count()
+    )
+    assert stray == 0
+    assert out.count() > 0

@@ -43,6 +43,11 @@ NOTES = {
                          "— no per-user cross product, no BroadcastNestedLoop",
     "text_cms_topk": "one gram pass builds all 4 depth cells; sketch <= 4096 cells regardless of corpus (mergeable by sum)",
     "text_hll_distinct": "<= 1024 register groups; distinct-count estimate from one partial-aggregated pass (mergeable by max)",
+    "similarity_pq_topk": "Lloyd training: per-iteration (sub,cluster,i) refit (k*d rows, broadcast) + (vec_id,sub,cluster) "
+                          "assignment aggregate; ADC serve: corpus CODES (m rows/vector) join broadcast per-query LUT "
+                          "(|Q|*m*k rows, bounded query batch) — no per-pair d-dim work",
+    "text_gopher_quality": "pure codegen rules — per-row map over the corpus scan, no shuffle beyond the gated "
+                           "single-file spread",
 }
 
 KEEP = (
