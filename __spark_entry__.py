@@ -1326,6 +1326,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_total": analytics.events_running_total,
         "events_sessionize": analytics.events_sessionize,
         "events_type_stats": analytics.events_type_stats,
+        # --- TPC-H-style breadth block (declared r5, behind the window —
+        #     oracle-checked locally at sf0.001/sf0.01; rotate next round)
+        "q4_order_priority": analytics.q4_order_priority,
+        "q7_volume_shipping": analytics.q7_volume_shipping,
+        "q8_market_share": analytics.q8_market_share,
+        "q9_product_profit": analytics.q9_product_profit,
+        "q10_returned_items": analytics.q10_returned_items,
+        "q13_customer_distribution": analytics.q13_customer_distribution,
+        "q15_top_supplier": analytics.q15_top_supplier,
+        "q17_small_qty_revenue": analytics.q17_small_qty_revenue,
+        "q18_large_volume_customers": analytics.q18_large_volume_customers,
+        "q19_discounted_revenue": analytics.q19_discounted_revenue,
+        "q22_sales_opportunity": analytics.q22_sales_opportunity,
         # --- LLM-data-pipeline operators (green r4) ---
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -2173,6 +2186,150 @@ FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT')
+"""
+    # --- TPC-H-style breadth block (operators/analytics.py, r5) ---
+    sql["q4_order_priority"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+    sql["q7_volume_shipping"] = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST({_REV} AS DECIMAL(18,4)) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+) t GROUP BY supp_nation, cust_nation, l_year
+"""
+    sql["q8_market_share"] = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         ns.n_name AS supp_nation, CAST({_REV} AS DECIMAL(18,4)) AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) t GROUP BY o_year
+"""
+    sql["q9_product_profit"] = f"""
+SELECT ns.n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST({_REV} AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY nation, o_year
+"""
+    sql["q10_returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, CAST(rev_dec AS DOUBLE) AS revenue
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         SUM(CAST({_REV} AS DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+  ORDER BY rev_dec DESC, c_custkey LIMIT 20
+) t
+"""
+    sql["q13_customer_distribution"] = """
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t GROUP BY c_count
+"""
+    sql["q15_top_supplier"] = f"""
+WITH per_supp AS (
+  SELECT l_suppkey AS s_suppkey, SUM(CAST({_REV} AS DECIMAL(18,4))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(rev_dec) AS max_rev FROM per_supp)
+SELECT p.s_suppkey, s.s_name, CAST(p.rev_dec AS DOUBLE) AS total_revenue
+FROM per_supp p
+CROSS JOIN mx
+JOIN supplier s ON p.s_suppkey = s.s_suppkey
+WHERE p.rev_dec = mx.max_rev
+"""
+    sql["q17_small_qty_revenue"] = f"""
+WITH j AS (
+  SELECT l_quantity, l_extendedprice,
+         CAST(SUM(CAST(l_quantity AS {_DEC})) OVER (PARTITION BY l_partkey) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / 7.0 AS avg_yearly
+FROM j WHERE l_quantity < 0.2 * avg_qty
+"""
+    sql["q18_large_volume_customers"] = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS {_DEC})) AS qty_dec
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS {_DEC})) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, CAST(qty_dec AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+    sql["q19_discounted_revenue"] = f"""
+SELECT CAST(SUM(CAST({_REV} AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+    sql["q22_sales_opportunity"] = f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS totacctbal
+FROM customer
+CROSS JOIN avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
 """
     sql["events_funnel"] = """
 WITH s1 AS (

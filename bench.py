@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "cdc_replica_asof",
     "cdc_scd2_history",
     "lob_inflate",
+    # TPC-H breadth block (r5)
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q18_large_volume_customers",
     # LLM-pipeline ops
     "dedup_exact_groups",
     "dedup_ngram_jaccard",

@@ -546,3 +546,327 @@ def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.join(o, "c_custkey", "semi").select("c_custkey", "c_name", "c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style breadth block (r5): the classic query shapes adapted to the
+# testdata's column subset (no partsupp table, no commit/receipt dates,
+# no shipmode/phone/comment columns — each adaptation noted inline).
+# Determinism contract unchanged: money/quantity aggregates sum as
+# DECIMAL, doubles appear only in final single divisions or raw-column
+# comparisons computed identically by both engines.
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders with at least one late-shipped line
+    (l_shipdate > o_orderdate stands in for the missing commit/receipt
+    dates), counted per priority.  EXISTS compiles to a LEFT SEMI join
+    with the non-equi residual as the join condition — no duplicate
+    explosion, one orderkey exchange."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: bilateral shipping volume between two nations by
+    year.  The nation dimension joins twice (supplier side, customer
+    side) through renamed broadcast copies — fact joins shuffle on their
+    keys, the OR pair predicate stays a post-join codegen filter."""
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one nation's share of PROMO-part revenue sold
+    into ASIA, by order year.  share = two exact decimal sums, one
+    double division — conditional aggregation instead of a self-join."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    df = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0).cast(DEC))
+    )
+    return (
+        df.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (nation_rev.cast("double") / F.sum(rev).cast("double")).alias("mkt_share"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: revenue on colored parts by supplier nation and
+    order year (the testdata has no partsupp, so profit = discounted
+    revenue without the supplycost term)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(rev).cast("double").alias("sum_profit"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter.  TakeOrdered top-k on the aggregated (small) result; the
+    only wide exchanges are the fact joins on their keys."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), "n_name"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer (including
+    zero-order customers via the left join).  Two exact-integer
+    aggregations; the second input is |customers| rows."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum revenue in a
+    quarter.  The max is an exact DECIMAL scalar (1 row, broadcast
+    cross join) so the equality can never fork engines — the classic
+    view + subquery decorrelated into agg + scalar join."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    per_supp = l.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(rev).alias("rev_dec")
+    )
+    mx = per_supp.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(s, "s_suppkey")
+        .select(
+            "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
+        )
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue impact of small-quantity orders for one brand
+    — the correlated per-part average decorrelated into ONE window over
+    the brand-filtered join (shared l_partkey exchange), with the
+    average as exact-decimal-sum / count so the 0.2x threshold compares
+    identically in both engines."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        j.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders above a total-quantity
+    threshold.  The HAVING aggregate keeps only the (rare) big orders
+    before the customer join — the probe side shrinks first."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs brand/quantity predicate bands over the
+    part join (the container/size legs don't exist in the testdata
+    schema).  One scalar decimal sum; the disjunction is pure codegen
+    on the joined row."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    bands = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bands)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: wealthy customers (account balance above the
+    positive-balance average) with no RECENT orders (every synthetic
+    customer has some order, so the dormancy cutoff replaces Q22's
+    no-orders-at-all leg; the phone-prefix leg doesn't exist in the
+    testdata schema).  The scalar average is an exact decimal sum /
+    count broadcast to a codegen filter; the dormancy leg is the anti
+    join against the recent-orders key set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), "n_name"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, "c_custkey", "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+    )
