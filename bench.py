@@ -53,7 +53,9 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_lsh_recall",
     "dedup_clusters",
+    "pipeline_curation_v2",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
     "similarity_ivf_multiprobe",

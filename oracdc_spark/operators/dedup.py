@@ -334,3 +334,34 @@ def sample_by_hash(docs: DataFrame, prefix_lt: str = "1a") -> DataFrame:
     pushes no state anywhere)."""
     digest = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")))
     return docs.filter(F.substring(digest, 1, len(prefix_lt)) < prefix_lt)
+
+
+def lsh_recall_audit(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5,
+    num_hashes: int = 8, bands: int = 4,
+) -> DataFrame:
+    """Index-quality audit for the banded MinHash-LSH index: what share
+    of the exact n-gram-Jaccard near-dup pairs the candidate generation
+    recovers (the dedup analog of sq8_recall / pq_recall — every
+    approximate structure in the engine ships with its accuracy audit).
+
+    Output is ONE row: (n_exact, n_candidates, n_hits, recall).  All
+    three counts are exact-integer aggregates composed as 1-row cross
+    joins — no driver-side collection; the expensive inputs (shingle
+    self-join, band buckets) are the same plans the audited operators
+    already run."""
+    exact = jaccard_pairs(docs, n, threshold).select("d1", "d2")
+    cand = minhash_lsh_candidates(docs, n, num_hashes, bands).select("d1", "d2")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = exact.join(cand, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        ne.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_exact", "n_candidates", "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

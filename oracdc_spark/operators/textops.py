@@ -85,12 +85,20 @@ def quality_scores(docs: DataFrame, min_tokens: int = 20, max_stopword_ratio: fl
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality(docs: DataFrame, min_words: int = 50, max_words: int = 100000) -> DataFrame:
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, public):
     word count in [min_words, max_words], mean word length in [3, 10],
     symbol-to-word ratio (# and ellipsis) <= 0.1, >= 80% of words with
-    an alphabetic character, >= 2 of the paper's 8 stop words present,
-    <= 90% of lines bullet-led and <= 30% ellipsis-terminated.
+    an alphabetic character, >= 2 stop words present (the paper's
+    8-word list by default — the paper treats the lexicon as a
+    natural-language proxy, so it is a parameter for corpora with a
+    different function-word inventory), <= 90% of lines bullet-led and
+    <= 30% ellipsis-terminated.
 
     Every gate is an EXACT INTEGER comparison (3*wc <= chars <= 10*wc,
     10*symbols <= wc, 5*alpha >= 4*wc, 10*bullets <= 9*lines,
@@ -109,7 +117,7 @@ def gopher_quality(docs: DataFrame, min_words: int = 50, max_words: int = 100000
     alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("bigint")
     stop_hits = F.size(
         F.array_intersect(
-            F.array_distinct(words), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+            F.array_distinct(words), F.array(*[F.lit(s) for s in stopwords])
         )
     ).cast("bigint")
     lines = F.filter(F.split(F.col("text"), "\n"), lambda x: x != F.lit(""))
