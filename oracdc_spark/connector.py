@@ -80,7 +80,6 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.process.lobs",
     "a2.process.online.redo.logs",
     "a2.protobuf.schema.naming",
-    "a2.redo.filename.convert",
     "a2.schema.name.mapper",
     "a2.scn.query.interval.ms",
     "a2.stop.on.missed_log.file",
@@ -114,6 +113,7 @@ _SUPPORTED = {
     "a2.batch.size", "a2.transaction.implementation", "a2.key.override",
     "a2.sink.connector.mode",
     "a2.transactions.threshold", "a2.reduce.load.ms",
+    "a2.redo.filename.convert", "a2.use.ms.windows",
 }
 
 _BOOL_TRUE = ("true", "1", "yes")
@@ -196,6 +196,52 @@ class OraCdcConnector:
 
     def _flag(self, key: str, default: bool = False) -> bool:
         return self.config.get(key, str(default)).lower() in _BOOL_TRUE
+
+    # -- redo file name conversion ------------------------------------------
+
+    def convert_redo_file_name(self, original_name: str, bfile: bool = False) -> str:
+        """``a2.redo.filename.convert`` path mapping for redo/archive
+        file names (SourceConnectorConfig.java:659-734,
+        OraCdcRedoFileNameConvertTest.java fixtures).
+
+        Semantics mirrored from the reference: the parameter is a
+        comma-separated list of ``src=dst`` prefix pairs (entries
+        without ``=`` are skipped); both sides get the platform file
+        separator appended if missing; the LONGEST matching prefix
+        wins; on Windows mode (``a2.use.ms.windows`` here, msWindows()
+        there) backslashes in the result flip to forward slashes; an
+        unmatched name passes through unchanged.  ``bfile=True``
+        returns just the base name (the DIRECTORY-object read path
+        needs only the relative name)."""
+        sep = "\\" if self._flag("a2.use.ms.windows") else "/"
+        if bfile:
+            return original_name.rsplit(sep, 1)[-1]
+        param = self.config.get("a2.redo.filename.convert", "")
+        if "=" not in param:
+            return original_name
+        mapping = {}
+        for element in param.split(","):
+            if "=" not in element:
+                continue
+            src, _, dst = element.strip().partition("=")
+            src, dst = src.strip(), dst.strip()
+            if not src.endswith(sep):
+                src += sep
+            if not dst.endswith(sep):
+                dst += sep
+            mapping[src] = dst
+        best = None
+        for prefix in mapping:
+            if original_name.startswith(prefix) and (
+                best is None or len(prefix) > len(best)
+            ):
+                best = prefix
+        if best is None:
+            return original_name
+        out = mapping[best] + original_name[len(best):]
+        if sep == "\\":
+            out = out.replace("\\", "/")
+        return out
 
     # -- source side --------------------------------------------------------
 

@@ -382,3 +382,64 @@ class TestKeyOverride:
 
         with _pytest.raises(ValueError, match="key.override"):
             OraCdcConnector({"a2.key.override": "SCOTT.DEPT=WAT"})
+
+
+class TestRedoFileNameConvert:
+    """Mirrors OraCdcRedoFileNameConvertTest.java fixture for fixture."""
+
+    def _conn(self, convert=None, windows=False):
+        from oracdc_spark.connector import OraCdcConnector
+
+        cfg = {}
+        if convert is not None:
+            cfg["a2.redo.filename.convert"] = convert
+        if windows:
+            cfg["a2.use.ms.windows"] = "true"
+        return OraCdcConnector(cfg)
+
+    def test_multi_entry_longest_prefix(self):
+        c = self._conn(
+            "/opt/oracle/oradata/archive=/u/ora/KAFKA19/archive,"
+            "/opt/oracle/oradata/KAFKA19=/u/ora/KAFKA19/KAFKA19"
+        )
+        assert (
+            c.convert_redo_file_name("/opt/oracle/oradata/archive/1_700_1155880919.dbf")
+            == "/u/ora/KAFKA19/archive/1_700_1155880919.dbf"
+        )
+        assert (
+            c.convert_redo_file_name("/opt/oracle/oradata/KAFKA19/log01.redo")
+            == "/u/ora/KAFKA19/KAFKA19/log01.redo"
+        )
+
+    def test_windows_backslash_flip(self):
+        c = self._conn("C:\\ORACLE\\ORADATA\\WINTEST=/C:/ORACLE/ORADATA/WINTEST", windows=True)
+        assert (
+            c.convert_redo_file_name("C:\\ORACLE\\ORADATA\\WINTEST\\REDO01.LOG")
+            == "/C:/ORACLE/ORADATA/WINTEST/REDO01.LOG"
+        )
+
+    def test_windows_deep_path(self):
+        c = self._conn("C:\\APP\\ORACLE=/C:/APP/ORACLE", windows=True)
+        assert (
+            c.convert_redo_file_name(
+                "C:\\APP\\ORACLE\\FAST_RECOVERY_AREA\\MATADOR\\ARCHIVELOG"
+                "\\2025_03_07\\O1_MF_1_601466_MWO3L9SX_.ARC"
+            )
+            == "/C:/APP/ORACLE/FAST_RECOVERY_AREA/MATADOR/ARCHIVELOG"
+               "/2025_03_07/O1_MF_1_601466_MWO3L9SX_.ARC"
+        )
+
+    def test_bfile_returns_basename_and_unconfigured_passthrough(self):
+        c = self._conn()
+        assert (
+            c.convert_redo_file_name("/data/archive/1_2636_1185479976.dbf", bfile=True)
+            == "1_2636_1185479976.dbf"
+        )
+        assert (
+            c.convert_redo_file_name("/data/archive/1_2636_1185479976.dbf")
+            == "/data/archive/1_2636_1185479976.dbf"
+        )
+
+    def test_unmatched_prefix_passes_through(self):
+        c = self._conn("/opt/oracle=/mnt/ora")
+        assert c.convert_redo_file_name("/data/archive/x.dbf") == "/data/archive/x.dbf"
