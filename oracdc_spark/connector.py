@@ -85,7 +85,6 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.stop.on.missed_log.file",
     "a2.stop.on.ora.1284",
     "a2.storage.media",
-    "a2.supplemental.logging",
     "a2.table.list.style",
     "a2.tables.in.process.size",
     "a2.tables.out.of.scope.size",
@@ -96,12 +95,6 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.transfer.directory.stage",
     "a2.unable.to.map.col.id.warning",
     "a2.use.rac",
-    "a2.pseudocolumn.ora_rowscn", "a2.pseudocolumn.ora_commitscn",
-    "a2.pseudocolumn.ora_rowts", "a2.pseudocolumn.ora_operation",
-    "a2.pseudocolumn.ora_xid", "a2.pseudocolumn.ora_username",
-    "a2.pseudocolumn.ora_osusername", "a2.pseudocolumn.ora_hostname",
-    "a2.pseudocolumn.ora_audit_session_id", "a2.pseudocolumn.ora_client_id",
-    "a2.pseudocolumn.ora_session_info",
 }
 
 _SUPPORTED = {
@@ -114,6 +107,7 @@ _SUPPORTED = {
     "a2.sink.connector.mode",
     "a2.transactions.threshold", "a2.reduce.load.ms",
     "a2.redo.filename.convert", "a2.use.ms.windows",
+    "a2.supplemental.logging",
 }
 
 _BOOL_TRUE = ("true", "1", "yes")
@@ -146,6 +140,8 @@ class OraCdcConnector:
                 continue
             if k.startswith("a2.map.number."):
                 continue  # parsed below into the NumberMap
+            if k.startswith("a2.pseudocolumn."):
+                continue  # parsed below into the pseudo-column spec
             if (
                 k in _TRANSPORT_KEYS
                 or k in _RECOGNIZED_NOOP_KEYS
@@ -160,6 +156,25 @@ class OraCdcConnector:
         from oracdc_spark.registry import NumberMap
 
         self.number_map = NumberMap(self.config)
+
+        # a2.pseudocolumn.<kind> = <field name> — per-record ORA_*
+        # pseudo-columns (KafkaPseudoColumnsProcessor.java:88-240; name
+        # validation KafkaSourceConnectorConfig.java:412-427: blank =
+        # omit, invalid Avro field name = hard error)
+        from oracdc_spark.transforms import PSEUDO_COLUMN_KINDS, valid_avro_field_name
+
+        self.pseudo_spec: dict[str, str] = {}
+        for k, v in self.config.items():
+            if not k.startswith("a2.pseudocolumn."):
+                continue
+            kind = k[len("a2.pseudocolumn."):]
+            if kind not in PSEUDO_COLUMN_KINDS:
+                raise ValueError(f"unknown pseudocolumn parameter: {k}")
+            if not v.strip():
+                continue  # blank = do not include the field
+            if not valid_avro_field_name(v.strip()):
+                raise ValueError(f"Invalid value [{v}] for parameter {k}!")
+            self.pseudo_spec[kind] = v.strip()
 
         # a2.key.override = OWNER.TABLE=NOKEY|ROWID|INDEX(NAME), comma
         # separated; a listed table ignores a2.pk.type and
@@ -196,6 +211,19 @@ class OraCdcConnector:
 
     def _flag(self, key: str, default: bool = False) -> bool:
         return self.config.get(key, str(default)).lower() in _BOOL_TRUE
+
+    def with_pseudo_columns(self, stamped):
+        """Apply the configured ``a2.pseudocolumn.*`` fields to a
+        commit-stamped change DataFrame.  Mirrors the reference's two
+        schema modes (KafkaPseudoColumnsProcessor.java:117-240): plain
+        values when the source has full supplemental logging
+        (``a2.supplemental.logging`` = all, the default), wrapped
+        {V: value} structs otherwise — the same tri-state convention
+        the wrapped sink uses."""
+        from oracdc_spark.transforms import pseudo_columns_from_config
+
+        wrapped = self.config.get("a2.supplemental.logging", "all").lower() != "all"
+        return pseudo_columns_from_config(stamped, self.pseudo_spec, wrapped=wrapped)
 
     # -- redo file name conversion ------------------------------------------
 

@@ -142,6 +142,72 @@ def apply_default_values(df: DataFrame, defaults: dict[str, object]) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+# a2.pseudocolumn.* kinds (Parameters.java:253-333).  Statement/transaction
+# coordinates come from the structured feed; the LogMiner audit attributes
+# (username/osusername/hostname/audit session/session info/client id) have
+# no source in the structured feed and bind as typed NULLs — schema parity
+# with the reference's OPTIONAL_*_SCHEMA fields, absent data.
+PSEUDO_COLUMN_KINDS = (
+    "ora_rowscn", "ora_commitscn", "ora_rowts", "ora_operation", "ora_xid",
+    "ora_username", "ora_osusername", "ora_hostname",
+    "ora_audit_session_id", "ora_session_info", "ora_client_id",
+)
+
+_AVRO_FIELD_NAME = None  # compiled lazily
+
+
+def valid_avro_field_name(name: str) -> bool:
+    """KafkaUtils.validAvroFieldName: [A-Za-z_][A-Za-z0-9_]*."""
+    global _AVRO_FIELD_NAME
+    if _AVRO_FIELD_NAME is None:
+        import re
+
+        _AVRO_FIELD_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    return bool(_AVRO_FIELD_NAME.match(name))
+
+
+def pseudo_columns_from_config(
+    stamped: DataFrame, spec: dict[str, str], wrapped: bool = False
+) -> DataFrame:
+    """Config-named pseudo-columns (KafkaPseudoColumnsProcessor.java:
+    88-240): each entry of ``spec`` ({kind: field_name}, the parsed
+    ``a2.pseudocolumn.*`` properties) appends a field with the
+    CONFIGURED name.  ``wrapped=True`` mirrors the reference's
+    non-supplemental-log-all mode, where every pseudo field is a
+    {V: value} struct.  opName() values per
+    OraCdcStatementBase.java:129-136."""
+    op_name = (
+        F.when(F.col("op") == 1, F.lit("INSERT"))
+        .when(F.col("op") == 3, F.lit("UPDATE"))
+        .when(F.col("op") == 2, F.lit("DELETE"))
+        .otherwise(F.lit("XML DOC BEGIN"))
+    )
+    sources = {
+        "ora_rowscn": F.col("scn").cast("long"),
+        "ora_commitscn": F.col("commit_scn").cast("long"),
+        "ora_rowts": (
+            F.col("ts") if "ts" in stamped.columns else F.lit(None).cast("timestamp")
+        ),
+        "ora_operation": op_name,
+        "ora_xid": F.col("xid"),
+        "ora_username": F.lit(None).cast("string"),
+        "ora_osusername": F.lit(None).cast("string"),
+        "ora_hostname": F.lit(None).cast("string"),
+        "ora_audit_session_id": F.lit(None).cast("long"),
+        "ora_session_info": F.lit(None).cast("string"),
+        "ora_client_id": F.lit(None).cast("string"),
+    }
+    out = stamped
+    for kind in PSEUDO_COLUMN_KINDS:  # deterministic field order
+        if kind not in spec:
+            continue
+        col = sources[kind]
+        if wrapped:
+            col = F.struct(col.alias("V"))
+        out = out.withColumn(spec[kind], col)
+    return out
+
+
 def add_pseudo_columns(
     stamped: DataFrame,
     row_scn: bool = True,

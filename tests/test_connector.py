@@ -443,3 +443,65 @@ class TestRedoFileNameConvert:
     def test_unmatched_prefix_passes_through(self):
         c = self._conn("/opt/oracle=/mnt/ora")
         assert c.convert_redo_file_name("/data/archive/x.dbf") == "/data/archive/x.dbf"
+
+
+class TestPseudoColumns:
+    """a2.pseudocolumn.* config-named pseudo-columns
+    (KafkaPseudoColumnsProcessor.java:88-240, name validation
+    KafkaSourceConnectorConfig.java:412-427)."""
+
+    def _stamped(self, spark, sf="/root/testdata/sf0.001"):
+        from oracdc_spark.feed import change_feed
+        from oracdc_spark.operators import cdc
+
+        return cdc.commit_stamped(change_feed(spark, sf))
+
+    def test_configured_names_and_values(self, spark):
+        from oracdc_spark.connector import OraCdcConnector
+
+        c = OraCdcConnector({
+            "a2.pseudocolumn.ora_rowscn": "SRC_SCN",
+            "a2.pseudocolumn.ora_commitscn": "COMMIT_SCN_F",
+            "a2.pseudocolumn.ora_operation": "OP_NAME",
+            "a2.pseudocolumn.ora_xid": "TXN_ID",
+            "a2.pseudocolumn.ora_username": "WHO",
+        })
+        out = c.with_pseudo_columns(self._stamped(spark))
+        row = out.filter("op = 1").select(
+            "scn", "commit_scn", "xid", "SRC_SCN", "COMMIT_SCN_F", "OP_NAME", "TXN_ID", "WHO"
+        ).first()
+        assert row.SRC_SCN == row.scn
+        assert row.COMMIT_SCN_F == row.commit_scn
+        assert row.OP_NAME == "INSERT"
+        assert row.TXN_ID == row.xid
+        assert row.WHO is None  # audit attrs: schema parity, absent data
+
+    def test_blank_omits_field(self, spark):
+        from oracdc_spark.connector import OraCdcConnector
+
+        c = OraCdcConnector({"a2.pseudocolumn.ora_rowscn": "  "})
+        out = c.with_pseudo_columns(self._stamped(spark))
+        assert out.columns == self._stamped(spark).columns
+
+    def test_invalid_avro_name_raises(self):
+        import pytest
+
+        from oracdc_spark.connector import OraCdcConnector
+
+        with pytest.raises(ValueError, match="Invalid value"):
+            OraCdcConnector({"a2.pseudocolumn.ora_rowscn": "bad-name!"})
+        with pytest.raises(ValueError, match="unknown pseudocolumn"):
+            OraCdcConnector({"a2.pseudocolumn.ora_nonsense": "x"})
+
+    def test_wrapped_mode_wraps_as_V_struct(self, spark):
+        from oracdc_spark.connector import OraCdcConnector
+
+        c = OraCdcConnector({
+            "a2.pseudocolumn.ora_operation": "OP_NAME",
+            "a2.supplemental.logging": "minimal",
+        })
+        out = c.with_pseudo_columns(self._stamped(spark))
+        field = dict(zip(out.schema.fieldNames(), out.schema.fields))["OP_NAME"]
+        assert field.dataType.typeName() == "struct"
+        assert [f.name for f in field.dataType.fields] == ["V"]
+        assert out.filter("op = 2").select("OP_NAME").first()[0]["V"] == "DELETE"
