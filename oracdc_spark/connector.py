@@ -66,7 +66,6 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.emitter.timeout.ms",
     "a2.fetch.size",
     "a2.ignore.stored.offset",
-    "a2.initial.load",
     "a2.lob.transformation.class",
     "a2.log.miner.reconnect.ms",
     "a2.logminer.trace",
@@ -90,7 +89,6 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.tables.out.of.scope.size",
     "a2.tmpdir",
     "a2.topic.mapper",
-    "a2.topic.partition",
     "a2.transactions.in.process.size",
     "a2.transfer.directory.stage",
     "a2.unable.to.map.col.id.warning",
@@ -107,7 +105,7 @@ _SUPPORTED = {
     "a2.sink.connector.mode",
     "a2.transactions.threshold", "a2.reduce.load.ms",
     "a2.redo.filename.convert", "a2.use.ms.windows",
-    "a2.supplemental.logging",
+    "a2.supplemental.logging", "a2.topic.partition", "a2.initial.load",
 }
 
 _BOOL_TRUE = ("true", "1", "yes")
@@ -211,6 +209,22 @@ class OraCdcConnector:
 
     def _flag(self, key: str, default: bool = False) -> bool:
         return self.config.get(key, str(default)).lower() in _BOOL_TRUE
+
+    def initial_load(self, spark: SparkSession, sf_dir: str) -> DataFrame | None:
+        """``a2.initial.load`` (Parameters.java:155-163): EXECUTE runs
+        the S9 snapshot-at-SCN-cut ∪ stream union (last-write-wins per
+        key, sources/initial_load.py); IGNORE — the default — returns
+        None (stream-only start).  The reference flips the stored flag
+        to COMPLETED after the load; here the returned DataFrame IS the
+        completed load (rerunning is idempotent)."""
+        mode = self.config.get("a2.initial.load", "IGNORE").upper()
+        if mode == "IGNORE":
+            return None
+        if mode != "EXECUTE":
+            raise ValueError(f"a2.initial.load must be IGNORE|EXECUTE, got {mode}")
+        from oracdc_spark.sources.initial_load import initial_load_union
+
+        return initial_load_union(spark, sf_dir)
 
     def with_pseudo_columns(self, stamped):
         """Apply the configured ``a2.pseudocolumn.*`` fields to a
@@ -456,10 +470,16 @@ class OraCdcConnector:
         from oracdc_spark.sinks.kafka import bind_kafka_records
 
         stamped = cdc.commit_stamped(self.filtered_feed(spark, sf_dir))
+        partition = (
+            int(self.config["a2.topic.partition"])
+            if "a2.topic.partition" in self.config
+            else None
+        )
         return bind_kafka_records(
             stamped,
             topic_mapper=self.topic_for,
             delete_all_columns=self._flag("a2.use.all.columns.on.delete", False),
+            partition=partition,
         )
 
     # -- streaming ----------------------------------------------------------

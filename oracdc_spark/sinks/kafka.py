@@ -28,12 +28,16 @@ def bind_kafka_records(
     stamped: DataFrame,
     topic_mapper: Callable[[str | None, str, str], str] | None = None,
     delete_all_columns: bool = False,
+    partition: int | None = None,
 ) -> DataFrame:
     """Commit-stamped changes → Kafka writer columns
     (topic, key, value, headers). Delete → tombstone (null value), or —
     with ``delete_all_columns`` (FLG_ALL_COLS_ON_DELETE,
     OraCdcTableBase.java:93, KafkaStructDataBinder.java:318-344) — the
-    full before-image as the value."""
+    full before-image as the value.  ``partition`` pins every record to
+    one topic partition (``a2.topic.partition``,
+    KafkaSourceConnectorConfig.java:90,1027) — emitted as the int
+    ``partition`` column Spark's Kafka writer honors."""
     if topic_mapper is None:
         topic = F.concat_ws("_", F.col("owner"), F.col("table_name"))
         df = stamped
@@ -86,12 +90,15 @@ def bind_kafka_records(
             F.encode(F.col("commit_scn").cast("string"), "utf-8").alias("value"),
         ),
     )
-    return df.select(
+    cols = [
         topic.alias("topic"),
         key.cast("binary").alias("key"),
         value.cast("binary").alias("value"),
         headers.alias("headers"),
-    )
+    ]
+    if partition is not None:
+        cols.append(F.lit(int(partition)).cast("int").alias("partition"))
+    return df.select(*cols)
 
 
 def write_kafka(

@@ -505,3 +505,28 @@ class TestPseudoColumns:
         assert field.dataType.typeName() == "struct"
         assert [f.name for f in field.dataType.fields] == ["V"]
         assert out.filter("op = 2").select("OP_NAME").first()[0]["V"] == "DELETE"
+
+
+class TestInitialLoad:
+    def test_ignore_returns_none(self, spark):
+        from oracdc_spark.connector import OraCdcConnector
+
+        assert OraCdcConnector({}).initial_load(spark, "/root/testdata/sf0.001") is None
+
+    def test_execute_runs_union(self, spark):
+        from oracdc_spark.connector import OraCdcConnector
+        from oracdc_spark.sources.initial_load import initial_load_union
+
+        c = OraCdcConnector({"a2.initial.load": "EXECUTE"})
+        got = c.initial_load(spark, "/root/testdata/sf0.001")
+        want = initial_load_union(spark, "/root/testdata/sf0.001")
+        assert got.count() == want.count()
+        assert sorted(got.columns) == sorted(want.columns)
+
+    def test_bad_mode_raises(self):
+        import pytest
+
+        from oracdc_spark.connector import OraCdcConnector
+
+        with pytest.raises(ValueError, match="IGNORE|EXECUTE"):
+            OraCdcConnector({"a2.initial.load": "MAYBE"}).initial_load(None, "")

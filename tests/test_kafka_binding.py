@@ -42,3 +42,18 @@ def test_kafka_headers_carry_commit_scn(spark):
     hdrs = {h.key: bytes(h.value) for h in r.headers}
     assert set(hdrs) == {"op", "commit_scn"}
     assert hdrs["commit_scn"].isdigit()
+
+
+def test_topic_partition_pinned(spark):
+    """a2.topic.partition pins every record to one partition
+    (KafkaSourceConnectorConfig.java:90,1027)."""
+    from oracdc_spark.connector import OraCdcConnector
+
+    c = OraCdcConnector({"a2.topic.partition": "3", "a2.tolerate.incomplete.row": "true"})
+    recs = c.kafka_records(spark, "/root/testdata/sf0.001")
+    assert "partition" in recs.columns
+    vals = recs.select("partition").distinct().collect()
+    assert [v[0] for v in vals] == [3]
+    # unconfigured: no partition column (writer falls back to key hashing)
+    c2 = OraCdcConnector({"a2.tolerate.incomplete.row": "true"})
+    assert "partition" not in c2.kafka_records(spark, "/root/testdata/sf0.001").columns
