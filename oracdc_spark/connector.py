@@ -37,6 +37,15 @@ a2.transaction.implementation   state backend: ChronicleQueue -> typed
 a2.map.number.*                 per-column NUMBER type overrides
                                 (registry.NumberMap; exact > prefix >
                                 suffix patterns, PDB-qualified first)
+a2.pseudocolumn.*               config-named ORA_* pseudo-columns
+                                (with_pseudo_columns; audit attrs = typed
+                                NULLs; wrapped {V} when supplemental != all)
+a2.redo.filename.convert        src=dst prefix mapping for redo names
+                                (+ a2.use.ms.windows separator mode)
+a2.topic.partition              pin Kafka records to one partition
+a2.initial.load                 IGNORE | EXECUTE (S9 snapshot ∪ stream)
+a2.process.all.update.statements  FALSE = suppress no-op updates (F9)
+a2.supplemental.logging         ALL (plain fields) | other (wrapped {V})
 ==============================  =============================================
 """
 
@@ -75,7 +84,6 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.print.all.online.scn.ranges",
     "a2.print.invalid.hex.value.warning",
     "a2.print.unable.to.delete.warning",
-    "a2.process.all.update.statements",
     "a2.process.lobs",
     "a2.process.online.redo.logs",
     "a2.protobuf.schema.naming",
@@ -106,6 +114,7 @@ _SUPPORTED = {
     "a2.transactions.threshold", "a2.reduce.load.ms",
     "a2.redo.filename.convert", "a2.use.ms.windows",
     "a2.supplemental.logging", "a2.topic.partition", "a2.initial.load",
+    "a2.process.all.update.statements",
 }
 
 _BOOL_TRUE = ("true", "1", "yes")
@@ -334,6 +343,13 @@ class OraCdcConnector:
             from oracdc_spark.operators.filters import assert_complete
 
             assert_complete(rejects)
+        # a2.process.all.update.statements (Parameters.java:747-754,
+        # default TRUE): FALSE ignores UPDATEs that change nothing
+        # ('set DNAME=DNAME') — the F9 suppression
+        if not self._flag("a2.process.all.update.statements", True):
+            from oracdc_spark.operators.cdc import suppress_unchanged_updates
+
+            complete = suppress_unchanged_updates(complete)
         return complete
 
     # -- envelope / records -------------------------------------------------

@@ -530,3 +530,19 @@ class TestInitialLoad:
 
         with pytest.raises(ValueError, match="IGNORE|EXECUTE"):
             OraCdcConnector({"a2.initial.load": "MAYBE"}).initial_load(None, "")
+
+
+def test_process_all_update_statements_flag(spark):
+    """a2.process.all.update.statements=false suppresses no-op updates
+    (Parameters.java:747-754; F9); default true keeps them."""
+    from oracdc_spark.connector import OraCdcConnector
+
+    sf = "/root/testdata/sf0.001"
+    keep_all = OraCdcConnector({"a2.tolerate.incomplete.row": "true"})
+    suppress = OraCdcConnector({
+        "a2.tolerate.incomplete.row": "true",
+        "a2.process.all.update.statements": "false",
+    })
+    n_all = keep_all.filtered_feed(spark, sf).count()
+    n_sup = suppress.filtered_feed(spark, sf).count()
+    assert n_sup < n_all  # the feed contains unchanged-update shapes

@@ -48,6 +48,14 @@ NOTES = {
                           "(|Q|*m*k rows, bounded query batch) — no per-pair d-dim work",
     "text_gopher_quality": "pure codegen rules — per-row map over the corpus scan, no shuffle beyond the gated "
                            "single-file spread",
+    "q7_volume_shipping": "nation dimension broadcast twice (filtered, 25 rows); fact joins shuffle on orderkey/"
+                          "custkey/suppkey; the OR pair predicate is a post-join codegen filter",
+    "q10_returned_items": "returnflag + date filters pushed to the scans; TakeOrdered top-20 on the aggregated "
+                          "(customer-sized) result, no global sort of lineitem",
+    "q17_small_qty_revenue": "correlated per-part average decorrelated into ONE window sharing the partkey "
+                             "exchange; threshold filter is codegen on the windowed row",
+    "q18_large_volume_customers": "HAVING aggregate shrinks lineitem to the rare big orders BEFORE the "
+                                  "orders/customer joins; TakeOrdered 100",
 }
 
 KEEP = (
