@@ -92,11 +92,9 @@ _RECOGNIZED_NOOP_KEYS = {
     "a2.stop.on.missed_log.file",
     "a2.stop.on.ora.1284",
     "a2.storage.media",
-    "a2.table.list.style",
     "a2.tables.in.process.size",
     "a2.tables.out.of.scope.size",
     "a2.tmpdir",
-    "a2.topic.mapper",
     "a2.transactions.in.process.size",
     "a2.transfer.directory.stage",
     "a2.unable.to.map.col.id.warning",
@@ -114,7 +112,7 @@ _SUPPORTED = {
     "a2.transactions.threshold", "a2.reduce.load.ms",
     "a2.redo.filename.convert", "a2.use.ms.windows",
     "a2.supplemental.logging", "a2.topic.partition", "a2.initial.load",
-    "a2.process.all.update.statements",
+    "a2.process.all.update.statements", "a2.table.list.style", "a2.topic.mapper",
 }
 
 _BOOL_TRUE = ("true", "1", "yes")
@@ -329,10 +327,24 @@ class OraCdcConnector:
         return feed
 
     def filtered_feed(self, spark: SparkSession, sf_dir: str) -> DataFrame:
-        """feed → SCN window → include/exclude → completeness policy."""
+        """feed → SCN window → include/exclude → completeness policy.
+
+        ``a2.table.list.style`` (KafkaSourceRedoMinerTask.java:155-166):
+        an EXPLICIT ``static`` requires ``a2.include`` (the reference
+        refuses to start otherwise — set ``dynamic`` to mine every
+        table).  Unset, the engine behaves dynamically (the include
+        patterns are evaluated against the stream at runtime)."""
         from oracdc_spark.feed import change_feed
         from oracdc_spark.operators.filters import completeness_check
 
+        style = self.config.get("a2.table.list.style", "").lower()
+        if style and style not in ("static", "dynamic"):
+            raise ValueError(f"a2.table.list.style must be static|dynamic, got {style}")
+        if style == "static" and "a2.include" not in self.config:
+            raise ValueError(
+                "a2.table.list.style=static requires a2.include "
+                "(or set a2.table.list.style=dynamic)"
+            )
         feed = self.scoped_feed(change_feed(spark, sf_dir))
         tolerate = self._flag("a2.tolerate.incomplete.row", False)
         complete, rejects = completeness_check(feed, tolerate=tolerate)
@@ -433,8 +445,34 @@ class OraCdcConnector:
                 return override
         return oracle_type_to_spark(type_text)
 
+    # a2.topic.mapper predefined class names (Parameters.java:212-223) →
+    # the engine's mapper behaviors.  A user-supplied Java class cannot
+    # load here; unknown names raise like a failed Class.forName.
+    _TOPIC_MAPPERS = {
+        "solutions.a2.cdc.oracle.runtime.config.KafkaDefaultTopicNameMapper": "default",
+        "solutions.a2.cdc.oracle.runtime.config.KafkaSingleTopicNameMapper": "single",
+        "solutions.a2.cdc.oracle.runtime.config.KafkaFlexibleTopicNameMapper": "flexible",
+    }
+
+    def _topic_mapper_mode(self) -> str:
+        name = self.config.get("a2.topic.mapper")
+        if name is None:
+            # unset: flexible when a2.map.topic.* entries exist, single
+            # under single-topic schema mode, default otherwise — the
+            # behavior the mapper classes encode
+            return "flexible" if self.topic_map else "default"
+        if name not in self._TOPIC_MAPPERS:
+            raise ValueError(f"cannot load topic mapper class: {name}")
+        return self._TOPIC_MAPPERS[name]
+
     def topic_for(self, pdb: str | None, owner: str, table: str) -> str:
-        if (owner, table) in self.topic_map:
+        mode = self._topic_mapper_mode()
+        if mode == "single":
+            return self.config.get(
+                "a2.kafka.topic",
+                self.config.get("a2.topic.prefix", "") or "oracdc",
+            )
+        if mode == "flexible" and (owner, table) in self.topic_map:
             return self.topic_map[(owner, table)]
         if self.schema_type == SCHEMA_SINGLE and "a2.kafka.topic" in self.config:
             return self.config["a2.kafka.topic"]

@@ -546,3 +546,53 @@ def test_process_all_update_statements_flag(spark):
     n_all = keep_all.filtered_feed(spark, sf).count()
     n_sup = suppress.filtered_feed(spark, sf).count()
     assert n_sup < n_all  # the feed contains unchanged-update shapes
+
+
+class TestTableListStyleAndTopicMapper:
+    def test_static_requires_include(self, spark):
+        from oracdc_spark.connector import OraCdcConnector
+
+        import pytest
+
+        c = OraCdcConnector({
+            "a2.table.list.style": "static",
+            "a2.tolerate.incomplete.row": "true",
+        })
+        with pytest.raises(ValueError, match="requires a2.include"):
+            c.filtered_feed(spark, "/root/testdata/sf0.001")
+        ok = OraCdcConnector({
+            "a2.table.list.style": "static", "a2.include": "SCOTT.%",
+            "a2.tolerate.incomplete.row": "true",
+        })
+        assert ok.filtered_feed(spark, "/root/testdata/sf0.001").count() >= 0
+
+    def test_topic_mapper_classes(self):
+        from oracdc_spark.connector import OraCdcConnector
+
+        base = "solutions.a2.cdc.oracle.runtime.config."
+        single = OraCdcConnector({
+            "a2.topic.mapper": base + "KafkaSingleTopicNameMapper",
+            "a2.kafka.topic": "everything",
+        })
+        assert single.topic_for(None, "SCOTT", "DEPT") == "everything"
+        flexible = OraCdcConnector({
+            "a2.topic.mapper": base + "KafkaFlexibleTopicNameMapper",
+            "a2.map.topic.hot": "SCOTT.DEPT",
+        })
+        assert flexible.topic_for(None, "SCOTT", "DEPT") == "hot"
+        assert flexible.topic_for(None, "SCOTT", "EMP") == "EMP"
+        # Default mapper ignores the a2.map.topic routing
+        default = OraCdcConnector({
+            "a2.topic.mapper": base + "KafkaDefaultTopicNameMapper",
+            "a2.map.topic.hot": "SCOTT.DEPT",
+        })
+        assert default.topic_for(None, "SCOTT", "DEPT") == "DEPT"
+
+    def test_unknown_mapper_class_raises(self):
+        import pytest
+
+        from oracdc_spark.connector import OraCdcConnector
+
+        c = OraCdcConnector({"a2.topic.mapper": "com.example.Custom"})
+        with pytest.raises(ValueError, match="cannot load topic mapper"):
+            c.topic_for(None, "S", "T")
