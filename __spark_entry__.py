@@ -441,6 +441,27 @@ def _q_cdc_pseudo_columns(spark, sf_dir):
     return transforms.add_pseudo_columns(cdc.commit_stamped(change_feed(spark, sf_dir)))
 
 
+def _q_cdc_pseudo_named(spark, sf_dir):
+    """Config-named pseudocolumns through the connector surface:
+    a2.pseudocolumn.* properties bind fields with the CONFIGURED names
+    (plus one audit attribute, which is schema-only in the structured
+    feed)."""
+    stamped = cdc.commit_stamped(change_feed(spark, sf_dir))
+    named = transforms.pseudo_columns_from_config(
+        stamped,
+        {
+            "ora_rowscn": "SRC_SCN",
+            "ora_commitscn": "COMMIT_SCN_F",
+            "ora_operation": "OP_NAME",
+            "ora_xid": "TXN_ID",
+            "ora_username": "AUDIT_USER",
+        },
+    )
+    return named.select(
+        "scn", "ssn", "xid", "SRC_SCN", "COMMIT_SCN_F", "OP_NAME", "TXN_ID", "AUDIT_USER"
+    )
+
+
 def _q_cdc_delete_all_cols(spark, sf_dir):
     """Tombstone matrix, FLG_ALL_COLS_ON_DELETE=true: DELETE events emit
     the full before-image instead of a key-only tombstone
@@ -1246,6 +1267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver's correctness gate checks a
     # 50-query window from the FRONT of this dict.  Rounds 1-3 checked the
     # CDC block; round 4 checked analytics/dedup/sampling/kmeans/pagerank.
+    # ROUND-6 rotation TODO: front-load the queries declared r5 BEHIND the
+    # window so they get their first driver rows — the TPC-H breadth block
+    # (q4/q7/q8/q9/q10/q13/q15/q17/q18/q19/q22), dedup_lsh_recall,
+    # pipeline_curation_v2, cdc_pseudo_named, text_bm25, text_dsir,
+    # pipeline_pack_sequences' consumers if changed — plus re-checks for
+    # anything whose semantics change in r6.
     # ROUND-5 rotation: front-load (a) the 22 queries that have never had
     # a driver row (similarity ×5, text ×15, multimodal hashes ×2),
     # (b) dedup_simhash (r4 red: oracle HUGEINT cast, fixed this round),
@@ -1404,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_container_filter": _q_cdc_container_filter,
         "cdc_single_mode": _q_cdc_single_mode,
         "cdc_pseudo_columns": _q_cdc_pseudo_columns,
+        "cdc_pseudo_named": _q_cdc_pseudo_named,
         "cdc_completeness_rejects": _q_cdc_completeness_rejects,
         "cdc_delete_all_cols": _q_cdc_delete_all_cols,
         "cdc_chained_fusion": _q_chained_fusion,
@@ -1665,6 +1693,16 @@ WHERE rn = 1 AND op <> 2
         "xid AS ORA_XID, "
         "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' ELSE 'd' END AS ORA_OP "
         "FROM stamped s"
+    )
+    # config-named pseudocolumns (connector a2.pseudocolumn.* surface,
+    # KafkaPseudoColumnsProcessor.java): configured field names,
+    # reference opName() strings, audit attribute as typed NULL
+    sql["cdc_pseudo_named"] = cte + ", " + _STAMPED + (
+        "SELECT scn, ssn, xid, scn AS SRC_SCN, commit_scn AS COMMIT_SCN_F, "
+        "CASE op WHEN 1 THEN 'INSERT' WHEN 3 THEN 'UPDATE' WHEN 2 THEN 'DELETE' "
+        "ELSE 'XML DOC BEGIN' END AS OP_NAME, "
+        "xid AS TXN_ID, CAST(NULL AS VARCHAR) AS AUDIT_USER "
+        "FROM stamped"
     )
     tp_pres = "(op = 1 OR (op = 3 AND contains(changed_cols, 'TOTALPRICE')))"
     st_pres = "(op = 1 OR (op = 3 AND contains(changed_cols, 'STATUS')))"
