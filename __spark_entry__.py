@@ -1402,6 +1402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH index-quality audit (declared r5, behind the window)
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         "pipeline_curation_v2": _q_pipeline_curation_v2,
+        # window-frame breadth (declared r5, behind the window)
+        "orders_lag_gap": analytics.orders_lag_gap,
+        "events_range_frame": analytics.events_range_frame,
         # --- LLM-data-pipeline operators (green r4) ---
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
@@ -2388,6 +2391,21 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+    sql["orders_lag_gap"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+                      lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS BIGINT) AS gap_days
+FROM orders
+"""
+    sql["events_range_frame"] = """
+SELECT event_id, user_id,
+       SUM(CAST(round(value * 1000) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_sum_q
+FROM events
 """
     sql["q22_sales_opportunity"] = f"""
 WITH avg_bal AS (

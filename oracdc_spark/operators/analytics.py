@@ -870,3 +870,39 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+def orders_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: days between a customer's consecutive orders (NULL
+    for the first).  One custkey exchange; the offset function rounds
+    out the declared window surface (rank/row_number/moving-frame/
+    running-sum already covered)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+
+
+def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame: per user, the sum of event values in
+    the trailing hour (value-based frame, not row-count — peers at the
+    same timestamp aggregate together, so the result is order-
+    independent).  Values quantized to exact integers (round(v*1000))
+    so the frame sums are engine-identical; one user_id exchange."""
+    e = load_table(spark, sf_dir, "events")
+    qv = F.round(F.col("value") * 1000, 0).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(qv).over(w).alias("hour_sum_q"),
+    )
