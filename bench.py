@@ -15,6 +15,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    # Inclusion policy: every operator FAMILY is represented by its
+    # heaviest member(s); cheap variants that share the representative's
+    # plan are left out to keep the wall number a signal, not a census —
+    # r5 exclusions: similarity_pq_recall (pq_topk + the already-benched
+    # brute force), similarity_ivf vs ivfpq (both in), q4/q8/q13/q15/q17/
+    # q19/q22 + orders_lag_gap/events_range_frame (sub-second scans/
+    # windows whose shapes q7/q9/q10/q18 + the events block already time),
+    # cdc_pseudo_named (a projection over the benched stamped feed).
     # CDC pipeline (the engine's reason to exist)
     "cdc_commit_order",
     "cdc_batch_dedup",
