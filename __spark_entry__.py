@@ -2591,7 +2591,9 @@ nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
 nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
        FROM exact JOIN cand USING (d1, d2))
 SELECT n_exact, n_candidates, n_hits,
-       ROUND(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
+       CASE WHEN n_exact > 0
+            THEN ROUND(CAST(n_hits AS DOUBLE) / n_exact, 6)
+            ELSE 1.0 END AS recall
 FROM ne CROSS JOIN nc CROSS JOIN nh
 """
     )

@@ -468,10 +468,10 @@ class OraCdcConnector:
     def topic_for(self, pdb: str | None, owner: str, table: str) -> str:
         mode = self._topic_mapper_mode()
         if mode == "single":
-            return self.config.get(
-                "a2.kafka.topic",
-                self.config.get("a2.topic.prefix", "") or "oracdc",
-            )
+            # KafkaSingleTopicNameMapper consults config.kafkaTopic()
+            # only; its unset default is 'oracdc-topic'
+            # (Parameters.java KAFKA_TOPIC_DEFAULT) — never topic.prefix
+            return self.config.get("a2.kafka.topic", "oracdc-topic")
         if mode == "flexible" and (owner, table) in self.topic_map:
             return self.topic_map[(owner, table)]
         if self.schema_type == SCHEMA_SINGLE and "a2.kafka.topic" in self.config:

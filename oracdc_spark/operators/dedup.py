@@ -360,8 +360,11 @@ def lsh_recall_audit(
         .crossJoin(nh)
         .select(
             "n_exact", "n_candidates", "n_hits",
-            F.round(
-                F.col("n_hits").cast("double") / F.col("n_exact"), 6
-            ).alias("recall"),
+            # zero-pair corpora: recall is vacuously perfect (1.0), not
+            # NULL — downstream consumers get a defined metric
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 6),
+            ).otherwise(F.lit(1.0)).alias("recall"),
         )
     )

@@ -659,11 +659,13 @@ def hll_distinct_tokens(docs: DataFrame) -> DataFrame:
         (raw <= 2.5 * HLL_M) & (v > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
     ).otherwise(raw)
-    exact = toks.distinct().count()
-    return agg.select(
-        F.lit(exact).cast("bigint").alias("n_exact"),
+    # exact count as a lazy 1-row aggregate (audit-only pass) — joined
+    # into the estimate row instead of an eager driver-side action
+    ex = toks.agg(F.count_distinct("tok").alias("n_exact"))
+    return agg.crossJoin(F.broadcast(ex)).select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
         F.round(est, 3).alias("n_est"),
-        F.round(F.abs(est - exact) / exact, 4).alias("rel_err"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
     )
 
 
@@ -828,13 +830,19 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     toks = _parallel(docs).select("doc_id", F.explode(_tokens()).alias("term")).select(
         "doc_id", F.lower("term").alias("term")
     )
-    n_docs = docs.count()
+    # n_docs as a lazy 1-row aggregate (crossJoin-broadcast convention,
+    # same as unigram_logprob's corpus total) — no eager driver action
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf_q = F.round(
-        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1) * 1_000_000, 0
+        (F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1)
+        * 1_000_000,
+        0,
     ).cast("bigint")
-    scored = tf.join(df_.select("term", idf_q.alias("idf_q")), "term")
+    scored = tf.join(
+        df_.crossJoin(F.broadcast(nd)).select("term", idf_q.alias("idf_q")), "term"
+    )
     score_q = (F.col("tf") * F.col("idf_q")).alias("score_q")
     from pyspark.sql import Window
 
@@ -884,32 +892,45 @@ def bm25_rank(
         "doc_id", F.explode(_tokens()).alias("tok")
     ).select("doc_id", F.lower("tok").alias("term"))
     dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    total = tk.count()
+    # corpus scalars as LAZY 1-row aggregates broadcast into the plan
+    # (module convention, unigram_logprob:349) — never eager driver
+    # count() actions that would freeze literals and re-run the corpus
+    # tokenize as separate jobs at plan-build time
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = tk.agg(F.count(F.lit(1)).alias("total"))
     qtk = tk.filter(F.col("term").isin(terms))
     tf = qtk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf_q = F.round(
         F.log(
             F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
         )
         * 1_000_000,
         0,
     ).cast("bigint")
     scored = (
-        tf.join(F.broadcast(dfreq.select("term", idf_q.alias("idf_q"))), "term")
+        tf.join(
+            F.broadcast(
+                dfreq.crossJoin(F.broadcast(nd)).select(
+                    "term", idf_q.alias("idf_q"), "n_docs"
+                )
+            ),
+            "term",
+        )
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
         .select(
             "term",
             "doc_id",
             "tf",
             (
-                (F.col("idf_q") * 22 * F.col("tf") * F.lit(total)).cast("double")
+                (F.col("idf_q") * 22 * F.col("tf") * F.col("total")).cast("double")
                 / (
-                    F.lit(10 * total) * F.col("tf")
-                    + F.lit(3 * total)
-                    + F.lit(9 * n_docs) * F.col("dl")
+                    F.lit(10) * F.col("total") * F.col("tf")
+                    + F.lit(3) * F.col("total")
+                    + F.lit(9) * F.col("n_docs") * F.col("dl")
                 ).cast("double")
                 / 1_000_000.0
             ).alias("score"),
@@ -957,21 +978,29 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en", buckets: int = 256, k
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("tgt_n"))
     )
-    raw_total = tk.count()
-    tgt_total = tk.filter(F.col("lang") == target_lang).count()
+    # both corpus totals in ONE lazy token pass (crossJoin-broadcast
+    # convention) — the eager tk.count() pair previously re-ran the full
+    # corpus tokenize twice before the real plan even started
+    totals = tk.agg(
+        F.count(F.lit(1)).alias("raw_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("tgt_total"),
+    )
     ratios = (
         raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.round(
                 (
                     F.log(
                         (F.coalesce(F.col("tgt_n"), F.lit(0)) + 1).cast("double")
-                        / F.lit(float(tgt_total + buckets))
+                        / (F.col("tgt_total") + buckets)
                     )
                     - F.log(
                         (F.col("raw_n") + 1).cast("double")
-                        / F.lit(float(raw_total + buckets))
+                        / (F.col("raw_total") + buckets)
                     )
                 )
                 * 1_000_000,

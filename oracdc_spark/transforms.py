@@ -147,8 +147,11 @@ def apply_default_values(df: DataFrame, defaults: dict[str, object]) -> DataFram
 # (username/osusername/hostname/audit session/session info/client id) have
 # no source in the structured feed and bind as typed NULLs — schema parity
 # with the reference's OPTIONAL_*_SCHEMA fields, absent data.
+# Emission order mirrors KafkaPseudoColumnsProcessor.addToSchema, which
+# builds fields as rowScn, rowTs, commitScn, rowOp, rowXid — configured-name
+# output schemas carry the reference's Avro field order.
 PSEUDO_COLUMN_KINDS = (
-    "ora_rowscn", "ora_commitscn", "ora_rowts", "ora_operation", "ora_xid",
+    "ora_rowscn", "ora_rowts", "ora_commitscn", "ora_operation", "ora_xid",
     "ora_username", "ora_osusername", "ora_hostname",
     "ora_audit_session_id", "ora_session_info", "ora_client_id",
 )

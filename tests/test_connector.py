@@ -588,6 +588,19 @@ class TestTableListStyleAndTopicMapper:
         })
         assert default.topic_for(None, "SCOTT", "DEPT") == "DEPT"
 
+    def test_single_mapper_unset_topic_default(self):
+        # KafkaSingleTopicNameMapper with a2.kafka.topic unset falls back
+        # to the reference's KAFKA_TOPIC_DEFAULT 'oracdc-topic' — it never
+        # consults a2.topic.prefix (Parameters.java KAFKA_TOPIC_DEFAULT)
+        from oracdc_spark.connector import OraCdcConnector
+
+        base = "solutions.a2.cdc.oracle.runtime.config."
+        single = OraCdcConnector({
+            "a2.topic.mapper": base + "KafkaSingleTopicNameMapper",
+            "a2.topic.prefix": "ignored.",
+        })
+        assert single.topic_for(None, "SCOTT", "DEPT") == "oracdc-topic"
+
     def test_unknown_mapper_class_raises(self):
         import pytest
 
