@@ -345,6 +345,50 @@ def _q_smt_sanitize(spark, sf_dir):
     return transforms.to_lowercase_names(transforms.sanitize_avro_names(p))
 
 
+def _q_smt_header_to_field(spark, sf_dir):
+    """§2.8 HeaderToFieldConverter driver parity: the record's op header
+    copied into a value field through the configured value map —
+    ``map=c:I,u:U`` with `d` deliberately UNMAPPED so the pass-through
+    branch is exercised (HeaderToFieldConverter semantics: unmapped
+    header values copy verbatim)."""
+    stamped = cdc.commit_stamped(change_feed(spark, sf_dir))
+    hdr = stamped.withColumn(
+        "hdr_op",
+        F.when(F.col("op") == 1, F.lit("c"))
+        .when(F.col("op") == 3, F.lit("u"))
+        .otherwise(F.lit("d")),
+    )
+    out = transforms.header_to_field(hdr, "hdr_op", "_oracdcp", {"c": "I", "u": "U"})
+    return out.select("scn", "ssn", "xid", "hdr_op", "_oracdcp")
+
+
+def _q_smt_key_to_value(spark, sf_dir):
+    """§2.8 KeyToValueConverter driver parity: key fields merged into
+    the value schema under the configured prefix; existing value fields
+    untouched."""
+    stamped = cdc.commit_stamped(change_feed(spark, sf_dir))
+    base = stamped.select("owner", "table_name", "pk", "totalprice", "scn", "ssn")
+    return transforms.key_to_value(base, ["pk", "table_name"], prefix="_key_")
+
+
+def _q_lob_plugin_transform(spark, sf_dir):
+    """§2.8 LOB transformation plugin driver parity
+    (OraCdcLobTransformationsIntf.java:50, wired at
+    KafkaStructDataBinder.java:148-155): chunked LOBs are reassembled,
+    then a sample user plugin (text-extract style: tagged uppercased
+    prefix) rewrites the LOB column before envelope binding; the
+    oracle recomputes the plugin over the ORIGINAL document text, so
+    chunk→reassemble→plugin must round-trip exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = lob.lob_chunks(docs, lob.CHUNK)
+    re = lob.reassemble_lobs(chunks)
+    out = transforms.apply_lob_transforms(
+        re,
+        {"value": lambda c: F.concat(F.lit("TXT:"), F.upper(F.substring(c, 1, 24)))},
+    )
+    return out.select(F.col("lob_id"), F.col("value"))
+
+
 def _q_jdbc_autocreate(spark, sf_dir):
     """K4 auto-create driver parity: the CREATE TABLE text generated for
     one sink schema across all five dialect type maps
@@ -844,6 +888,55 @@ def _q_ora_tde_decrypt(spark, sf_dir):
     return df.select("id", _dec("blob", "enc", "intg", "salted", "ct").alias("s"))
 
 
+# TDE INTALG 3 (GCM) goldens: wallet-blob layout (16-byte header + key),
+# column layout [ct | tag 0x10 | salt-iv 0x10] per
+# OraCdcTdeColumnDecrypter.java:160-178.  Ciphertext+tag generated with
+# an INDEPENDENT implementation (OpenSSL via `cryptography`) — the
+# engine's pure-Python SP 800-38D construction must reproduce the
+# plaintext byte-exact and verify the tag.  (id, blob_hex, enc_alg,
+# int_alg, salted, column_hex, plaintext)
+_TDE_GCM_GOLDENS = [
+    (0, "05060708090a0b0c0d0e0f10111213140b0e1114171a1d202326292c2f32353800000000", 2, 3, True, "455e53f4ad59fdd076b0484e0cad3cb29ea4d3053f666f44978ff15e9c39cc86ac8b7a5b0708090a0b0c0d0e0f10111213141516", "GCM_AES128_SALTED_OK"),
+    (1, "0a0b0c0d0e0f1011121314151617181916191c1f2225282b2e3134373a3d404300000000", 2, 3, False, "4a4a7a981244cb1ac8671b3ce93a72b5e3f9fa2ec419990c058e1917a6778c8f6111f914c5cad41213", "GCM_AES128_NOSALT_ZERO_IV"),
+    (2, "0f101112131415161718191a1b1c1d1e2124272a2d303336393c3f4245484b4e5154575a5d60636600000000", 3, 3, True, "c3131b598c7f737a2e09a36be713d1e99d75490b15a0475dd7d078eb9159e30319848f303af9eb7f15161718191a1b1c1d1e1f2021222324", "GCM_AES192_SALTED_COLUMN"),
+    (3, "1415161718191a1b1c1d1e1f202122232c2f3235383b3e4144474a4d505356595c5f6265686b6e7174777a7d8083868900000000", 4, 3, True, "237182d9284b5a0304af88d98e31ccf712e0fe96cf8722b3224a3c0ba04b37cf5bdbd215631c1d1e1f202122232425262728292a2b", "GCM_AES256_SALTED_TDE"),
+    (4, "191a1b1c1d1e1f202122232425262728373a3d404346494c4f5255585b5e6164676a6d707376797c7f8285888b8e919400000000", 4, 3, False, "31eaa3104936faef4fd631f5cb4ae06ef9ea2243e2841c68c9937de7ce8d794797", "GCM_AES256_NOSALT"),
+]
+
+
+def _q_ora_tde_gcm(spark, sf_dir):
+    """P10 GCM — TDE INTALG 3 column decrypt: full SP 800-38D AES-GCM
+    (CTR keystream + GHASH, 16-byte Oracle salt-IV J0 derivation, tag
+    VERIFIED over the ciphertext) across AES-128/192/256, salted and
+    zero-IV unsalted layouts.  The reference's shipped GCM branch is
+    dead as written (tag region passed as AAD with a tagless doFinal,
+    OraCdcTdeColumnDecrypter.java:177-183); this implements the evident
+    intent — divergence documented in COVERAGE.md."""
+    from oracdc_spark.functions.tde import OraTdeColumnDecrypter
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    rows = [(i, blob, enc, intg, salt, ct)
+            for i, blob, enc, intg, salt, ct, _ in _TDE_GCM_GOLDENS]
+    df = spark.createDataFrame(
+        rows, "id bigint, blob string, enc int, intg int, salted boolean, ct string"
+    )
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _dec(blob, enc, intg, salted, ct):
+        out = []
+        for b, e, g, s, c in zip(blob, enc, intg, salted, ct):
+            d = OraTdeColumnDecrypter(bytes.fromhex(b), int(e), int(g))
+            out.append(d.decrypt(bytes.fromhex(c), bool(s)).decode("ascii"))
+        return pd.Series(out)
+
+    return df.select("id", _dec("blob", "enc", "intg", "salted", "ct").alias("s"))
+
+
 def _q_ora_charset_decode(spark, sf_dir):
     from oracdc_spark.functions.decoders import ora_charset_decode
     from oracdc_spark.session import ship_package
@@ -1266,39 +1359,85 @@ def _q_text_pii_scrub(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver's correctness gate checks a
     # 50-query window from the FRONT of this dict.  Rounds 1-3 checked the
-    # CDC block; round 4 checked analytics/dedup/sampling/kmeans/pagerank.
-    # ROUND-6 rotation TODO: front-load the queries declared r5 BEHIND the
-    # window so they get their first driver rows — the TPC-H breadth block
-    # (q4/q7/q8/q9/q10/q13/q15/q17/q18/q19/q22), dedup_lsh_recall,
-    # pipeline_curation_v2, cdc_pseudo_named, text_bm25, text_dsir,
-    # pipeline_pack_sequences' consumers if changed — plus re-checks for
-    # anything whose semantics change in r6.
-    # ROUND-5 rotation: front-load (a) the 22 queries that have never had
-    # a driver row (similarity ×5, text ×15, multimodal hashes ×2),
-    # (b) dedup_simhash (r4 red: oracle HUGEINT cast, fixed this round),
-    # (c) cdc_partial_rollback/cdc_committed/cdc_commit_order — G4's
-    # pairing semantics changed in r4 with no driver row since — plus the
-    # CDC consumers of the pairing output, and (d) the three analytics
-    # queries whose join plans changed this round (broadcast hints
-    # dropped).  Everything behind the window is green in r1–r4 driver
-    # files and unchanged.
+    # CDC block; round 4 analytics/dedup/sampling/kmeans/pagerank; round 5
+    # similarity/text/multimodal + the r4-changed CDC pairing chain.
+    # ROUND-6 rotation: (a) the 18 queries declared r5 behind the window —
+    # after this round EVERY declared query has had at least one driver
+    # row; (b) everything r6 changed: the four de-eager-ed text scorers,
+    # pseudo-column order, single-topic fallback, PQ session cache, and a
+    # representative slice across families for the catalog's new
+    # explicit-footer-schema reads (events ts path changed most); (c) the
+    # four new r6 queries (ora_tde_gcm, HeaderToField/KeyToValue SMTs,
+    # LOB plugin).  Everything behind the window is green at its latest
+    # driver check and unchanged semantically this round.
     return {
-        # --- (b) r4's one red row, oracle fixed this round ---
+        # --- first driver rows: TPC-H breadth block (declared r5) ---
+        "q4_order_priority": analytics.q4_order_priority,
+        "q7_volume_shipping": analytics.q7_volume_shipping,
+        "q8_market_share": analytics.q8_market_share,
+        "q9_product_profit": analytics.q9_product_profit,
+        "q10_returned_items": analytics.q10_returned_items,
+        "q13_customer_distribution": analytics.q13_customer_distribution,
+        "q15_top_supplier": analytics.q15_top_supplier,
+        "q17_small_qty_revenue": analytics.q17_small_qty_revenue,
+        "q18_large_volume_customers": analytics.q18_large_volume_customers,
+        "q19_discounted_revenue": analytics.q19_discounted_revenue,
+        "q22_sales_opportunity": analytics.q22_sales_opportunity,
+        # --- first driver rows: window frames, LSH audit, curation v2 ---
+        "orders_lag_gap": analytics.orders_lag_gap,
+        "events_range_frame": analytics.events_range_frame,
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
+        "pipeline_curation_v2": _q_pipeline_curation_v2,
+        # --- changed r6: eager counts -> lazy 1-row broadcast aggregates ---
+        "text_bm25": _q_text_bm25,
+        "text_dsir": _q_text_dsir,
+        "text_tfidf_top_terms": _q_text_tfidf,
+        "text_hll_distinct": _q_text_hll,
+        # --- changed r6: pseudo-column order / single-topic fallback ---
+        "cdc_pseudo_named": _q_cdc_pseudo_named,
+        "cdc_pseudo_columns": _q_cdc_pseudo_columns,
+        "kafka_records": _q_kafka_records,
+        # --- new r6: TDE GCM, HeaderToField/KeyToValue, LOB plugin ---
+        "ora_tde_gcm": _q_ora_tde_gcm,
+        "smt_header_to_field": _q_smt_header_to_field,
+        "smt_key_to_value": _q_smt_key_to_value,
+        "lob_plugin_transform": _q_lob_plugin_transform,
+        # --- changed r6: PQ codebook trained once per session ---
+        "similarity_pq_topk": _q_sim_pq_topk,
+        "similarity_pq_recall": _q_sim_pq_recall,
+        "similarity_ivfpq_topk": _q_sim_ivfpq,
+        # --- re-checks: catalog now reads with explicit footer schemas;
+        #     the events ts decode path changed the most ---
+        "events_hourly": analytics.events_hourly,
+        "events_sessionize": analytics.events_sessionize,
+        "events_asof_join": _q_events_asof,
+        "events_range_join": analytics.events_range_join,
+        "events_moving_avg": analytics.events_moving_avg,
+        "events_funnel": analytics.events_funnel,
+        "events_value_profile": analytics.events_value_profile,
+        "cdc_feed": _q_cdc_feed,
+        "cdc_committed": _q_cdc_committed,
+        "cdc_partial_rollback": _q_cdc_partial_rollback,
+        "cdc_commit_order": _q_cdc_commit_order,
+        "cdc_apply_changes": _q_cdc_apply_changes,
+        "cdc_batch_dedup": _q_cdc_batch_dedup,
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_shipping_priority": analytics.q3_shipping_priority,
+        "q5_region_revenue": analytics.q5_region_revenue,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "text_quality": _q_text_quality,
+        "multimodal_decode": _q_multimodal_decode,
+        "initial_load_union": _q_initial_load,
+        # ================= end of 50-query window =================
+        # green at their latest driver check; unchanged this round
         "dedup_simhash": _q_dedup_simhash,
-        # --- (a) first-ever driver rows: similarity block ---
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
         "similarity_ivf_multiprobe": _q_sim_ivf_mp,
         "similarity_sq8_recall": _q_sim_sq8_recall,
         "similarity_near_dups": _q_sim_near_dups,
-        # PQ ADC top-k + recall audit (new r5 — first driver rows)
-        "similarity_pq_topk": _q_sim_pq_topk,
-        "similarity_pq_recall": _q_sim_pq_recall,
-        "similarity_ivfpq_topk": _q_sim_ivfpq,
-        # --- (a) first-ever driver rows: text block ---
         "text_token_stats": _q_text_tokens,
-        "text_quality": _q_text_quality,
-        # Gopher-rules quality gate (new r5 — first driver row)
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
         "text_fingerprint": _q_text_fingerprint,
@@ -1306,48 +1445,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_unigram_logprob": _q_text_unigram_logprob,
         "text_cms_topk": _q_text_cms,
-        "text_hll_distinct": _q_text_hll,
         "text_bloom_membership": _q_text_bloom,
         "text_bigram_logprob": _q_text_bigram_logprob,
         "text_winnow_candidates": _q_text_winnow,
         "text_dup_span_fraction": _q_text_dup_spans,
-        "text_tfidf_top_terms": _q_text_tfidf,
         "text_pii_scrub": _q_text_pii_scrub,
-        # --- (a) first-ever driver rows: multimodal content hashes ---
         "multimodal_image_ahash": _q_multimodal_image_ahash,
         "multimodal_audio_ehash": _q_multimodal_audio_ehash,
-        # --- (c) G4 pairing changed r4: first post-change driver rows ---
-        "cdc_partial_rollback": _q_cdc_partial_rollback,
-        "cdc_committed": _q_cdc_committed,
-        "cdc_commit_order": _q_cdc_commit_order,
-        # G8 schema evolution: first-ever driver row (new query, r5)
         "registry_evolution": _q_registry_evolution,
-        # --- (d) analytics whose join plans changed r5 (hints dropped) ---
-        "q3_shipping_priority": analytics.q3_shipping_priority,
-        "q5_region_revenue": analytics.q5_region_revenue,
         "promo_revenue": analytics.promo_revenue,
-        # --- CDC consumers of the changed pairing output ---
         "cdc_replay_filter": _q_cdc_replay_filter,
         "cdc_txn_stats": _q_cdc_txn_stats,
-        "cdc_batch_dedup": _q_cdc_batch_dedup,
-        "cdc_apply_changes": _q_cdc_apply_changes,
-        "kafka_records": _q_kafka_records,
         "pipeline_pack_sequences": _q_pack_sequences,
-        "cdc_feed": _q_cdc_feed,
         "cdc_wrapped_flat": _q_cdc_wrapped_flat,
         "cdc_wrapped_apply": _q_cdc_wrapped_apply,
         "cdc_replica_asof": _q_cdc_replica_asof,
         "dedup_semantic": _q_dedup_semantic,
         "registry_defaults": _q_registry_defaults,
         "ora_tde_decrypt": _q_ora_tde_decrypt,
-        # first-ever driver rows for S10/F8, P12/§2.8 SMTs, K4 (new r5)
         "registry_key_guard": _q_registry_key_guard,
         "smt_sanitize": _q_smt_sanitize,
         "jdbc_autocreate": _q_jdbc_autocreate,
-        # ================= end of 50-query window =================
-        # moved behind the window r5 to make room for the new PQ queries:
-        # green r1–r3, operators unchanged (feed changes covered in-window
-        # by cdc_feed + the pairing trio)
         "cdc_suppress_unchanged": _q_cdc_suppress_unchanged,
         "cdc_restart_scn": _q_cdc_restart_scn,
         "cdc_change_vector": _q_change_vector,
@@ -1358,8 +1476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lob_reassembly": _q_lob_reassembly,
         "mvlog_batch": _q_mvlog_batch,
         "pipeline_curation": _q_pipeline_curation,
-        # --- declared relational operators (SURVEY §2.6, all green r4) ---
-        "q1_pricing_summary": analytics.q1_pricing_summary,
         "top_orders": analytics.top_orders,
         "customer_order_rank": analytics.customer_order_rank,
         "customers_set_ops": analytics.customers_set_ops,
@@ -1375,42 +1491,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": analytics.conditional_agg,
         "customers_without_orders": analytics.customers_without_orders,
         "orders_above_cust_avg": analytics.orders_above_cust_avg,
-        "events_hourly": analytics.events_hourly,
-        "events_range_join": analytics.events_range_join,
-        "events_asof_join": _q_events_asof,
-        "events_funnel": analytics.events_funnel,
-        "events_moving_avg": analytics.events_moving_avg,
-        "events_value_profile": analytics.events_value_profile,
         "events_value_histogram": analytics.events_value_histogram,
         "customers_with_orders_semi": analytics.customers_with_orders_semi,
         "events_running_total": analytics.events_running_total,
-        "events_sessionize": analytics.events_sessionize,
         "events_type_stats": analytics.events_type_stats,
-        # --- TPC-H-style breadth block (declared r5, behind the window —
-        #     oracle-checked locally at sf0.001/sf0.01; rotate next round)
-        "q4_order_priority": analytics.q4_order_priority,
-        "q7_volume_shipping": analytics.q7_volume_shipping,
-        "q8_market_share": analytics.q8_market_share,
-        "q9_product_profit": analytics.q9_product_profit,
-        "q10_returned_items": analytics.q10_returned_items,
-        "q13_customer_distribution": analytics.q13_customer_distribution,
-        "q15_top_supplier": analytics.q15_top_supplier,
-        "q17_small_qty_revenue": analytics.q17_small_qty_revenue,
-        "q18_large_volume_customers": analytics.q18_large_volume_customers,
-        "q19_discounted_revenue": analytics.q19_discounted_revenue,
-        "q22_sales_opportunity": analytics.q22_sales_opportunity,
-        # LSH index-quality audit (declared r5, behind the window)
-        "dedup_lsh_recall": _q_dedup_lsh_recall,
-        "pipeline_curation_v2": _q_pipeline_curation_v2,
-        # window-frame breadth (declared r5, behind the window)
-        "orders_lag_gap": analytics.orders_lag_gap,
-        "events_range_frame": analytics.events_range_frame,
-        # --- LLM-data-pipeline operators (green r4) ---
-        "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
         "dedup_decisions": _q_dedup_decisions,
         "dedup_clusters": _q_dedup_clusters,
@@ -1421,20 +1508,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": _q_text_vocab_coverage,
         "text_top_ngrams": _q_text_top_ngrams,
         "text_contamination": _q_text_contamination,
-        # declared r5, outside the current 50-window — rotate in next round
-        "text_bm25": _q_text_bm25,
-        "text_dsir": _q_text_dsir,
         "similarity_cell_centroids": _q_sim_centroids,
         "similarity_kmeans_cells": _q_sim_kmeans,
         "graph_pagerank": _q_graph_pagerank,
-        # --- CDC core (SURVEY §2.3, §2.5, §2.2; green r1–r3) ---
         "cdc_op_filter": _q_cdc_op_filter,
         "cdc_scn_window": _q_cdc_scn_window,
         "cdc_table_include": _q_cdc_table_include,
         "cdc_container_filter": _q_cdc_container_filter,
         "cdc_single_mode": _q_cdc_single_mode,
-        "cdc_pseudo_columns": _q_cdc_pseudo_columns,
-        "cdc_pseudo_named": _q_cdc_pseudo_named,
         "cdc_completeness_rejects": _q_cdc_completeness_rejects,
         "cdc_delete_all_cols": _q_cdc_delete_all_cols,
         "cdc_chained_fusion": _q_chained_fusion,
@@ -1442,9 +1523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multirow_expansion": _q_multirow_expansion,
         "cdc_direct_load": _q_direct_load,
         "lob_inflate": _q_lob_inflate,
-        # --- sources (SURVEY §2.1: S6-S9) ---
-        "initial_load_union": _q_initial_load,
-        # --- type decoders (SURVEY §2.4: P3-P6, P9) ---
         "ora_number_decode": _q_ora_number_decode,
         "ora_number_roundtrip": _q_ora_number_roundtrip,
         "sql_redo_parse": _q_sql_redo_parse,
@@ -1456,9 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ora_charset_id_decode": _q_ora_charset_id_decode,
         "oson_decode": _q_oson_decode,
         "ora_rowid_decode": _q_ora_rowid_decode,
-        # --- multimodal plumbing (rows-only: stubbed codecs) ---
         "multimodal_features": _q_multimodal_features,
-        "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
 
@@ -1707,6 +1783,26 @@ WHERE rn = 1 AND op <> 2
         "xid AS TXN_ID, CAST(NULL AS VARCHAR) AS AUDIT_USER "
         "FROM stamped"
     )
+    # §2.8 HeaderToFieldConverter: op header through a PARTIAL value map
+    # (c:I, u:U; d passes through verbatim)
+    sql["smt_header_to_field"] = cte + ", " + _STAMPED + (
+        "SELECT scn, ssn, xid, "
+        "CASE op WHEN 1 THEN 'c' WHEN 3 THEN 'u' ELSE 'd' END AS hdr_op, "
+        "CASE op WHEN 1 THEN 'I' WHEN 3 THEN 'U' ELSE 'd' END AS _oracdcp "
+        "FROM stamped"
+    )
+    # §2.8 KeyToValueConverter: key fields copied into the value schema
+    # under the configured prefix
+    sql["smt_key_to_value"] = cte + ", " + _STAMPED + (
+        "SELECT owner, table_name, pk, totalprice, scn, ssn, "
+        "pk AS _key_pk, table_name AS _key_table_name FROM stamped"
+    )
+    # §2.8 LOB transformation plugin: reassembly must round-trip the
+    # original text, so the oracle applies the plugin to documents.text
+    sql["lob_plugin_transform"] = (
+        "SELECT doc_id AS lob_id, 'TXT:' || upper(substr(text, 1, 24)) AS value "
+        "FROM documents"
+    )
     tp_pres = "(op = 1 OR (op = 3 AND contains(changed_cols, 'TOTALPRICE')))"
     st_pres = "(op = 1 OR (op = 3 AND contains(changed_cols, 'STATUS')))"
     sql["cdc_wrapped_flat"] = cte + ", " + _STAMPED + (
@@ -1815,6 +1911,10 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
     sql["ora_tde_decrypt"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, '{p}' AS s"
         for i, _, _, _, _, _, p in _TDE_GOLDENS
+    )
+    sql["ora_tde_gcm"] = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS id, '{p}' AS s"
+        for i, _, _, _, _, _, p in _TDE_GCM_GOLDENS
     )
     sql["ora_charset_id_decode"] = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS id, '{s}' AS s"

@@ -23,6 +23,9 @@ BENCH_QUERIES = [
     # q19/q22 + orders_lag_gap/events_range_frame (sub-second scans/
     # windows whose shapes q7/q9/q10/q18 + the events block already time),
     # cdc_pseudo_named (a projection over the benched stamped feed).
+    # r6: text_bm25/text_dsir added (eager counts fixed); no exclusions
+    # added — every declared family has a bench representative or a
+    # named exclusion above.
     # CDC pipeline (the engine's reason to exist)
     "cdc_commit_order",
     "cdc_batch_dedup",
@@ -101,11 +104,40 @@ BENCH_QUERIES = [
     "registry_evolution",
     "pipeline_pack_sequences",
     "dedup_semantic",
+    # round-6 additions: the BM25/DSIR scorers joined once their eager
+    # driver-side count() actions were replaced with lazy 1-row
+    # broadcast aggregates (r5 verdict item 2) — each is its family's
+    # only member (query-term retrieval scoring; importance resampling)
+    "text_bm25",
+    "text_dsir",
 ]
+
+# round-1 comparable subset: cross-round wall-time comparison uses the
+# EXACT 22-query set BENCH_r01.json ran.  (The previous formulation —
+# an exclusion set of later additions — silently counted each round's
+# new queries into the longitudinal metric when the set wasn't updated:
+# r5's 52.7 s "r1_comparable_sec" included ~25 s of r5-new queries,
+# which is most of what the r5 verdict read as a diffuse regression.
+# An inclusion set keyed to the r1 file cannot drift.)
+R1_SET = {
+    "cdc_apply_changes", "cdc_batch_dedup", "cdc_commit_order",
+    "cdc_debezium", "cdc_row_fusion", "customer_order_rank",
+    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "events_hourly", "events_sessionize", "initial_load_union",
+    "kafka_records", "lob_reassembly", "mvlog_batch",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "similarity_bruteforce_topk", "similarity_ivf_topk",
+    "text_fingerprint", "text_quality",
+}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # diagnosis hook (r5 verdict item 4): SPARK_GRAFT_BENCH_ONLY=r1 runs
+    # only the r1-comparable subset in an otherwise-identical harness, to
+    # separate per-query regressions from whole-suite contention;
+    # a comma-list runs exactly those queries
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     import __spark_entry__ as entry_mod
     from oracdc_spark.session import get_spark
 
@@ -133,8 +165,14 @@ def main() -> None:
     _feed_dir = _tf.TemporaryDirectory(prefix="oracdc_bench_feed_")
     _feed.materialize_feeds(spark, sf_dir, _feed_dir.name)
 
+    if only == "r1":
+        to_run = [q for q in BENCH_QUERIES if q in R1_SET]
+    elif only:
+        to_run = [q.strip() for q in only.split(",") if q.strip()]
+    else:
+        to_run = BENCH_QUERIES
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in to_run:
         fn = qs[name]
         t0 = time.time()
         # count() forces full execution without driver-side materialization
@@ -142,35 +180,30 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # round-1 comparable subtotal: the suite gained 6 queries in round 2,
-    # so cross-round wall-time comparison uses the shared subset
-    r2_added = {
-        "cdc_wrapped_apply", "cdc_direct_load", "dedup_clusters",
-        "similarity_near_dups", "text_contamination", "multimodal_decode",
-        "cdc_chained_fusion", "lob_inflate", "text_repetition",
-        "text_pii_scrub", "similarity_sq8_recall", "cdc_replica_asof",
-        "events_range_join", "text_unigram_logprob", "text_cms_topk",
-        "text_hll_distinct", "events_moving_avg", "events_value_profile",
-        "text_tfidf_top_terms", "events_asof_join", "text_bloom_membership",
-        "pipeline_quota_sample", "pipeline_temperature_mix",
-        "text_bigram_logprob", "text_winnow_candidates", "cdc_scd2_history",
-        "events_funnel", "text_dup_span_fraction", "similarity_ivf_multiprobe",
-        "q6_forecast_revenue",
-        "similarity_kmeans_cells", "graph_pagerank", "ora_tde_decrypt",
-        "dedup_lsh_incremental", "multimodal_image_ahash",
-        "multimodal_audio_ehash", "registry_evolution",
-        "pipeline_pack_sequences", "dedup_semantic",
-    }
+    # Per-query detail on its OWN line first: the external driver
+    # captures a bounded stdout TAIL, and the detail dict outgrew it in
+    # r5 (BENCH_r05.json parsed: null).  The FINAL line is a compact
+    # JSON object that always fits the tail capture.
+    r1_comparable = round(
+        sum(v for k, v in timings.items() if k in R1_SET), 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "oracdc_spark per-query detail",
+                "unit": "sec",
+                "queries": timings,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "oracdc_spark headline suite wall time",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "r1_comparable_sec": round(
-                    sum(v for k, v in timings.items() if k not in r2_added), 3
-                ),
+                "n_queries": len(timings),
+                "r1_comparable_sec": r1_comparable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -63,10 +63,12 @@ def tde_decrypt(col: Column | str, key: str, mode: str = "GCM") -> Column:
 # LOB inflate UDF.  The S-box and round constants are DERIVED from
 # GF(2^8) arithmetic at import, not pasted tables.  3DES (ENCALG 1) is a
 # pure-Python FIPS 46-3 implementation (functions/des.py), byte-exact vs
-# JCE DESede/CBC/NoPadding golden vectors; GCM (INTALG 3) stays
-# documented out — the reference's own GCM branch hands JCE a tagless
-# ciphertext with the tag region as AAD (it cannot verify) and ships no
-# vector, so there is no behavior to pin.
+# JCE DESede/CBC/NoPadding golden vectors.  GCM (INTALG 3) is the full
+# SP 800-38D construction (CTR keystream + GHASH over the same forward
+# AES primitive), byte-exact vs independent OpenSSL-generated vectors —
+# note the reference's own GCM branch is dead as written (it hands JCE a
+# tagless ciphertext with the tag region as AAD and can never verify);
+# this engine implements the evident intent, see decrypt() below.
 
 ENCALG_3DES168 = 1
 ENCALG_AES128 = 2
@@ -185,6 +187,114 @@ def _decrypt_block(ct: bytes, words: list[list[int]]) -> bytes:
     return bytes(s)
 
 
+def _encrypt_block(pt: bytes, words: list[list[int]]) -> bytes:
+    """AES forward cipher (FIPS-197 §5.1) — needed by GCM: the CTR
+    keystream and the GHASH subkey both use E_K, never the inverse."""
+    nr = len(words) // 4 - 1
+    s = list(pt)
+
+    def add_round_key(rnd: int) -> None:
+        for c in range(4):
+            w = words[4 * rnd + c]
+            for r in range(4):
+                s[r + 4 * c] ^= w[r]
+
+    def shift_rows() -> None:
+        for r in range(1, 4):
+            row = [s[r + 4 * c] for c in range(4)]
+            row = row[r:] + row[:r]  # rotate LEFT by r
+            for c in range(4):
+                s[r + 4 * c] = row[c]
+
+    def sub_bytes() -> None:
+        for i in range(16):
+            s[i] = _SBOX[s[i]]
+
+    def mix_columns() -> None:
+        for c in range(4):
+            a = s[4 * c : 4 * c + 4]
+            s[4 * c + 0] = _gf_mul(a[0], 2) ^ _gf_mul(a[1], 3) ^ a[2] ^ a[3]
+            s[4 * c + 1] = a[0] ^ _gf_mul(a[1], 2) ^ _gf_mul(a[2], 3) ^ a[3]
+            s[4 * c + 2] = a[0] ^ a[1] ^ _gf_mul(a[2], 2) ^ _gf_mul(a[3], 3)
+            s[4 * c + 3] = _gf_mul(a[0], 3) ^ a[1] ^ a[2] ^ _gf_mul(a[3], 2)
+
+    add_round_key(0)
+    for rnd in range(1, nr):
+        sub_bytes()
+        shift_rows()
+        mix_columns()
+        add_round_key(rnd)
+    sub_bytes()
+    shift_rows()
+    add_round_key(nr)
+    return bytes(s)
+
+
+# -- AES-GCM (NIST SP 800-38D): CTR keystream + GHASH ------------------------
+
+
+def _gf128_mul(x: int, y: int) -> int:
+    """GF(2^128) multiply, SP 800-38D §6.3 bit convention (R = 0xE1…)."""
+    R = 0xE1000000000000000000000000000000
+    z, v = 0, y
+    for i in range(127, -1, -1):
+        if (x >> i) & 1:
+            z ^= v
+        v = (v >> 1) ^ R if v & 1 else v >> 1
+    return z
+
+
+def _ghash(h: int, *segments: bytes) -> int:
+    """GHASH_H over zero-padded segments followed by their 64-bit bit
+    lengths (§6.4)."""
+    y = 0
+    for seg in segments:
+        for off in range(0, len(seg), 16):
+            block = seg[off : off + 16].ljust(16, b"\x00")
+            y = _gf128_mul(y ^ int.from_bytes(block, "big"), h)
+    lens = b"".join((8 * len(seg)).to_bytes(8, "big") for seg in segments)
+    if len(lens) == 8:  # single-segment use (IV hashing): pad to a block
+        lens = b"\x00" * 8 + lens
+    return _gf128_mul(y ^ int.from_bytes(lens, "big"), h)
+
+
+def _inc32(block: bytes) -> bytes:
+    n = (int.from_bytes(block[12:], "big") + 1) & 0xFFFFFFFF
+    return block[:12] + n.to_bytes(4, "big")
+
+
+def aes_gcm_decrypt(
+    ct: bytes, key: bytes, iv: bytes, tag: bytes, aad: bytes = b""
+) -> bytes:
+    """AES-GCM authenticated decryption (SP 800-38D §7.2) for ANY IV
+    length — 12-byte IVs use the iv‖0^31‖1 J0; other lengths (Oracle's
+    TDE salt-IV is 16 bytes) derive J0 = GHASH_H(iv).  Raises
+    ``ValueError`` on tag mismatch (JCE AEADBadTagException analog).
+    Byte-exact vs independent golden vectors (tests/test_vector_sqlredo_tde.py)."""
+    words = _expand_key(key)
+    h = int.from_bytes(_encrypt_block(bytes(16), words), "big")
+    if len(iv) == 12:
+        j0 = iv + b"\x00\x00\x00\x01"
+    else:
+        j0 = _ghash(h, iv).to_bytes(16, "big")
+    # CTR-mode keystream from inc32(J0)
+    out = bytearray()
+    cb = j0
+    for off in range(0, len(ct), 16):
+        cb = _inc32(cb)
+        ks = _encrypt_block(cb, words)
+        chunk = ct[off : off + 16]
+        out.extend(a ^ b for a, b in zip(chunk, ks))
+    s = _ghash(h, aad, ct)
+    expect = bytes(
+        a ^ b
+        for a, b in zip(_encrypt_block(j0, words), s.to_bytes(16, "big"))
+    )[: len(tag)]
+    if expect != bytes(tag):
+        raise ValueError("GCM tag mismatch")
+    return bytes(out)
+
+
 def _aes_cbc_decrypt(ct: bytes, key: bytes, iv: bytes) -> bytes:
     words = _expand_key(key)
     out = bytearray()
@@ -237,20 +347,12 @@ class OraTdeColumnDecrypter:
     def __init__(self, dec_data_key: bytes, enc_alg: int, int_alg: int):
         if enc_alg not in _KEY_LEN:
             raise ValueError(f"unknown ENC$.ENCALG {enc_alg}")
-        if int_alg == INTALG_GCM:
-            # The reference's own GCM branch cannot succeed as written:
-            # it hands JCE a tag-LESS ciphertext while passing the tag
-            # region as AAD (OraCdcTdeColumnDecrypter.java:166,177-183 —
-            # JCE GCM doFinal requires ciphertext‖tag), and no GCM test
-            # vector exists in its suite.  Replicating apparently-dead
-            # behavior byte-for-byte is not possible; documented out.
-            raise NotImplementedError(
-                "GCM TDE columns: the reference's GCM branch passes the "
-                "tag region as AAD and a tagless ciphertext to JCE — it "
-                "cannot verify; no public vectors exist to pin semantics"
-            )
-        if int_alg not in (INTALG_SHA1, INTALG_NOMAC):
+        if int_alg not in (INTALG_SHA1, INTALG_NOMAC, INTALG_GCM):
             raise ValueError(f"unknown ENC$.INTALG {int_alg}")
+        if int_alg == INTALG_GCM and enc_alg == ENCALG_3DES168:
+            # GCM is an AES mode; the reference's cipher selection pins
+            # 3DES to DESede/CBC regardless of INTALG (:104-110)
+            raise ValueError("INTALG GCM requires an AES ENCALG")
         self._key = data_key_from_wallet_blob(bytes(dec_data_key), enc_alg)
         self._int_alg = int_alg
         if enc_alg == ENCALG_3DES168:
@@ -276,6 +378,25 @@ class OraTdeColumnDecrypter:
             iv = bytes(self._block)
         if self._int_alg == INTALG_SHA1:
             ct_len -= 0x14
+        elif self._int_alg == INTALG_GCM:
+            # INTALG 3 layout: [ct | tag 0x10 | salt-iv 0x10] (reference
+            # :160-178).  The shipped JCE branch cannot succeed as
+            # written — it hands doFinal a tag-LESS ciphertext while
+            # passing the tag region as updateAAD (:177-183; JCE GCM
+            # requires ciphertext‖tag), so every call ends in
+            # AEADBadTagException; no vector exists in its suite.  This
+            # engine implements the evident INTENT: standard SP 800-38D
+            # AES-GCM over the documented layout — CTR decrypt with the
+            # 16-byte salt-IV (zero IV when unsalted), the 0x10 suffix
+            # VERIFIED as the tag over the ciphertext, empty AAD.
+            # Divergence (reference always-throws vs verified decrypt)
+            # noted in COVERAGE.md.
+            ct_len -= 0x10
+            return orcl_unpad(
+                aes_gcm_decrypt(
+                    data[:ct_len], self._key, iv, data[ct_len : ct_len + 0x10]
+                )
+            )
         if self._des3 is not None:
             plain = self._des3.cbc_decrypt(data[:ct_len], iv)
         else:

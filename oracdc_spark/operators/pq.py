@@ -103,6 +103,16 @@ def _assign(comps: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+# Trained (codes, codebook) pairs cached per (corpus plan, m, k, iters)
+# within a session — at production scale PQ training is a once-per-corpus
+# step with stored codes; the serving queries (pq_topk / pq_recall /
+# ivfpq_topk) must not each retrain the identical codebook.  Keyed by the
+# corpus DataFrame's semantic hash; values are persisted DataFrames
+# (materialized lazily by the first action, reused byte-identically by
+# every later query in the family).
+_TRAIN_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
 def pq_train_encode(
     vecs: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
 ) -> tuple[DataFrame, DataFrame]:
@@ -112,6 +122,12 @@ def pq_train_encode(
     per vector, the stored index; codebook = (sub, cluster, i, cq) —
     the final refit over the codes (k*d rows).
     """
+    try:
+        key = (vecs.semanticHash(), m, k, iters)
+    except Exception:
+        key = None
+    if key is not None and key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     comps = pq_components(vecs, m)
     assign = vecs.select(
         "vec_id",
@@ -123,7 +139,11 @@ def pq_train_encode(
     )
     for _ in range(iters):
         assign = _assign(comps, _codebook(comps, assign))
-    return assign, _codebook(comps, assign)
+    codes, cb = assign, _codebook(comps, assign)
+    if key is not None:
+        codes, cb = codes.persist(), cb.persist()
+        _TRAIN_CACHE[key] = (codes, cb)
+    return codes, cb
 
 
 def pq_topk(

@@ -1,0 +1,54 @@
+"""Plan-construction laziness contract: building a declared query must
+not run Spark jobs.
+
+Every `queries()` entry is a PLAN builder — eager driver-side actions at
+build time (a `df.count()` to freeze a scalar into a literal, a stray
+`collect()`) re-run corpus passes before the real plan even starts and
+break the single-lazy-plan model (r5 verdict item 2).  Corpus scalars
+belong in 1-row aggregates composed via `crossJoin(F.broadcast(...))`.
+
+Allowed exceptions, each a bounded-by-metadata or convergence decision
+the driver legitimately makes (never a corpus pass):
+
+- ``registry_evolution`` / ``registry_key_guard`` — collect the 25-row
+  nation dim as table identities for driver-side dictionary replay (the
+  reference keeps the dictionary in connector memory; bounded by table
+  count, not data size).
+- ``dedup_clusters`` — label-propagation convergence loop; each
+  iteration's `count()` is the stopping decision (bounded iterations).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+ALLOWED_BUILD_JOBS = {
+    "registry_evolution": 2,   # one bounded dictionary collect (25 rows)
+    "registry_key_guard": 2,
+    "dedup_clusters": 40,      # convergence iterations, corpus-bounded
+}
+
+
+@pytest.mark.slow
+def test_query_builders_launch_no_jobs(spark):
+    import __spark_entry__ as e
+
+    sc = spark.sparkContext
+    qs = e.queries()
+    violations = {}
+    for name, fn in qs.items():
+        group = f"lazy-build-{name}"
+        sc.setJobGroup(group, group, False)
+        try:
+            fn(spark, SF_SMOKE)
+        finally:
+            sc.setJobGroup("lazy-build-idle", "idle", False)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        if n_jobs > ALLOWED_BUILD_JOBS.get(name, 0):
+            violations[name] = n_jobs
+    assert not violations, (
+        "query builders ran eager Spark jobs at plan-construction time "
+        f"(use lazy 1-row broadcast aggregates instead): {violations}"
+    )

@@ -236,10 +236,66 @@ class TestTdeGoldenVectors:
 
         from oracdc_spark.functions.tde import OraTdeColumnDecrypter
 
-        with _pytest.raises(NotImplementedError, match="GCM"):
-            OraTdeColumnDecrypter(bytes(0x30), 4, 3)
         with _pytest.raises(ValueError):
             OraTdeColumnDecrypter(bytes(0x30), 9, 1)
+        # GCM is an AES mode — the 3DES ENCALG combination is rejected
+        with _pytest.raises(ValueError, match="AES"):
+            OraTdeColumnDecrypter(bytes(0x30), 1, 3)
+
+    # -- INTALG 3 (GCM): SP 800-38D CTR+GHASH over the AES primitive -----
+
+    def test_gcm_against_independent_library(self):
+        """Byte-exact cross-validation of aes_gcm_decrypt against
+        OpenSSL (via `cryptography`) for 12- and 16-byte IVs, unaligned
+        lengths, AAD, and all three AES key sizes; tampered tags raise."""
+        import pytest as _pytest
+
+        cryptography = _pytest.importorskip("cryptography")  # noqa: F841
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+
+        from oracdc_spark.functions.tde import aes_gcm_decrypt
+
+        for keylen in (16, 24, 32):
+            for ivlen in (12, 16):
+                for ptlen in (0, 5, 33):
+                    key = bytes(range(keylen))
+                    iv = bytes(range(100, 100 + ivlen))
+                    pt = bytes((i * 7) % 256 for i in range(ptlen))
+                    aad = b"hdr"
+                    enc = Cipher(
+                        algorithms.AES(key), modes.GCM(iv)
+                    ).encryptor()
+                    enc.authenticate_additional_data(aad)
+                    ct = enc.update(pt) + enc.finalize()
+                    assert aes_gcm_decrypt(ct, key, iv, enc.tag, aad) == pt
+                    bad = bytes([enc.tag[0] ^ 1]) + enc.tag[1:]
+                    with _pytest.raises(ValueError, match="tag mismatch"):
+                        aes_gcm_decrypt(ct, key, iv, bad, aad)
+
+    def test_gcm_tde_column_goldens(self):
+        """INTALG 3 column decrypt over independently generated goldens:
+        [ct | tag 0x10 | salt-iv 0x10] layout, zero-IV unsalted path."""
+        import __spark_entry__ as e
+        from oracdc_spark.functions.tde import OraTdeColumnDecrypter
+
+        for _, blob, enc_alg, int_alg, salt, col, plain in e._TDE_GCM_GOLDENS:
+            d = OraTdeColumnDecrypter(bytes.fromhex(blob), enc_alg, int_alg)
+            assert d.decrypt(bytes.fromhex(col), salt).decode() == plain
+
+    def test_gcm_tde_tamper_detected(self):
+        import pytest as _pytest
+
+        import __spark_entry__ as e
+        from oracdc_spark.functions.tde import OraTdeColumnDecrypter
+
+        _, blob, enc_alg, int_alg, salt, col, _ = e._TDE_GCM_GOLDENS[0]
+        data = bytearray(bytes.fromhex(col))
+        data[0] ^= 0x80  # flip a ciphertext bit → GHASH must catch it
+        d = OraTdeColumnDecrypter(bytes.fromhex(blob), enc_alg, int_alg)
+        with _pytest.raises(ValueError, match="tag mismatch"):
+            d.decrypt(bytes(data), salt)
 
     # -- ENCALG 1 (3DES168): DESede/CBC/NoPadding, 8-byte blocks/IV ------
     # Golden vectors generated with Java 17 JCE
