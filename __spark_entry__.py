@@ -183,6 +183,25 @@ def _q_mvlog_batch(spark, sf_dir):
     return mvlog.mvlog_batch(spark, sf_dir, last_seq=1000, batch_size=500)
 
 
+def _q_mvlog_consumption(spark, sf_dir):
+    """S8 driver parity — consumed-log delete as offset-commit: the log
+    state observable after a poll commits max(seq) of its batch
+    (KafkaSnapshotLogTable.java:224-226)."""
+    return mvlog.mvlog_consumption(spark, sf_dir, last_seq=1000, batch_size=500)
+
+
+def _q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval fused with RRF (SIGIR 2009) —
+    shingle-overlap ranking × embedding-cosine top-k, only integer
+    ranks cross the fusion boundary (operators/retrieval.py)."""
+    from oracdc_spark.operators import retrieval
+
+    return retrieval.hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 def _q_initial_load(spark, sf_dir):
     return initial_load.initial_load_union(spark, sf_dir)
 
@@ -1427,10 +1446,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "text_quality": _q_text_quality,
-        "multimodal_decode": _q_multimodal_decode,
-        "initial_load_union": _q_initial_load,
+        # new r6: S8 offset-commit parity; hybrid RRF retrieval
+        "mvlog_consumption": _q_mvlog_consumption,
+        "hybrid_retrieval": _q_hybrid_retrieval,
         # ================= end of 50-query window =================
         # green at their latest driver check; unchanged this round
+        "multimodal_decode": _q_multimodal_decode,
+        "initial_load_union": _q_initial_load,
         "dedup_simhash": _q_dedup_simhash,
         "similarity_bruteforce_topk": _q_sim_bruteforce,
         "similarity_ivf_topk": _q_sim_ivf,
@@ -2185,6 +2207,73 @@ SELECT 'SCOTT' AS owner, nm AS table_name,
 FROM kept GROUP BY n, nm
 """
     sql["mvlog_batch"] = mvlog.MVLOG_BATCH_SQL.format(last_seq=1000, batch_size=500)
+    sql["mvlog_consumption"] = mvlog.MVLOG_CONSUMPTION_SQL.format(
+        last_seq=1000, batch_size=500
+    )
+    # hybrid retrieval: semantic = the bruteforce-cosine CTEs at k=20,
+    # lexical = shingle-overlap ranking at k=20, fused with RRF (only
+    # integer ranks cross the fusion boundary — fixed expression shape)
+    sql["hybrid_retrieval"] = (
+        "WITH "
+        + _SHINGLES
+        + ", "
+        + _QUANT.strip().lstrip()
+        + """,
+q AS (SELECT vec_id AS query_id, i, q FROM qv WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, i, q FROM qv),
+dots AS (
+  SELECT query_id, neighbor_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM q a JOIN c b USING (i)
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+qn AS (SELECT query_id, CAST(SUM(q*q) AS BIGINT) AS qn FROM q GROUP BY query_id),
+cn AS (SELECT neighbor_id, CAST(SUM(q*q) AS BIGINT) AS cn FROM c GROUP BY neighbor_id),
+sem_scored AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM dots JOIN qn USING (query_id) JOIN cn USING (neighbor_id)
+),
+sem AS (
+  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS sem_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rank
+    FROM sem_scored) t
+  WHERE rank <= 20
+),
+qsh AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id % 100 = 0),
+lex_common AS (
+  SELECT q.query_id, s.doc_id AS neighbor_id, CAST(COUNT(*) AS BIGINT) AS common
+  FROM qsh q JOIN sh s USING (shingle)
+  WHERE q.query_id <> s.doc_id
+  GROUP BY q.query_id, s.doc_id
+),
+lex AS (
+  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS lex_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY common DESC, neighbor_id) AS rank
+    FROM lex_common) t
+  WHERE rank <= 20
+),
+fused AS (
+  SELECT COALESCE(sem.query_id, lex.query_id) AS query_id,
+         COALESCE(sem.neighbor_id, lex.neighbor_id) AS neighbor_id,
+         sem.sem_rank, lex.lex_rank,
+         COALESCE(1.0 / (60 + sem.sem_rank), 0.0)
+         + COALESCE(1.0 / (60 + lex.lex_rank), 0.0) AS score
+  FROM sem FULL OUTER JOIN lex
+    ON sem.query_id = lex.query_id AND sem.neighbor_id = lex.neighbor_id
+)
+SELECT query_id, neighbor_id, sem_rank, lex_rank,
+       ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM fused) t
+WHERE rank <= 10
+"""
+    )
     sql["initial_load_union"] = initial_load.INITIAL_LOAD_SQL.format(
         base=SPEC.cust_scn_base, cut=initial_load.DEFAULT_CUT
     )

@@ -23,9 +23,14 @@ BENCH_QUERIES = [
     # q19/q22 + orders_lag_gap/events_range_frame (sub-second scans/
     # windows whose shapes q7/q9/q10/q18 + the events block already time),
     # cdc_pseudo_named (a projection over the benched stamped feed).
-    # r6: text_bm25/text_dsir added (eager counts fixed); no exclusions
-    # added — every declared family has a bench representative or a
-    # named exclusion above.
+    # r6: text_bm25/text_dsir added (eager counts fixed);
+    # hybrid_retrieval added (new fusion family); ora_tde_gcm excluded
+    # (same UDF shape as the benched ora_tde_decrypt, 5 fixture rows);
+    # mvlog_consumption excluded (a filter over the benched mvlog scan);
+    # smt_header_to_field / smt_key_to_value / lob_plugin_transform
+    # excluded (projections over the benched stamped feed / benched
+    # lob_reassembly plan).  Every declared family has a bench
+    # representative or a named exclusion here.
     # CDC pipeline (the engine's reason to exist)
     "cdc_commit_order",
     "cdc_batch_dedup",
@@ -110,6 +115,7 @@ BENCH_QUERIES = [
     # only member (query-term retrieval scoring; importance resampling)
     "text_bm25",
     "text_dsir",
+    "hybrid_retrieval",
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -87,6 +87,45 @@ def mvlog_batch(
     return with_master_lookup(batch, master)
 
 
+def mvlog_consumption(
+    spark: SparkSession, sf_dir: str, last_seq: int = 1000, batch_size: int = 500
+) -> DataFrame:
+    """S8 — consumed-log delete as offset-commit semantics
+    (KafkaSnapshotLogTable.java:224-226 ``DELETE FROM MLOG$ WHERE
+    SEQUENCE$$ <= :committed``): after a poll commits offset =
+    max(seq) of the batch, the observable log state is every row ABOVE
+    the committed offset.  The offset is a lazy 1-row aggregate
+    broadcast into the filter — at scale this is one metadata-sized
+    scalar against a pruned scan, never a mutation pass.
+    Output: (seq, pk, dmltype, commit_seq)."""
+    log = simulated_mvlog(spark, sf_dir)
+    batch = poll_mvlog(log, last_seq, batch_size)
+    committed = batch.agg(F.max("seq").alias("commit_seq"))
+    return (
+        log.crossJoin(F.broadcast(committed))
+        .filter(F.col("seq") > F.col("commit_seq"))
+        .select("seq", "pk", "dmltype", "commit_seq")
+    )
+
+
+MVLOG_CONSUMPTION_SQL = """
+WITH mvlog AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS seq,
+         CAST(o_orderkey AS BIGINT) AS pk,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+              WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS dmltype
+  FROM orders
+),
+batch AS (
+  SELECT * FROM mvlog WHERE seq > {last_seq} ORDER BY seq LIMIT {batch_size}
+),
+committed AS (SELECT MAX(seq) AS commit_seq FROM batch)
+SELECT l.seq, l.pk, l.dmltype, c.commit_seq
+FROM mvlog l CROSS JOIN committed c
+WHERE l.seq > c.commit_seq
+"""
+
+
 MVLOG_BATCH_SQL = """
 WITH mvlog AS (
   SELECT CAST(o_orderkey AS BIGINT) AS seq,
