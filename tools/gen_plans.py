@@ -56,6 +56,10 @@ NOTES = {
                              "exchange; threshold filter is codegen on the windowed row",
     "q18_large_volume_customers": "HAVING aggregate shrinks lineitem to the rare big orders BEFORE the "
                                   "orders/customer joins; TakeOrdered 100",
+    "hybrid_retrieval": "both sources top-k-bounded BEFORE fusion: the RRF join touches |Q|*(k_sem+k_lex) "
+                        "rows, never the corpus; query sides broadcast per the bounded-batch contract",
+    "text_bm25": "corpus scalars (n_docs/total) are lazy 1-row broadcast aggregates (r6 — no eager "
+                 "plan-build actions); query-term postings map-side filtered before the tf aggregate",
 }
 
 KEEP = (
