@@ -1440,17 +1440,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_commit_order": _q_cdc_commit_order,
         "cdc_apply_changes": _q_cdc_apply_changes,
         "cdc_batch_dedup": _q_cdc_batch_dedup,
+        # new r6: the TPC-H completion block — all 22 Q-shapes now
+        # declared (q2/q11/q16/q20 over observed supply relationships,
+        # q12/q21 over ship-lag; see analytics.py docstrings)
+        "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
+        "q11_important_stock": analytics.q11_important_stock,
+        "q12_shipping_lag": analytics.q12_shipping_lag,
+        "q16_parts_supplier_count": analytics.q16_parts_supplier_count,
+        "q20_excess_supply": analytics.q20_excess_supply,
+        "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
+        # new r6: S8 offset-commit parity; hybrid RRF retrieval
+        "mvlog_consumption": _q_mvlog_consumption,
+        "hybrid_retrieval": _q_hybrid_retrieval,
+        # ================= end of 50-query window =================
+        # green at their latest driver check; unchanged this round
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_region_revenue": analytics.q5_region_revenue,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "text_quality": _q_text_quality,
-        # new r6: S8 offset-commit parity; hybrid RRF retrieval
-        "mvlog_consumption": _q_mvlog_consumption,
-        "hybrid_retrieval": _q_hybrid_retrieval,
-        # ================= end of 50-query window =================
-        # green at their latest driver check; unchanged this round
         "multimodal_decode": _q_multimodal_decode,
         "initial_load_union": _q_initial_load,
         "dedup_simhash": _q_dedup_simhash,
@@ -2611,6 +2620,113 @@ WHERE c_acctbal > avg_bal
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY n_name
+"""
+    # --- TPC-H completion block (r6): see analytics.py docstrings for
+    # the schema adaptations (no partsupp / shipmode / receiptdate) ---
+    _DEC18 = "DECIMAL(18,2)"
+    sql["q2_min_cost_supplier"] = f"""
+WITH supply AS (
+  SELECT l_partkey AS p_partkey, s_name, n_name,
+         CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+         MIN(CAST(l_extendedprice AS {_DEC18})) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = part.p_partkey AND p_type = 'LARGE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  GROUP BY l_partkey, s_name, n_name, s_acctbal
+),
+best AS (
+  SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS min_cost FROM supply
+)
+SELECT s_acctbal, s_name, n_name, CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(cost AS DOUBLE) AS cost
+FROM best WHERE cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+    sql["q11_important_stock"] = f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS {_DEC18})) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+  GROUP BY l_partkey
+),
+tot AS (SELECT SUM(value) AS total FROM per_part)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, CAST(value AS DOUBLE) AS value
+FROM per_part CROSS JOIN tot
+WHERE value * 10000 > total
+"""
+    sql["q12_shipping_lag"] = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) < 30 THEN 'FAST'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) < 90 THEN 'NORMAL'
+            ELSE 'SLOW' END AS ship_band,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+    sql["q16_parts_supplier_count"] = """
+SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+"""
+    sql["q20_excess_supply"] = f"""
+WITH sp AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS {_DEC18})) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+dominant AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT *, SUM(qty) OVER (PARTITION BY l_partkey) AS part_total FROM sp
+  ) t WHERE qty * 2 > part_total
+)
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_name IN ('NATION_3', 'NATION_13', 'NATION_23'))
+"""
+    sql["q21_waiting_suppliers"] = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY l_orderkey, l_suppkey
+),
+m1 AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         MAX(s_max) OVER (PARTITION BY l_orderkey) AS o_max
+  FROM per_os
+),
+marked AS (
+  SELECT *, SUM(CASE WHEN s_max = o_max THEN 1 ELSE 0 END)
+              OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM m1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM marked JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_at_max = 1 AND s_max = o_max
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """
     sql["events_funnel"] = """
 WITH s1 AS (

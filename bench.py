@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "text_bm25",
     "text_dsir",
     "hybrid_retrieval",
+    # TPC-H completion block representative: q21 carries the heaviest
+    # shape (per-order supplier windows over lineitem); q2/q11/q12/q16/
+    # q20 are sub-second scan/agg/window variants the block already times
+    "q21_waiting_suppliers",
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -906,3 +906,219 @@ def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(qv).over(w).alias("hour_sum_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion block (r6): q2/q11/q16/q20 adapt over the OBSERVED
+# (l_partkey, l_suppkey) supply relationships — the testdata schema has
+# no partsupp table — and q12/q21 over ship-lag (no
+# l_shipmode/l_commitdate/l_receiptdate).  The operator SHAPES are the
+# point: correlated-subquery decorrelation into windows, conditional
+# banded aggregation, distinct-count grouping, per-key-share
+# semi-joins, and exists/not-exists double correlation.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: cheapest supplier per part within a region.  Supply
+    cost stand-in = MIN observed line price of the (part, supplier)
+    pair (exact decimal min — no partsupp table).  The classic
+    correlated min-cost subquery is decorrelated into ONE p_partkey
+    window sharing the aggregation exchange; dimension chain
+    supplier→nation→region broadcasts (bounded).  TakeOrdered 100."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast(DEC)).alias("cost"))
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = supply.withColumn("min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        best.select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose supply value from one region's suppliers
+    exceeds a fraction of the region's total (region-scoped so the tiny
+    sf0.001 supplier sample still has in-scope rows).  Value stand-in =
+    SUM(l_extendedprice) over the scoped lineitems per part (exact
+    decimal).  The scalar total is a lazy 1-row aggregate broadcast
+    into a CROSS-MULTIPLIED integer-exact compare (value * 10000 >
+    total) — no float threshold."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    scoped = (
+        l.join(
+            s.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("value")
+    )
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 10000 > F.col("total"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+def q12_shipping_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: priority mix per shipping band.  Band stand-in =
+    ship lag days (l_shipdate − o_orderdate; no l_shipmode column):
+    FAST < 30 ≤ NORMAL < 90 ≤ SLOW.  The high/low priority split is
+    Q12's conditional CASE-sum over the join; counts are exact ints."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(lag < 30, "FAST").when(lag < 90, "NORMAL").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(band.alias("ship_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier counts per (brand, type, size) for
+    non-excluded parts — supply relationships observed from lineitem
+    (no partsupp).  COUNT(DISTINCT l_suppkey) per group is exact; the
+    brand/type exclusions are pushed-down scan filters."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers holding a dominant share of a part family's
+    supply.  Share stand-in (no ps_availqty): a supplier qualifies if
+    for SOME widget part they shipped MORE THAN HALF of that part's
+    1997 quantity — the per-part total is a window over the
+    (supplier, part) aggregate (decorrelated, shares the exchange),
+    the compare is cross-multiplied exact decimal (qty·2 > total), and
+    the supplier set semi-joins back to names.  Nation-scoped like the
+    original."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").endswith("widget"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_13", "NATION_23")
+    )
+    sp = (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sp.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.col("qty") * 2 > F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who kept finished multi-supplier orders
+    waiting.  Laggard stand-in (no l_receiptdate/l_commitdate): the
+    UNIQUE supplier whose latest line ship date equals the order's max
+    ship date, on 'F' orders with ≥ 2 distinct suppliers.  Q21's
+    exists / not-exists double correlation decorrelates into per-order
+    aggregates: per (order, supplier) max-ship, then per-order supplier
+    count / max / at-max count — two exchanges total, no self-joins.
+    TakeOrdered 100 by numwait desc."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    per_os = (
+        l.join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("s_max"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("o_max", F.max("s_max").over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(F.when(F.col("s_max") == F.col("o_max"), 1).otherwise(0)).over(w),
+        )
+    )
+    waiting = marked.filter(
+        (F.col("n_supp") >= 2)
+        & (F.col("n_at_max") == 1)
+        & (F.col("s_max") == F.col("o_max"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
