@@ -84,22 +84,68 @@ def _codebook(comps: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def _assign(comps: DataFrame, cb: DataFrame) -> DataFrame:
+def _assign(comps: DataFrame, cb: DataFrame, k: int = PQ_K) -> DataFrame:
     """Assignment step: exact integer squared distance per (vec, sub,
-    cluster), argmin with (dist2, cluster) tie-break."""
-    diff = F.col("q") - F.col("cq")
-    d = (
-        comps.join(F.broadcast(cb), ["sub", "i"])
-        .groupBy("vec_id", "sub", "cluster")
-        .agg(F.sum(diff * diff).alias("dist2"))
+    cluster), argmin with (dist2, cluster) tie-break.
+
+    Vectorized form (r6): instead of exploding comps ×k through a
+    (sub, i) join and resolving the argmin with a row_number window
+    over n·m·k rows, the codebook pivots into per-(sub, i) arrays of k
+    centroid components (broadcast, NULL where a cluster is empty for
+    the sub), each component row computes its k cross-products in one
+    JVM `transform`, and the groupBy(vec_id, sub) aggregates k
+    elementwise sums — one shuffle of n·m rows, no window.  The argmin
+    uses dist²_c = Σq² − 2·Σq·cq_c + Σcq_c² (all exact bigints) with
+    empty clusters coalesced to a +∞ sentinel; `array_position` of the
+    min returns the FIRST (= lowest cluster id) occurrence, matching
+    the old (dist2 asc, cluster asc) tie-break exactly."""
+    sent = F.lit((1 << 62) - 1)
+    cb_arr = (
+        cb.groupBy("sub", "i")
+        .agg(
+            *[
+                F.max(F.when(F.col("cluster") == c, F.col("cq"))).alias(f"c{c}")
+                for c in range(k)
+            ]
+        )
+        .select("sub", "i", F.array(*[F.col(f"c{c}") for c in range(k)]).alias("cqs"))
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("dist2").asc(), F.col("cluster").asc()
+    cc2 = cb.groupBy("sub", "cluster").agg(
+        F.sum(F.col("cq") * F.col("cq")).alias("cc2")
+    )
+    cc2_arr = cc2.groupBy("sub").agg(
+        *[
+            F.max(F.when(F.col("cluster") == c, F.col("cc2"))).alias(f"n{c}")
+            for c in range(k)
+        ]
+    ).select("sub", F.array(*[F.col(f"n{c}") for c in range(k)]).alias("cc2s"))
+    prods = comps.join(F.broadcast(cb_arr), ["sub", "i"]).select(
+        "vec_id",
+        "sub",
+        (F.col("q") * F.col("q")).alias("q2"),
+        F.transform("cqs", lambda cq: cq * F.col("q")).alias("px"),
+    )
+    dots = prods.groupBy("vec_id", "sub").agg(
+        F.sum("q2").alias("qs2"),
+        *[F.sum(F.col("px")[c]).alias(f"d{c}") for c in range(k)],
+    )
+    dists = F.array(
+        *[
+            F.coalesce(
+                F.col("qs2") - 2 * F.col(f"d{c}") + F.col("cc2s")[c], sent
+            )
+            for c in range(k)
+        ]
     )
     return (
-        d.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "sub", "cluster")
+        dots.join(F.broadcast(cc2_arr), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("bigint")
+            .alias("cluster"),
+        )
     )
 
 
@@ -138,7 +184,7 @@ def pq_train_encode(
         (F.col("vec_id") % k).cast("bigint").alias("cluster"),
     )
     for _ in range(iters):
-        assign = _assign(comps, _codebook(comps, assign))
+        assign = _assign(comps, _codebook(comps, assign), k)
     codes, cb = assign, _codebook(comps, assign)
     if key is not None:
         codes, cb = codes.persist(), cb.persist()
