@@ -53,22 +53,61 @@ def _centroids(q: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(q: DataFrame, cents: DataFrame, k: int = 8) -> DataFrame:
     """Assignment step: exact integer squared distance to every
-    centroid, argmin with (dist2, cluster) tie-break."""
-    diff = F.col("q") - F.col("cq")
-    d = (
-        q.join(F.broadcast(cents), "i")
-        .groupBy("vec_id", "cluster")
-        .agg(F.sum(diff * diff).alias("dist2"))
+    centroid, argmin with (dist2, cluster) tie-break.
+
+    Vectorized (r6, same shape as pq._assign): centroids pivot into
+    broadcast per-i arrays of k components, each component row computes
+    its k cross-products in one JVM `transform`, and groupBy(vec_id)
+    aggregates k elementwise sums — one shuffle of n·d rows instead of
+    exploding ×k and windowing over n·k rows.  dist²_c = Σq² − 2·Σq·cq_c
+    + Σcq_c² (exact bigints, empty clusters → +∞ sentinel);
+    `array_position` of the min keeps the lowest-cluster-id tie-break."""
+    sent = F.lit((1 << 62) - 1)
+    cb_arr = (
+        cents.groupBy("i")
+        .agg(
+            *[
+                F.max(F.when(F.col("cluster") == c, F.col("cq"))).alias(f"c{c}")
+                for c in range(k)
+            ]
+        )
+        .select("i", F.array(*[F.col(f"c{c}") for c in range(k)]).alias("cqs"))
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist2").asc(), F.col("cluster").asc()
+    cc2_arr = (
+        cents.groupBy("cluster")
+        .agg(F.sum(F.col("cq") * F.col("cq")).alias("cc2"))
+        .groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("cluster") == c, F.col("cc2"))).alias(f"n{c}")
+                for c in range(k)
+            ]
+        )
+        .select(F.array(*[F.col(f"n{c}") for c in range(k)]).alias("cc2s"))
     )
-    return (
-        d.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cluster", "dist2")
+    prods = q.join(F.broadcast(cb_arr), "i").select(
+        "vec_id",
+        (F.col("q") * F.col("q")).alias("q2"),
+        F.transform("cqs", lambda cq: cq * F.col("q")).alias("px"),
+    )
+    dots = prods.groupBy("vec_id").agg(
+        F.sum("q2").alias("qs2"),
+        *[F.sum(F.col("px")[c]).alias(f"d{c}") for c in range(k)],
+    )
+    dists = F.array(
+        *[
+            F.coalesce(F.col("qs2") - 2 * F.col(f"d{c}") + F.col("cc2s")[c], sent)
+            for c in range(k)
+        ]
+    )
+    return dots.crossJoin(F.broadcast(cc2_arr)).select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("bigint")
+        .alias("cluster"),
+        F.array_min(dists).alias("dist2"),
     )
 
 
@@ -82,7 +121,7 @@ def kmeans_assignments(vecs: DataFrame, k: int = 8, iters: int = 2) -> DataFrame
         "vec_id", (F.col("vec_id") % k).cast("bigint").alias("cluster")
     )
     for _ in range(iters):
-        assign = _assign(q, _centroids(q, assign))
+        assign = _assign(q, _centroids(q, assign), k)
     return assign
 
 
