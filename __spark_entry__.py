@@ -1320,6 +1320,14 @@ def _q_pack_sequences(spark, sf_dir):
     return sampling.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def _q_pack_efficiency(spark, sf_dir):
+    """Packing-quality audit (1 row): fill ratio vs the ceil(total/
+    budget) bin lower bound — the audit row a loader pipeline logs."""
+    from oracdc_spark.operators import sampling
+
+    return sampling.pack_efficiency_audit(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_bm25(spark, sf_dir):
     return textops.bm25_rank(load_table(spark, sf_dir, "documents"))
 
@@ -1433,7 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": analytics.events_range_join,
         "events_moving_avg": analytics.events_moving_avg,
         "events_funnel": analytics.events_funnel,
-        "events_value_profile": analytics.events_value_profile,
+        # new r6: packing-quality audit (pack_sequences' audit row)
+        "pipeline_pack_efficiency": _q_pack_efficiency,
         "cdc_feed": _q_cdc_feed,
         "cdc_committed": _q_cdc_committed,
         "cdc_partial_rollback": _q_cdc_partial_rollback,
@@ -1454,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": _q_hybrid_retrieval,
         # ================= end of 50-query window =================
         # green at their latest driver check; unchanged this round
+        "events_value_profile": analytics.events_value_profile,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_region_revenue": analytics.q5_region_revenue,
@@ -3665,6 +3675,40 @@ SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM b GROUP BY shard, seq_id
+"""
+    )
+    # packing-quality audit: 1-row fill ratio vs the integer-div ceil
+    # lower bound, composed over the pack_sequences CTE chain
+    sql["pipeline_pack_efficiency"] = (
+        "WITH "
+        + _TOKS
+        + """,
+nt AS (
+  SELECT doc_id, CAST(doc_id % 64 AS BIGINT) AS shard,
+         CAST(len(w) AS BIGINT) AS n_tokens
+  FROM toks
+),
+pf AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+  FROM nt
+),
+b AS (SELECT *, CAST(prefix // 1024 AS BIGINT) AS seq_id FROM pf),
+seqs AS (
+  SELECT shard, seq_id, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+  FROM b GROUP BY shard, seq_id
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         CAST(SUM(sum_tokens) AS BIGINT) AS total_tokens
+  FROM seqs
+)
+SELECT n_seqs, total_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE) / (n_seqs * 1024), 6) AS fill_ratio,
+       CAST((total_tokens + 1023) // 1024 AS BIGINT) AS ideal_seqs,
+       ROUND(CAST(n_seqs - (total_tokens + 1023) // 1024 AS DOUBLE)
+             / ((total_tokens + 1023) // 1024) * 100, 4) AS overhead_pct
+FROM agg
 """
     )
     sql["text_token_stats"] = (

@@ -148,3 +148,38 @@ def pack_sequences(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def pack_efficiency_audit(
+    docs: DataFrame, budget: int = 1024, n_shards: int = 64
+) -> DataFrame:
+    """Packing-quality audit for :func:`pack_sequences` (the audit
+    discipline every approximate/greedy structure in the engine ships
+    with): ONE row with the sequence count, token mass, padding waste
+    of the greedy packing, and the ideal lower bound.
+
+    * ``fill_ratio`` = sum_tokens / (n_seqs · budget) — the fraction of
+      the training batch that is real tokens rather than padding;
+    * ``ideal_seqs`` = ceil(total_tokens / budget) — the bin-count lower
+      bound a perfect packer could reach; ``overhead_pct`` is how far
+      the shard-local greedy packing is from it.
+
+    Integer-exact throughout (cross-multiplied ceil, quantized ratios);
+    composed as 1-row aggregates — no driver actions."""
+    seqs = pack_sequences(docs, budget, n_shards)
+    agg = seqs.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("sum_tokens").alias("total_tokens"),
+    )
+    ideal = F.expr(f"(total_tokens + {budget - 1}) div {budget}")
+    return agg.select(
+        F.col("n_seqs").cast("bigint").alias("n_seqs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double") / (F.col("n_seqs") * budget), 6
+        ).alias("fill_ratio"),
+        ideal.cast("bigint").alias("ideal_seqs"),
+        F.round(
+            (F.col("n_seqs") - ideal).cast("double") / ideal * 100, 4
+        ).alias("overhead_pct"),
+    )
