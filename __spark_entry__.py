@@ -587,6 +587,32 @@ def _q_pipeline_curation_v2(spark, sf_dir):
     )
 
 
+def _q_pipeline_curation_v3(spark, sf_dir):
+    """r6 curation composition — topic-conditioned mining: hybrid RRF
+    retrieval (seed docs × lexical/semantic fusion) mines the candidate
+    set, the Gopher-rules gate drops low-quality hits, and the greedy
+    packer assembles the survivors into training sequences.  Every
+    stage is an already-audited operator; the composition adds two semi
+    joins and a union-distinct."""
+    from oracdc_spark.operators import retrieval, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    fused = retrieval.hybrid_rrf_topk(docs, vecs)
+    mined = (
+        fused.select(F.col("neighbor_id").alias("doc_id"))
+        .union(fused.select(F.col("query_id").alias("doc_id")))
+        .distinct()
+    )
+    gq = (
+        textops.gopher_quality(docs, stopwords=textops.STOPWORDS)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    final_docs = docs.join(mined, "doc_id", "semi").join(gq, "doc_id", "semi")
+    return sampling.pack_sequences(final_docs, budget=1024, n_shards=8)
+
+
 def _q_row_fusion(spark, sf_dir):
     return fusion.row_fusion(spark, sf_dir)
 
@@ -1438,7 +1464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": analytics.events_hourly,
         "events_sessionize": analytics.events_sessionize,
         "events_asof_join": _q_events_asof,
-        "events_range_join": analytics.events_range_join,
+        # new r6: topic-conditioned curation (retrieval x gopher x pack)
+        "pipeline_curation_v3": _q_pipeline_curation_v3,
         "events_moving_avg": analytics.events_moving_avg,
         "events_funnel": analytics.events_funnel,
         # new r6: packing-quality audit (pack_sequences' audit row)
@@ -1463,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": _q_hybrid_retrieval,
         # ================= end of 50-query window =================
         # green at their latest driver check; unchanged this round
+        "events_range_join": analytics.events_range_join,
         "events_value_profile": analytics.events_value_profile,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -3801,6 +3829,44 @@ SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM documents JOIN g USING (doc_id)
 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 GROUP BY lang, source
+"""
+    )
+    # r6 topic-conditioned curation: retrieval-mined set ∩ gopher gate →
+    # greedy packing (budget 1024, 8 shards) — composes the audited
+    # hybrid_retrieval / gopher / pack oracles
+    sql["pipeline_curation_v3"] = (
+        "WITH fused AS ("
+        + sql["hybrid_retrieval"]
+        + """),
+mined AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT neighbor_id AS doc_id FROM fused
+    UNION ALL SELECT query_id FROM fused) u
+),
+g AS (SELECT doc_id FROM ("""
+        + _gopher_sql(textops.STOPWORDS)
+        + """) t WHERE keep),
+sel AS (SELECT doc_id FROM mined JOIN g USING (doc_id)),
+toks2 AS (
+  SELECT d.doc_id,
+         list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '') AS w
+  FROM documents d JOIN sel USING (doc_id)
+),
+nt AS (
+  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(len(w) AS BIGINT) AS n_tokens
+  FROM toks2
+),
+pf AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+  FROM nt
+),
+b AS (SELECT *, CAST(prefix // 1024 AS BIGINT) AS seq_id FROM pf)
+SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM b GROUP BY shard, seq_id
 """
     )
     lang_cases = []

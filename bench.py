@@ -29,8 +29,13 @@ BENCH_QUERIES = [
     # mvlog_consumption excluded (a filter over the benched mvlog scan);
     # smt_header_to_field / smt_key_to_value / lob_plugin_transform
     # excluded (projections over the benched stamped feed / benched
-    # lob_reassembly plan).  Every declared family has a bench
-    # representative or a named exclusion here.
+    # lob_reassembly plan); pipeline_curation_v3 excluded (composes the
+    # individually-benched hybrid_retrieval + gopher gate +
+    # pack_sequences stages; v2 remains the curation representative);
+    # pipeline_pack_efficiency excluded (1-row audit over the benched
+    # pack plan); q2/q11/q12/q16/q20 excluded (sub-second scan/agg/
+    # window variants — q21 represents the block).  Every declared
+    # family has a bench representative or a named exclusion here.
     # CDC pipeline (the engine's reason to exist)
     "cdc_commit_order",
     "cdc_batch_dedup",
