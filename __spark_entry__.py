@@ -1409,6 +1409,47 @@ def _q_text_pii_scrub(spark, sf_dir):
     return textops.pii_scrub(_pii_injected(spark, sf_dir))
 
 
+def _url_injected(spark, sf_dir):
+    """Deterministic URL fixture: the synthetic corpus has no URLs, so
+    inject them by doc_id class (mirrored in the oracle CTE).
+    doc_id%3: 0 one CDN URL, 1 a news URL + a CDN URL, 2 untouched."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 3
+    did = F.col("doc_id").cast("string")
+    cdn = F.concat(
+        F.lit("https://cdn"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".media.example.org"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(k == 0, F.concat("text", F.lit(" ref "), cdn, F.lit("/a/"), did, F.lit(" end")))
+        .when(
+            k == 1,
+            F.concat(
+                F.lit("src http://www.example-news.com/p/"),
+                did,
+                F.lit(" plus "),
+                cdn,
+                F.lit("/b "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _q_text_url_domains(spark, sf_dir):
+    return textops.url_domain_stats(_url_injected(spark, sf_dir))
+
+
+def _q_doc_chunks(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver's correctness gate checks a
     # 50-query window from the FRONT of this dict.  Rounds 1-3 checked the
@@ -1466,8 +1507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof,
         # new r6: topic-conditioned curation (retrieval x gopher x pack)
         "pipeline_curation_v3": _q_pipeline_curation_v3,
-        "events_moving_avg": analytics.events_moving_avg,
-        "events_funnel": analytics.events_funnel,
+        # new r6: URL/domain provenance stats; RAG token-window chunking
+        "text_url_domains": _q_text_url_domains,
+        "pipeline_doc_chunks": _q_doc_chunks,
         # new r6: packing-quality audit (pack_sequences' audit row)
         "pipeline_pack_efficiency": _q_pack_efficiency,
         "cdc_feed": _q_cdc_feed,
@@ -1492,6 +1534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green at their latest driver check; unchanged this round
         "events_range_join": analytics.events_range_join,
         "events_value_profile": analytics.events_value_profile,
+        "events_moving_avg": analytics.events_moving_avg,
+        "events_funnel": analytics.events_funnel,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_region_revenue": analytics.q5_region_revenue,
@@ -4276,4 +4320,44 @@ SELECT doc_id, n_urls, n_emails,
        md5(regexp_replace(t2, '{textops.PII_IP_RE}', '<IP>', 'g')) AS clean_digest
 FROM step2
 """
+    sql["text_url_domains"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN text || ' ref https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.media.example.org/a/' || CAST(doc_id AS VARCHAR) || ' end'
+           WHEN 1 THEN 'src http://www.example-news.com/p/' || CAST(doc_id AS VARCHAR)
+                    || ' plus https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+                    || '.media.example.org/b ' || text
+           ELSE text END AS text
+  FROM documents
+),
+hosts AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{textops.URL_RE}', 1)) AS domain
+  FROM injected
+),
+lab AS (
+  SELECT doc_id, domain,
+         array_to_string(string_split(domain, '.')[-2:], '.') AS site
+  FROM hosts
+)
+SELECT site, domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM lab GROUP BY site, domain
+"""
+    sql["pipeline_doc_chunks"] = (
+        "WITH "
+        + _TOKS
+        + """,
+nz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+st AS (
+  SELECT doc_id, w, n, CAST(u.start_tok AS BIGINT) AS start_tok
+  FROM nz, UNNEST(range(0, n, 48)) u(start_tok)
+)
+SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_id, start_tok,
+       CAST(LEAST(64, n - start_tok) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(w[(start_tok+1):(start_tok+64)], ' ') AS chunk_text
+FROM st
+"""
+    )
     return sql

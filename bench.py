@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     # shape (per-order supplier windows over lineitem); q2/q11/q12/q16/
     # q20 are sub-second scan/agg/window variants the block already times
     "q21_waiting_suppliers",
+    # new r6 families: URL/domain provenance stats (regexp scan + one
+    # groupBy) and RAG token-window chunking (narrow posexplode fan-out)
+    "text_url_domains",
+    "pipeline_doc_chunks",
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

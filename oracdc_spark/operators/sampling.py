@@ -183,3 +183,48 @@ def pack_efficiency_audit(
             (F.col("n_seqs") - ideal).cast("double") / ideal * 100, 4
         ).alias("overhead_pct"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Token-window chunking — the RAG / context-window preprocessing
+    step: split each document into overlapping chunks of ``size`` tokens
+    starting every ``stride`` tokens (overlap = size − stride), the
+    sliding-window recipe retrieval corpora are built with.  The final
+    window may be short (no padding here — padding is the collator's
+    job); documents with no tokens produce no chunks.
+
+    Output: (doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text).
+
+    Scale shape (100 TB): a pure NARROW map — tokenize, generate the
+    start-offset sequence, posexplode, slice.  No shuffle anywhere; the
+    per-row fan-out is bounded by n_tokens/stride and chunk rows stay on
+    the partition that read the document, so the op composes with the
+    scan's partitioning (and the downstream embed/dedup stages shuffle
+    on their own keys).  Guard: ``F.sequence(0, n-1, step)`` with n=0
+    would DESCEND (Spark sequence semantics) — the n_tokens > 0 filter
+    runs before the sequence is built."""
+    from oracdc_spark.operators.textops import _parallel, _tokens
+
+    toks = (
+        _parallel(docs)
+        .select("doc_id", _tokens().alias("w"))
+        .withColumn("n", F.size("w"))
+        .filter(F.col("n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    return (
+        toks.select("doc_id", "w", "n", F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.least(F.lit(size), F.col("n") - F.col("start_tok"))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("w", F.col("start_tok") + 1, F.lit(size))).alias(
+                "chunk_text"
+            ),
+        )
+    )

@@ -1023,3 +1023,44 @@ def dsir_weights(docs: DataFrame, target_lang: str = "en", buckets: int = 256, k
             F.round(F.col("weight_q") / 1_000_000, 6).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain analysis — the C4-style provenance filtering signal
+# ---------------------------------------------------------------------------
+
+URL_RE = r"https?://([^/\s]+)"
+
+
+def url_domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-domain URL inventory — the aggregation behind C4-style
+    domain blocklists and provenance mixing weights (Raffel et al.
+    2020, §2.2: badwords/domain filtering happens at the registrable-
+    domain level, not the full host).
+
+    Extracts every ``http(s)://host`` occurrence, keeps the full host
+    and its registrable site (last two dot-labels), and aggregates
+    (site, domain) → occurrence count + distinct-document count.
+    Output: (site, domain, n_urls, n_docs).
+
+    Scale shape: narrow regexp extract + explode (stays on the scan's
+    partitions), ONE groupBy on (site, domain) — domain cardinality is
+    web-scale-bounded (~10^8 sites ≪ corpus rows) and the two-level
+    aggregate combines map-side.  No UDF: regexp_extract_all and the
+    array ops are codegen expressions."""
+    hosts = (
+        _parallel(docs)
+        .select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit(URL_RE), F.lit(1))).alias(
+                "domain"
+            ),
+        )
+    )
+    labeled = hosts.withColumn(
+        "site", F.array_join(F.slice(F.split("domain", r"\."), -2, 2), ".")
+    )
+    return labeled.groupBy("site", "domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

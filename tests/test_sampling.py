@@ -151,3 +151,47 @@ class TestPackSequences:
             (F.max("prefix") - F.min("prefix")).alias("span")
         )
         assert spans.filter(F.col("span") >= budget).count() == 0
+
+
+class TestChunkDocuments:
+    def test_chunk_invariants(self, spark):
+        import pyspark.sql.functions as F
+
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.sampling import chunk_documents
+        from oracdc_spark.operators.textops import _tokens
+
+        from tests.conftest import SF_SMOKE
+
+        size, stride = 64, 48
+        docs = load_table(spark, SF_SMOKE, "documents")
+        chunks = chunk_documents(docs, size=size, stride=stride).cache()
+        rows = chunks.collect()
+        assert rows
+        # starts advance by exactly stride; chunk_id is the start index
+        for r in rows:
+            assert r.start_tok == r.chunk_id * stride
+            assert 1 <= r.n_chunk_tokens <= size
+            assert len(r.chunk_text.split(" ")) == r.n_chunk_tokens
+        # every token position is covered: last chunk reaches n_tokens
+        nt = docs.select("doc_id", F.size(_tokens()).alias("n"))
+        last = chunks.groupBy("doc_id").agg(
+            F.max(F.col("start_tok") + F.col("n_chunk_tokens")).alias("covered")
+        )
+        bad = last.join(nt, "doc_id").filter(F.col("covered") != F.col("n"))
+        assert bad.count() == 0
+        # overlap: consecutive chunks share size - stride tokens (when full)
+        chunks.unpersist()
+
+    def test_empty_doc_produces_no_chunks(self, spark):
+        from oracdc_spark.operators.sampling import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "   "), (3, "")], "doc_id long, text string"
+        )
+        got = chunk_documents(docs, size=2, stride=1).collect()
+        assert sorted(set(r.doc_id for r in got)) == [1]
+        # doc 1: 3 tokens, stride 1 -> starts 0,1,2
+        assert [(r.chunk_id, r.n_chunk_tokens) for r in sorted(got, key=lambda r: r.chunk_id)] == [
+            (0, 2), (1, 2), (2, 1),
+        ]

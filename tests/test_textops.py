@@ -365,3 +365,27 @@ class TestGopherQuality:
         out = self._run(spark, [(1, bad), (2, mostly_ok)])
         assert not out[1].keep
         assert out[2].keep
+
+
+class TestUrlDomainStats:
+    def test_counts_by_site(self, spark):
+        from oracdc_spark.operators.textops import url_domain_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "see https://cdn1.media.example.org/a and http://www.example-news.com/p"),
+                (2, "again https://cdn1.media.example.org/b twice https://cdn1.media.example.org/c"),
+                (3, "no urls here"),
+                (4, "other http://cdn2.media.example.org/z"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.site, r.domain): (r.n_urls, r.n_docs)
+            for r in url_domain_stats(docs).collect()
+        }
+        assert got == {
+            ("example.org", "cdn1.media.example.org"): (3, 2),
+            ("example.org", "cdn2.media.example.org"): (1, 1),
+            ("example-news.com", "www.example-news.com"): (1, 1),
+        }
