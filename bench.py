@@ -126,9 +126,12 @@ BENCH_QUERIES = [
     # q20 are sub-second scan/agg/window variants the block already times
     "q21_waiting_suppliers",
     # new r6 families: URL/domain provenance stats (regexp scan + one
-    # groupBy) and RAG token-window chunking (narrow posexplode fan-out)
+    # groupBy), RAG token-window chunking (narrow posexplode fan-out),
+    # and RefinedWeb passage-dedup stats (digest groupBy + join-back
+    # over the chunk plan)
     "text_url_domains",
     "pipeline_doc_chunks",
+    "dedup_chunk_passages",
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -368,3 +368,45 @@ def lsh_recall_audit(
             ).otherwise(F.lit(1.0)).alias("recall"),
         )
     )
+
+
+def chunk_dedup_stats(docs: DataFrame, size: int = 16) -> DataFrame:
+    """Cross-document repeated-passage statistics — the passage-level
+    exact dedup signal (RefinedWeb, Penedo et al. 2023, arXiv:2306.01116
+    §3.3: repeated spans are removed at sub-document granularity because
+    boilerplate survives document-level dedup).  Documents split into
+    NON-overlapping ``size``-token windows (stride = size); a window is
+    DUPLICATED if its digest occurs in ≥ 2 distinct documents.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_chunk_frac) — the
+    per-document fraction a curation gate thresholds on.
+
+    Scale shape (100 TB): chunking is a pure narrow map
+    (:func:`oracdc_spark.operators.sampling.chunk_documents`); the digest
+    table is ONE map-side-combined groupBy on the md5 key (uniformly
+    distributed — no skew), joined back on the same key, then one doc_id
+    aggregate.  Never a pair join, never all-pairs."""
+    from oracdc_spark.operators.sampling import chunk_documents
+
+    ch = chunk_documents(docs, size=size, stride=size).select(
+        "doc_id", F.md5("chunk_text").alias("dig")
+    )
+    counts = ch.groupBy("dig").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        ch.join(counts, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        "n_dup_chunks",
+        F.round(
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6
+        ).alias("dup_chunk_frac"),
+    )

@@ -195,3 +195,25 @@ class TestChunkDocuments:
         assert [(r.chunk_id, r.n_chunk_tokens) for r in sorted(got, key=lambda r: r.chunk_id)] == [
             (0, 2), (1, 2), (2, 1),
         ]
+
+
+class TestChunkDedupStats:
+    def test_cross_doc_duplicate_detection(self, spark):
+        from oracdc_spark.operators.dedup import chunk_dedup_stats
+
+        shared = " ".join(f"w{i}" for i in range(16))
+        uniq_a = " ".join(f"a{i}" for i in range(16))
+        uniq_b = " ".join(f"b{i}" for i in range(16))
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " " + uniq_a),   # chunk0 shared, chunk1 unique
+                (2, shared + " " + uniq_b),   # chunk0 shared, chunk1 unique
+                (3, uniq_a),                   # duplicated vs doc 1's chunk1
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in chunk_dedup_stats(docs, size=16).collect()}
+        assert got[1].n_chunks == 2 and got[1].n_dup_chunks == 2
+        assert got[2].n_chunks == 2 and got[2].n_dup_chunks == 1
+        assert got[3].n_chunks == 1 and got[3].n_dup_chunks == 1
+        assert got[2].dup_chunk_frac == 0.5

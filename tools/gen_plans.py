@@ -63,6 +63,10 @@ NOTES = {
                         "rows, never the corpus; query sides broadcast per the bounded-batch contract",
     "text_bm25": "corpus scalars (n_docs/total) are lazy 1-row broadcast aggregates (r6 — no eager "
                  "plan-build actions); query-term postings map-side filtered before the tf aggregate",
+    "text_url_domains": "codegen regexp_extract_all + Generate (explode) on the scan partitions; ONE "
+                        "partial-aggregated exchange on (site, domain) — web-bounded key cardinality",
+    "pipeline_doc_chunks": "pure narrow map: tokenize, sequence, posexplode, slice — ZERO exchanges "
+                           "beyond the gated single-file spread; chunks stay on the reading partition",
 }
 
 KEEP = (
