@@ -1465,9 +1465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pseudo-column order, single-topic fallback, PQ session cache, and a
     # representative slice across families for the catalog's new
     # explicit-footer-schema reads (events ts path changed most); (c) the
-    # four new r6 queries (ora_tde_gcm, HeaderToField/KeyToValue SMTs,
-    # LOB plugin).  Everything behind the window is green at its latest
-    # driver check and unchanged semantically this round.
+    # new r6 queries (ora_tde_gcm, HeaderToField/KeyToValue SMTs, LOB
+    # plugin, TPC-H completion block, mvlog consumption, hybrid RRF,
+    # curation v3, pack-efficiency audit, URL/domain stats, RAG
+    # chunking, passage dedup).  Everything behind the window is green
+    # at its latest driver check and unchanged semantically this round.
     return {
         # --- first driver rows: TPC-H breadth block (declared r5) ---
         "q4_order_priority": analytics.q4_order_priority,

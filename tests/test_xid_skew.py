@@ -88,17 +88,32 @@ def test_normalize_xid_bounded_by_transaction_lifetime(spark):
 
 
 def test_ensure_parallelism_gated(spark):
-    """Repartition fires only when input partitions < cores: a wide input
-    passes through with no added Exchange (round-1 verdict item 6)."""
+    """Repartition fires only for scan-shaped plans with fewer input
+    partitions than cores (round-1 verdict item 6).  Plans that already
+    contain an exchange-introducing node — including an EXPLICIT user
+    coalesce/repartition — pass through untouched: under AQE, probing
+    df.rdd on such plans would execute their stages at build time
+    (r6 lazy-builder fix), and overriding a user's partitioning choice
+    is wrong anyway."""
+    from oracdc_spark.catalog import load_table
     from oracdc_spark.plans.parallel import ensure_parallelism
 
-    cores = spark.sparkContext.defaultParallelism
-    narrow = spark.range(1000).coalesce(1)
-    wide = spark.range(1000).repartition(cores + 4)
+    from tests.conftest import SF_SMOKE
 
+    cores = spark.sparkContext.defaultParallelism
+    # the real narrow case: a single-file parquet scan → 1 input split
+    narrow = load_table(spark, SF_SMOKE, "documents")
+    assert narrow.rdd.getNumPartitions() < cores
     assert ensure_parallelism(narrow).rdd.getNumPartitions() == cores
-    out = ensure_parallelism(wide)
-    assert out is wide  # identity — no extra exchange in the plan
+
+    wide = spark.range(1000).repartition(cores + 4)
+    assert ensure_parallelism(wide) is wide  # identity — explicit repartition
+
+    pinned = spark.range(1000).coalesce(1)
+    assert ensure_parallelism(pinned) is pinned  # identity — user's choice
+
+    joined = narrow.join(narrow.select("doc_id"), "doc_id")
+    assert ensure_parallelism(joined) is joined  # identity — wide plan
 
 
 def test_salted_agg_matches_plain(spark):
