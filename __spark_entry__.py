@@ -1444,6 +1444,38 @@ def _q_text_url_domains(spark, sf_dir):
     return textops.url_domain_stats(_url_injected(spark, sf_dir))
 
 
+def _line_injected(spark, sf_dir):
+    """Deterministic multi-line fixture: the synthetic corpus is
+    single-line, so build C4-shaped pages from token slices (mirrored
+    in the oracle CTE): terminal-punctuated lines, a javascript line, a
+    short line, an unpunctuated line, and doc_id-classed page poisons
+    ('{' for doc_id%7==0, 'lorem ipsum' for doc_id%11==3)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+
+    def seg(start, n):
+        return F.array_join(F.slice(w, start, n), " ")
+
+    l1 = F.concat(seg(1, 6), F.lit("."))
+    l2 = F.concat(F.lit("javascript required "), seg(7, 5), F.lit("."))
+    l3 = seg(13, 3)
+    l4 = F.concat(seg(16, 7), F.lit("?"))
+    l5 = F.concat(seg(23, 5), F.lit("!"))
+    l6 = F.when(F.col("doc_id") % 7 == 0, F.lit("var cfg = { a: 1 }")).otherwise(
+        F.concat(seg(28, 6), F.lit("."))
+    )
+    l7 = F.when(
+        F.col("doc_id") % 11 == 3, F.lit("lorem ipsum dolor sit amet.")
+    ).otherwise(seg(34, 4))
+    return d.select(
+        "doc_id", F.concat_ws("\n", l1, l2, l3, l4, l5, l6, l7).alias("text")
+    )
+
+
+def _q_text_c4_lines(spark, sf_dir):
+    return textops.c4_line_filter(_line_injected(spark, sf_dir))
+
+
 def _q_doc_chunks(spark, sf_dir):
     from oracdc_spark.operators import sampling
 
@@ -1520,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_efficiency": _q_pack_efficiency,
         # new r6: RefinedWeb-style cross-doc repeated-passage stats
         "dedup_chunk_passages": _q_chunk_dedup,
+        "text_c4_lines": _q_text_c4_lines,
         "cdc_committed": _q_cdc_committed,
         "cdc_partial_rollback": _q_cdc_partial_rollback,
         "cdc_commit_order": _q_cdc_commit_order,
@@ -4353,6 +4386,43 @@ lab AS (
 SELECT site, domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM lab GROUP BY site, domain
+"""
+    sql["text_c4_lines"] = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+injected AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      coalesce(array_to_string(w[1:6], ' '), '') || '.',
+      'javascript required ' || coalesce(array_to_string(w[7:11], ' '), '') || '.',
+      coalesce(array_to_string(w[13:15], ' '), ''),
+      coalesce(array_to_string(w[16:22], ' '), '') || '?',
+      coalesce(array_to_string(w[23:27], ' '), '') || '!',
+      CASE WHEN doc_id % 7 = 0 THEN 'var cfg = { a: 1 }'
+           ELSE coalesce(array_to_string(w[28:33], ' '), '') || '.' END,
+      CASE WHEN doc_id % 11 = 3 THEN 'lorem ipsum dolor sit amet.'
+           ELSE coalesce(array_to_string(w[34:37], ' '), '') END
+    ) AS text
+  FROM words
+),
+lines AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+  FROM injected
+),
+k AS (
+  SELECT doc_id, text, ls,
+         list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+             AND len(list_filter(string_split(x, ' '), t -> t <> '')) >= 5
+             AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM lines
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS kept_chars,
+       (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS keep
+FROM k
 """
     sql["pipeline_doc_chunks"] = (
         "WITH "

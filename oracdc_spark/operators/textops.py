@@ -1064,3 +1064,51 @@ def url_domain_stats(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+def c4_line_filter(
+    docs: DataFrame, min_kept_lines: int = 3, min_line_words: int = 5
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, public recipe):
+    keep only lines that end in a terminal punctuation mark, contain at
+    least ``min_line_words`` words, and do not mention "javascript";
+    then drop the whole page when fewer than ``min_kept_lines`` lines
+    survive, or when the page contains "lorem ipsum" or a curly brace
+    (the paper's source-code tell).
+
+    Output: (doc_id, n_lines, n_kept, kept_chars, keep) — the kept-line
+    inventory plus the page decision; ``kept_chars`` is the length of
+    the newline-joined surviving lines (what a downstream rewriter
+    would emit).
+
+    Scale shape: every rule is a codegen expression over the split-line
+    array (filter lambdas, exact string predicates) — a per-row map on
+    the corpus scan, no UDF, no shuffle; ``keep`` is bit-deterministic
+    across engines.  Reference parity: beyond the reference — part of
+    the LLM-data-pipeline surface (SURVEY.md "beyond the reference").
+    """
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+
+    def _line_words(x):
+        return F.size(F.filter(F.split(x, " "), lambda w: w != F.lit("")))
+
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (_line_words(x) >= min_line_words)
+        & ~F.lower(x).contains("javascript"),
+    )
+    page_ok = (
+        (F.size(kept) >= min_kept_lines)
+        & ~F.lower(F.col("text")).contains("lorem ipsum")
+        & ~F.col("text").contains("{")
+    )
+    return _parallel(docs).select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.length(F.array_join(kept, "\n")).cast("bigint").alias("kept_chars"),
+        page_ok.alias("keep"),
+    )

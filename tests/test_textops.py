@@ -389,3 +389,39 @@ class TestUrlDomainStats:
             ("example.org", "cdn2.media.example.org"): (1, 1),
             ("example-news.com", "www.example-news.com"): (1, 1),
         }
+
+
+class TestC4LineFilter:
+    def test_rules(self, spark):
+        from oracdc_spark.operators.textops import c4_line_filter
+
+        good = "\n".join(
+            [
+                "this line ends with terminal punctuation mark.",  # kept
+                "short line.",  # dropped: < 5 words
+                "no terminal punctuation on this line at all",  # dropped
+                "enable JavaScript to view this page properly.",  # dropped
+                "another perfectly fine sentence right here!",  # kept
+                "and a third quality sentence to pass the page gate?",  # kept
+            ]
+        )
+        brace = good + "\nvar x = { a: 1 }"
+        lorem = good + "\nLorem Ipsum dolor sit amet."
+        thin = "only one good line survives the filter here.\nshort."
+        docs = spark.createDataFrame(
+            [(1, good), (2, brace), (3, lorem), (4, thin)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+        assert (out[1].n_lines, out[1].n_kept, out[1].keep) == (6, 3, True)
+        # page poisons: kept-line inventory unchanged, page dropped
+        assert out[2].n_kept == 3 and not out[2].keep
+        assert out[3].n_kept == 4 and not out[3].keep  # lorem line itself passes line rules
+        assert (out[4].n_kept, out[4].keep) == (1, False)
+        # kept_chars = length of the newline-joined survivors
+        kept_lines = [
+            "this line ends with terminal punctuation mark.",
+            "another perfectly fine sentence right here!",
+            "and a third quality sentence to pass the page gate?",
+        ]
+        assert out[1].kept_chars == len("\n".join(kept_lines))
