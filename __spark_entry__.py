@@ -1476,6 +1476,44 @@ def _q_text_c4_lines(spark, sf_dir):
     return textops.c4_line_filter(_line_injected(spark, sf_dir))
 
 
+def _full_url_injected(spark, sf_dir):
+    """Deterministic messy-URL fixture (mirrored in the oracle CTE):
+    class 0 gets an upper-cased host + utm params + fragment (twice,
+    second clean), class 1 the same logical URL via :443 + no tracking,
+    class 2 an :80 host with a trailing slash, class 3 no URL.  Classes
+    0 and 1 canonicalize to the SAME url (cross-doc dups)."""
+    d = load_table(spark, sf_dir, "documents")
+    n5 = (F.col("doc_id") % 5).cast("string")
+    n20 = (F.col("doc_id") % 20).cast("string")
+    k = F.col("doc_id") % 4
+    c0 = F.concat(
+        F.col("text"),
+        F.lit(" see HTTPS://WWW.Example.COM/Path/?utm_source=x&utm_campaign=c"),
+        n5,
+        F.lit("&id="),
+        n5,
+        F.lit("#frag and https://www.example.com/Path/?id="),
+        n5,
+        F.lit(" end"),
+    )
+    c1 = F.concat(
+        F.col("text"), F.lit(" see https://www.example.com:443/Path/?id="), n5
+    )
+    c2 = F.concat(
+        F.col("text"), F.lit(" ref http://News.example.org:80/a/"), n20, F.lit("/")
+    )
+    return d.select(
+        "doc_id",
+        F.when(k == 0, c0).when(k == 1, c1).when(k == 2, c2).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+
+
+def _q_dedup_url_canonical(spark, sf_dir):
+    return textops.url_canonical_dedup(_full_url_injected(spark, sf_dir))
+
+
 def _q_doc_chunks(spark, sf_dir):
     from oracdc_spark.operators import sampling
 
@@ -1553,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r6: RefinedWeb-style cross-doc repeated-passage stats
         "dedup_chunk_passages": _q_chunk_dedup,
         "text_c4_lines": _q_text_c4_lines,
+        "dedup_url_canonical": _q_dedup_url_canonical,
         "cdc_committed": _q_cdc_committed,
         "cdc_partial_rollback": _q_cdc_partial_rollback,
         "cdc_commit_order": _q_cdc_commit_order,
@@ -4423,6 +4462,46 @@ SELECT doc_id,
        (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
             AND NOT contains(text, '{')) AS keep
 FROM k
+"""
+    sql["dedup_url_canonical"] = """
+WITH injected AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN text || ' see HTTPS://WWW.Example.COM/Path/?utm_source=x&utm_campaign=c'
+                || CAST(doc_id % 5 AS VARCHAR) || '&id=' || CAST(doc_id % 5 AS VARCHAR)
+                || '#frag and https://www.example.com/Path/?id='
+                || CAST(doc_id % 5 AS VARCHAR) || ' end'
+      WHEN 1 THEN text || ' see https://www.example.com:443/Path/?id='
+                || CAST(doc_id % 5 AS VARCHAR)
+      WHEN 2 THEN text || ' ref http://News.example.org:80/a/'
+                || CAST(doc_id % 20 AS VARCHAR) || '/'
+      ELSE text END AS text
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '(?i)https?://[^\\s]+', 0)) AS url
+  FROM injected
+),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[^/]*//[^/?#]*', 0))
+                || regexp_replace(regexp_replace(url, '#.*$', ''), '^[^/]*//[^/?#]*', ''),
+              '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2'),
+            '^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2'),
+          'utm_[a-zA-Z]+=[^&#]*&', '', 'g'),
+        '[?&]utm_[a-zA-Z]+=[^&#]*$', ''),
+      '/$', '') AS canonical_url
+  FROM urls
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc
+FROM canon GROUP BY canonical_url
 """
     sql["pipeline_doc_chunks"] = (
         "WITH "

@@ -1112,3 +1112,49 @@ def c4_line_filter(
         F.length(F.array_join(kept, "\n")).cast("bigint").alias("kept_chars"),
         page_ok.alias("keep"),
     )
+
+
+FULL_URL_RE = r"(?i)https?://[^\s]+"
+
+
+def url_canonical_dedup(docs: DataFrame) -> DataFrame:
+    """URL canonicalization + URL-level dedup — the CommonCrawl/C4-style
+    provenance dedup key (one kept fetch per canonical URL).
+
+    Canonical form: strip the ``#fragment``; lowercase the scheme and
+    authority (path/query case is significant and preserved); drop the
+    scheme-default port (``:80`` http, ``:443`` https); remove
+    ``utm_*`` tracking parameters, tidying the leftover ``?``/``&``;
+    strip one trailing slash.  Output per canonical URL: occurrence
+    count, distinct-document count, and ``keep_doc`` = min(doc_id) —
+    the keep-first dedup decision.
+
+    Scale shape: extraction + the regexp_replace chain are codegen
+    expressions on the corpus scan (no UDF); ONE groupBy on the
+    canonical URL — a web-bounded, near-uniform key (md5-distributed
+    by Spark's hash partitioning), so no skew handling is needed; the
+    aggregate combines map-side."""
+    urls = _parallel(docs).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(FULL_URL_RE), F.lit(0))
+        ).alias("url"),
+    )
+    u1 = F.regexp_replace(F.col("url"), r"#.*$", "")
+    auth = F.lower(F.regexp_extract(u1, r"^[^/]*//[^/?#]*", 0))
+    rest = F.regexp_replace(u1, r"^[^/]*//[^/?#]*", "")
+    u2 = F.concat(auth, rest)
+    u3 = F.regexp_replace(u2, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
+    u4 = F.regexp_replace(u3, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2")
+    u5 = F.regexp_replace(u4, r"utm_[a-zA-Z]+=[^&#]*&", "")
+    u6 = F.regexp_replace(u5, r"[?&]utm_[a-zA-Z]+=[^&#]*$", "")
+    u7 = F.regexp_replace(u6, r"/$", "")
+    return (
+        urls.select("doc_id", u7.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )

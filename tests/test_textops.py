@@ -425,3 +425,31 @@ class TestC4LineFilter:
             "and a third quality sentence to pass the page gate?",
         ]
         assert out[1].kept_chars == len("\n".join(kept_lines))
+
+
+class TestUrlCanonicalDedup:
+    def test_canonicalization_classes(self, spark):
+        from oracdc_spark.operators.textops import url_canonical_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a HTTPS://WWW.Example.COM/Path/?utm_source=x&id=1#frag b"),
+                (2, "c https://www.example.com:443/Path/?id=1 d"),
+                (3, "e http://host.example.org:80/p/ f"),
+                (4, "g http://host.example.org/p h"),
+                (5, "no urls"),
+                (6, "two https://a.example.com/?utm_source=s same https://a.example.com/ again"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.canonical_url: (r.n_urls, r.n_docs, r.keep_doc)
+            for r in url_canonical_dedup(docs).collect()
+        }
+        # case, default port, fragment, utm all collapse; keep-first wins
+        assert got["https://www.example.com/Path/?id=1"] == (2, 2, 1)
+        # :80 + trailing slash == bare
+        assert got["http://host.example.org/p"] == (2, 2, 3)
+        # lone utm param strips back to the bare URL (and its '?')
+        assert got["https://a.example.com"] == (2, 1, 6)
+        assert len(got) == 3
