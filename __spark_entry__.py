@@ -1514,6 +1514,12 @@ def _q_dedup_url_canonical(spark, sf_dir):
     return textops.url_canonical_dedup(_full_url_injected(spark, sf_dir))
 
 
+def _q_token_budget(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.token_budget_select(load_table(spark, sf_dir, "documents"))
+
+
 def _q_doc_chunks(spark, sf_dir):
     from oracdc_spark.operators import sampling
 
@@ -1592,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunk_passages": _q_chunk_dedup,
         "text_c4_lines": _q_text_c4_lines,
         "dedup_url_canonical": _q_dedup_url_canonical,
+        "pipeline_token_budget": _q_token_budget,
         "cdc_committed": _q_cdc_committed,
         "cdc_partial_rollback": _q_cdc_partial_rollback,
         "cdc_commit_order": _q_cdc_commit_order,
@@ -4463,6 +4470,31 @@ SELECT doc_id,
             AND NOT contains(text, '{')) AS keep
 FROM k
 """
+    sql["pipeline_token_budget"] = (
+        "WITH "
+        + _TOKS
+        + """,
+scored AS (
+  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(w) > 0
+                   THEN (1000000 * len(list_distinct(w))) // len(w)
+                   ELSE 0 END AS BIGINT) AS score
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id, shard, n_tokens, score,
+         CAST(ROW_NUMBER() OVER
+              (PARTITION BY shard ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         CAST(SUM(n_tokens) OVER
+              (PARTITION BY shard ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, shard, n_tokens, score, rank, cum_tokens
+FROM ranked WHERE cum_tokens <= 2000
+"""
+    )
     sql["dedup_url_canonical"] = """
 WITH injected AS (
   SELECT doc_id,

@@ -228,3 +228,58 @@ def chunk_documents(
             ),
         )
     )
+
+
+def token_budget_select(
+    docs: DataFrame, budget: int = 2000, n_shards: int = 8
+) -> DataFrame:
+    """Quality-ranked corpus selection under a per-shard token budget —
+    the "fill a fixed training-token allowance with the best documents"
+    curation step (the rank-then-cut recipe used when a target corpus
+    size is fixed before mixing).
+
+    Quality score = ``1_000_000 * n_distinct_tokens div n_tokens`` (an
+    exact-integer lexical-diversity proxy; any audited scorer — Gopher,
+    DSIR, BM25 — slots into the same rank key).  Documents shard by
+    ``doc_id % n_shards``; within a shard they rank best-first (score
+    desc, doc_id asc) and a document is selected iff the running token
+    total INCLUDING it still fits the budget — a pure window prefix-sum
+    cut, deterministic across engines.
+
+    Output (selected docs only): (doc_id, shard, n_tokens, score,
+    rank, cum_tokens).
+
+    Scale shape: ONE shuffle on the shard key; ranking and the prefix
+    sum are within-partition windows (no global sort — per-shard
+    budgets are how a distributed loader enforces a corpus-size target
+    anyway, exactly like pack_sequences' shards).  Token/distinct
+    counts are per-row codegen array ops on the corpus scan."""
+    from oracdc_spark.operators.textops import _parallel, _tokens
+
+    toks = _tokens()
+    nt = F.size(toks).cast("bigint")
+    nd = F.size(F.array_distinct(toks)).cast("bigint")
+    scored = _parallel(docs).select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("bigint").alias("shard"),
+        nt.alias("n_tokens"),
+        F.when(nt > 0, F.expr("1000000") * nd)
+        .otherwise(F.lit(0))
+        .alias("_num"),
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, F.expr("_num div n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("score"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("score").desc(), "doc_id")
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return ranked.filter(F.col("cum_tokens") <= budget)

@@ -217,3 +217,39 @@ class TestChunkDedupStats:
         assert got[2].n_chunks == 2 and got[2].n_dup_chunks == 1
         assert got[3].n_chunks == 1 and got[3].n_dup_chunks == 1
         assert got[2].dup_chunk_frac == 0.5
+
+
+class TestTokenBudgetSelect:
+    def test_budget_cut_is_rank_ordered(self, spark):
+        from oracdc_spark.operators.sampling import token_budget_select
+
+        # one shard (n_shards=1): scores rank c > a > b; budget fits c+a
+        docs = spark.createDataFrame(
+            [
+                (1, "red blue red blue red blue red blue"),  # 8 toks, 2 distinct
+                (2, "one one one one one one one one one one"),  # 10 toks, 1 distinct
+                (3, "all words here are fully distinct tokens"),  # 7 toks, 7 distinct
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in token_budget_select(docs, budget=15, n_shards=1).collect()
+        }
+        assert set(out) == {3, 1}  # doc 2 (rank 3) would blow the budget
+        assert out[3].rank == 1 and out[3].cum_tokens == 7
+        assert out[1].rank == 2 and out[1].cum_tokens == 15
+        assert out[3].score == 1_000_000
+        assert out[1].score == 250_000
+
+    def test_sharding_isolates_budgets(self, spark):
+        from oracdc_spark.operators.sampling import token_budget_select
+
+        docs = spark.createDataFrame(
+            [(i, "tok" + str(i) + " word other thing") for i in range(8)],
+            "doc_id long, text string",
+        )
+        out = token_budget_select(docs, budget=4, n_shards=4).collect()
+        # every shard independently fits exactly its first pick
+        assert len(out) == 4
+        assert {r.shard for r in out} == {0, 1, 2, 3}
