@@ -1257,6 +1257,10 @@ def _q_sim_ivfpq(spark, sf_dir):
     return pq.ivfpq_topk(load_table(spark, sf_dir, "embeddings"), 100, 5, 2)
 
 
+def _q_sim_ivfpq_refine(spark, sf_dir):
+    return pq.ivfpq_refine_topk(load_table(spark, sf_dir, "embeddings"), 100, 5, 2, 4)
+
+
 def _q_text_tokens(spark, sf_dir):
     return textops.token_stats(load_table(spark, sf_dir, "documents"))
 
@@ -1599,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_lines": _q_text_c4_lines,
         "dedup_url_canonical": _q_dedup_url_canonical,
         "pipeline_token_budget": _q_token_budget,
+        "similarity_ivfpq_refine": _q_sim_ivfpq_refine,
         "cdc_committed": _q_cdc_committed,
         "cdc_partial_rollback": _q_cdc_partial_rollback,
         "cdc_commit_order": _q_cdc_commit_order,
@@ -3579,7 +3584,7 @@ WHERE (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
     # final double division.
     def _pq_sql(
         m: int, k: int, iters: int, query_mod: int, topk: int, recall: bool,
-        n_probe: int | None = None,
+        n_probe: int | None = None, refine: int | None = None,
     ) -> str:
         out = [
             f"""WITH qv AS (
@@ -3695,6 +3700,38 @@ approx AS (
   WHERE rank <= {topk}
 )"""
         )
+        if refine is not None:
+            # refine stage: exact full-precision re-score of the approx
+            # candidate pairs only, re-ranked to the final top-`refine`
+            out.append(
+                f""",
+rc AS (SELECT vec_id AS neighbor_id, i, q FROM qv),
+rdots AS (
+  SELECT a.query_id, a.neighbor_id, CAST(SUM(qq.q * rc.q) AS BIGINT) AS dot
+  FROM approx a
+  JOIN qq ON qq.query_id = a.query_id
+  JOIN rc ON rc.neighbor_id = a.neighbor_id AND rc.i = qq.i
+  GROUP BY a.query_id, a.neighbor_id
+),
+rcn AS (
+  SELECT neighbor_id, CAST(SUM(q * q) AS BIGINT) AS cn FROM rc
+  WHERE neighbor_id IN (SELECT DISTINCT neighbor_id FROM approx)
+  GROUP BY neighbor_id
+),
+rscored AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM rdots JOIN qn USING (query_id) JOIN rcn USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM rscored) t WHERE rank <= {refine}"""
+            )
+            return "".join(out)
         if not recall:
             out.append("\nSELECT query_id, neighbor_id, rank FROM approx")
             return "".join(out)
@@ -3739,6 +3776,10 @@ LEFT JOIN hits h ON eq.query_id = h.query_id"""
     sql["similarity_pq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False)
     sql["similarity_pq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True)
     sql["similarity_ivfpq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False, n_probe=2)
+    # refine: candidate list = top-20 ADC (5*r_factor 4), exact re-rank to 5
+    sql["similarity_ivfpq_refine"] = _pq_sql(
+        16, 16, 2, 100, 20, recall=False, n_probe=2, refine=5
+    )
     # Okapi BM25 (text_bm25): quantized-integer formulation — numerator
     # and denominator are exact bigints (see bm25_rank docstring), the
     # score division is IEEE-identical across engines

@@ -352,3 +352,66 @@ def pq_recall(vecs: DataFrame, query_mod: int = 100, k_neighbors: int = 5) -> Da
             ).alias("recall"),
         )
     )
+
+
+def ivfpq_refine_topk(
+    vecs: DataFrame,
+    query_mod: int = 100,
+    k_neighbors: int = 5,
+    n_probe: int = 2,
+    r_factor: int = 4,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """FAISS-style refine stage over the IVF-PQ serving path: the ADC
+    scan nominates ``k_neighbors * r_factor`` candidates per query
+    (cheap, code-only), then ONLY those pairs are re-scored against the
+    full-precision vectors and re-ranked to the final top-k — the
+    standard IndexRefineFlat recipe that buys back most of PQ's recall
+    loss for a bounded |Q|·R re-scoring cost.
+
+    Scale shape: the candidate list is |Q|·R rows (broadcastable by the
+    bounded-query-batch contract of brute_force_topk); the corpus
+    component table is touched ONCE, pruned by the broadcast candidate
+    join before any d-dim work, so full-precision access is R vectors
+    per query instead of the whole corpus.  Output: (query_id,
+    neighbor_id, rank)."""
+    cand = ivfpq_topk(
+        vecs, query_mod, k_neighbors * r_factor, n_probe, m, k, iters
+    ).select("query_id", "neighbor_id")
+    comp = quantized(vecs)
+    qq = comp.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "i", F.col("q").alias("qa")
+    )
+    nb = comp.select(
+        F.col("vec_id").alias("neighbor_id"), "i", F.col("q").alias("qb")
+    )
+    dots = (
+        nb.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qq), ["query_id", "i"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    qn = qq.groupBy("query_id").agg(F.sum(F.col("qa") * F.col("qa")).alias("qn"))
+    cn = (
+        nb.join(F.broadcast(cand.select("neighbor_id").distinct()), "neighbor_id")
+        .groupBy("neighbor_id")
+        .agg(F.sum(F.col("qb") * F.col("qb")).alias("cn"))
+    )
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(F.broadcast(cn), "neighbor_id")
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+        )
+    )

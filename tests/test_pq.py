@@ -108,3 +108,20 @@ def test_ivfpq_neighbors_come_from_probed_cells(spark):
     )
     assert stray == 0
     assert out.count() > 0
+
+
+def test_refine_recall_at_least_adc_recall(spark):
+    """The refine stage re-scores ADC candidates with full-precision
+    vectors: its top-5 must overlap the exact top-5 at least as much as
+    the raw IVF-PQ top-5 does (FAISS IndexRefineFlat property)."""
+    from oracdc_spark.operators.pq import ivfpq_refine_topk, ivfpq_topk
+    from oracdc_spark.operators.similarity import brute_force_topk
+
+    vecs = load_table(spark, SF, "embeddings")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(vecs, 50, 5).collect()}
+    adc = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(vecs, 50, 5, 2).collect()}
+    ref = {(r.query_id, r.neighbor_id) for r in ivfpq_refine_topk(vecs, 50, 5, 2, 4).collect()}
+    assert len(ref & exact) >= len(adc & exact)
+    # refined output is a strict re-rank of the wider candidate list
+    cand = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(vecs, 50, 20, 2).collect()}
+    assert ref <= cand
