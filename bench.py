@@ -34,8 +34,11 @@ BENCH_QUERIES = [
     # pack_sequences stages; v2 remains the curation representative);
     # pipeline_pack_efficiency excluded (1-row audit over the benched
     # pack plan); q2/q11/q12/q16/q20 excluded (sub-second scan/agg/
-    # window variants — q21 represents the block).  Every declared
-    # family has a bench representative or a named exclusion here.
+    # window variants — q21 represents the block);
+    # dedup_simhash_recall excluded (re-runs the benched ngram-Jaccard
+    # exact pairs x the benched simhash plan — dedup_lsh_recall already
+    # times the audit shape).  Every declared family has a bench
+    # representative or a named exclusion here.
     # CDC pipeline (the engine's reason to exist)
     "cdc_commit_order",
     "cdc_batch_dedup",
@@ -132,6 +135,15 @@ BENCH_QUERIES = [
     "text_url_domains",
     "pipeline_doc_chunks",
     "dedup_chunk_passages",
+    # late-r6 families: C4 line-level cleaning (line-array codegen map),
+    # URL-canonical dedup (regexp chain + one groupBy), token-budget
+    # selection (shard-local rank/prefix-sum windows), and the IVF-PQ
+    # refine serving endpoint (ADC candidates + pruned exact re-rank —
+    # the PQ family's new heaviest serving-path member)
+    "text_c4_lines",
+    "dedup_url_canonical",
+    "pipeline_token_budget",
+    "similarity_ivfpq_refine",
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -352,22 +352,7 @@ def lsh_recall_audit(
     already run."""
     exact = jaccard_pairs(docs, n, threshold).select("d1", "d2")
     cand = minhash_lsh_candidates(docs, n, num_hashes, bands).select("d1", "d2")
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    nh = exact.join(cand, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("n_hits"))
-    return (
-        ne.crossJoin(nc)
-        .crossJoin(nh)
-        .select(
-            "n_exact", "n_candidates", "n_hits",
-            # zero-pair corpora: recall is vacuously perfect (1.0), not
-            # NULL — downstream consumers get a defined metric
-            F.when(
-                F.col("n_exact") > 0,
-                F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 6),
-            ).otherwise(F.lit(1.0)).alias("recall"),
-        )
-    )
+    return _pair_recall_row(exact, cand)
 
 
 def chunk_dedup_stats(docs: DataFrame, size: int = 16) -> DataFrame:
@@ -409,4 +394,42 @@ def chunk_dedup_stats(docs: DataFrame, size: int = 16) -> DataFrame:
         F.round(
             F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6
         ).alias("dup_chunk_frac"),
+    )
+
+
+def simhash_recall_audit(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5, prefix_bits: int = 12
+) -> DataFrame:
+    """Index-quality audit for the SimHash prefix-bucket candidate
+    generator — the last approximate structure in the dedup family to
+    get its accuracy row (same discipline as lsh_recall_audit /
+    sq8_recall / pq_recall): what share of the exact n-gram-Jaccard
+    near-dup pairs the single-rotation prefix buckets recover.
+
+    Output is ONE row: (n_exact, n_candidates, n_hits, recall) — all
+    exact-integer aggregates composed as 1-row cross joins, no
+    driver-side collection; the expensive inputs are the same plans the
+    audited operators already run."""
+    exact = jaccard_pairs(docs, n, threshold).select("d1", "d2")
+    cand = simhash_candidates(docs, prefix_bits).select("d1", "d2")
+    return _pair_recall_row(exact, cand)
+
+
+def _pair_recall_row(exact: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared audit-row shape: 1-row (n_exact, n_candidates, n_hits,
+    recall) via broadcast-free 1-row crossJoins; recall defined as 1.0
+    on a zero-exact-pair corpus."""
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = exact.join(cand, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        ne.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_exact", "n_candidates", "n_hits",
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 6),
+            ).otherwise(F.lit(1.0)).alias("recall"),
+        )
     )

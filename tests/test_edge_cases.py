@@ -162,3 +162,28 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     r_single = len(single & truth) / len(truth)
     r_multi = len(multi & truth) / len(truth)
     assert r_multi >= r_single
+
+
+def test_simhash_recall_audit_zero_guard_and_bounds(spark):
+    """Audit row is defined (1.0) on a corpus with no exact near-dup
+    pairs, and hits can never exceed either side's pair count."""
+    from oracdc_spark.operators.dedup import simhash_recall_audit
+
+    distinct = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    [r] = simhash_recall_audit(distinct).collect()
+    assert r.n_exact == 0 and r.recall == 1.0
+
+    dups = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely different content with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    [r] = simhash_recall_audit(dups).collect()
+    assert r.n_exact == 1
+    assert r.n_hits <= r.n_exact and r.n_hits <= r.n_candidates
+    assert r.recall == r.n_hits / r.n_exact

@@ -67,6 +67,18 @@ NOTES = {
                         "partial-aggregated exchange on (site, domain) — web-bounded key cardinality",
     "pipeline_doc_chunks": "pure narrow map: tokenize, sequence, posexplode, slice — ZERO exchanges "
                            "beyond the gated single-file spread; chunks stay on the reading partition",
+    "text_c4_lines": "line-array filter lambdas all codegen — a per-row map over the corpus scan, "
+                     "no UDF, no shuffle beyond the gated single-file spread",
+    "dedup_url_canonical": "regexp extract + canonicalization chain codegen on the scan partitions; "
+                           "ONE partial-aggregated exchange on the canonical URL (web-bounded, "
+                           "hash-uniform key — no skew handling needed)",
+    "pipeline_token_budget": "one exchange on the shard key; rank + prefix-sum share the SAME "
+                             "shard window sort (no global order, budgets enforced per shard "
+                             "like a distributed loader)",
+    "similarity_ivfpq_refine": "ADC candidate stage identical to ivfpq_topk (session-cached codes); "
+                               "refine joins the corpus component table against the BROADCAST "
+                               "|Q|*R candidate list BEFORE any d-dim work — full-precision access "
+                               "is R vectors/query, not the corpus",
 }
 
 KEEP = (
