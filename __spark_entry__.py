@@ -58,6 +58,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_archived_log_discovery(spark, sf_dir):
+    from oracdc_spark.sources.archived_log import discover_sequences
+
+    return discover_sequences(
+        change_feed(spark, sf_dir), first_scn=20_000, next_scn=100_000,
+        seq_span=10_000,
+    )
+
+
 def _q_cdc_feed(spark, sf_dir):
     return change_feed(spark, sf_dir, with_customer=True)
 
@@ -1593,7 +1602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lob_plugin_transform": _q_lob_plugin_transform,
         # --- changed r6: PQ codebook trained once per session ---
         "similarity_pq_topk": _q_sim_pq_topk,
-        "similarity_pq_recall": _q_sim_pq_recall,
         "similarity_ivfpq_topk": _q_sim_ivfpq,
         # --- re-checks: catalog now reads with explicit footer schemas;
         #     the events ts decode path changed the most ---
@@ -1611,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_token_budget": _q_token_budget,
         "similarity_ivfpq_refine": _q_sim_ivfpq_refine,
         "dedup_simhash_recall": _q_dedup_simhash_recall,
+        "archived_log_discovery": _q_archived_log_discovery,
         "cdc_committed": _q_cdc_committed,
         "cdc_partial_rollback": _q_cdc_partial_rollback,
         "cdc_commit_order": _q_cdc_commit_order,
@@ -1631,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_changes": _q_cdc_apply_changes,
         "cdc_batch_dedup": _q_cdc_batch_dedup,
         "events_hourly": analytics.events_hourly,
+        "similarity_pq_recall": _q_sim_pq_recall,
         # ================= end of 50-query window =================
         # green at their latest driver check; unchanged this round
         "events_range_join": analytics.events_range_join,
@@ -1893,6 +1903,22 @@ FROM rid
 """
 
     sql["cdc_feed"] = cte + "SELECT * FROM all_changes"
+    # S4 archived-log discovery (V$ARCHIVED_LOG overlap scan,
+    # OraDictSqlTexts.java:425-478): sequence = fixed SCN span per redo
+    # thread (RBA prefix), NEXT_CHANGE# = max(scn)+1 per Oracle convention
+    sql["archived_log_discovery"] = cte + """,
+cat AS (
+  SELECT CAST(string_split(rba, '.')[1] AS BIGINT) AS thread,
+         CAST(scn // 10000 AS BIGINT) AS sequence,
+         CAST(MIN(scn) AS BIGINT) AS first_change,
+         CAST(MAX(scn) + 1 AS BIGINT) AS next_change,
+         CAST(COUNT(*) AS BIGINT) AS n_records
+  FROM all_changes GROUP BY 1, 2
+)
+SELECT thread, sequence, first_change, next_change, n_records
+FROM cat WHERE first_change < 100000 AND next_change > 20000
+ORDER BY thread, sequence
+"""
     sql["cdc_op_filter"] = cte + "SELECT * FROM all_changes WHERE op IN (1,2,3)"
     sql["cdc_scn_window"] = (
         cte + f"SELECT * FROM all_changes WHERE scn BETWEEN {SCN_LO} AND {SCN_HI}"

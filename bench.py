@@ -37,8 +37,10 @@ BENCH_QUERIES = [
     # window variants — q21 represents the block);
     # dedup_simhash_recall excluded (re-runs the benched ngram-Jaccard
     # exact pairs x the benched simhash plan — dedup_lsh_recall already
-    # times the audit shape).  Every declared family has a bench
-    # representative or a named exclusion here.
+    # times the audit shape); archived_log_discovery excluded (one tiny
+    # (thread, sequence) aggregate over the benched cdc_feed scan).
+    # Every declared family has a bench representative or a named
+    # exclusion here.
     # CDC pipeline (the engine's reason to exist)
     "cdc_commit_order",
     "cdc_batch_dedup",

@@ -49,3 +49,21 @@ class TestInitialLoad:
         from oracdc_spark.catalog import load_table
 
         assert total == load_table(spark, SF, "customer").count()
+
+
+def test_archived_log_discovery_overlap_and_order(spark):
+    """S4: only sequences whose [first, next) span overlaps the window
+    survive, NEXT_CHANGE# = max(scn)+1, output ordered by sequence."""
+    from oracdc_spark.sources.archived_log import discover_sequences
+
+    feed = spark.createDataFrame(
+        [(scn, 0, f"1.{scn}.0") for scn in (5, 15, 25, 35, 95, 105)],
+        "scn long, ssn long, rba string",
+    )
+    rows = discover_sequences(feed, first_scn=20, next_scn=100, seq_span=10).collect()
+    # spans: seq0=[5,6) seq1=[15,16) seq2=[25,26) seq3=[35,36) seq9=[95,96)
+    # seq10=[105,106); window [20,100) keeps 2, 3, 9 only
+    assert [(r.thread, r.sequence) for r in rows] == [(1, 2), (1, 3), (1, 9)]
+    by_seq = {r.sequence: r for r in rows}
+    assert by_seq[9].first_change == 95 and by_seq[9].next_change == 96
+    assert all(r.n_records == 1 for r in rows)

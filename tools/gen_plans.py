@@ -75,6 +75,9 @@ NOTES = {
     "pipeline_token_budget": "one exchange on the shard key; rank + prefix-sum share the SAME "
                              "shard window sort (no global order, budgets enforced per shard "
                              "like a distributed loader)",
+    "archived_log_discovery": "one map-side-combining (thread, sequence) aggregate over the feed scan "
+                              "(catalog cardinality = log-file count); overlap filter is codegen; the "
+                              "ORDER BY is the declared consumption contract, over catalog-sized rows",
     "similarity_ivfpq_refine": "ADC candidate stage identical to ivfpq_topk (session-cached codes); "
                                "refine joins the corpus component table against the BROADCAST "
                                "|Q|*R candidate list BEFORE any d-dim work — full-precision access "
