@@ -1564,10 +1564,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # chunking, passage dedup, C4 line filter, URL-canonical dedup,
     # token-budget selection, IVF-PQ refine).  Everything behind the
     # window is green at its latest driver check and unchanged
-    # semantically this round — including four displaced r5-green
-    # re-checks (events_sessionize/asof, cdc_apply_changes/batch_dedup)
-    # whose only r6 delta is the global catalog footer-schema read that
-    # every in-window green row already exercises.
+    # semantically this round — including six displaced r5-green
+    # re-checks (events_hourly/sessionize/asof, cdc_apply_changes/
+    # batch_dedup, similarity_pq_recall) whose only r6 delta is the
+    # global catalog footer-schema read that every in-window green row
+    # already exercises.
+    #
+    # ROUND-7 TODO: (a) rotate the displaced re-checks back to the
+    # front plus re-checks for anything r7 changes; after r6 every
+    # declared query has ≥1 driver row, so future windows are pure
+    # rotation + new work.  (b) candidate new work: multi-rotation
+    # SimHash buckets (the audit now quantifies the single-rotation
+    # recall gap), OPQ rotation ahead of PQ, a C4 badwords pass to
+    # complete the Raffel §2.2 set, global token-budget selection via a
+    # two-pass quantile cut (the per-shard contract's complement).
+    # S5/G10/G11/§2.7 remain inherently pytest-only.
     return {
         # --- first driver rows: TPC-H breadth block (declared r5) ---
         "q4_order_priority": analytics.q4_order_priority,

@@ -1117,6 +1117,21 @@ def c4_line_filter(
 FULL_URL_RE = r"(?i)https?://[^\s]+"
 
 
+def canonical_url(url) -> "F.Column":
+    """The canonicalization chain as a reusable Column expression —
+    idempotent (canon(canon(u)) == canon(u), tested), pure codegen."""
+    u1 = F.regexp_replace(url, r"#.*$", "")
+    auth = F.lower(F.regexp_extract(u1, r"^[^/]*//[^/?#]*", 0))
+    rest = F.regexp_replace(u1, r"^[^/]*//[^/?#]*", "")
+    u2 = F.concat(auth, rest)
+    u3 = F.regexp_replace(u2, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
+    u4 = F.regexp_replace(u3, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2")
+    u5 = F.regexp_replace(u4, r"utm_[a-zA-Z]+=[^&#]*&", "")
+    u6 = F.regexp_replace(u5, r"[?&]utm_[a-zA-Z]+=[^&#]*$", "")
+    return F.regexp_replace(u6, r"/$", "")
+
+
+
 def url_canonical_dedup(docs: DataFrame) -> DataFrame:
     """URL canonicalization + URL-level dedup — the CommonCrawl/C4-style
     provenance dedup key (one kept fetch per canonical URL).
@@ -1140,17 +1155,8 @@ def url_canonical_dedup(docs: DataFrame) -> DataFrame:
             F.regexp_extract_all("text", F.lit(FULL_URL_RE), F.lit(0))
         ).alias("url"),
     )
-    u1 = F.regexp_replace(F.col("url"), r"#.*$", "")
-    auth = F.lower(F.regexp_extract(u1, r"^[^/]*//[^/?#]*", 0))
-    rest = F.regexp_replace(u1, r"^[^/]*//[^/?#]*", "")
-    u2 = F.concat(auth, rest)
-    u3 = F.regexp_replace(u2, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
-    u4 = F.regexp_replace(u3, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2")
-    u5 = F.regexp_replace(u4, r"utm_[a-zA-Z]+=[^&#]*&", "")
-    u6 = F.regexp_replace(u5, r"[?&]utm_[a-zA-Z]+=[^&#]*$", "")
-    u7 = F.regexp_replace(u6, r"/$", "")
     return (
-        urls.select("doc_id", u7.alias("canonical_url"))
+        urls.select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_urls"),

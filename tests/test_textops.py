@@ -453,3 +453,26 @@ class TestUrlCanonicalDedup:
         # lone utm param strips back to the bare URL (and its '?')
         assert got["https://a.example.com"] == (2, 1, 6)
         assert len(got) == 3
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a messy URL variety — re-running
+    dedup over an already-canonicalized corpus must be a no-op."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.operators.textops import canonical_url
+
+    urls = [
+        "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&utm_campaign=c2&id=2#frag",
+        "http://News.example.org:80/a/7/",
+        "https://a.example.com/?utm_source=s",
+        "http://plain.example.net/p?x=1&utm_medium=m",
+        "https://b.example.io/deep/path/",
+        "http://c.example.co:80",
+        "https://d.example.de:443/?utm_a=1&utm_b=2&keep=3",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonical_url(F.col("url")).alias("once"),
+    ).select("once", canonical_url(F.col("once")).alias("twice"))
+    assert all(r.once == r.twice for r in out.collect())
