@@ -4132,10 +4132,7 @@ SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper_do
 FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
 """
     )
-    sql["dedup_simhash"] = (
-        "WITH "
-        + _TOKS
-        + """,
+    _SIMHASH_SIG = """
 tokh AS (
   SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
   FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
@@ -4150,30 +4147,74 @@ bits AS (
 sig AS (
   -- CAST: DuckDB widens SUM(BIGINT) to HUGEINT (int128); Spark stays int64.
   SELECT doc_id, CAST(SUM(bit_val << b) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
-),
-bkt AS (
-  SELECT doc_id, CAST(simhash >> 48 AS BIGINT) AS bucket FROM sig
-)
-SELECT a.doc_id AS d1, b.doc_id AS d2, a.bucket
-FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+    def _simhash_bkts(rc: int) -> str:
+        """Rotated-prefix bucket rows for rc rotations (mirrors
+        dedup.simhash_candidates: low bits masked BEFORE the shift)."""
+        rows = []
+        for r in range(rc):
+            s = (r * 60) // rc
+            if s == 0:
+                b = "(simhash >> 48)"
+            else:
+                mask = (1 << (60 - s)) - 1
+                b = f"((((simhash & {mask}) << {s}) | (simhash >> {60 - s})) >> 48)"
+            rows.append(
+                f"SELECT doc_id, CAST({r} AS BIGINT) AS rot, CAST({b} AS BIGINT) AS bucket FROM sig"
+            )
+        return " UNION ALL ".join(rows)
+
+    sql["dedup_simhash"] = (
+        "WITH "
+        + _TOKS
+        + ","
+        + _SIMHASH_SIG
+        + f""",
+bkts AS ({_simhash_bkts(1)})
+SELECT a.doc_id AS d1, b.doc_id AS d2, MIN(a.bucket) AS bucket
+FROM bkts a JOIN bkts b
+  ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
 """
     )
+    _sh_audit_rows = []
+    for _rc in (1, 3):
+        _sh_audit_rows.append(
+            f"""bkts{_rc} AS ({_simhash_bkts(_rc)}),
+cand{_rc} AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM bkts{_rc} a JOIN bkts{_rc} b
+    ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+nc{_rc} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand{_rc}),
+nh{_rc} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM exact JOIN cand{_rc} USING (d1, d2))"""
+        )
     sql["dedup_simhash_recall"] = (
         "WITH exact AS (SELECT d1, d2 FROM ("
         + sql["dedup_ngram_jaccard"]
         + """) e),
-cand AS (SELECT d1, d2 FROM ("""
-        + sql["dedup_simhash"]
-        + """) c),
-ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
-nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
-nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
-       FROM exact JOIN cand USING (d1, d2))
-SELECT n_exact, n_candidates, n_hits,
+"""
+        + _TOKS.strip().lstrip()
+        + ","
+        + _SIMHASH_SIG
+        + ",\n"
+        + ",\n".join(_sh_audit_rows)
+        + """,
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+SELECT CAST(1 AS BIGINT) AS rotations, n_exact, n_candidates, n_hits,
        CASE WHEN n_exact > 0
             THEN ROUND(CAST(n_hits AS DOUBLE) / n_exact, 6)
             ELSE 1.0 END AS recall
-FROM ne CROSS JOIN nc CROSS JOIN nh
+FROM ne CROSS JOIN nc1 CROSS JOIN nh1
+UNION ALL
+SELECT CAST(3 AS BIGINT), n_exact, n_candidates, n_hits,
+       CASE WHEN n_exact > 0
+            THEN ROUND(CAST(n_hits AS DOUBLE) / n_exact, 6)
+            ELSE 1.0 END
+FROM ne CROSS JOIN nc3 CROSS JOIN nh3
 """
     )
     sql["text_tfidf_top_terms"] = (

@@ -253,17 +253,52 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     )
 
 
-def simhash_candidates(docs: DataFrame, prefix_bits: int = 12) -> DataFrame:
-    """Near-dup candidates: documents sharing the top `prefix_bits` of
-    their SimHash (one rotation; production would use 4 rotations)."""
+def simhash_candidates(
+    docs: DataFrame, prefix_bits: int = 12, rotations: int = 1
+) -> DataFrame:
+    """Near-dup candidates: documents sharing the top ``prefix_bits``
+    of their SimHash under ANY of ``rotations`` bit rotations (the
+    standard multi-table SimHash trick — a single prefix misses pairs
+    whose differing bits fall inside it; each rotation by 60/rotations
+    bits re-buckets on a different bit span, and the candidate set is
+    the union).  rotations=1 is the original single-prefix bucket.
+
+    The rotation is exact int64-safe arithmetic: the low ``60-s`` bits
+    shift up and the high ``s`` bits wrap — masked BEFORE shifting so
+    nothing overflows the signed long (the hash occupies 60 bits).
+    Scale: candidate generation stays bucket-bounded per rotation (the
+    rotations multiply the bucket-join count, never the pair space);
+    output deduplicated on (d1, d2)."""
     sig = simhash(docs)
-    bucket = F.shiftright(F.col("simhash"), 60 - prefix_bits)
-    b = sig.select("doc_id", bucket.alias("bucket"))
-    a2, b2 = b.alias("a"), b.alias("b")
-    return a2.join(
-        b2,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), F.col("a.bucket").alias("bucket"))
+    parts = []
+    for r in range(rotations):
+        s = (r * 60) // max(rotations, 1)
+        if s == 0:
+            rot = F.col("simhash")
+        else:
+            low_mask = (1 << (60 - s)) - 1
+            rot = F.shiftleft(
+                F.col("simhash").bitwiseAND(F.lit(low_mask)), s
+            ).bitwiseOR(F.shiftright(F.col("simhash"), 60 - s))
+        bucket = F.shiftright(rot, 60 - prefix_bits)
+        b = sig.select(
+            "doc_id", F.lit(r).cast("bigint").alias("rot"), bucket.alias("bucket")
+        )
+        parts.append(b)
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionAll(p)
+    a2, b2 = allb.alias("a"), allb.alias("b")
+    return (
+        a2.join(
+            b2,
+            (F.col("a.rot") == F.col("b.rot"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.min(F.col("a.bucket")).alias("bucket"))
+    )
 
 
 def dedup_clusters(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataFrame:
@@ -398,7 +433,8 @@ def chunk_dedup_stats(docs: DataFrame, size: int = 16) -> DataFrame:
 
 
 def simhash_recall_audit(
-    docs: DataFrame, n: int = 5, threshold: float = 0.5, prefix_bits: int = 12
+    docs: DataFrame, n: int = 5, threshold: float = 0.5, prefix_bits: int = 12,
+    rotation_counts: tuple[int, ...] = (1, 3),
 ) -> DataFrame:
     """Index-quality audit for the SimHash prefix-bucket candidate
     generator — the last approximate structure in the dedup family to
@@ -406,13 +442,22 @@ def simhash_recall_audit(
     sq8_recall / pq_recall): what share of the exact n-gram-Jaccard
     near-dup pairs the single-rotation prefix buckets recover.
 
-    Output is ONE row: (n_exact, n_candidates, n_hits, recall) — all
+    Output is one row PER rotation count in ``rotation_counts``
+    ((rotations, n_exact, n_candidates, n_hits, recall)) so the audit
+    quantifies the multi-table lift directly.  All counts are
     exact-integer aggregates composed as 1-row cross joins, no
     driver-side collection; the expensive inputs are the same plans the
     audited operators already run."""
     exact = jaccard_pairs(docs, n, threshold).select("d1", "d2")
-    cand = simhash_candidates(docs, prefix_bits).select("d1", "d2")
-    return _pair_recall_row(exact, cand)
+    rows = None
+    for rc in rotation_counts:
+        cand = simhash_candidates(docs, prefix_bits, rc).select("d1", "d2")
+        row = _pair_recall_row(exact, cand).select(
+            F.lit(rc).cast("bigint").alias("rotations"),
+            "n_exact", "n_candidates", "n_hits", "recall",
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
 
 
 def _pair_recall_row(exact: DataFrame, cand: DataFrame) -> DataFrame:
