@@ -2823,8 +2823,8 @@ FROM orders
     sql["events_range_frame"] = """
 SELECT event_id, user_id,
        SUM(CAST(round(value * 1000) AS BIGINT)) OVER (
-         PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
-         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_sum_q
+         PARTITION BY user_id ORDER BY epoch_ms(ts)
+         RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS hour_sum_q
 FROM events
 """
     sql["q22_sales_opportunity"] = f"""
@@ -4668,12 +4668,14 @@ canon AS (
         regexp_replace(
           regexp_replace(
             regexp_replace(
-              lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[^/]*//[^/?#]*', 0))
-                || regexp_replace(regexp_replace(url, '#.*$', ''), '^[^/]*//[^/?#]*', ''),
-              '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2'),
-            '^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2'),
-          'utm_[a-zA-Z]+=[^&#]*&', '', 'g'),
-        '[?&]utm_[a-zA-Z]+=[^&#]*$', ''),
+              regexp_replace(
+                lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[^/]*//[^/?#]*', 0))
+                  || regexp_replace(regexp_replace(url, '#.*$', ''), '^[^/]*//[^/?#]*', ''),
+                '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2'),
+              '^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2'),
+            '([?&])utm_[a-zA-Z]+=[^&#]*', '\\1', 'g'),
+          '([?&])&+', '\\1', 'g'),
+        '[?&]+$', ''),
       '/$', '') AS canonical_url
   FROM urls
 )

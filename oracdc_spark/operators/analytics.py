@@ -893,13 +893,18 @@ def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trailing hour (value-based frame, not row-count — peers at the
     same timestamp aggregate together, so the result is order-
     independent).  Values quantized to exact integers (round(v*1000))
-    so the frame sums are engine-identical; one user_id exchange."""
+    so the frame sums are engine-identical; one user_id exchange.
+    The frame key is MILLISECONDS (unix_millis / epoch_ms) — an exact
+    integer at full timestamp precision on both engines.  Seconds via
+    unix_timestamp() diverge from the DuckDB oracle: Spark floors the
+    fractional second while DuckDB's double→BIGINT cast rounds
+    half-up, shifting frame membership at hour boundaries."""
     e = load_table(spark, sf_dir, "events")
     qv = F.round(F.col("value") * 1000, 0).cast("bigint")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3600000, 0)
     )
     return e.select(
         "event_id",

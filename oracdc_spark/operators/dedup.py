@@ -269,10 +269,12 @@ def simhash_candidates(
     Scale: candidate generation stays bucket-bounded per rotation (the
     rotations multiply the bucket-join count, never the pair space);
     output deduplicated on (d1, d2)."""
+    if rotations < 1:
+        raise ValueError(f"rotations must be >= 1, got {rotations}")
     sig = simhash(docs)
     parts = []
     for r in range(rotations):
-        s = (r * 60) // max(rotations, 1)
+        s = (r * 60) // rotations
         if s == 0:
             rot = F.col("simhash")
         else:

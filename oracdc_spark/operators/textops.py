@@ -1119,16 +1119,23 @@ FULL_URL_RE = r"(?i)https?://[^\s]+"
 
 def canonical_url(url) -> "F.Column":
     """The canonicalization chain as a reusable Column expression —
-    idempotent (canon(canon(u)) == canon(u), tested), pure codegen."""
+    idempotent (canon(canon(u)) == canon(u), tested), pure codegen.
+
+    The utm strip is anchored on the parameter separator (a bare
+    ``utm_x=y&`` pattern would also fire mid-name, e.g. ``xutm_b=2``,
+    corrupting the key): the separator is KEPT (``$1``) so consecutive
+    utm params all match, then separator runs collapse and trailing
+    separators strip — which also makes the chain idempotent."""
     u1 = F.regexp_replace(url, r"#.*$", "")
     auth = F.lower(F.regexp_extract(u1, r"^[^/]*//[^/?#]*", 0))
     rest = F.regexp_replace(u1, r"^[^/]*//[^/?#]*", "")
     u2 = F.concat(auth, rest)
     u3 = F.regexp_replace(u2, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
     u4 = F.regexp_replace(u3, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2")
-    u5 = F.regexp_replace(u4, r"utm_[a-zA-Z]+=[^&#]*&", "")
-    u6 = F.regexp_replace(u5, r"[?&]utm_[a-zA-Z]+=[^&#]*$", "")
-    return F.regexp_replace(u6, r"/$", "")
+    u5 = F.regexp_replace(u4, r"([?&])utm_[a-zA-Z]+=[^&#]*", r"$1")
+    u6 = F.regexp_replace(u5, r"([?&])&+", r"$1")
+    u7 = F.regexp_replace(u6, r"[?&]+$", "")
+    return F.regexp_replace(u7, r"/$", "")
 
 
 

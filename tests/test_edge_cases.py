@@ -165,8 +165,9 @@ def test_multiprobe_recall_dominates_single_probe(spark):
 
 
 def test_simhash_recall_audit_zero_guard_and_bounds(spark):
-    """Audit row is defined (1.0) on a corpus with no exact near-dup
-    pairs, and hits can never exceed either side's pair count."""
+    """Audit emits one row PER rotation count (r6 contract); each row
+    is defined (1.0) on a corpus with no exact near-dup pairs, and hits
+    can never exceed either side's pair count."""
     from oracdc_spark.operators.dedup import simhash_recall_audit
 
     distinct = spark.createDataFrame(
@@ -174,8 +175,10 @@ def test_simhash_recall_audit_zero_guard_and_bounds(spark):
          (2, "one two three four five six seven")],
         "doc_id long, text string",
     )
-    [r] = simhash_recall_audit(distinct).collect()
-    assert r.n_exact == 0 and r.recall == 1.0
+    rows = simhash_recall_audit(distinct).collect()
+    assert sorted(r.rotations for r in rows) == [1, 3]
+    for r in rows:
+        assert r.n_exact == 0 and r.recall == 1.0
 
     dups = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog today"),
@@ -183,7 +186,11 @@ def test_simhash_recall_audit_zero_guard_and_bounds(spark):
          (3, "completely different content with no overlap at all here")],
         "doc_id long, text string",
     )
-    [r] = simhash_recall_audit(dups).collect()
-    assert r.n_exact == 1
-    assert r.n_hits <= r.n_exact and r.n_hits <= r.n_candidates
-    assert r.recall == r.n_hits / r.n_exact
+    rows = sorted(simhash_recall_audit(dups).collect(), key=lambda r: r.rotations)
+    assert [r.rotations for r in rows] == [1, 3]
+    for r in rows:
+        assert r.n_exact == 1
+        assert r.n_hits <= r.n_exact and r.n_hits <= r.n_candidates
+        assert r.recall == r.n_hits / r.n_exact
+    # more rotations can only add candidate buckets, never remove hits
+    assert rows[1].n_hits >= rows[0].n_hits

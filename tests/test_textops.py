@@ -454,6 +454,29 @@ class TestUrlCanonicalDedup:
         assert got["https://a.example.com"] == (2, 1, 6)
         assert len(got) == 3
 
+    def test_utm_strip_anchored_on_separator(self, spark):
+        """A param whose NAME merely contains 'utm_' (xutm_b) is not a
+        tracking param and must survive; consecutive utm params must
+        all strip without merging adjacent params."""
+        import pyspark.sql.functions as F
+
+        from oracdc_spark.operators.textops import canonical_url
+
+        cases = {
+            "https://e.example.com/?a=1&xutm_b=2&c=3":
+                "https://e.example.com/?a=1&xutm_b=2&c=3",
+            "https://e.example.com/?utm_a=1&utm_b=2&utm_c=3&d=4":
+                "https://e.example.com/?d=4",
+            "https://e.example.com/?utm_a=1&utm_b=2&utm_c=3":
+                "https://e.example.com",
+            "https://e.example.com/?a=1&utm_b=2":
+                "https://e.example.com/?a=1",
+        }
+        df = spark.createDataFrame([(u,) for u in cases], "url string")
+        out = {r.url: r.canon for r in df.select(
+            "url", canonical_url(F.col("url")).alias("canon")).collect()}
+        assert out == cases
+
 
 def test_canonical_url_idempotent(spark):
     """canon(canon(u)) == canon(u) over a messy URL variety — re-running
