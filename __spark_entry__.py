@@ -11,6 +11,7 @@ synthetic frames — are declared rows-only by omission).
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -1493,6 +1494,37 @@ def _q_text_c4_lines(spark, sf_dir):
     return textops.c4_line_filter(_line_injected(spark, sf_dir))
 
 
+# The badwords fixture: two deterministic marker tokens injected on
+# disjoint doc_id residues (the corpus vocabulary itself is benign, so
+# positives must be planted — mirrored in the oracle CTE); the declared
+# blocklist is their md5s, exactly how a real deployment ships the
+# public C4 list (hashes, not words).
+_BADWORD_HASHES = [
+    hashlib.md5(b"zyxbad").hexdigest(),
+    hashlib.md5(b"qwxnaughty").hexdigest(),
+]
+
+
+def _badword_injected(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" zyxbad")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 3, F.lit(" qwxnaughty")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def _q_text_c4_badwords(spark, sf_dir):
+    return textops.c4_badwords_filter(
+        _badword_injected(spark, sf_dir), _BADWORD_HASHES
+    )
+
+
 def _full_url_injected(spark, sf_dir):
     """Deterministic messy-URL fixture (mirrored in the oracle CTE):
     class 0 gets an upper-cased host + utm params + fragment (twice,
@@ -1626,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r6: RefinedWeb-style cross-doc repeated-passage stats
         "dedup_chunk_passages": _q_chunk_dedup,
         "text_c4_lines": _q_text_c4_lines,
+        "text_c4_badwords": _q_text_c4_badwords,
         "dedup_url_canonical": _q_dedup_url_canonical,
         "pipeline_token_budget": _q_token_budget,
         "similarity_ivfpq_refine": _q_sim_ivfpq_refine,
@@ -3632,17 +3665,25 @@ WHERE (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
     def _pq_sql(
         m: int, k: int, iters: int, query_mod: int, topk: int, recall: bool,
         n_probe: int | None = None, refine: int | None = None,
+        smod: int = 2,
     ) -> str:
+        # r7: training runs over the vec_id % smod = 0 SAMPLE (sv) with
+        # (vec_id // smod) % k seeding (mirrors pq._lloyd_train — the
+        # engine trains the codebook driver-side on the same sample);
+        # the full corpus is then assigned once against the trained
+        # codebook (cd0/codes — mirrors the engine's encode pass).
         out = [
             f"""WITH qv AS (
   SELECT vec_id, label, i, CAST((i - 1) % {m} AS BIGINT) AS sub,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
 ),
+sv AS (SELECT * FROM qv WHERE vec_id % {smod} = 0),
 a0 AS (
   SELECT vec_id, CAST(s.sub AS BIGINT) AS sub,
-         CAST(vec_id % {k} AS BIGINT) AS cluster
+         CAST((vec_id // {smod}) % {k} AS BIGINT) AS cluster
   FROM embeddings, UNNEST(generate_series(0, {m - 1})) AS s(sub)
+  WHERE vec_id % {smod} = 0
 )"""
         ]
         for n in range(1, iters + 1):
@@ -3651,13 +3692,13 @@ a0 AS (
 c{n} AS (
   SELECT sub, cluster, i,
          CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
-  FROM qv JOIN a{n - 1} USING (vec_id, sub) GROUP BY sub, cluster, i
+  FROM sv JOIN a{n - 1} USING (vec_id, sub) GROUP BY sub, cluster, i
 ),
 d{n} AS (
-  SELECT qv.vec_id, qv.sub, c{n}.cluster,
+  SELECT sv.vec_id, sv.sub, c{n}.cluster,
          CAST(SUM((q - cq) * (q - cq)) AS BIGINT) AS dist2
-  FROM qv JOIN c{n} ON qv.sub = c{n}.sub AND qv.i = c{n}.i
-  GROUP BY qv.vec_id, qv.sub, c{n}.cluster
+  FROM sv JOIN c{n} ON sv.sub = c{n}.sub AND sv.i = c{n}.i
+  GROUP BY sv.vec_id, sv.sub, c{n}.cluster
 ),
 a{n} AS (
   SELECT vec_id, sub, cluster FROM (
@@ -3672,7 +3713,20 @@ a{n} AS (
 cb AS (
   SELECT sub, cluster, i,
          CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
-  FROM qv JOIN a{iters} USING (vec_id, sub) GROUP BY sub, cluster, i
+  FROM sv JOIN a{iters} USING (vec_id, sub) GROUP BY sub, cluster, i
+),
+cd0 AS (
+  SELECT qv.vec_id, qv.sub, cb.cluster,
+         CAST(SUM((q - cq) * (q - cq)) AS BIGINT) AS dist2
+  FROM qv JOIN cb ON qv.sub = cb.sub AND qv.i = cb.i
+  GROUP BY qv.vec_id, qv.sub, cb.cluster
+),
+codes AS (
+  SELECT vec_id, sub, cluster FROM (
+    SELECT vec_id, sub, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist2, cluster) AS rk
+    FROM cd0) WHERE rk = 1
 ),
 qq AS (SELECT vec_id AS query_id, sub, i, q FROM qv WHERE vec_id % {query_mod} = 0),
 lut AS (
@@ -3708,7 +3762,7 @@ cellmap AS (SELECT vec_id, label AS cell FROM embeddings),
 pagg AS (
   SELECT l.query_id, cd.vec_id AS neighbor_id,
          CAST(SUM(l.pdot) AS BIGINT) AS dot, CAST(SUM(n.nn) AS BIGINT) AS cn
-  FROM a{iters} cd
+  FROM codes cd
   JOIN cellmap cm ON cd.vec_id = cm.vec_id
   JOIN probe p ON cm.cell = p.cell
   JOIN lut l ON p.query_id = l.query_id AND cd.sub = l.sub AND cd.cluster = l.cluster
@@ -3723,7 +3777,7 @@ pagg AS (
 pagg AS (
   SELECT l.query_id, cd.vec_id AS neighbor_id,
          CAST(SUM(l.pdot) AS BIGINT) AS dot, CAST(SUM(n.nn) AS BIGINT) AS cn
-  FROM a{iters} cd
+  FROM codes cd
   JOIN lut l ON cd.sub = l.sub AND cd.cluster = l.cluster
   JOIN nn n ON cd.sub = n.sub AND cd.cluster = n.cluster
   WHERE l.query_id <> cd.vec_id
@@ -4616,6 +4670,31 @@ SELECT doc_id,
        (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
             AND NOT contains(text, '{')) AS keep
 FROM k
+"""
+    _bad_in = ", ".join(f"'{h}'" for h in _BADWORD_HASHES)
+    sql["text_c4_badwords"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' zyxbad' ELSE '' END
+              || CASE WHEN doc_id % 11 = 3 THEN ' qwxnaughty' ELSE '' END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS w
+  FROM injected
+),
+flagged AS (
+  SELECT doc_id, w,
+         list_filter(w, t -> md5(t) IN ({_bad_in})) AS bad
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(bad) AS BIGINT) AS n_bad,
+       (len(bad) = 0) AS keep
+FROM flagged
 """
     sql["pipeline_token_budget"] = (
         "WITH "

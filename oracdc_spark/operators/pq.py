@@ -15,13 +15,15 @@ subspace split needs no knowledge of the vector length (the operator
 works on ragged/unknown-d corpora, and the SQL oracle mirrors it as
 ``(i-1) % m`` over DuckDB's 1-based UNNEST index).
 
-Training is per-subspace Lloyd k-means reusing the exact-integer
-recipe of ``operators/clustering.py`` (quantized bigint components,
+Training is per-subspace Lloyd k-means with the exact-integer recipe
+of ``operators/clustering.py`` (quantized bigint components,
 floor-mean centroids, integer squared distances, argmin ties on the
-lower cluster id, ``vec_id % k`` seeding — no RNG to synchronize), run
-for a fixed ``iters`` so the whole loop is a deterministic, bounded
-DataFrame plan.  Codes are the final assignment; the codebook is the
-refit over the final codes.
+lower cluster id — no RNG to synchronize), run for a fixed ``iters``
+DRIVER-SIDE over a bounded ``vec_id % sample_mod == 0`` sample (the
+FAISS practice — k-means needs ~hundreds of points per centroid, not
+the corpus).  The codebook is the refit over the sample's final
+assignment; codes are one distributed encode pass of the whole corpus
+against the literal codebook.
 
 ADC scoring (the PQ trick): for each query precompute
 ``lut[sub, cluster] = <query_sub, centroid>`` — an m*k-row table per
@@ -34,10 +36,10 @@ sign(dot)*dot^2/(qn*cn) quantized-cosine form with the DECODED corpus
 norm (sum of centroid norms per code), mirroring SQ8's
 decoded-components-re-enter-scoring convention.
 
-Scale shape (100 TB): training touches the corpus 2x per iteration
-(same as clustering.py — k*m*d centroid rows, always broadcastable);
-encoding is one more assignment pass; the serving-path state is codes
-(m bigints per vector, stored once) plus the k*d codebook.  The ADC
+Scale shape (100 TB): training touches only the bounded sample (one
+collect of sample components, then driver numpy); encoding is ONE
+corpus pass against the broadcast codebook; the serving-path state is
+codes (m bigints per vector, stored once) plus the k*d codebook.  The ADC
 join is corpus-codes x broadcast-LUT keyed on (sub, cluster) — 16
 distinct key values per sub at k=16, so the groupBy(query, neighbor)
 partial-aggregates map-side; nothing quadratic in the corpus, no
@@ -70,55 +72,113 @@ def pq_components(vecs: DataFrame, m: int = PQ_M) -> DataFrame:
     return quantized(vecs).withColumn("sub", (F.col("i") % m).cast("bigint"))
 
 
-def _codebook(comps: DataFrame, assign: DataFrame) -> DataFrame:
-    """Refit step: floor-mean centroid components per (sub, cluster, i).
-    Result is at most k*d rows — always broadcastable."""
-    return (
-        comps.join(assign, ["vec_id", "sub"])
-        .groupBy("sub", "cluster", "i")
-        .agg(
-            F.floor(F.sum("q").cast("double") / F.count(F.lit(1)))
-            .cast("bigint")
-            .alias("cq")
+PQ_SAMPLE_MOD = 2   # training-sample stride: the codebook is trained on
+                    # vectors with vec_id % PQ_SAMPLE_MOD == 0 (FAISS
+                    # practice: k-means needs ~hundreds of points per
+                    # centroid, not the corpus — the caller sets the
+                    # stride per corpus exactly like brute_force_topk's
+                    # bounded-query-batch contract)
+
+
+def _lloyd_train(sample_rows, k: int, iters: int, sample_mod: int):
+    """Exact-integer per-subspace Lloyd k-means on the COLLECTED sample
+    components — driver-side numpy over index METADATA-scale input (the
+    bounded training sample), the FAISS shape: codebooks train host-side
+    on a sample, then pin as broadcast constants for the one distributed
+    encode pass.
+
+    Bit-for-bit the engine recipe (mirrored in the DuckDB oracle):
+    seed cluster ``(vec_id // sample_mod) % k`` (the division keeps the
+    sampled ids contiguous so the seed spreads over ALL k clusters —
+    ``vec_id % k`` over a strided sample would only ever hit
+    gcd-multiples), refit ``floor(double(sum)/count)``, integer squared
+    distances, argmin ties to the lowest cluster id, empty clusters
+    dropped from the codebook.  Returns the FINAL codebook rows
+    [(sub, cluster, i, cq)] — the refit over the sample's last
+    assignment (<= k*d rows)."""
+    import numpy as np
+
+    by_sub: dict = {}
+    for r in sample_rows:
+        by_sub.setdefault(r["sub"], {}).setdefault(r["vec_id"], {})[r["i"]] = r["q"]
+    cb_rows = []
+    for sub in sorted(by_sub):
+        vecs_d = by_sub[sub]
+        vec_ids = sorted(vecs_d)
+        i_list = sorted({i for v in vecs_d.values() for i in v})
+        X = np.array(
+            [[vecs_d[v][i] for i in i_list] for v in vec_ids], dtype=np.int64
         )
+        ids = np.array(vec_ids, dtype=np.int64)
+        assign = (ids // sample_mod) % k
+
+        def refit(assign):
+            clusters = sorted(set(assign.tolist()))
+            C = np.empty((len(clusters), X.shape[1]), dtype=np.int64)
+            for ci, c in enumerate(clusters):
+                rows = X[assign == c]
+                C[ci] = np.floor(
+                    rows.sum(axis=0).astype(np.float64) / rows.shape[0]
+                ).astype(np.int64)
+            return np.array(clusters, dtype=np.int64), C
+
+        for _ in range(iters):
+            clusters, C = refit(assign)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # np.argmin returns the FIRST min; clusters[] is ascending,
+            # so ties break to the lowest cluster id
+            assign = clusters[np.argmin(d2, axis=1)]
+        clusters, C = refit(assign)
+        for ci, c in enumerate(clusters):
+            for col, i in enumerate(i_list):
+                cb_rows.append((int(sub), int(c), int(i), int(C[ci, col])))
+    return cb_rows
+
+
+def _literal_assign_tables(spark, cb_rows, k: int):
+    """Pivot codebook rows (sub, cluster, i, cq) into the two broadcast
+    tables the encode pass needs, as LITERAL DataFrames built on the
+    driver — no corpus lineage, no aggregation stages.  NULL slots
+    where a cluster is empty for a sub feed the assignment's +inf
+    sentinel:
+
+    - cb_arr:  (sub, i)  -> array of the k clusters' centroid component
+    - cc2_arr: (sub)     -> array of the k clusters' squared norms
+    """
+    by_si: dict = {}
+    cc2: dict = {}
+    for sub, cluster, i, cq in cb_rows:
+        by_si.setdefault((sub, i), [None] * k)[cluster] = cq
+        cc2[(sub, cluster)] = cc2.get((sub, cluster), 0) + cq * cq
+    cb_arr = spark.createDataFrame(
+        [(s, i, v) for (s, i), v in sorted(by_si.items())],
+        "sub long, i long, cqs array<long>",
     )
+    subs = sorted({s for (s, _) in by_si})
+    cc2_arr = spark.createDataFrame(
+        [(s, [cc2.get((s, c)) for c in range(k)]) for s in subs],
+        "sub long, cc2s array<long>",
+    )
+    return cb_arr, cc2_arr
 
 
-def _assign(comps: DataFrame, cb: DataFrame, k: int = PQ_K) -> DataFrame:
-    """Assignment step: exact integer squared distance per (vec, sub,
-    cluster), argmin with (dist2, cluster) tie-break.
+def _assigned(
+    comps: DataFrame, cb_arr: DataFrame, cc2_arr: DataFrame, k: int = PQ_K
+) -> DataFrame:
+    """Distributed encode pass: nearest codebook centroid per (vec_id,
+    sub) against the literal broadcast codebook tables — ONE corpus
+    shuffle.
 
-    Vectorized form (r6): instead of exploding comps ×k through a
-    (sub, i) join and resolving the argmin with a row_number window
-    over n·m·k rows, the codebook pivots into per-(sub, i) arrays of k
-    centroid components (broadcast, NULL where a cluster is empty for
-    the sub), each component row computes its k cross-products in one
-    JVM `transform`, and the groupBy(vec_id, sub) aggregates k
-    elementwise sums — one shuffle of n·m rows, no window.  The argmin
-    uses dist²_c = Σq² − 2·Σq·cq_c + Σcq_c² (all exact bigints) with
-    empty clusters coalesced to a +∞ sentinel; `array_position` of the
-    min returns the FIRST (= lowest cluster id) occurrence, matching
-    the old (dist2 asc, cluster asc) tie-break exactly."""
+    Per component row, the k cross-products compute in one JVM
+    ``transform`` over the broadcast (sub, i) centroid array; the
+    groupBy(vec_id, sub) aggregates the k elementwise dot sums.  The
+    argmin uses dist2_c = sum_q2 - 2*dot_c + cc2_c (all exact bigints)
+    with empty clusters coalesced to a +inf sentinel;
+    ``array_position`` of the min returns the FIRST (= lowest cluster
+    id) occurrence — the (dist2 asc, cluster asc) tie-break.
+
+    Output: (vec_id, sub, cluster)."""
     sent = F.lit((1 << 62) - 1)
-    cb_arr = (
-        cb.groupBy("sub", "i")
-        .agg(
-            *[
-                F.max(F.when(F.col("cluster") == c, F.col("cq"))).alias(f"c{c}")
-                for c in range(k)
-            ]
-        )
-        .select("sub", "i", F.array(*[F.col(f"c{c}") for c in range(k)]).alias("cqs"))
-    )
-    cc2 = cb.groupBy("sub", "cluster").agg(
-        F.sum(F.col("cq") * F.col("cq")).alias("cc2")
-    )
-    cc2_arr = cc2.groupBy("sub").agg(
-        *[
-            F.max(F.when(F.col("cluster") == c, F.col("cc2"))).alias(f"n{c}")
-            for c in range(k)
-        ]
-    ).select("sub", F.array(*[F.col(f"n{c}") for c in range(k)]).alias("cc2s"))
     prods = comps.join(F.broadcast(cb_arr), ["sub", "i"]).select(
         "vec_id",
         "sub",
@@ -149,45 +209,61 @@ def _assign(comps: DataFrame, cb: DataFrame, k: int = PQ_K) -> DataFrame:
     )
 
 
-# Trained (codes, codebook) pairs cached per (corpus plan, m, k, iters)
-# within a session — at production scale PQ training is a once-per-corpus
-# step with stored codes; the serving queries (pq_topk / pq_recall /
-# ivfpq_topk) must not each retrain the identical codebook.  Keyed by the
-# corpus DataFrame's semantic hash; values are persisted DataFrames
-# (materialized lazily by the first action, reused byte-identically by
-# every later query in the family).
+# Trained (codes, codebook) pairs cached per (corpus plan, m, k, iters,
+# sample_mod) within a session — at production scale PQ training is a
+# once-per-corpus step with stored codes; the serving queries (pq_topk /
+# pq_recall / ivfpq_topk) must not each retrain the identical codebook.
+# Keyed by the corpus DataFrame's semantic hash; codes is the persisted
+# encode pass, cb a literal DataFrame — both reused byte-identically by
+# every later query in the family.
 _TRAIN_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def pq_train_encode(
-    vecs: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+    vecs: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    sample_mod: int = PQ_SAMPLE_MOD,
 ) -> tuple[DataFrame, DataFrame]:
-    """Train per-subspace codebooks and encode the corpus.
+    """Train per-subspace codebooks on a bounded sample and encode the
+    corpus.
 
     Returns (codes, codebook): codes = (vec_id, sub, cluster) — m rows
     per vector, the stored index; codebook = (sub, cluster, i, cq) —
-    the final refit over the codes (k*d rows).
+    the trained centroids (k*d rows), a LITERAL DataFrame.
+
+    r7 restructure to the FAISS production shape: the codebook trains
+    DRIVER-SIDE on the collected ``vec_id % sample_mod == 0`` sample
+    (k-means needs ~hundreds of points per centroid, never the corpus;
+    the stride is the caller's bounded-sample contract, like
+    brute_force_topk's query batch), then pins as literal broadcast
+    tables for ONE distributed encode pass.  The pre-r7 loop trained
+    distributed over the full corpus — at sandbox scale that was ~26
+    AQE query stages (~5 s of pure scheduling on <=128k rows), and at
+    100 TB it would be the wrong shape anyway (6 corpus passes to
+    compute 1,024 metadata rows).  One bounded collect (sample
+    components — the lazy-builder gate's justified exception), zero
+    corpus-scale driver transfers, one corpus shuffle total.
     """
     try:
-        key = (vecs.semanticHash(), m, k, iters)
+        key = (vecs.semanticHash(), m, k, iters, sample_mod)
     except Exception:
         key = None
     if key is not None and key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
-    comps = pq_components(vecs, m)
-    assign = vecs.select(
-        "vec_id",
-        F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("sub"),
-    ).select(
-        "vec_id",
-        F.col("sub").cast("bigint").alias("sub"),
-        (F.col("vec_id") % k).cast("bigint").alias("cluster"),
+    spark = vecs.sparkSession
+    sample_rows = pq_components(
+        vecs.filter(F.col("vec_id") % sample_mod == 0), m
+    ).collect()
+    cb_rows = _lloyd_train(sample_rows, k, iters, sample_mod)
+    cb_arr, cc2_arr = _literal_assign_tables(spark, cb_rows, k)
+    codes = _assigned(pq_components(vecs, m), cb_arr, cc2_arr, k)
+    cb = spark.createDataFrame(
+        sorted(cb_rows), "sub long, cluster long, i long, cq long"
     )
-    for _ in range(iters):
-        assign = _assign(comps, _codebook(comps, assign), k)
-    codes, cb = assign, _codebook(comps, assign)
     if key is not None:
-        codes, cb = codes.persist(), cb.persist()
+        codes = codes.persist()
         _TRAIN_CACHE[key] = (codes, cb)
     return codes, cb
 

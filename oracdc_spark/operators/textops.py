@@ -1114,6 +1114,41 @@ def c4_line_filter(
     )
 
 
+def c4_badwords_filter(docs: DataFrame, word_hashes: list[str]) -> DataFrame:
+    """C4 badwords page gate (Raffel et al. 2020 §2.2, completing the
+    line-level rules in :func:`c4_line_filter`): C4 drops any page
+    containing a word from the public "List of Dirty, Naughty, Obscene
+    or Otherwise Bad Words".  The blocklist is supplied as MD5 HASHES
+    of the lowercased words — the standard way to ship a profanity
+    gate without shipping profanity (the repo embeds no list content;
+    callers hash the published list themselves).
+
+    A page is flagged when any lowercased whitespace token's md5 is in
+    the set.  Output: (doc_id, n_tokens, n_bad, keep) with
+    ``keep = n_bad == 0`` — the page decision plus the hit inventory.
+
+    Scale shape: tokenize + per-token md5 + membership against the
+    literal hash list are all expressions on the corpus scan — a
+    narrow per-row map, no UDF, no shuffle.  The real C4 list is
+    ~1.7k entries: still a constant folded into the plan (membership
+    cost is bounded by the list size, independent of the corpus); for
+    much larger lists the scale path is a broadcast join on the token
+    hash instead.
+
+    Reference parity: beyond the reference — part of the
+    LLM-data-pipeline surface (SURVEY.md "beyond the reference")."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    bad = F.filter(toks, lambda t: F.md5(t).isin(*word_hashes))
+    return _parallel(docs).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(bad).cast("bigint").alias("n_bad"),
+        (F.size(bad) == 0).alias("keep"),
+    )
+
+
 FULL_URL_RE = r"(?i)https?://[^\s]+"
 
 

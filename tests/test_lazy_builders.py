@@ -16,6 +16,15 @@ the driver legitimately makes (never a corpus pass):
   count, not data size).
 - ``dedup_clusters`` — label-propagation convergence loop; each
   iteration's `count()` is the stopping decision (bounded iterations).
+- ``similarity_pq_*`` / ``similarity_ivfpq_*`` — PQ training collects
+  the bounded ``vec_id % sample_mod == 0`` training sample's components
+  and runs Lloyd driver-side (r7, the FAISS shape: codebooks train on a
+  sample host-side, then pin as broadcast constants for one distributed
+  encode pass; the r6 all-lazy full-corpus loop cost ~5 s of pure AQE
+  stage-scheduling overhead).  The collect is bounded by the caller's
+  sample contract (like brute_force_topk's query batch), never the
+  corpus.  Trained once per (corpus, m, k, iters, sample_mod) per
+  session; the family shares the cache, so only the first builder pays.
 """
 
 from __future__ import annotations
@@ -28,6 +37,12 @@ ALLOWED_BUILD_JOBS = {
     "registry_evolution": 2,   # one bounded dictionary collect (25 rows)
     "registry_key_guard": 2,
     "dedup_clusters": 40,      # convergence iterations, corpus-bounded
+    # PQ codebook training: one bounded sample-components collect (see
+    # module docstring), AQE may split it into several jobs; cache-hit = 0
+    "similarity_pq_topk": 15,
+    "similarity_ivfpq_topk": 15,
+    "similarity_ivfpq_refine": 15,
+    "similarity_pq_recall": 15,
 }
 
 

@@ -53,7 +53,18 @@ def test_lloyd_iterations_do_not_increase_distortion(spark):
     comps = pq.pq_components(vecs, 4)
 
     def distortion(assign):
-        cbk = pq._codebook(comps, assign)
+        # refit centroids for the given assignment (floor-mean, the
+        # engine's exact-integer recipe — inlined since r7 fused the
+        # training-loop refit into the assignment pass)
+        cbk = (
+            comps.join(assign, ["vec_id", "sub"])
+            .groupBy("sub", "cluster", "i")
+            .agg(
+                F.floor(F.sum("q").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("cq")
+            )
+        )
         d = (
             comps.join(assign, ["vec_id", "sub"])
             .join(cbk, ["sub", "cluster", "i"])

@@ -391,6 +391,34 @@ class TestUrlDomainStats:
         }
 
 
+class TestC4Badwords:
+    def test_hash_gate(self, spark):
+        """Pages drop iff a lowercased token's md5 is blocklisted;
+        counts are exact and matching is whole-token (substrings and
+        case variants of a listed word don't fire unless the token
+        itself hashes into the set)."""
+        import hashlib
+
+        from oracdc_spark.operators.textops import c4_badwords_filter
+
+        hashes = [hashlib.md5(b"verboten").hexdigest()]
+        docs = spark.createDataFrame(
+            [
+                (1, "a clean page of text"),
+                (2, "this page says VERBOTEN twice verboten"),
+                (3, "averbotenb is not the word verbotenx either"),
+                (4, "verboten"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in c4_badwords_filter(docs, hashes).collect()}
+        assert got[1].keep and got[1].n_bad == 0
+        # lowercasing makes VERBOTEN hit too -> 2 bad tokens
+        assert not got[2].keep and got[2].n_bad == 2
+        assert got[3].keep and got[3].n_bad == 0
+        assert not got[4].keep and got[4].n_tokens == 1
+
+
 class TestC4LineFilter:
     def test_rules(self, spark):
         from oracdc_spark.operators.textops import c4_line_filter
