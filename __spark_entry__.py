@@ -1176,7 +1176,12 @@ def _q_dedup_lsh_incremental(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_candidates(load_table(spark, sf_dir, "documents"))
+    # rotations=3 promoted from the default single prefix in r7: the
+    # dedup_simhash_recall audit quantifies the recall gap between 1 and
+    # 3 rotations on the same corpus — ship the config the audit favors.
+    return dedup.simhash_candidates(
+        load_table(spark, sf_dir, "documents"), rotations=3
+    )
 
 
 def _q_dedup_decisions(spark, sf_dir):
@@ -4225,7 +4230,7 @@ sig AS (
         + ","
         + _SIMHASH_SIG
         + f""",
-bkts AS ({_simhash_bkts(1)})
+bkts AS ({_simhash_bkts(3)})
 SELECT a.doc_id AS d1, b.doc_id AS d2, MIN(a.bucket) AS bucket
 FROM bkts a JOIN bkts b
   ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
