@@ -1574,6 +1574,12 @@ def _q_token_budget(spark, sf_dir):
     return sampling.token_budget_select(load_table(spark, sf_dir, "documents"))
 
 
+def _q_token_budget_global(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.token_budget_global(load_table(spark, sf_dir, "documents"))
+
+
 def _q_doc_chunks(spark, sf_dir):
     from oracdc_spark.operators import sampling
 
@@ -1666,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_badwords": _q_text_c4_badwords,
         "dedup_url_canonical": _q_dedup_url_canonical,
         "pipeline_token_budget": _q_token_budget,
+        "pipeline_token_budget_global": _q_token_budget_global,
         "similarity_ivfpq_refine": _q_sim_ivfpq_refine,
         "dedup_simhash_recall": _q_dedup_simhash_recall,
         "archived_log_discovery": _q_archived_log_discovery,
@@ -4724,6 +4731,32 @@ ranked AS (
 )
 SELECT doc_id, shard, n_tokens, score, rank, cum_tokens
 FROM ranked WHERE cum_tokens <= 2000
+"""
+    )
+    # The oracle for the GLOBAL budget cut is the LITERAL global sort —
+    # the engine computes the same set via the two-pass score
+    # decomposition (sampling.token_budget_global), so a hash match here
+    # proves the decomposition equals the exact global rank-cut.
+    sql["pipeline_token_budget_global"] = (
+        "WITH "
+        + _TOKS
+        + """,
+scored AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(w) > 0
+                   THEN (1000000 * len(list_distinct(w))) // len(w)
+                   ELSE 0 END AS BIGINT) AS score
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id, n_tokens, score,
+         CAST(SUM(n_tokens) OVER
+              (ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, score, cum_tokens
+FROM ranked WHERE cum_tokens <= 20000
 """
     )
     sql["dedup_url_canonical"] = """

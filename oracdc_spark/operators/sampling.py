@@ -283,3 +283,86 @@ def token_budget_select(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return ranked.filter(F.col("cum_tokens") <= budget)
+
+def token_budget_global(docs: DataFrame, budget: int = 20000) -> DataFrame:
+    """GLOBAL quality-ranked token-budget cut — emits exactly the set
+    the single global sort would (rank all docs by score desc, doc_id
+    asc; keep while the running token total fits ``budget``), computed
+    WITHOUT a global sort: the complement of ``token_budget_select``'s
+    per-shard contract for when the corpus-size target is one number,
+    not one per shard.
+
+    Two-pass score-decomposition shape (the scale-safe restatement of
+    "ORDER BY score DESC LIMIT <budget tokens>"):
+
+    1. Histogram pass: aggregate total tokens per distinct score.  The
+       lexical-diversity score is bounded in [0, 1_000_000], so this
+       table is metadata-sized regardless of corpus size; one
+       single-partition window over it (score desc) yields, per score,
+       the token total of all strictly-higher-scored documents, hence
+       the per-score remaining allowance
+       ``allow(s) = budget - higher_total(s)``.
+    2. Cut pass: broadcast-join the allowance back and keep a document
+       iff its within-score prefix sum (ordered doc_id asc — the same
+       tiebreak the global order uses) fits ``allow(s)``.  Because
+       ``global_cum = higher_total(score) + within_score_cum``, the
+       predicate is algebraically identical to ``global_cum <=
+       budget`` — the oracle proves parity against the literal
+       global-sort SQL.
+
+    Scale shape: ONE shuffle of the corpus (the score-partitioned
+    window); the histogram is a partial-aggregated exchange collapsing
+    to <= 1M rows and its ordering window runs on that metadata-sized
+    table only.  If one score value floods a partition (degenerate
+    constant-score corpora), sub-salt the within-score window by
+    doc_id range with a two-level prefix sum — the decomposition
+    composes; not needed while the scorer has 1e6 distinct values.
+
+    Output (selected docs only): (doc_id, n_tokens, score,
+    cum_tokens) where cum_tokens is the GLOBAL running total, matching
+    the global-sort oracle row for row."""
+    from oracdc_spark.operators.textops import _parallel, _tokens
+
+    toks = _tokens()
+    nt = F.size(toks).cast("bigint")
+    nd = F.size(F.array_distinct(toks)).cast("bigint")
+    scored = _parallel(docs).select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        F.when(nt > 0, F.expr("1000000") * nd).otherwise(F.lit(0)).alias("_num"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, F.expr("_num div n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("score"),
+    )
+    hist = scored.groupBy("score").agg(F.sum("n_tokens").alias("score_tokens"))
+    wh = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    allow = hist.select(
+        "score",
+        F.coalesce(F.sum("score_tokens").over(wh), F.lit(0))
+        .cast("bigint")
+        .alias("higher_total"),
+    )
+    wd = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        scored.join(F.broadcast(allow), "score")
+        .withColumn("_grp_cum", F.sum("n_tokens").over(wd))
+        .filter(
+            F.col("_grp_cum") <= F.lit(int(budget)) - F.col("higher_total")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            (F.col("higher_total") + F.col("_grp_cum"))
+            .cast("bigint")
+            .alias("cum_tokens"),
+        )
+    )

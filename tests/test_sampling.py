@@ -253,3 +253,76 @@ class TestTokenBudgetSelect:
         # every shard independently fits exactly its first pick
         assert len(out) == 4
         assert {r.shard for r in out} == {0, 1, 2, 3}
+
+
+class TestTokenBudgetGlobal:
+    def test_decomposition_equals_global_sort(self, spark):
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+        from oracdc_spark.operators.sampling import token_budget_global
+
+        # mixed scores INCLUDING ties (docs 10/11/12 share a score) so the
+        # within-score leg of the decomposition is actually exercised
+        rows = []
+        for i in range(30):
+            if i % 3 == 0:
+                rows.append((i, "a b c d e f g h"))            # 8/8 distinct
+            elif i % 3 == 1:
+                rows.append((i, "x x y y z z"))                # 6 toks 3 distinct
+            else:
+                rows.append((i, "w w w w"))                    # 4 toks 1 distinct
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        got = {
+            (r.doc_id, r.n_tokens, r.score, r.cum_tokens)
+            for r in token_budget_global(docs, budget=50).collect()
+        }
+
+        # brute-force oracle: literal global sort + prefix-sum cut
+        toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+        nt = F.size(toks).cast("bigint")
+        nd = F.size(F.array_distinct(toks)).cast("bigint")
+        scored = docs.select(
+            "doc_id",
+            nt.alias("n_tokens"),
+            F.when(nt > 0, (F.lit(1000000) * nd) / nt)
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("score"),
+        )
+        w = Window.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        want = {
+            (r.doc_id, r.n_tokens, r.score, r.cum_tokens)
+            for r in scored.withColumn(
+                "cum_tokens", F.sum("n_tokens").over(w).cast("bigint")
+            )
+            .filter(F.col("cum_tokens") <= 50)
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_boundary_doc_excluded(self, spark):
+        from oracdc_spark.operators.sampling import token_budget_global
+
+        docs = spark.createDataFrame(
+            [
+                (1, "p q r s t"),     # 5 toks all distinct -> best score
+                (2, "a a b b"),       # 4 toks 2 distinct
+                (3, "z z z z z z"),   # 6 toks 1 distinct
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in token_budget_global(docs, budget=9).collect()}
+        # doc1 (5) + doc2 (4) fill the budget exactly; doc3 would overflow
+        assert set(out) == {1, 2}
+        assert out[2].cum_tokens == 9
+
+    def test_zero_budget_selects_nothing(self, spark):
+        from oracdc_spark.operators.sampling import token_budget_global
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "c d")], "doc_id long, text string"
+        )
+        assert token_budget_global(docs, budget=0).count() == 0
