@@ -1268,6 +1268,15 @@ def _q_sim_pq_recall(spark, sf_dir):
     return pq.pq_recall(load_table(spark, sf_dir, "embeddings"), 100, 5)
 
 
+def _q_sim_opq_recall(spark, sf_dir):
+    # same audit as similarity_pq_recall but with the Walsh-Hadamard
+    # pre-rotation (OPQ stand-in) ahead of the subspace split — the two
+    # rows together quantify the rotation's recall lift
+    return pq.pq_recall(
+        load_table(spark, sf_dir, "embeddings"), 100, 5, rotate=True
+    )
+
+
 def _q_sim_ivfpq(spark, sf_dir):
     return pq.ivfpq_topk(load_table(spark, sf_dir, "embeddings"), 100, 5, 2)
 
@@ -1697,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_batch_dedup": _q_cdc_batch_dedup,
         "events_hourly": analytics.events_hourly,
         "similarity_pq_recall": _q_sim_pq_recall,
+        "similarity_opq_recall": _q_sim_opq_recall,
         # ================= end of 50-query window =================
         # green at their latest driver check; unchanged this round
         "events_range_join": analytics.events_range_join,
@@ -3677,19 +3687,46 @@ WHERE (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
     def _pq_sql(
         m: int, k: int, iters: int, query_mod: int, topk: int, recall: bool,
         n_probe: int | None = None, refine: int | None = None,
-        smod: int = 2,
+        smod: int = 2, opq: bool = False,
     ) -> str:
         # r7: training runs over the vec_id % smod = 0 SAMPLE (sv) with
         # (vec_id // smod) % k seeding (mirrors pq._lloyd_train — the
         # engine trains the codebook driver-side on the same sample);
         # the full corpus is then assigned once against the trained
         # codebook (cd0/codes — mirrors the engine's encode pass).
-        out = [
-            f"""WITH qv AS (
-  SELECT vec_id, label, i, CAST((i - 1) % {m} AS BIGINT) AS sub,
+        # opq=True routes every component through the fixed d=64
+        # Walsh-Hadamard rotation first (mirrors pq.opq_components:
+        # y[o] = sum_j (-1)^popcount(o&j) * q[j], exact int64) — the
+        # exact side then also computes in rotated space, which is
+        # bit-identical to raw-space scoring (uniform power-of-2 dot
+        # scaling), so the recall compare stays apples-to-apples.
+        if opq:
+            qv_cte = f"""WITH rawc AS (
+  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS j,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
 ),
+hh AS (
+  SELECT o.io, jj.j,
+         CASE WHEN bit_count(o.io & jj.j) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS io) o,
+       (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS j) jj
+),
+qv AS (
+  SELECT vec_id, label, io + 1 AS i, CAST(io % {m} AS BIGINT) AS sub,
+         CAST(SUM(sgn * q) AS BIGINT) AS q
+  FROM rawc JOIN hh USING (j)
+  GROUP BY vec_id, label, io
+),"""
+        else:
+            qv_cte = f"""WITH qv AS (
+  SELECT vec_id, label, i, CAST((i - 1) % {m} AS BIGINT) AS sub,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),"""
+        out = [
+            qv_cte
+            + f"""
 sv AS (SELECT * FROM qv WHERE vec_id % {smod} = 0),
 a0 AS (
   SELECT vec_id, CAST(s.sub AS BIGINT) AS sub,
@@ -3888,6 +3925,7 @@ LEFT JOIN hits h ON eq.query_id = h.query_id"""
 
     sql["similarity_pq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False)
     sql["similarity_pq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True)
+    sql["similarity_opq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True, opq=True)
     sql["similarity_ivfpq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False, n_probe=2)
     # refine: candidate list = top-20 ADC (5*r_factor 4), exact re-rank to 5
     sql["similarity_ivfpq_refine"] = _pq_sql(

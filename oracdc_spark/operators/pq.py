@@ -72,6 +72,63 @@ def pq_components(vecs: DataFrame, m: int = PQ_M) -> DataFrame:
     return quantized(vecs).withColumn("sub", (F.col("i") % m).cast("bigint"))
 
 
+OPQ_D = 64          # OPQ pre-rotation operates on the true vector length
+                    # (H is d x d); unlike the interleaved raw split it
+                    # cannot be ragged-agnostic.  d MUST be a power of 2:
+                    # the unnormalized Walsh-Hadamard transform scales
+                    # every dot/norm by exactly d, and a power-of-two
+                    # scale is a pure exponent shift in IEEE doubles, so
+                    # quantized-cosine scores in rotated space are
+                    # BIT-IDENTICAL to raw space (exact top-k ground
+                    # truth carries over unchanged).
+
+
+def opq_components(vecs: DataFrame, m: int = PQ_M, d: int = OPQ_D) -> DataFrame:
+    """OPQ-style pre-rotation (Ge et al., CVPR 2013, simplified to a
+    FIXED public orthogonal transform — no trained rotation, no RNG):
+    unnormalized Walsh-Hadamard matvec over the exact-integer
+    components, ``y[o] = sum_j (-1)^popcount(o & j) * q[j]``, then the
+    same interleaved ``o % m`` subspace split as ``pq_components``.
+
+    Why: PQ quantizes each subspace independently, so recall suffers
+    when variance concentrates in a few raw dimensions (their subspaces
+    carry all the signal, the rest quantize noise).  H mixes every
+    input dimension into every output dimension, spreading energy
+    evenly across subspaces — the cheap structured stand-in for OPQ's
+    learned rotation (the FAISS ``OPQ`` pre-transform family).
+
+    Exactness: H entries are +-1, so ``y`` stays an exact int64
+    (|y| <= d * max|q|); H·Hᵀ = d·I means rotated dots/norms are
+    exactly ``d *`` their raw values, and with d a power of 2 the
+    quantized-cosine score is bit-for-bit UNCHANGED — the brute-force
+    ground truth needs no rotation.  Missing trailing components (short
+    vectors) contribute zero terms, i.e. implicit zero-padding to d.
+
+    Scale shape: the H table is a d*d literal broadcast (4,096 rows at
+    d=64); the matvec is one broadcast join + one (vec_id, o) partial
+    aggregate — a single corpus shuffle, same as the encode pass it
+    feeds.  Output: (vec_id, i, q, sub) like pq_components."""
+    spark = vecs.sparkSession
+    h_rows = [
+        (o, j, 1 if bin(o & j).count("1") % 2 == 0 else -1)
+        for o in range(d)
+        for j in range(d)
+    ]
+    H = spark.createDataFrame(h_rows, "io long, j long, sgn long")
+    comps = quantized(vecs).withColumnRenamed("i", "j")
+    return (
+        comps.join(F.broadcast(H), "j")
+        .groupBy("vec_id", "io")
+        .agg(F.sum(F.col("sgn") * F.col("q")).alias("q"))
+        .select(
+            "vec_id",
+            F.col("io").alias("i"),
+            "q",
+            (F.col("io") % m).cast("bigint").alias("sub"),
+        )
+    )
+
+
 PQ_SAMPLE_MOD = 2   # training-sample stride: the codebook is trained on
                     # vectors with vec_id % PQ_SAMPLE_MOD == 0 (FAISS
                     # practice: k-means needs ~hundreds of points per
@@ -225,6 +282,7 @@ def pq_train_encode(
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     sample_mod: int = PQ_SAMPLE_MOD,
+    rotate: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks on a bounded sample and encode the
     corpus.
@@ -247,18 +305,19 @@ def pq_train_encode(
     corpus-scale driver transfers, one corpus shuffle total.
     """
     try:
-        key = (vecs.semanticHash(), m, k, iters, sample_mod)
+        key = (vecs.semanticHash(), m, k, iters, sample_mod, rotate)
     except Exception:
         key = None
     if key is not None and key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
+    comp_fn = opq_components if rotate else pq_components
     spark = vecs.sparkSession
-    sample_rows = pq_components(
+    sample_rows = comp_fn(
         vecs.filter(F.col("vec_id") % sample_mod == 0), m
     ).collect()
     cb_rows = _lloyd_train(sample_rows, k, iters, sample_mod)
     cb_arr, cc2_arr = _literal_assign_tables(spark, cb_rows, k)
-    codes = _assigned(pq_components(vecs, m), cb_arr, cc2_arr, k)
+    codes = _assigned(comp_fn(vecs, m), cb_arr, cc2_arr, k)
     cb = spark.createDataFrame(
         sorted(cb_rows), "sub long, cluster long, i long, cq long"
     )
@@ -275,15 +334,22 @@ def pq_topk(
     m: int = PQ_M,
     k: int = PQ_K,
     iters: int = PQ_ITERS,
+    rotate: bool = False,
 ) -> DataFrame:
     """ADC top-k: PQ-coded corpus scored against full-precision queries
     through the per-query (sub, cluster) dot-product LUT.  Output:
     (query_id, neighbor_id, rank).
 
+    ``rotate=True`` runs the whole pipeline (training sample, encode,
+    query LUT) in the opq_components Walsh-Hadamard space — scores stay
+    bit-identical to raw-space scoring of the rotated codebook, see
+    opq_components.
+
     Same bounded-query-batch input contract as brute_force_topk; the
     %-derived subset is the sandbox stand-in for an external batch."""
-    codes, cb = pq_train_encode(vecs, m, k, iters)
-    qq = pq_components(vecs.filter(F.col("vec_id") % query_mod == 0), m).withColumnRenamed(
+    codes, cb = pq_train_encode(vecs, m, k, iters, rotate=rotate)
+    comp_fn = opq_components if rotate else pq_components
+    qq = comp_fn(vecs.filter(F.col("vec_id") % query_mod == 0), m).withColumnRenamed(
         "vec_id", "query_id"
     )
     lut = (
@@ -405,10 +471,22 @@ def ivfpq_topk(
     )
 
 
-def pq_recall(vecs: DataFrame, query_mod: int = 100, k_neighbors: int = 5) -> DataFrame:
+def pq_recall(
+    vecs: DataFrame,
+    query_mod: int = 100,
+    k_neighbors: int = 5,
+    rotate: bool = False,
+) -> DataFrame:
     """Quantization quality audit: per-query overlap between PQ-ADC
-    top-k and exact top-k.  Output: (query_id, n_matches, recall)."""
-    approx = pq_topk(vecs, query_mod, k_neighbors)
+    top-k and exact top-k.  Output: (query_id, n_matches, recall).
+
+    With ``rotate=True`` the ADC side runs in the Walsh-Hadamard space
+    (opq_components) while the exact side stays raw — valid because the
+    rotation leaves quantized-cosine scores bit-identical (power-of-2
+    uniform scaling), so the raw exact top-k IS the rotated exact
+    top-k.  Comparing this row against the rotate=False row quantifies
+    the OPQ lift."""
+    approx = pq_topk(vecs, query_mod, k_neighbors, rotate=rotate)
     exact = brute_force_topk(vecs, query_mod, k_neighbors)
     hits = (
         approx.select("query_id", "neighbor_id")

@@ -136,3 +136,53 @@ def test_refine_recall_at_least_adc_recall(spark):
     # refined output is a strict re-rank of the wider candidate list
     cand = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(vecs, 50, 20, 2).collect()}
     assert ref <= cand
+
+
+def test_opq_rotation_scales_dots_by_exactly_d(spark):
+    """H·Hᵀ = d·I on exact integers: for every vector pair the rotated
+    dot product must equal d * raw dot product — the property that
+    makes raw-space exact top-k valid ground truth for the rotated
+    pipeline."""
+    vecs = load_table(spark, SF, "embeddings").limit(6)
+    raw = pq.pq_components(vecs).select("vec_id", "i", "q")
+    rot = pq.opq_components(vecs).select("vec_id", "i", "q")
+
+    def dots(comp):
+        a = comp.select(F.col("vec_id").alias("a"), "i", F.col("q").alias("qa"))
+        b = comp.select(F.col("vec_id").alias("b"), "i", F.col("q").alias("qb"))
+        return (
+            a.join(b, "i")
+            .filter(F.col("a") <= F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+        )
+
+    raw_d = {(r.a, r.b): r.dot for r in dots(raw).collect()}
+    rot_d = {(r.a, r.b): r.dot for r in dots(rot).collect()}
+    assert set(raw_d) == set(rot_d) and len(raw_d) > 0
+    for pair, d in raw_d.items():
+        assert rot_d[pair] == 64 * d, pair
+
+
+def test_opq_components_one_row_per_output_dim(spark):
+    vecs = load_table(spark, SF, "embeddings").limit(4)
+    rows = pq.opq_components(vecs).collect()
+    by_vec: dict = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, set()).add((r.i, r.sub))
+    for v, dims in by_vec.items():
+        assert dims == {(i, i % pq.PQ_M) for i in range(64)}, v
+
+
+def test_opq_recall_audit_shares_exact_ground_truth(spark):
+    """The rotate=True audit must report recall over the SAME query set
+    as the raw audit (exact side is raw-space by the scale-invariance
+    argument), with every recall in [0, 1]."""
+    vecs = load_table(spark, SF, "embeddings")
+    raw = {r.query_id: r.recall for r in pq.pq_recall(vecs, 100, 5).collect()}
+    rot = {
+        r.query_id: r.recall
+        for r in pq.pq_recall(vecs, 100, 5, rotate=True).collect()
+    }
+    assert set(raw) == set(rot) and len(rot) > 0
+    assert all(0.0 <= v <= 1.0 for v in rot.values())
