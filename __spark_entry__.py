@@ -1268,6 +1268,14 @@ def _q_sim_pq_recall(spark, sf_dir):
     return pq.pq_recall(load_table(spark, sf_dir, "embeddings"), 100, 5)
 
 
+def _q_sim_hyperplane_lsh(spark, sf_dir):
+    return pq.hyperplane_lsh_candidates(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_sim_hyperplane_recall(spark, sf_dir):
+    return pq.hyperplane_recall_audit(load_table(spark, sf_dir, "embeddings"), 100)
+
+
 def _q_sim_opq_recall(spark, sf_dir):
     # same audit as similarity_pq_recall but with the Walsh-Hadamard
     # pre-rotation (OPQ stand-in) ahead of the subspace split — the two
@@ -1707,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": analytics.events_hourly,
         "similarity_pq_recall": _q_sim_pq_recall,
         "similarity_opq_recall": _q_sim_opq_recall,
+        "similarity_hyperplane_lsh": _q_sim_hyperplane_lsh,
+        "similarity_hyperplane_recall": _q_sim_hyperplane_recall,
         # ================= end of 50-query window =================
         # green at their latest driver check; unchanged this round
         "events_range_join": analytics.events_range_join,
@@ -3926,6 +3936,81 @@ LEFT JOIN hits h ON eq.query_id = h.query_id"""
     sql["similarity_pq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False)
     sql["similarity_pq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True)
     sql["similarity_opq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True, opq=True)
+    # Hyperplane LSH (pq.hyperplane_lsh_candidates): the WHT rows are
+    # the hyperplane normals; 8 tables x 8 sign bits over the 64
+    # rotated components; candidates = bucket-equality pairs per table.
+    def _hlsh_cte(n_bits: int, n_tables: int) -> str:
+        return f"""rawc AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS j,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+hh AS (
+  SELECT o.io, jj.j,
+         CASE WHEN bit_count(o.io & jj.j) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS io) o,
+       (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS j) jj
+),
+rot AS (
+  SELECT vec_id, io, CAST(SUM(sgn * q) AS BIGINT) AS y
+  FROM rawc JOIN hh USING (j) GROUP BY vec_id, io
+),
+bkt AS (
+  SELECT vec_id, CAST(io // {n_bits} AS BIGINT) AS tbl,
+         CAST(SUM((CASE WHEN y > 0 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END) << (io % {n_bits}))
+              AS BIGINT) AS bucket
+  FROM rot WHERE io < {n_bits * n_tables} GROUP BY vec_id, io // {n_bits}
+),
+hcand AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         CAST(COUNT(*) AS BIGINT) AS n_tables_hit
+  FROM bkt a JOIN bkt b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)"""
+
+    sql["similarity_hyperplane_lsh"] = (
+        "WITH " + _hlsh_cte(8, 8) + "\nSELECT d1, d2, n_tables_hit FROM hcand\n"
+    )
+    # audit = capture-vs-similarity curve: all pairs of the bounded
+    # query batch, banded by floor(score*20), LEFT-joined to candidates
+    sql["similarity_hyperplane_recall"] = (
+        "WITH "
+        + _hlsh_cte(8, 8)
+        + """,
+q AS (SELECT vec_id AS query_id, j AS i, q FROM rawc WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, j AS i, q FROM rawc),
+dots AS (
+  SELECT query_id, neighbor_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM q a JOIN c b USING (i)
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+qn AS (SELECT query_id, CAST(SUM(q*q) AS BIGINT) AS qn FROM q GROUP BY query_id),
+cn AS (SELECT neighbor_id, CAST(SUM(q*q) AS BIGINT) AS cn FROM c GROUP BY neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM dots JOIN qn USING (query_id) JOIN cn USING (neighbor_id)
+),
+pairs AS (
+  SELECT LEAST(query_id, neighbor_id) AS d1,
+         GREATEST(query_id, neighbor_id) AS d2,
+         MAX(score) AS score
+  FROM scored GROUP BY 1, 2
+)
+SELECT CAST(FLOOR(p.score * 20) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN h.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN h.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS capture
+FROM pairs p LEFT JOIN hcand h ON p.d1 = h.d1 AND p.d2 = h.d2
+GROUP BY 1
+"""
+    )
     sql["similarity_ivfpq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False, n_probe=2)
     # refine: candidate list = top-20 ADC (5*r_factor 4), exact re-rank to 5
     sql["similarity_ivfpq_refine"] = _pq_sql(

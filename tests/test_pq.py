@@ -186,3 +186,34 @@ def test_opq_recall_audit_shares_exact_ground_truth(spark):
     }
     assert set(raw) == set(rot) and len(rot) > 0
     assert all(0.0 <= v <= 1.0 for v in rot.values())
+
+
+def test_hyperplane_buckets_in_range_and_cover(spark):
+    vecs = load_table(spark, SF, "embeddings")
+    n = vecs.count()
+    b = pq.hyperplane_lsh_buckets(vecs, n_bits=8, n_tables=8)
+    rows = b.collect()
+    # one bucket per (vector, table); bucket fits in n_bits
+    assert len(rows) == n * 8
+    assert all(0 <= r.bucket < 256 for r in rows)
+    assert all(0 <= r.tbl < 8 for r in rows)
+
+
+def test_hyperplane_candidates_ordered_and_bounded(spark):
+    import pytest as _pytest
+
+    vecs = load_table(spark, SF, "embeddings")
+    cand = pq.hyperplane_lsh_candidates(vecs).collect()
+    assert all(r.d1 < r.d2 for r in cand)
+    assert all(1 <= r.n_tables_hit <= 8 for r in cand)
+    with _pytest.raises(ValueError):
+        pq.hyperplane_lsh_buckets(vecs, n_bits=16, n_tables=8).collect()
+
+
+def test_hyperplane_audit_counts_consistent(spark):
+    vecs = load_table(spark, SF, "embeddings")
+    rows = pq.hyperplane_recall_audit(vecs, 100).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_pairs
+        assert abs(r.capture - r.n_hits / r.n_pairs) < 1e-6
