@@ -1398,6 +1398,10 @@ def _q_text_bm25(spark, sf_dir):
     return textops.bm25_rank(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_perplexity_buckets(spark, sf_dir):
+    return textops.perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_dsir(spark, sf_dir):
     return textops.dsir_weights(load_table(spark, sf_dir, "documents"))
 
@@ -1659,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_v2": _q_pipeline_curation_v2,
         # --- changed r6: eager counts -> lazy 1-row broadcast aggregates ---
         "text_bm25": _q_text_bm25,
+        "text_perplexity_buckets": _q_text_perplexity_buckets,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -4638,6 +4643,40 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND((CAST(SUM(q_lp) AS DOUBLE) / COUNT(*)) / 1000000, 6) AS mean_logprob
 FROM scored GROUP BY doc_id
+"""
+    )
+    # The oracle for the CCNet head/middle/tail split is the LITERAL
+    # global sort — the engine computes the same ranks via the coarse
+    # score-histogram decomposition (textops.perplexity_buckets), so a
+    # hash match proves the decomposition equals the exact global rank.
+    sql["text_perplexity_buckets"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tk AS (SELECT doc_id, lower(t.tok) AS tok FROM toks, UNNEST(w) AS t(tok)),
+counts AS (SELECT tok, COUNT(*) AS n_tok FROM tk GROUP BY tok),
+total AS (SELECT SUM(n_tok) AS n_total FROM counts),
+qlp AS (
+  SELECT tk.doc_id,
+         CAST(round(ln(CAST(n_tok AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS q_lp
+  FROM tk JOIN counts ON tk.tok = counts.tok, total
+),
+scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(CAST(SUM(q_lp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q_mean_lp
+  FROM qlp GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, q_mean_lp,
+         CAST(ROW_NUMBER() OVER (ORDER BY q_mean_lp DESC, doc_id) AS BIGINT) AS rn,
+         COUNT(*) OVER () AS n_docs
+  FROM scored
+)
+SELECT doc_id, q_mean_lp, rn,
+       CASE WHEN 3 * rn <= n_docs THEN 'head'
+            WHEN 3 * rn <= 2 * n_docs THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
 """
     )
     sql["text_bigram_logprob"] = (

@@ -1206,3 +1206,81 @@ def url_canonical_dedup(docs: DataFrame) -> DataFrame:
             F.min("doc_id").alias("keep_doc"),
         )
     )
+
+
+def perplexity_buckets(docs: DataFrame, bin_div: int = 10000) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split by LM quality score
+    (Wenzek et al. 2020 §4.3: rank documents by perplexity, keep the
+    best third as "head", next as "middle", drop or downweight the
+    "tail") — restated over :func:`unigram_logprob`'s model-free
+    quantized score and computed WITHOUT a global sort.
+
+    The exact global rank (q_mean_lp desc, doc_id asc) decomposes over
+    a COARSE score histogram: bin = floor(q_mean_lp / bin_div) bounds
+    the histogram to the score range / bin_div (~2,000 bins for mean
+    logprobs in [-20, 0] at 1e6 quantization), so the bin table is
+    metadata-sized no matter the corpus; a document's global rank is
+    then (docs in strictly-better bins) + (its rank within its own
+    bin).  Tertile edges compare in exact integer arithmetic
+    (3*rn <= n, 3*rn <= 2*n), so the oracle — the LITERAL global-sort
+    ROW_NUMBER split — must agree row for row.
+
+    Scale shape: ONE corpus shuffle for the per-doc score (token join
+    is unigram_logprob's), one more for the bin-partitioned rank
+    window; the bin histogram and doc-count are broadcast 1-row/tiny
+    aggregates.  A pathological corpus concentrating in one bin
+    degrades the bin window to the global sort's partition — shrink
+    bin_div to re-spread (the knob is the contract, like
+    pack_sequences' shards).
+
+    Output: (doc_id, q_mean_lp, rn, bucket) for every doc with >= 1
+    token; bucket in ('head', 'middle', 'tail')."""
+    toks = _parallel(docs).select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = counts.agg(F.sum("n_tok").alias("n_total"))
+    q_lp = F.round(
+        F.log(F.col("n_tok").cast("double") / F.col("n_total")) * 1_000_000, 0
+    ).cast("bigint")
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", q_lp.alias("q_lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum("q_lp").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("q_mean_lp")
+        )
+        .withColumn(
+            "bin",
+            F.floor(F.col("q_mean_lp").cast("double") / bin_div).cast("bigint"),
+        )
+    )
+    hist = scored.groupBy("bin").agg(F.count(F.lit(1)).alias("bin_cnt"))
+    wb = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    better = hist.select(
+        "bin",
+        F.coalesce(F.sum("bin_cnt").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("higher_cnt"),
+    )
+    n_docs = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    wd = Window.partitionBy("bin").orderBy(F.col("q_mean_lp").desc(), "doc_id")
+    return (
+        scored.join(F.broadcast(better), "bin")
+        .withColumn("rn", (F.col("higher_cnt") + F.row_number().over(wd)).cast("bigint"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "q_mean_lp",
+            "rn",
+            F.when(3 * F.col("rn") <= F.col("n_docs"), F.lit("head"))
+            .when(3 * F.col("rn") <= 2 * F.col("n_docs"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -527,3 +527,57 @@ def test_canonical_url_idempotent(spark):
         canonical_url(F.col("url")).alias("once"),
     ).select("once", canonical_url(F.col("once")).alias("twice"))
     assert all(r.once == r.twice for r in out.collect())
+
+
+class TestPerplexityBuckets:
+    def test_tertile_sizes_and_order(self, spark):
+        from oracdc_spark.operators.textops import perplexity_buckets
+
+        docs = spark.createDataFrame(
+            [(i, f"common common common rare{i % 9}") for i in range(9)],
+            "doc_id long, text string",
+        )
+        rows = perplexity_buckets(docs).collect()
+        assert len(rows) == 9
+        by_bucket: dict = {}
+        for r in rows:
+            by_bucket.setdefault(r.bucket, []).append(r)
+        assert {b: len(v) for b, v in by_bucket.items()} == {
+            "head": 3, "middle": 3, "tail": 3
+        }
+        # ranks are a permutation of 1..n and head ranks < middle < tail
+        assert sorted(r.rn for r in rows) == list(range(1, 10))
+        assert max(r.rn for r in by_bucket["head"]) < min(
+            r.rn for r in by_bucket["middle"]
+        )
+        assert max(r.rn for r in by_bucket["middle"]) < min(
+            r.rn for r in by_bucket["tail"]
+        )
+
+    def test_decomposition_matches_global_sort_across_bins(self, spark):
+        """Force multiple coarse bins (tiny bin_div) and check the ranks
+        still equal the literal global sort."""
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+        from oracdc_spark.operators.textops import perplexity_buckets
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(5 + i % 11)))
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.q_mean_lp, r.rn, r.bucket)
+               for r in perplexity_buckets(docs, bin_div=100).collect()}
+        base = perplexity_buckets(docs, bin_div=1 << 40)  # single bin ⇒ global window
+        want = {r.doc_id: (r.q_mean_lp, r.rn, r.bucket) for r in base.collect()}
+        assert got == want and len(got) == 40
+
+    def test_empty_docs_excluded(self, spark):
+        from oracdc_spark.operators.textops import perplexity_buckets
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "   "), (3, "a a a")],
+            "doc_id long, text string",
+        )
+        rows = perplexity_buckets(docs).collect()
+        assert {r.doc_id for r in rows} == {1, 3}
