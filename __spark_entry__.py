@@ -1613,37 +1613,16 @@ def _q_chunk_dedup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver's correctness gate checks a
-    # 50-query window from the FRONT of this dict.  Rounds 1-3 checked the
-    # CDC block; round 4 analytics/dedup/sampling/kmeans/pagerank; round 5
-    # similarity/text/multimodal + the r4-changed CDC pairing chain.
-    # ROUND-6 rotation: (a) the 18 queries declared r5 behind the window —
-    # after this round EVERY declared query has had at least one driver
-    # row; (b) everything r6 changed: the four de-eager-ed text scorers,
-    # pseudo-column order, single-topic fallback, PQ session cache, and a
-    # representative slice across families for the catalog's new
-    # explicit-footer-schema reads (events ts path changed most); (c) the
-    # new r6 queries (ora_tde_gcm, HeaderToField/KeyToValue SMTs, LOB
-    # plugin, TPC-H completion block, mvlog consumption, hybrid RRF,
-    # curation v3, pack-efficiency audit, URL/domain stats, RAG
-    # chunking, passage dedup, C4 line filter, URL-canonical dedup,
-    # token-budget selection, IVF-PQ refine).  Everything behind the
-    # window is green at its latest driver check and unchanged
-    # semantically this round — including six displaced r5-green
-    # re-checks (events_hourly/sessionize/asof, cdc_apply_changes/
-    # batch_dedup, similarity_pq_recall) whose only r6 delta is the
-    # global catalog footer-schema read that every in-window green row
-    # already exercises.
-    #
-    # ROUND-7 TODO: (a) rotate the displaced re-checks back to the
-    # front plus re-checks for anything r7 changes; after r6 every
-    # declared query has ≥1 driver row, so future windows are pure
-    # rotation + new work.  (b) candidate new work: multi-rotation
-    # SimHash buckets (the audit now quantifies the single-rotation
-    # recall gap), OPQ rotation ahead of PQ, a C4 badwords pass to
-    # complete the Raffel §2.2 set, global token-budget selection via a
-    # two-pass quantile cut (the per-shard contract's complement).
+    # 50-query window from the FRONT of this dict.  Since r7 the dict
+    # literal below is a CATALOG in historical/narrative order; the
+    # actual front-of-dict window is assembled from _R7_WINDOW at the
+    # end of this function — edit that list (not the literal's order)
+    # to rotate.  After r6 every declared query has ≥1 driver row, so
+    # each round's window = new queries + everything the round changed
+    # + the stalest re-checks (last-checked round ascending, computed
+    # from the CORRECTNESS_r0*.json history).
     # S5/G10/G11/§2.7 remain inherently pytest-only.
-    return {
+    q = {
         # --- first driver rows: TPC-H breadth block (declared r5) ---
         "q4_order_priority": analytics.q4_order_priority,
         "q7_volume_shipping": analytics.q7_volume_shipping,
@@ -1844,6 +1823,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
+    rest = [k for k in q if k not in set(_R7_WINDOW)]
+    return {k: q[k] for k in list(_R7_WINDOW) + rest}
+
+
+# ROUND-7 window (the 50 entries the driver's gate checks this round):
+# (a) the 6 never-checked r7 queries; (b) the 9 queries r7 changed —
+# events_range_frame (millisecond frame-key repair; sf0.001 passes by
+# density luck, sf0.01 is the evidence), dedup_simhash (3-rotation
+# promotion) + its recall audit (guard + per-rotation contract), the PQ
+# family (driver-side codebook training), and the canonical-url pair
+# (separator-anchored utm strip); (c) the 6 re-checks displaced from
+# the r6 window (events_hourly/sessionize/asof, cdc_apply_changes/
+# batch_dedup, similarity_pq_recall — pq_recall doubles as a (b)
+# member); (d) 30 stalest greens, all last checked in round 3 —
+# the full CDC/decoder/multimodal r3 block, unchanged since.
+_R7_WINDOW = [
+    # (a) new in r7
+    "text_perplexity_buckets",
+    "text_c4_badwords",
+    "pipeline_token_budget_global",
+    "similarity_opq_recall",
+    "similarity_hyperplane_lsh",
+    "similarity_hyperplane_recall",
+    # (b) changed in r7
+    "events_range_frame",
+    "dedup_simhash",
+    "dedup_simhash_recall",
+    "similarity_pq_topk",
+    "similarity_pq_recall",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_refine",
+    "dedup_url_canonical",
+    "text_url_domains",
+    # (c) displaced r6 re-checks
+    "events_hourly",
+    "events_sessionize",
+    "events_asof_join",
+    "cdc_apply_changes",
+    "cdc_batch_dedup",
+    # (d) stalest greens (all r3)
+    "multimodal_decode",
+    "initial_load_union",
+    "cdc_suppress_unchanged",
+    "cdc_restart_scn",
+    "cdc_change_vector",
+    "cdc_row_fusion",
+    "cdc_debezium",
+    "cdc_scd2_history",
+    "cdc_tombstones",
+    "lob_reassembly",
+    "mvlog_batch",
+    "pipeline_curation",
+    "cdc_op_filter",
+    "cdc_scn_window",
+    "cdc_table_include",
+    "cdc_container_filter",
+    "cdc_single_mode",
+    "cdc_completeness_rejects",
+    "cdc_delete_all_cols",
+    "cdc_chained_fusion",
+    "cdc_chained_incomplete",
+    "cdc_multirow_expansion",
+    "cdc_direct_load",
+    "lob_inflate",
+    "ora_number_decode",
+    "ora_number_roundtrip",
+    "sql_redo_parse",
+    "ora_binary_fp_decode",
+    "ora_charset_decode",
+    "ora_vector_decode",
+]
 
 
 # ---------------------------------------------------------------------------

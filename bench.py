@@ -146,6 +146,27 @@ BENCH_QUERIES = [
     "dedup_url_canonical",
     "pipeline_token_budget",
     "similarity_ivfpq_refine",
+    # r7 additions: dedup_simhash joins now that the shipped config is
+    # 3 rotations (3x the bucket-join work of the previously untimed
+    # single-prefix plan); the global token-budget cut (score-histogram
+    # + score-partitioned window — a different shape from the benched
+    # per-shard variant); the OPQ-rotated PQ recall audit (WHT matvec +
+    # full PQ train/encode in rotated space — the PQ family's new
+    # heaviest audit member); the global hyperplane-LSH candidate index
+    # (rotation pass + 8-table bucket self-join); and the CCNet
+    # perplexity tertile split (unigram scoring + histogram-decomposed
+    # global rank).  Named exclusions: similarity_hyperplane_recall
+    # (bounded query-batch all-pairs scoring the benched bruteforce
+    # already times, plus the benched candidate join);
+    # text_c4_badwords (same line-array codegen map as the benched
+    # text_c4_lines); text_perplexity_buckets' scoring leg shares
+    # text_unigram_logprob's benched join but adds the rank windows, so
+    # it stays IN.
+    "dedup_simhash",
+    "pipeline_token_budget_global",
+    "similarity_opq_recall",
+    "similarity_hyperplane_lsh",
+    "text_perplexity_buckets",
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the
