@@ -623,6 +623,39 @@ def _q_pipeline_curation_v3(spark, sf_dir):
     return sampling.pack_sequences(final_docs, budget=1024, n_shards=8)
 
 
+def _q_pipeline_curation_v4(spark, sf_dir):
+    """r7 curation composition — budget-capped clean-head corpus (the
+    FineWeb/CCNet recipe shape): C4 badwords page gate (on the
+    marker-injected fixture corpus, so the gate has real positives) ∧
+    CCNet perplexity head+middle (tail dropped) ∧ exact-dedup keeper,
+    then the GLOBAL token-budget cut over the survivors.  Every stage
+    is an individually-audited r7 operator; the composition adds three
+    semi joins and one survivor join-back."""
+    from oracdc_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    bw_keep = (
+        textops.c4_badwords_filter(_badword_injected(spark, sf_dir), _BADWORD_HASHES)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    pb_keep = (
+        textops.perplexity_buckets(docs)
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id")
+    )
+    ex_keep = dedup.exact_dedup_keep(docs).select("doc_id")
+    survivors = (
+        docs.join(bw_keep, "doc_id", "semi")
+        .join(pb_keep, "doc_id", "semi")
+        .join(ex_keep, "doc_id", "semi")
+    )
+    sel = sampling.token_budget_global(survivors, budget=8000)
+    return sel.join(docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens", "score", "cum_tokens"
+    )
+
+
 def _q_row_fusion(spark, sf_dir):
     return fusion.row_fusion(spark, sf_dir)
 
@@ -1674,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_canonical": _q_dedup_url_canonical,
         "pipeline_token_budget": _q_token_budget,
         "pipeline_token_budget_global": _q_token_budget_global,
+        "pipeline_curation_v4": _q_pipeline_curation_v4,
         "similarity_ivfpq_refine": _q_sim_ivfpq_refine,
         "dedup_simhash_recall": _q_dedup_simhash_recall,
         "archived_log_discovery": _q_archived_log_discovery,
@@ -1843,6 +1877,7 @@ _R7_WINDOW = [
     "text_perplexity_buckets",
     "text_c4_badwords",
     "pipeline_token_budget_global",
+    "pipeline_curation_v4",
     "similarity_opq_recall",
     "similarity_hyperplane_lsh",
     "similarity_hyperplane_recall",
@@ -1892,7 +1927,8 @@ _R7_WINDOW = [
     "sql_redo_parse",
     "ora_binary_fp_decode",
     "ora_charset_decode",
-    "ora_vector_decode",
+    # (ora_vector_decode and the rest of the r3 block roll to r8 —
+    # the window is capped at 50)
 ]
 
 
@@ -4920,6 +4956,74 @@ SELECT doc_id,
        (len(bad) = 0) AS keep
 FROM flagged
 """
+    # v4 composition: every stage is the LITERAL (global-sort /
+    # direct) form of an operator the engine computes via its
+    # decomposed scale shape — the hash match proves the composition.
+    sql["pipeline_curation_v4"] = (
+        """WITH injected AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' zyxbad' ELSE '' END
+              || CASE WHEN doc_id % 11 = 3 THEN ' qwxnaughty' ELSE '' END AS text
+  FROM documents
+),
+btoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS w
+  FROM injected
+),
+bw_keep AS (
+  SELECT doc_id FROM btoks
+  WHERE len(list_filter(w, t -> md5(t) IN ("""
+        + _bad_in
+        + """))) = 0
+),
+"""
+        + _TOKS.strip()
+        + """,
+tk AS (SELECT doc_id, lower(t.tok) AS tok FROM toks, UNNEST(w) AS t(tok)),
+counts AS (SELECT tok, COUNT(*) AS n_tok FROM tk GROUP BY tok),
+total AS (SELECT SUM(n_tok) AS n_total FROM counts),
+qlp AS (
+  SELECT tk.doc_id,
+         CAST(round(ln(CAST(n_tok AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS q_lp
+  FROM tk JOIN counts ON tk.tok = counts.tok, total
+),
+pscore AS (
+  SELECT doc_id,
+         CAST(FLOOR(CAST(SUM(q_lp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q_mean_lp
+  FROM qlp GROUP BY doc_id
+),
+pranked AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY q_mean_lp DESC, doc_id) AS BIGINT) AS rn,
+         COUNT(*) OVER () AS n_docs
+  FROM pscore
+),
+pb_keep AS (SELECT doc_id FROM pranked WHERE 3 * rn <= 2 * n_docs),
+ex_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+surv AS (
+  SELECT t.doc_id, t.lang, t.source,
+         CAST(len(t.w) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(t.w) > 0
+                   THEN (1000000 * len(list_distinct(t.w))) // len(t.w)
+                   ELSE 0 END AS BIGINT) AS score
+  FROM toks t
+  JOIN bw_keep USING (doc_id)
+  JOIN pb_keep USING (doc_id)
+  JOIN ex_keep USING (doc_id)
+),
+branked AS (
+  SELECT doc_id, lang, source, n_tokens, score,
+         CAST(SUM(n_tokens) OVER
+              (ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM surv
+)
+SELECT doc_id, lang, source, n_tokens, score, cum_tokens
+FROM branked WHERE cum_tokens <= 8000
+"""
+    )
     sql["pipeline_token_budget"] = (
         "WITH "
         + _TOKS

@@ -161,7 +161,9 @@ BENCH_QUERIES = [
     # text_c4_badwords (same line-array codegen map as the benched
     # text_c4_lines); text_perplexity_buckets' scoring leg shares
     # text_unigram_logprob's benched join but adds the rank windows, so
-    # it stays IN.
+    # it stays IN; pipeline_curation_v4 (composes the individually
+    # benched badwords/perplexity/exact-dedup/global-budget stages —
+    # v2 remains the curation representative).
     "dedup_simhash",
     "pipeline_token_budget_global",
     "similarity_opq_recall",

@@ -43,6 +43,9 @@ ALLOWED_BUILD_JOBS = {
     "similarity_ivfpq_topk": 15,
     "similarity_ivfpq_refine": 15,
     "similarity_pq_recall": 15,
+    # rotated-space codebook trains on its own bounded sample (the
+    # rotate=True cache key misses the raw-space entry by design)
+    "similarity_opq_recall": 15,
 }
 
 

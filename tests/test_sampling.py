@@ -326,3 +326,29 @@ class TestTokenBudgetGlobal:
             [(1, "a b"), (2, "c d")], "doc_id long, text string"
         )
         assert token_budget_global(docs, budget=0).count() == 0
+
+
+def test_curation_v4_invariants(spark):
+    """The v4 chain's output must respect every stage's contract:
+    budget cap, no badword docs, no perplexity-tail docs, no shadowed
+    exact dups."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    rows = e._q_pipeline_curation_v4(spark, sf).collect()
+    assert len(rows) > 0
+    assert max(r.cum_tokens for r in rows) <= 8000
+    ids = {r.doc_id for r in rows}
+    # no doc with an injected badword marker survives
+    assert not any(i % 7 == 0 or i % 11 == 3 for i in ids)
+    # no tail-bucket doc survives
+    from oracdc_spark.catalog import load_table
+    from oracdc_spark.operators.textops import perplexity_buckets
+
+    tail = {
+        r.doc_id
+        for r in perplexity_buckets(load_table(spark, sf, "documents"))
+        .filter("bucket = 'tail'")
+        .collect()
+    }
+    assert not (ids & tail)

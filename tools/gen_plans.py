@@ -82,6 +82,25 @@ NOTES = {
                                "refine joins the corpus component table against the BROADCAST "
                                "|Q|*R candidate list BEFORE any d-dim work — full-precision access "
                                "is R vectors/query, not the corpus",
+    # r7 additions
+    "dedup_simhash": "3-rotation shipped config: one signature aggregate, three rotated-prefix bucket "
+                     "projections unioned, self-join per (rot, bucket) — rotations multiply the "
+                     "bucket-join count, never the pair space",
+    "pipeline_token_budget_global": "per-score token histogram (score domain <= 1e6 -> metadata-sized "
+                                    "single-partition window) broadcast back as allowances; the corpus "
+                                    "shuffles ONCE on the score-partitioned prefix-sum window — exact "
+                                    "global-sort parity without a global sort",
+    "similarity_opq_recall": "WHT matvec = one broadcast 4096-row H join + one (vec_id, o) partial "
+                             "aggregate ahead of the standard PQ train/encode; scores bit-identical to "
+                             "raw space (power-of-2 scaling), exact side unrotated",
+    "similarity_hyperplane_lsh": "sign buckets from the rotated components (one aggregate), candidate "
+                                 "pairs from the per-(table, bucket) self-join — bounded bucket "
+                                 "fan-out, never all-pairs",
+    "text_perplexity_buckets": "unigram scoring join (vocab table unhinted, AQE decides) + coarse-bin "
+                               "histogram (score_range/bin_div rows, single-partition window on "
+                               "metadata) + ONE bin-partitioned rank window — no global sort",
+    "text_c4_badwords": "codegen exists() over the token array against a literal hash set — per-row "
+                        "map on the scan partitions, no shuffle beyond the gated single-file spread",
 }
 
 KEEP = (
