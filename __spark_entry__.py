@@ -1309,6 +1309,10 @@ def _q_sim_hyperplane_recall(spark, sf_dir):
     return pq.hyperplane_recall_audit(load_table(spark, sf_dir, "embeddings"), 100)
 
 
+def _q_sim_ann_purity(spark, sf_dir):
+    return pq.ann_label_purity(load_table(spark, sf_dir, "embeddings"), 100, 5)
+
+
 def _q_sim_opq_recall(spark, sf_dir):
     # same audit as similarity_pq_recall but with the Walsh-Hadamard
     # pre-rotation (OPQ stand-in) ahead of the subspace split — the two
@@ -1735,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_opq_recall": _q_sim_opq_recall,
         "similarity_hyperplane_lsh": _q_sim_hyperplane_lsh,
         "similarity_hyperplane_recall": _q_sim_hyperplane_recall,
+        "similarity_ann_purity": _q_sim_ann_purity,
         # ================= end of 50-query window =================
         # green at their latest driver check; unchanged this round
         "events_range_join": analytics.events_range_join,
@@ -1881,6 +1886,7 @@ _R7_WINDOW = [
     "similarity_opq_recall",
     "similarity_hyperplane_lsh",
     "similarity_hyperplane_recall",
+    "similarity_ann_purity",
     # (b) changed in r7
     "events_range_frame",
     "dedup_simhash",
@@ -1926,9 +1932,8 @@ _R7_WINDOW = [
     "ora_number_roundtrip",
     "sql_redo_parse",
     "ora_binary_fp_decode",
-    "ora_charset_decode",
-    # (ora_vector_decode and the rest of the r3 block roll to r8 —
-    # the window is capped at 50)
+    # (ora_charset_decode, ora_vector_decode and the rest of the r3
+    # block roll to r8 — the window is capped at 50)
 ]
 
 
@@ -4027,6 +4032,29 @@ LEFT JOIN hits h ON eq.query_id = h.query_id"""
     sql["similarity_pq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False)
     sql["similarity_pq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True)
     sql["similarity_opq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True, opq=True)
+
+    # label-purity audit: each leg wraps an already-declared top-k
+    # statement (exact / PQ-ADC / IVF-PQ) and joins the label column
+    def _purity_leg(method: str, subsql: str) -> str:
+        same = "SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)"
+        return f"""SELECT '{method}' AS method,
+       CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST({same} AS BIGINT) AS n_same_label,
+       ROUND(CAST({same} AS DOUBLE) / COUNT(*), 6) AS purity
+FROM ({subsql}) t
+JOIN embeddings ql ON ql.vec_id = t.query_id
+JOIN embeddings nl ON nl.vec_id = t.neighbor_id"""
+
+    sql["similarity_ann_purity"] = "\nUNION ALL\n".join(
+        [
+            _purity_leg("exact", sql["similarity_bruteforce_topk"]),
+            _purity_leg("pq", _pq_sql(16, 16, 2, 100, 5, recall=False)),
+            _purity_leg(
+                "ivfpq", _pq_sql(16, 16, 2, 100, 5, recall=False, n_probe=2)
+            ),
+        ]
+    )
     # Hyperplane LSH (pq.hyperplane_lsh_candidates): the WHT rows are
     # the hyperplane normals; 8 tables x 8 sign bits over the 64
     # rotated components; candidates = bucket-equality pairs per table.

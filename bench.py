@@ -163,7 +163,9 @@ BENCH_QUERIES = [
     # text_unigram_logprob's benched join but adds the rank windows, so
     # it stays IN; pipeline_curation_v4 (composes the individually
     # benched badwords/perplexity/exact-dedup/global-budget stages —
-    # v2 remains the curation representative).
+    # v2 remains the curation representative);
+    # similarity_ann_purity (three label joins over the benched
+    # exact/pq/ivfpq top-k plans — no new heavy stage).
     "dedup_simhash",
     "pipeline_token_budget_global",
     "similarity_opq_recall",

@@ -696,3 +696,66 @@ def hyperplane_recall_audit(
             ).alias("capture"),
         )
     )
+
+
+def ann_label_purity(
+    vecs: DataFrame, query_mod: int = 100, k_neighbors: int = 5
+) -> DataFrame:
+    """Semantic-quality audit across the ANN ladder: for each method
+    (exact brute force, PQ-ADC, IVF-PQ) the mean fraction of top-k
+    neighbors sharing the query's ``label`` — the retrieval-quality
+    measure recall@k cannot see (an index can miss the exact top-k yet
+    still return same-cluster vectors, which is what a semantic-dedup
+    or retrieval user actually needs).
+
+    Exact integer counts aggregated to one row per method:
+    (method, n_queries, n_pairs, n_same_label, purity).  purity =
+    round(n_same_label / n_pairs, 6) — both engines derive it from the
+    same integers.  Methods reuse the audited top-k operators (and the
+    session PQ code cache), so the added cost is three label joins on
+    |Q|*k rows.
+
+    Reading the row set: ivfpq purity ABOVE exact is expected when the
+    coarse cells are the label assignment itself — probing constrains
+    candidates to the query's own cluster, so what the index loses in
+    exact-top-k recall it gains in label agreement.  A large
+    exact-vs-approx purity gap in the OTHER direction is the signal
+    that quantization is destroying semantic structure."""
+    lab = vecs.select("vec_id", "label")
+    qlab = lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "q_label"
+    )
+    nlab = lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "n_label"
+    )
+    methods = [
+        ("exact", brute_force_topk(vecs, query_mod, k_neighbors)),
+        ("pq", pq_topk(vecs, query_mod, k_neighbors)),
+        ("ivfpq", ivfpq_topk(vecs, query_mod, k_neighbors)),
+    ]
+    out = None
+    for name, topk in methods:
+        row = (
+            topk.join(F.broadcast(qlab), "query_id")
+            .join(F.broadcast(nlab), "neighbor_id")
+            .agg(
+                F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum((F.col("q_label") == F.col("n_label")).cast("bigint"))
+                .cast("bigint")
+                .alias("n_same_label"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                "n_queries",
+                "n_pairs",
+                F.col("n_same_label"),
+                F.round(
+                    F.col("n_same_label").cast("double")
+                    / F.col("n_pairs").cast("double"),
+                    6,
+                ).alias("purity"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

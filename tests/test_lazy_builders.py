@@ -46,6 +46,9 @@ ALLOWED_BUILD_JOBS = {
     # rotated-space codebook trains on its own bounded sample (the
     # rotate=True cache key misses the raw-space entry by design)
     "similarity_opq_recall": 15,
+    # composes pq_topk + ivfpq_topk: pays the training collect only if
+    # the raw-space cache is cold (it is warm in window order)
+    "similarity_ann_purity": 15,
 }
 
 

@@ -217,3 +217,13 @@ def test_hyperplane_audit_counts_consistent(spark):
     for r in rows:
         assert 0 <= r.n_hits <= r.n_pairs
         assert abs(r.capture - r.n_hits / r.n_pairs) < 1e-6
+
+
+def test_ann_label_purity_rows_and_bounds(spark):
+    vecs = load_table(spark, SF, "embeddings")
+    rows = {r.method: r for r in pq.ann_label_purity(vecs, 100, 5).collect()}
+    assert set(rows) == {"exact", "pq", "ivfpq"}
+    for r in rows.values():
+        assert r.n_pairs == r.n_queries * 5
+        assert 0 <= r.n_same_label <= r.n_pairs
+        assert abs(r.purity - r.n_same_label / r.n_pairs) < 1e-6
