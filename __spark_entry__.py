@@ -1439,6 +1439,12 @@ def _q_text_perplexity_buckets(spark, sf_dir):
     return textops.perplexity_buckets(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_exact_substr_trim(spark, sf_dir):
+    from oracdc_spark.operators import winnow
+
+    return winnow.exact_substr_trim(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_dsir(spark, sf_dir):
     return textops.dsir_weights(load_table(spark, sf_dir, "documents"))
 
@@ -1680,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed r6: eager counts -> lazy 1-row broadcast aggregates ---
         "text_bm25": _q_text_bm25,
         "text_perplexity_buckets": _q_text_perplexity_buckets,
+        "text_exact_substr_trim": _q_text_exact_substr_trim,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -1881,6 +1888,7 @@ _R7_WINDOW = [
     # (a) new in r7
     "text_perplexity_buckets",
     "text_c4_badwords",
+    "text_exact_substr_trim",
     "pipeline_token_budget_global",
     "pipeline_curation_v4",
     "similarity_opq_recall",
@@ -1931,9 +1939,8 @@ _R7_WINDOW = [
     "ora_number_decode",
     "ora_number_roundtrip",
     "sql_redo_parse",
-    "ora_binary_fp_decode",
-    # (ora_charset_decode, ora_vector_decode and the rest of the r3
-    # block roll to r8 — the window is capped at 50)
+    # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode and
+    # the rest of the r3 block roll to r8 — the window is capped at 50)
 ]
 
 
@@ -4601,6 +4608,43 @@ SELECT g.doc_id,
              / COUNT(*), 6) AS dup_fraction
 FROM g JOIN dpg ON g.h = dpg.h
 GROUP BY g.doc_id
+"""
+    )
+    # ExactSubstr removal (winnow.exact_substr_trim): dup windows from
+    # the same gram hashes as text_dup_span_fraction; covered positions
+    # cut, token-level reconstruction
+    sql["text_exact_substr_trim"] = (
+        "WITH "
+        + _TOKS
+        + """,
+grams AS (
+  SELECT doc_id, i AS p,
+         CAST('0x' || substr(md5(lower(array_to_string(w[i:i+7], ' '))), 1, 15)
+              AS BIGINT) AS h
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+dupg AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.p + s.j AS t
+  FROM grams g JOIN dupg USING (h), UNNEST(generate_series(0, 7)) AS s(j)
+),
+rem AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed, list(t) AS rl
+  FROM cov GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       COALESCE(array_to_string(
+         list_filter(
+           list_transform(generate_series(1, len(w)),
+                          i -> CASE WHEN r.rl IS NOT NULL
+                                     AND list_contains(r.rl, i)
+                                    THEN NULL ELSE w[i] END),
+           x -> x IS NOT NULL),
+         ' '), '') AS cleaned_text
+FROM toks tk LEFT JOIN rem r USING (doc_id)
 """
     )
     sql["text_winnow_candidates"] = (

@@ -171,6 +171,11 @@ BENCH_QUERIES = [
     "similarity_opq_recall",
     "similarity_hyperplane_lsh",
     "text_perplexity_buckets",
+    # ExactSubstr removal: shares dup_span_fraction's gram table but
+    # adds the covered-position fold + per-row reconstruction — the
+    # family's new heaviest member, so it joins and the metric-only
+    # text_dup_span_fraction stays as the lighter shape
+    "text_exact_substr_trim",
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -138,3 +138,92 @@ def winnow_candidates(docs: DataFrame, max_df: int = 50) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+def exact_substr_trim(docs: DataFrame, span: int = 8) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 §4.1): cut every token
+    covered by a cross-document duplicated ``span``-token window and
+    reconstruct the cleaned text — the operator behind
+    :func:`dup_span_fraction`'s metric (the paper removes the
+    duplicated substring from all but one occurrence; this variant
+    removes it everywhere, the stricter form used when memorized spans
+    must not survive at all — boilerplate, licenses, chain letters).
+
+    Pipeline: window hashes as in dup_span_fraction (lowercased grams,
+    15-hex-digit md5 bigint), dup = hash in >= 2 distinct docs, covered
+    token positions = union of p..p+span-1 over each doc's dup windows,
+    cleaned = the doc's tokens with covered positions dropped, joined
+    by single spaces (token-level reconstruction — original inter-token
+    whitespace is not preserved, the Lee et al. tokenized-corpus
+    convention).
+
+    Scale shape: the gram table is corpus-positions-sized but narrow
+    and keys uniformly on the hash (two hash-keyed shuffles: the
+    distinct-doc count and the join back); the covered-position set
+    rides the same partitions and folds to one per-doc array via
+    collect_set, re-entering the corpus row as a broadcast-joined
+    column.  The position filter is a per-row array expression —
+    O(n_tokens * n_removed) worst case, bounded by document length,
+    never corpus-sized.  Output: (doc_id, n_tokens, n_removed,
+    cleaned_text)."""
+    toks = _tokens()
+    grams = F.when(
+        F.size(toks) >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (span - 1)),
+            lambda i: F.lower(
+                F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(span)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        _parallel(docs)
+        .select("doc_id", F.posexplode(grams).alias("p0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("p"),
+            _gram_hash(F.col("gram")).alias("h"),
+        )
+    )
+    dupg = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    covered = (
+        g.join(dupg, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (span - 1))
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    rem = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed"),
+        F.collect_set("t").alias("rl"),
+    )
+    base = _parallel(docs).select("doc_id", toks.alias("w"))
+    keep_tok = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w")),
+            lambda i: F.when(
+                F.array_contains(F.coalesce(F.col("rl"), F.array().cast("array<int>")), i.cast("int")),
+                F.lit(None).cast("string"),
+            ).otherwise(F.element_at("w", i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        base.join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.when(F.size("w") == 0, F.lit("")).otherwise(
+                F.array_join(keep_tok, " ")
+            ).alias("cleaned_text"),
+        )
+    )

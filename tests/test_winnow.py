@@ -99,3 +99,62 @@ class TestDupSpans:
         assert got[0].n_spans == 9
         assert got[0].n_dup_spans == 1
         assert got[1].n_dup_spans == 1
+
+
+class TestExactSubstrTrim:
+    def test_shared_span_removed_from_both(self, spark):
+        from oracdc_spark.operators.winnow import exact_substr_trim
+
+        shared = "a b c d e f g h"  # exactly one 8-token window
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro one two {shared} tail1 x"),
+                (2, f"{shared} closing words here"),
+                (3, "totally different content with no duplicated spans at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in exact_substr_trim(docs).collect()}
+        assert out[1].n_removed == 8
+        assert out[1].cleaned_text == "intro one two tail1 x"
+        assert out[2].n_removed == 8
+        assert out[2].cleaned_text == "closing words here"
+        assert out[3].n_removed == 0
+        assert out[3].cleaned_text == out[3].cleaned_text.strip()
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        from oracdc_spark.operators.winnow import exact_substr_trim
+
+        t = "p q r s t u v w"
+        docs = spark.createDataFrame(
+            [(1, t), (2, t)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in exact_substr_trim(docs).collect()}
+        for r in out.values():
+            assert r.n_tokens == 8 and r.n_removed == 8
+            assert r.cleaned_text == ""
+
+    def test_case_insensitive_match_preserves_case(self, spark):
+        from oracdc_spark.operators.winnow import exact_substr_trim
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta KEEP1"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta keep2"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in exact_substr_trim(docs).collect()}
+        assert out[1].cleaned_text == "KEEP1"
+        assert out[2].cleaned_text == "keep2"
+
+    def test_short_docs_untouched(self, spark):
+        from oracdc_spark.operators.winnow import exact_substr_trim
+
+        docs = spark.createDataFrame(
+            [(1, "one two three"), (2, "one two three")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in exact_substr_trim(docs).collect()}
+        for r in out.values():
+            assert r.n_removed == 0 and r.cleaned_text == "one two three"

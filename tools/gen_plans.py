@@ -101,6 +101,11 @@ NOTES = {
                                "metadata) + ONE bin-partitioned rank window — no global sort",
     "text_c4_badwords": "codegen exists() over the token array against a literal hash set — per-row "
                         "map on the scan partitions, no shuffle beyond the gated single-file spread",
+    "text_exact_substr_trim": "gram table shuffles twice on the uniform hash key (distinct-doc count, "
+                              "join-back); covered positions fold to one per-doc array; the cleaned-text "
+                              "rebuild is a per-row array expression, bounded by doc length",
+    "similarity_ann_purity": "three label joins (broadcast, |Q|*k rows) over the exact/PQ/IVF-PQ top-k "
+                             "plans; PQ codes come from the session cache — no retraining",
 }
 
 KEEP = (
