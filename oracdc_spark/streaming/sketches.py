@@ -90,3 +90,46 @@ def run_sketch_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def dedup_gate_batch(
+    spark: SparkSession, batch: DataFrame, state_path: str
+) -> DataFrame:
+    """Streaming exact-dedup gate: emit only documents whose md5(text)
+    digest has not been seen in ANY earlier micro-batch, then fold the
+    batch's new digests into the state — the streaming form of
+    ``dedup.exact_dedup_keep`` for a continuously-arriving crawl
+    (each trigger pays O(batch) + one anti-join against the digest
+    state, never a corpus rescan).
+
+    In-batch duplicates also collapse (keep lowest doc_id), so after
+    any stream prefix the emitted set equals the batch operator over
+    the concatenation (asserted in tests).  The digest state is one
+    narrow column; at 100 TB the same gate keys the state table by
+    digest-bucket so the anti-join co-partitions with stored state
+    (Delta/Iceberg MERGE by digest does exactly this), and the
+    atomic-swap write generalizes to a transactional append of only
+    the NEW digests.
+
+    Returns the emitted (surviving) rows; writes the updated state."""
+    digested = batch.withColumn("digest", F.md5(F.col("text")))
+    w_first = (
+        digested.groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(digested, ["digest", "doc_id"])
+    )
+    if os.path.exists(state_path):
+        seen = spark.read.parquet(state_path)
+        fresh = w_first.join(seen, "digest", "anti")
+    else:
+        seen = None
+        fresh = w_first
+    out = fresh.select(batch.columns).persist()
+    out.count()  # pin before the state swap invalidates the read path
+    new_digests = fresh.select("digest").distinct()
+    all_digests = (
+        new_digests if seen is None
+        else seen.unionAll(new_digests).distinct()
+    )
+    _swap_write(all_digests, state_path)
+    return out

@@ -58,3 +58,42 @@ def test_streamed_sketches_equal_batch(spark):
             os.path.getsize(os.path.join(cms_path, f)) for f in os.listdir(cms_path)
         )
         assert sz < 1_000_000
+
+
+def test_dedup_gate_emits_first_occurrences_only(spark):
+    """After any prefix of micro-batches, the union of emitted rows must
+    equal exact_dedup_keep over the concatenation of those batches."""
+    import tempfile
+
+    from oracdc_spark.operators.dedup import exact_dedup_keep
+    from oracdc_spark.streaming.sketches import dedup_gate_batch
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "alpha text"), (5, "gamma text"), (6, "gamma text")],
+        "doc_id long, text string",
+    )
+    b3 = spark.createDataFrame(
+        [(7, "beta text"), (8, "delta text")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        state = f"{d}/digests"
+        emitted = []
+        seen_batches = None
+        for b in (b1, b2, b3):
+            out = dedup_gate_batch(spark, b, state)
+            emitted.extend((r.doc_id, r.text) for r in out.collect())
+            out.unpersist()
+            seen_batches = b if seen_batches is None else seen_batches.unionAll(b)
+            want = {
+                (r.doc_id, r.text)
+                for r in exact_dedup_keep(seen_batches).collect()
+            }
+            assert set(emitted) == want
+        # final: exactly one doc per distinct text, the lowest doc_id
+        assert dict(emitted) == {1: "alpha text", 2: "beta text",
+                                 5: "gamma text", 8: "delta text"}
