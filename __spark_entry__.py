@@ -1445,6 +1445,18 @@ def _q_text_exact_substr_trim(spark, sf_dir):
     return winnow.exact_substr_trim(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_langid_confusion(spark, sf_dir):
+    return textops.langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_length_quantiles(spark, sf_dir):
+    return textops.doc_length_quantiles(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash_estimate(spark, sf_dir):
+    return dedup.minhash_estimate_audit(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_dsir(spark, sf_dir):
     return textops.dsir_weights(load_table(spark, sf_dir, "documents"))
 
@@ -1687,6 +1699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _q_text_bm25,
         "text_perplexity_buckets": _q_text_perplexity_buckets,
         "text_exact_substr_trim": _q_text_exact_substr_trim,
+        # declared late-r7 BEHIND the window (sf0.001 parity-gate checked;
+        # first driver rows belong in the r8 window — see _R7_WINDOW note)
+        "text_langid_confusion": _q_text_langid_confusion,
+        "text_length_quantiles": _q_text_length_quantiles,
+        "dedup_minhash_estimate": _q_dedup_minhash_estimate,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -1873,6 +1890,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
+# ROUND-8 TODO: window = (a) first driver rows for the three late-r7
+# queries declared behind the window (text_langid_confusion,
+# text_length_quantiles, dedup_minhash_estimate — all sf0.001+sf0.01
+# green locally); (b) re-checks for whatever r8 changes; (c) the
+# stalest greens continuing from where (d) below left off
+# (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
+# the r4 block per the CORRECTNESS_r0*.json history).
+#
 # ROUND-7 window (the 50 entries the driver's gate checks this round):
 # (a) the 6 never-checked r7 queries; (b) the 9 queries r7 changed —
 # events_range_frame (millisecond frame-key repair; sf0.001 passes by
@@ -3292,6 +3317,60 @@ SELECT n_exact, n_candidates, n_hits,
 FROM ne CROSS JOIN nc CROSS JOIN nh
 """
     )
+    # MinHash estimate-vs-exact audit over the LSH candidate pairs
+    # (dedup.minhash_estimate_audit): ppm-quantized integers so the
+    # error aggregates exactly
+    sql["dedup_minhash_estimate"] = (
+        "WITH cand AS (SELECT d1, d2 FROM ("
+        + sql["dedup_minhash_lsh"]
+        + """) c),
+"""
+        + _SHINGLES.strip().rstrip()
+        + """,
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+p1 AS (
+  SELECT c.d1, c.d2,
+         CAST(CAST(1000000 AS BIGINT)
+              * SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) // 8
+              AS BIGINT) AS est_ppm
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.d1
+  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.seed = s1.seed
+  GROUP BY c.d1, c.d2
+),
+icnt AS (
+  SELECT c.d1, c.d2, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY c.d1, c.d2
+),
+scnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+p2 AS (
+  SELECT i.d1, i.d2,
+         CAST(CAST(1000000 AS BIGINT) * n_inter
+              // (ca.n_sh + cb.n_sh - n_inter) AS BIGINT) AS exact_ppm
+  FROM icnt i
+  JOIN scnt ca ON ca.doc_id = i.d1
+  JOIN scnt cb ON cb.doc_id = i.d2
+),
+pp AS (
+  SELECT est_ppm, exact_ppm, ABS(est_ppm - exact_ppm) AS err_ppm
+  FROM p1 JOIN p2 USING (d1, d2)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(est_ppm), 1) AS mean_est_ppm,
+       ROUND(AVG(exact_ppm), 1) AS mean_exact_ppm,
+       ROUND(AVG(err_ppm), 1) AS mean_abs_err_ppm,
+       CAST(MAX(err_ppm) AS BIGINT) AS max_abs_err_ppm
+FROM pp
+"""
+    )
     sql["dedup_lsh_incremental"] = (
         "WITH "
         + _SHINGLES
@@ -4423,6 +4502,43 @@ FROM b GROUP BY shard, seq_id
 h AS (SELECT doc_id, lang, {hit_cols} FROM toks)
 SELECT doc_id, lang, {case_sql} AS pred_lang, (lang = {case_sql}) AS match
 FROM h
+"""
+    )
+    # confusion matrix over the language_id heuristic (one cell per
+    # observed (actual, predicted) pair + per-actual-class recall)
+    sql["text_langid_confusion"] = (
+        "WITH li AS ("
+        + sql["text_language_id"]
+        + """),
+cells AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM li GROUP BY lang, pred_lang
+),
+totals AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_total FROM li GROUP BY lang)
+SELECT c.lang, c.pred_lang, c.n_docs, t.lang_total,
+       ROUND(CAST(c.n_docs AS DOUBLE) / t.lang_total, 6) AS recall
+FROM cells c JOIN totals t USING (lang)
+"""
+    )
+    # exact length quantiles via the cumulative histogram (the
+    # vocab_coverage formulation over doc token lengths)
+    sql["text_length_quantiles"] = (
+        "WITH "
+        + _TOKS
+        + """,
+lens AS (SELECT CAST(len(w) AS BIGINT) AS len FROM toks),
+hist AS (SELECT len, COUNT(*) AS cnt FROM lens GROUP BY len),
+ranked AS (
+  SELECT len,
+         SUM(cnt) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+n AS (SELECT COUNT(*) AS n_docs FROM lens)
+SELECT pct, CAST(MIN(len) AS BIGINT) AS n_tokens,
+       CAST(MAX(n_docs) AS BIGINT) AS n_docs
+FROM ranked, n, (SELECT UNNEST([50, 90, 99]) AS pct) p
+WHERE cum * 100 >= n_docs * pct
+GROUP BY pct
 """
     )
     sql["text_fingerprint"] = (

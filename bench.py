@@ -176,6 +176,12 @@ BENCH_QUERIES = [
     # family's new heaviest member, so it joins and the metric-only
     # text_dup_span_fraction stays as the lighter shape
     "text_exact_substr_trim",
+    # late-r7 named exclusions: text_langid_confusion (an aggregate
+    # over the benched text_language_id scan), text_length_quantiles
+    # (one histogram over the benched token-stats scan),
+    # dedup_minhash_estimate (signature + shingle joins restricted to
+    # the benched LSH candidate pairs — both legs' plans already timed
+    # via dedup_minhash_lsh / dedup_ngram_jaccard)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -480,3 +480,86 @@ def _pair_recall_row(exact: DataFrame, cand: DataFrame) -> DataFrame:
             ).otherwise(F.lit(1.0)).alias("recall"),
         )
     )
+
+
+def minhash_estimate_audit(
+    docs: DataFrame, n: int = 5, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """MinHash accuracy audit: over the LSH candidate pairs, compare
+    the signature-based Jaccard ESTIMATE (fraction of equal signature
+    components — the statistic MinHash exists to provide) against the
+    exact shingle Jaccard, as ppm-quantized integers so the error
+    aggregates exactly (no float-summation order, the engine's
+    standard determinism contract).
+
+    One row: (n_pairs, mean_est_ppm, mean_exact_ppm, mean_abs_err_ppm,
+    max_abs_err_ppm).  Expected |err| ~ sqrt(p(1-p)/k) ≈ 0.17 at k=8 —
+    the audit makes the k-vs-accuracy trade measurable before anyone
+    raises num_hashes corpus-wide.  Scale: candidates are the audited
+    LSH family's bounded bucket joins; exact Jaccard is computed ONLY
+    for candidate pairs via the shingle-keyed join (never all pairs)."""
+    cand = minhash_lsh_candidates(docs, n, num_hashes, bands).select("d1", "d2")
+    sig = minhash_signatures(docs, n, num_hashes)
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.expr(f"CAST({1_000_000} AS BIGINT)").alias("_sc"),
+            F.lit(num_hashes).alias("_k"),
+            eq.cast("bigint").alias("n_eq"),
+        )
+        .select(
+            "d1",
+            "d2",
+            F.expr("_sc * n_eq div _k").cast("bigint").alias("est_ppm"),
+        )
+    )
+    sh = shingles(docs, n)
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(cand, "d1")
+        .join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exact = (
+        inter.join(counts.withColumnRenamed("doc_id", "d1"), "d1")
+        .withColumnRenamed("n_sh", "c1")
+        .join(counts.withColumnRenamed("doc_id", "d2"), "d2")
+        .withColumnRenamed("n_sh", "c2")
+        .select(
+            "d1",
+            "d2",
+            F.expr("CAST(1000000 AS BIGINT) * n_inter div (c1 + c2 - n_inter)")
+            .cast("bigint")
+            .alias("exact_ppm"),
+        )
+    )
+    per_pair = est.join(exact, ["d1", "d2"]).select(
+        "est_ppm",
+        "exact_ppm",
+        F.abs(F.col("est_ppm") - F.col("exact_ppm")).alias("err_ppm"),
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("est_ppm"), 1).alias("mean_est_ppm"),
+        F.round(F.avg("exact_ppm"), 1).alias("mean_exact_ppm"),
+        F.round(F.avg("err_ppm"), 1).alias("mean_abs_err_ppm"),
+        F.max("err_ppm").cast("bigint").alias("max_abs_err_ppm"),
+    )

@@ -1284,3 +1284,66 @@ def perplexity_buckets(docs: DataFrame, bin_div: int = 10000) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix for the marker-lexicon language-ID heuristic
+    against the stored ``lang`` label — the audit row set for
+    :func:`language_id` (the discipline: every heuristic classifier
+    ships the measurement of where it is wrong, per class, not one
+    global accuracy).
+
+    Output: (lang, pred_lang, n_docs, lang_total, recall) — one row
+    per observed (actual, predicted) cell; recall = cell / actual-class
+    total, exact integers until one final rounded division.  Scale:
+    rides language_id's corpus scan + ONE (lang, pred_lang) aggregate
+    (|langs|² cells at most) and a broadcast per-lang total."""
+    li = language_id(docs)
+    cells = li.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = li.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lang_total")
+    )
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        "lang_total",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("lang_total").cast("double"), 6
+        ).alias("recall"),
+    )
+
+
+def doc_length_quantiles(
+    docs: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Exact corpus length quantiles WITHOUT a global sort — the
+    vocab_coverage shape applied to document token lengths: the
+    length histogram (distinct lengths are bounded by the longest
+    document, metadata-sized regardless of corpus row count) carries a
+    cumulative count, and quantile p = the smallest length whose
+    cumulative count covers p% of documents (integer cross-multiplied
+    ``cum*100 >= n_docs*pct`` — no float boundary).
+
+    Output: (pct, n_tokens, n_docs) — the p-th percentile document
+    length and the corpus size it was computed over."""
+    lengths = _parallel(docs).select(F.size(_tokens()).cast("bigint").alias("len"))
+    hist = lengths.groupBy("len").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("len")
+    ranked = hist.select(
+        "len",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).crossJoin(F.broadcast(lengths.agg(F.count(F.lit(1)).alias("n_docs"))))
+    th = F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct")
+    return (
+        ranked.select("len", "cum", "n_docs", th)
+        .filter(F.col("cum") * 100 >= F.col("n_docs") * F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.min("len").cast("bigint").alias("n_tokens"),
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("pct").cast("int").alias("pct"), "n_tokens", "n_docs")
+    )

@@ -581,3 +581,46 @@ class TestPerplexityBuckets:
         )
         rows = perplexity_buckets(docs).collect()
         assert {r.doc_id for r in rows} == {1, 3}
+
+
+class TestLangidConfusionAndQuantiles:
+    def test_confusion_cells_sum_to_totals(self, spark):
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import langid_confusion
+
+        rows = langid_confusion(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        ).collect()
+        assert len(rows) > 0
+        by_lang: dict = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, cells in by_lang.items():
+            total = cells[0].lang_total
+            assert sum(c.n_docs for c in cells) == total
+            assert abs(sum(c.recall for c in cells) - 1.0) < 1e-4
+
+    def test_quantiles_monotone_and_exact(self, spark):
+        import pyspark.sql.functions as F
+        from oracdc_spark.operators.textops import doc_length_quantiles, _tokens
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * (i + 1))) for i in range(100)],
+            "doc_id long, text string",
+        )
+        q = {r.pct: r.n_tokens for r in doc_length_quantiles(docs).collect()}
+        # lengths are exactly 1..100 -> pct-th percentile = pct
+        assert q == {50: 50, 90: 90, 99: 99}
+
+
+def test_minhash_estimate_audit_bounds(spark):
+    from oracdc_spark.catalog import load_table
+    from oracdc_spark.operators.dedup import minhash_estimate_audit
+
+    r = minhash_estimate_audit(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    ).collect()[0]
+    assert r.n_pairs > 0
+    assert 0 <= r.mean_est_ppm <= 1_000_000
+    assert 0 <= r.mean_exact_ppm <= 1_000_000
+    assert 0 <= r.mean_abs_err_ppm <= r.max_abs_err_ppm <= 1_000_000
