@@ -1226,6 +1226,15 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"), n=5, threshold=0.5)
 
 
+def _q_dedup_clusters_fast(spark, sf_dir):
+    # pointer-jumping variant — same declared semantics as
+    # dedup_clusters, proven against the SAME independent recursive-CTE
+    # oracle (the equivalence is a theorem, the oracle row the evidence)
+    return dedup.dedup_clusters_fast(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.5
+    )
+
+
 def _q_pipeline_sample(spark, sf_dir):
     return dedup.sample_by_hash(load_table(spark, sf_dir, "documents"))
 
@@ -1704,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_confusion": _q_text_langid_confusion,
         "text_length_quantiles": _q_text_length_quantiles,
         "dedup_minhash_estimate": _q_dedup_minhash_estimate,
+        "dedup_clusters_fast": _q_dedup_clusters_fast,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -1890,10 +1900,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
-# ROUND-8 TODO: window = (a) first driver rows for the three late-r7
+# ROUND-8 TODO: window = (a) first driver rows for the four late-r7
 # queries declared behind the window (text_langid_confusion,
-# text_length_quantiles, dedup_minhash_estimate — all sf0.001+sf0.01
-# green locally); (b) re-checks for whatever r8 changes; (c) the
+# text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast —
+# all sf0.001+sf0.01 green locally); (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
@@ -3438,6 +3448,9 @@ reach AS (
 SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
 """
     )
+    # the pointer-jumping variant declares the SAME semantics — same
+    # independent recursive-CTE oracle
+    sql["dedup_clusters_fast"] = sql["dedup_clusters"]
     sql["pipeline_sample"] = (
         "SELECT * FROM documents WHERE "
         "substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 2) < '1a'"

@@ -181,7 +181,11 @@ BENCH_QUERIES = [
     # (one histogram over the benched token-stats scan),
     # dedup_minhash_estimate (signature + shingle joins restricted to
     # the benched LSH candidate pairs — both legs' plans already timed
-    # via dedup_minhash_lsh / dedup_ngram_jaccard)
+    # via dedup_minhash_lsh / dedup_ngram_jaccard);
+    # dedup_clusters_fast (the O(log diameter) pointer-jumping CC — at
+    # sf0.1 the dup components are shallow so it would only measure
+    # its per-round overhead vs the benched dedup_clusters; its win is
+    # deep-chain graphs, pinned by the unit test instead)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

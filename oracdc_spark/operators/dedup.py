@@ -563,3 +563,87 @@ def minhash_estimate_audit(
         F.round(F.avg("err_ppm"), 1).alias("mean_abs_err_ppm"),
         F.max("err_ppm").cast("bigint").alias("max_abs_err_ppm"),
     )
+
+
+def dedup_clusters_fast(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5, max_iters: int = 50
+) -> DataFrame:
+    """Connected components in O(log diameter) rounds: min-label
+    propagation WITH POINTER-JUMPING SHORTCUTS (the Shiloach-Vishkin
+    shortcut step; same round complexity as the large-star/small-star
+    family, Kiveris et al. SoCC 2014) — the extreme-scale complement to
+    :func:`dedup_clusters`, whose plain propagation needs O(diameter)
+    rounds: a pathological million-doc boilerplate CHAIN finishes in
+    ~20 rounds here instead of ~1e6.
+
+    Each round: (1) hook — l(u) <- min(l(u), min over neighbors v of
+    l(v)) (one edge join + groupBy, exactly the propagation step);
+    (2) shortcut — l(u) <- l(l(u)) (one self-join of the label table:
+    labels chase their parent's label, halving chain depth).  Labels
+    only ever decrease and always name a node of the same component,
+    so the fixpoint is the component minimum — IDENTICAL output to
+    dedup_clusters (asserted in tests, including a deep chain).
+    Convergence count per round is the lazy-builder gate's bounded
+    convergence-decision exception.
+
+    Scale shape: both steps are pair-graph-sized (never corpus-sized)
+    shuffles; the label table is |dup nodes| rows; singletons attach in
+    one final left join."""
+    pairs = jaccard_pairs(docs, n=n, threshold=threshold).select("d1", "d2")
+    edges = pairs.unionAll(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).cache()
+    labels = (
+        edges.select(F.col("d1").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # (1) hook: min over own label and neighbors' labels
+        nb_min = (
+            edges.join(labels, edges["d2"] == labels["doc_id"])
+            .groupBy("d1")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        hooked = (
+            labels.join(nb_min, labels["doc_id"] == nb_min["d1"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # (2) shortcut: chase the parent's label (halves chain depth)
+        parent = hooked.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        # localCheckpoint (not cache): the shortcut self-join references
+        # the previous level TWICE, so without severing the lineage the
+        # logical plan doubles every round (2^rounds analysis blow-up);
+        # an eager local checkpoint truncates the plan each iteration
+        new_labels = (
+            hooked.join(parent, hooked["cluster_id"] == parent["p_id"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("p_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("nl")
+            .join(labels.alias("ol"), "doc_id")
+            .filter(F.col("nl.cluster_id") != F.col("ol.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )

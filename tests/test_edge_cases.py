@@ -194,3 +194,32 @@ def test_simhash_recall_audit_zero_guard_and_bounds(spark):
         assert r.recall == r.n_hits / r.n_exact
     # more rotations can only add candidate buckets, never remove hits
     assert rows[1].n_hits >= rows[0].n_hits
+
+
+class TestDedupClustersFast:
+    def test_matches_label_propagation_on_corpus(self, spark):
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators import dedup
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = {(r.doc_id, r.cluster_id) for r in dedup.dedup_clusters(docs).collect()}
+        b = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup.dedup_clusters_fast(docs).collect()
+        }
+        assert a == b
+
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        """A 24-doc chain (diameter 23) needs ~23 plain-propagation
+        rounds; the pointer-jumping variant must finish the whole
+        component inside 6 rounds (log2(24) ~ 4.6 + margin)."""
+        from oracdc_spark.operators import dedup
+
+        chunks = [" ".join(f"c{j}w{t}" for t in range(12)) for j in range(25)]
+        rows = [(i, chunks[i] + " " + chunks[i + 1]) for i in range(24)]
+        chain = spark.createDataFrame(rows, "doc_id long, text string")
+        # adjacent docs share 12 of ~36 distinct 5-shingles -> use a low
+        # threshold so the chain is actually connected
+        out = dedup.dedup_clusters_fast(chain, threshold=0.15, max_iters=6)
+        clusters = {r.cluster_id for r in out.collect()}
+        assert clusters == {0}

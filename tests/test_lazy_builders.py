@@ -37,6 +37,9 @@ ALLOWED_BUILD_JOBS = {
     "registry_evolution": 2,   # one bounded dictionary collect (25 rows)
     "registry_key_guard": 2,
     "dedup_clusters": 40,      # convergence iterations, corpus-bounded
+    # pointer-jumping variant: eager localCheckpoints + convergence
+    # counts per round (O(log diameter) rounds)
+    "dedup_clusters_fast": 40,
     # PQ codebook training: one bounded sample-components collect (see
     # module docstring), AQE may split it into several jobs; cache-hit = 0
     "similarity_pq_topk": 15,
