@@ -1496,6 +1496,16 @@ def _q_events_asof(spark, sf_dir):
     )
 
 
+def _q_events_asof_tolerance(spark, sf_dir):
+    return asof.events_asof_tolerance(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def _q_events_asof_nearest(spark, sf_dir):
+    return asof.events_asof_nearest(load_table(spark, sf_dir, "events"))
+
+
 def _pii_injected(spark, sf_dir):
     """Deterministic PII fixture: the synthetic corpus has no PII, so
     inject emails/URLs/IPs by doc_id class (mirrored in the oracle CTE).
@@ -1714,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": _q_text_length_quantiles,
         "dedup_minhash_estimate": _q_dedup_minhash_estimate,
         "dedup_clusters_fast": _q_dedup_clusters_fast,
+        "events_asof_tolerance": _q_events_asof_tolerance,
+        "events_asof_nearest": _q_events_asof_nearest,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -1900,10 +1912,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
-# ROUND-8 TODO: window = (a) first driver rows for the four late-r7
+# ROUND-8 TODO: window = (a) first driver rows for the six late-r7
 # queries declared behind the window (text_langid_confusion,
-# text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast —
-# all sf0.001+sf0.01 green locally); (b) re-checks for whatever r8 changes; (c) the
+# text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast,
+# events_asof_tolerance, events_asof_nearest — all sf0.001+sf0.01
+# green locally); (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
@@ -3198,6 +3211,84 @@ SELECT event_id, k AS user_id, ts,
        CAST(substr(best, 21, 19) AS BIGINT) AS asof_orderkey,
        make_timestamp(CAST(substr(best, 1, 19) AS BIGINT)) AS asof_orderdate
 FROM u WHERE is_left = 1
+"""
+    # merge_asof tolerance knob: same sortable-mark plan, match
+    # discarded when the gap exceeds the tolerance (NULLs, left-outer)
+    sql["events_asof_tolerance"] = """
+WITH l AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, 1 AS is_left,
+         CAST(NULL AS VARCHAR) AS mark, event_id, ts
+  FROM events
+),
+r AS (
+  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS is_left,
+         lpad(CAST(epoch_us(o_orderdate) AS VARCHAR), 19, '0') || '|' ||
+         lpad(CAST(o_orderkey AS VARCHAR), 19, '0') AS mark,
+         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts
+  FROM orders
+),
+u AS (
+  SELECT *, MAX(mark) OVER (PARTITION BY k ORDER BY t, is_left, mark
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best
+  FROM (SELECT * FROM l UNION ALL SELECT * FROM r) z
+),
+v AS (
+  SELECT *, (best IS NOT NULL
+             AND t - CAST(substr(best, 1, 19) AS BIGINT) <= 750000000000000) AS ok
+  FROM u WHERE is_left = 1
+)
+SELECT event_id, k AS user_id, ts,
+       CASE WHEN ok THEN CAST(substr(best, 21, 19) AS BIGINT) END AS asof_orderkey,
+       CASE WHEN ok THEN CAST(substr(best, 1, 19) AS BIGINT) END AS asof_orderdate_micros
+FROM v
+"""
+    # merge_asof nearest direction: clicks x purchases inside events —
+    # backward running max + forward running max over the negated
+    # timestamp (2^62 - t), closer match wins, ties to backward,
+    # 2-day tolerance
+    sql["events_asof_nearest"] = """
+WITH l AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, 1 AS is_left,
+         CAST(NULL AS VARCHAR) AS mark_b, CAST(NULL AS VARCHAR) AS mark_f,
+         event_id, ts
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, 0 AS is_left,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0') || '|' ||
+         lpad(CAST(event_id AS VARCHAR), 19, '0') AS mark_b,
+         lpad(CAST(4611686018427387904 - epoch_us(ts) AS VARCHAR), 19, '0') || '|' ||
+         lpad(CAST(event_id AS VARCHAR), 19, '0') AS mark_f,
+         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT *,
+         MAX(mark_b) OVER (PARTITION BY k ORDER BY t, is_left, mark_b
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_b,
+         MAX(mark_f) OVER (PARTITION BY k ORDER BY t DESC, is_left, mark_f
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_f
+  FROM (SELECT * FROM l UNION ALL SELECT * FROM r) z
+),
+d AS (
+  SELECT event_id, k, ts, t,
+         CAST(substr(best_b, 1, 19) AS BIGINT) AS ts_b,
+         CAST(substr(best_b, 21, 19) AS BIGINT) AS key_b,
+         4611686018427387904 - CAST(substr(best_f, 1, 19) AS BIGINT) AS ts_f,
+         CAST(substr(best_f, 21, 19) AS BIGINT) AS key_f,
+         best_b IS NOT NULL AND t - CAST(substr(best_b, 1, 19) AS BIGINT)
+           <= 172800000000 AS vb,
+         best_f IS NOT NULL
+           AND (4611686018427387904 - CAST(substr(best_f, 1, 19) AS BIGINT)) - t
+           <= 172800000000 AS vf
+  FROM u WHERE is_left = 1
+)
+SELECT event_id, k AS user_id, ts,
+       CASE WHEN vb AND (NOT vf OR t - ts_b <= ts_f - t) THEN key_b
+            WHEN vf THEN key_f END AS nearest_purchase_id,
+       CASE WHEN vb AND (NOT vf OR t - ts_b <= ts_f - t) THEN ts_b
+            WHEN vf THEN ts_f END AS nearest_purchase_ts_micros
+FROM d
 """
     sql["events_range_join"] = """
 WITH p AS (

@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     # dedup_minhash_estimate (signature + shingle joins restricted to
     # the benched LSH candidate pairs — both legs' plans already timed
     # via dedup_minhash_lsh / dedup_ngram_jaccard);
+    # events_asof_tolerance / events_asof_nearest (same single-exchange
+    # sortable-mark plan as the benched events_asof_join, plus a codegen
+    # CASE per row — no new heavy stage);
     # dedup_clusters_fast (the O(log diameter) pointer-jumping CC — at
     # sf0.1 the dup components are shallow so it would only measure
     # its per-round overhead vs the benched dedup_clusters; its win is

@@ -108,3 +108,71 @@ def test_asof_property_random_vs_bruteforce(spark):
             cands = [(ots, ok) for ok, ou, ots in rights if ou == u and ots <= ts]
             want = max(cands)[1] if cands else None
             assert got[eid] == want, (trial, eid, got[eid], want)
+
+
+class TestDirectionalAsof:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, 100), (2, 1, 205), (3, 2, 50)],
+            "event_id long, k long, t long",
+        ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).timestamp_micros("t"))
+        right = spark.createDataFrame(
+            [(10, 1, 90), (11, 1, 200), (12, 1, 210), (13, 2, 400)],
+            "rid long, k long, rt long",
+        ).withColumn("rts", __import__("pyspark.sql.functions", fromlist=["F"]).timestamp_micros("rt"))
+        return left, right
+
+    def _run(self, spark, direction, tol=None):
+        from oracdc_spark.operators.asof import asof_join_directional
+
+        left, right = self._frames(spark)
+        out = asof_join_directional(
+            left.select("event_id", "k", "ts"),
+            right.select("k", "rts", "rid"),
+            on="k", left_ts="ts", right_ts="rts", right_key="rid",
+            direction=direction, tolerance_micros=tol,
+        )
+        return {r.event_id: (r.asof_rid, r.asof_rts_micros) for r in out.collect()}
+
+    def test_backward(self, spark):
+        got = self._run(spark, "backward")
+        # e1@100: latest <=100 is rid10@90; e2@205: rid11@200; e3@50: none
+        assert got == {1: (10, 90), 2: (11, 200), 3: (None, None)}
+
+    def test_forward(self, spark):
+        got = self._run(spark, "forward")
+        # e1@100: earliest >=100 is rid11@200; e2@205: rid12@210; e3@50: rid13@400
+        assert got == {1: (11, 200), 2: (12, 210), 3: (13, 400)}
+
+    def test_nearest_ties_backward(self, spark):
+        got = self._run(spark, "nearest")
+        # e2@205: gap_b=5 (rid11@200) == gap_f=5 (rid12@210) -> backward wins
+        assert got[2] == (11, 200)
+        # e1@100: gap_b=10 < gap_f=100 -> backward; e3: only forward exists
+        assert got[1] == (10, 90) and got[3] == (13, 400)
+
+    def test_tolerance_cuts(self, spark):
+        got = self._run(spark, "nearest", tol=20)
+        # e1@100: backward gap 10 ok; forward gap 100 cut -> backward
+        assert got[1] == (10, 90)
+        # e3@50: forward gap 350 > 20 -> no match
+        assert got[3] == (None, None)
+
+    def test_inclusive_bounds(self, spark):
+        from oracdc_spark.operators.asof import asof_join_directional
+        import pyspark.sql.functions as F
+
+        left = spark.createDataFrame(
+            [(1, 1, 200)], "event_id long, k long, t long"
+        ).withColumn("ts", F.timestamp_micros("t"))
+        right = spark.createDataFrame(
+            [(11, 1, 200)], "rid long, k long, rt long"
+        ).withColumn("rts", F.timestamp_micros("rt"))
+        for d in ("backward", "forward", "nearest"):
+            out = asof_join_directional(
+                left.select("event_id", "k", "ts"),
+                right.select("k", "rts", "rid"),
+                on="k", left_ts="ts", right_ts="rts", right_key="rid",
+                direction=d,
+            ).collect()[0]
+            assert out.asof_rid == 11, d
