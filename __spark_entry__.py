@@ -1726,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_fast": _q_dedup_clusters_fast,
         "events_asof_tolerance": _q_events_asof_tolerance,
         "events_asof_nearest": _q_events_asof_nearest,
+        "events_user_similarity": analytics.events_user_similarity,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -1912,11 +1913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
-# ROUND-8 TODO: window = (a) first driver rows for the six late-r7
+# ROUND-8 TODO: window = (a) first driver rows for the seven late-r7
 # queries declared behind the window (text_langid_confusion,
 # text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast,
-# events_asof_tolerance, events_asof_nearest — all sf0.001+sf0.01
-# green locally); (b) re-checks for whatever r8 changes; (c) the
+# events_asof_tolerance, events_asof_nearest, events_user_similarity —
+# all sf0.001+sf0.01 green locally); (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
@@ -3314,6 +3315,37 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+    # time-series similarity: 24-dim hourly value profiles, quantized
+    # cosine top-k for the bounded query batch (user_id % 50 = 0)
+    sql["events_user_similarity"] = """
+WITH prof AS (
+  SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY user_id, hour(ts)
+),
+qq AS (SELECT user_id AS query_user, h, q AS qa FROM prof WHERE user_id % 50 = 0),
+cc AS (SELECT user_id AS neighbor_user, h, q AS qb FROM prof),
+dots AS (
+  SELECT query_user, neighbor_user, CAST(SUM(qa * qb) AS BIGINT) AS dot
+  FROM qq JOIN cc USING (h)
+  WHERE query_user <> neighbor_user
+  GROUP BY query_user, neighbor_user
+),
+qn AS (SELECT query_user, CAST(SUM(qa * qa) AS BIGINT) AS qn FROM qq GROUP BY query_user),
+cn AS (SELECT neighbor_user, CAST(SUM(qb * qb) AS BIGINT) AS cn FROM cc GROUP BY neighbor_user),
+scored AS (
+  SELECT query_user, neighbor_user,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM dots JOIN qn USING (query_user) JOIN cn USING (neighbor_user)
+)
+SELECT query_user, neighbor_user, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_user
+                               ORDER BY score DESC, neighbor_user) AS rank
+  FROM scored) t
+WHERE rank <= 5
 """
     sql["events_running_total"] = """
 SELECT event_id, user_id,

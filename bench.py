@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     # dedup_minhash_estimate (signature + shingle joins restricted to
     # the benched LSH candidate pairs — both legs' plans already timed
     # via dedup_minhash_lsh / dedup_ngram_jaccard);
+    # events_user_similarity (profile aggregate + the benched
+    # broadcast-query cosine join shape at 24-dim);
     # events_asof_tolerance / events_asof_nearest (same single-exchange
     # sortable-mark plan as the benched events_asof_join, plus a codegen
     # CASE per row — no new heavy stage);

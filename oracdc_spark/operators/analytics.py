@@ -1127,3 +1127,67 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+def events_user_similarity(
+    spark: SparkSession, sf_dir: str, query_mod: int = 50, k_neighbors: int = 5
+) -> DataFrame:
+    """Time-series similarity search over behavior profiles (the
+    distributed top-k similarity-search shape of the streaming/
+    trajectory literature, restated on this engine's quantized-cosine
+    machinery): each user's event history folds to a 24-dim
+    hour-of-day value profile — sum of round(value*1000) per hour, an
+    exact-integer seasonal signature — and a bounded query batch
+    (user_id % query_mod == 0, brute_force_topk's contract) retrieves
+    its top-k most-similar users by quantized cosine.
+
+    Scale shape: ONE (user, hour) aggregate builds all profiles; the
+    dot-product join keys on the 24-value hour dimension with the
+    query side broadcast (|Q|*24 rows), so corpus profiles are touched
+    once — identical contract to similarity.cosine_scores.  Output:
+    (query_user, neighbor_user, rank)."""
+    e = load_table(spark, sf_dir, "events")
+    prof = (
+        e.select(
+            "user_id",
+            F.hour("ts").cast("bigint").alias("h"),
+            F.round(F.col("value") * 1000, 0).cast("bigint").alias("qv"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("qv").alias("q"))
+    )
+    qq = prof.filter(F.col("user_id") % query_mod == 0).select(
+        F.col("user_id").alias("query_user"), "h", F.col("q").alias("qa")
+    )
+    cc = prof.select(
+        F.col("user_id").alias("neighbor_user"), "h", F.col("q").alias("qb")
+    )
+    dots = (
+        F.broadcast(qq)
+        .join(cc, "h")
+        .filter(F.col("query_user") != F.col("neighbor_user"))
+        .groupBy("query_user", "neighbor_user")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    qn = qq.groupBy("query_user").agg(F.sum(F.col("qa") * F.col("qa")).alias("qn"))
+    cn = cc.groupBy("neighbor_user").agg(F.sum(F.col("qb") * F.col("qb")).alias("cn"))
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
+    )
+    w = Window.partitionBy("query_user").orderBy(
+        F.col("score").desc(), "neighbor_user"
+    )
+    return (
+        dots.join(F.broadcast(qn), "query_user")
+        .join(cn, "neighbor_user")
+        .select("query_user", "neighbor_user", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_user",
+            "neighbor_user",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
