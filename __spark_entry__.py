@@ -1506,6 +1506,18 @@ def _q_events_asof_nearest(spark, sf_dir):
     return asof.events_asof_nearest(load_table(spark, sf_dir, "events"))
 
 
+def _q_events_sax_candidates(spark, sf_dir):
+    from oracdc_spark.operators import tsindex
+
+    return tsindex.sax_candidates(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_sax_recall(spark, sf_dir):
+    from oracdc_spark.operators import tsindex
+
+    return tsindex.sax_recall_audit(spark, sf_dir)
+
+
 def _pii_injected(spark, sf_dir):
     """Deterministic PII fixture: the synthetic corpus has no PII, so
     inject emails/URLs/IPs by doc_id class (mirrored in the oracle CTE).
@@ -1727,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_tolerance": _q_events_asof_tolerance,
         "events_asof_nearest": _q_events_asof_nearest,
         "events_user_similarity": analytics.events_user_similarity,
+        "events_sax_candidates": _q_events_sax_candidates,
+        "events_sax_recall": _q_events_sax_recall,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -1913,11 +1927,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
-# ROUND-8 TODO: window = (a) first driver rows for the seven late-r7
+# ROUND-8 TODO: window = (a) first driver rows for the nine late-r7
 # queries declared behind the window (text_langid_confusion,
 # text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast,
-# events_asof_tolerance, events_asof_nearest, events_user_similarity —
-# all sf0.001+sf0.01 green locally); (b) re-checks for whatever r8 changes; (c) the
+# events_asof_tolerance, events_asof_nearest, events_user_similarity,
+# events_sax_candidates, events_sax_recall — all sf0.001+sf0.01 green
+# locally); (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
@@ -3316,6 +3331,67 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
+    # SAX word construction shared by the candidate index and its audit
+    # (mirrors operators/tsindex.py: PAA segment sums, sample-trained
+    # quartile breakpoints, 2-bit symbols packed into one word)
+    _SAX_SEGS = ",\n".join(
+        f"""         CAST(SUM(CASE WHEN hour(ts) >= {s * 4} AND hour(ts) < {(s + 1) * 4}
+                       THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s{s}"""
+        for s in range(6)
+    )
+    _SAX_LONG = " UNION ALL ".join(
+        f"SELECT user_id, CAST({s} AS BIGINT) AS seg, s{s} AS raw FROM paa"
+        for s in range(6)
+    )
+    _SAX_WORDS = f"""paa AS (
+  SELECT user_id,
+{_SAX_SEGS}
+  FROM events GROUP BY user_id
+),
+longf0 AS ({_SAX_LONG}),
+l1t AS (SELECT user_id, SUM(ABS(raw)) AS l1 FROM longf0 GROUP BY user_id),
+longf AS (
+  SELECT user_id, seg,
+         CAST(CASE WHEN l1 > 0
+                   THEN FLOOR(CAST(raw AS DOUBLE) * 1000000 / l1)
+                   ELSE 0 END AS BIGINT) AS v
+  FROM longf0 JOIN l1t USING (user_id)
+),
+samp AS (SELECT seg, v FROM longf WHERE user_id % 2 = 0),
+ranked AS (
+  SELECT seg, v, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY v) AS rk
+  FROM samp
+),
+ns AS (SELECT seg, COUNT(*) AS n FROM samp GROUP BY seg),
+bp AS (
+  SELECT r.seg,
+         MIN(CASE WHEN rk = GREATEST(1, (n * 1) // 4) THEN v END) AS b1,
+         MIN(CASE WHEN rk = GREATEST(1, (n * 2) // 4) THEN v END) AS b2,
+         MIN(CASE WHEN rk = GREATEST(1, (n * 3) // 4) THEN v END) AS b3
+  FROM ranked r JOIN ns USING (seg) GROUP BY r.seg
+),
+sym AS (
+  SELECT user_id, seg,
+         CAST(CASE WHEN v >= b1 THEN 1 ELSE 0 END
+              + CASE WHEN v >= b2 THEN 1 ELSE 0 END
+              + CASE WHEN v >= b3 THEN 1 ELSE 0 END AS BIGINT) AS sym
+  FROM longf JOIN bp USING (seg)
+),
+words AS (
+  SELECT user_id, CAST(SUM(sym << CAST(2 * seg AS INT)) AS BIGINT) AS word
+  FROM sym GROUP BY user_id
+)"""
+    sql["events_sax_candidates"] = (
+        "WITH "
+        + _SAX_WORDS
+        + """,
+bkt AS (SELECT user_id, word & 255 AS bucket FROM words)
+SELECT a.user_id AS u1, b.user_id AS u2, a.bucket AS bucket
+FROM bkt a JOIN bkt b
+  ON a.bucket = b.bucket AND a.user_id < b.user_id
+"""
+    )
     # time-series similarity: 24-dim hourly value profiles, quantized
     # cosine top-k for the bounded query batch (user_id % 50 = 0)
     sql["events_user_similarity"] = """
@@ -3347,6 +3423,46 @@ SELECT query_user, neighbor_user, CAST(rank AS BIGINT) AS rank FROM (
   FROM scored) t
 WHERE rank <= 5
 """
+    sql["events_sax_recall"] = (
+        "WITH "
+        + _SAX_WORDS
+        + """,
+bkt AS (SELECT user_id, word & 255 AS bucket FROM words),
+cand AS (
+  SELECT a.user_id AS u1, b.user_id AS u2
+  FROM bkt a JOIN bkt b
+    ON a.bucket = b.bucket AND a.user_id < b.user_id
+),
+prof AS (
+  SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY user_id, hour(ts)
+),
+qq AS (SELECT user_id AS qu, h, q AS qa FROM prof WHERE user_id % 50 = 0),
+cc AS (SELECT user_id AS nu, h, q AS qb FROM prof),
+dots AS (
+  SELECT qu, nu, CAST(SUM(qa * qb) AS BIGINT) AS dot
+  FROM qq JOIN cc USING (h) WHERE qu <> nu GROUP BY qu, nu
+),
+qn AS (SELECT qu, CAST(SUM(qa * qa) AS BIGINT) AS qn FROM qq GROUP BY qu),
+cn AS (SELECT nu, CAST(SUM(qb * qb) AS BIGINT) AS cn FROM cc GROUP BY nu),
+pairs AS (
+  SELECT LEAST(qu, nu) AS u1, GREATEST(qu, nu) AS u2,
+         MAX((CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+             * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+             / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE))) AS score
+  FROM dots JOIN qn USING (qu) JOIN cn USING (nu)
+  GROUP BY 1, 2
+)
+SELECT CAST(FLOOR(p.score * 20) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.u1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN c.u1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS capture
+FROM pairs p LEFT JOIN cand c ON p.u1 = c.u1 AND p.u2 = c.u2
+GROUP BY 1
+"""
+    )
     sql["events_running_total"] = """
 SELECT event_id, user_id,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (

@@ -1,0 +1,227 @@
+"""Symbolic time-series index (SAX / iSAX family, Lin et al. 2003;
+Shieh & Keogh 2008) over behavioral hour-of-day profiles — the
+bucketed candidate index for time-series similarity search, completing
+the events_user_similarity exact scorer with a scale path the same way
+LSH/PQ complete the embedding scorers.
+
+Pipeline (all exact integers, DuckDB-mirrorable):
+1. dense 24-dim profile per user (one (user) aggregate with 24
+   conditional sums of round(value*1000));
+2. PAA: 6 segments of 4 hours — segment SUM (same ordering as the
+   mean, no division);
+3. alphabet: per-segment QUARTILE breakpoints trained on the bounded
+   ``user_id % sample_mod == 0`` sample (the PQ training-sample
+   contract) — computed lazily in-plan by a rank window over the
+   sample (sample-bounded sort, 18 output rows) and broadcast back;
+4. word: 6 two-bit symbols packed into one bigint — equal words =
+   candidate bucket.
+
+Scale shape: profiles/PAA are one corpus aggregate; the breakpoint
+table is 18 rows; candidates come from per-word self-joins (4^6 = 4096
+buckets bound the fan-out); the audit joins candidates against the
+exact top-k of a bounded query batch.
+
+Reference scope note: oracdc has no time-series index; this belongs to
+the analytics surface this engine adds (SURVEY §2.6 family).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+N_HOURS = 24
+N_SEG = 6
+SEG_W = N_HOURS // N_SEG
+
+
+def user_paa(events: DataFrame) -> DataFrame:
+    """Dense per-user PAA segments: (user_id, s0..s5) — segment sums of
+    the quantized hourly value profile, absent hours contributing 0."""
+    qv = F.round(F.col("value") * 1000, 0).cast("bigint")
+    h = F.hour("ts")
+    aggs = [
+        F.sum(
+            F.when((h >= s * SEG_W) & (h < (s + 1) * SEG_W), qv).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"s{s}")
+        for s in range(N_SEG)
+    ]
+    return events.groupBy("user_id").agg(*aggs)
+
+
+def _breakpoints_from_long(longf: DataFrame, sample_mod: int = 2) -> DataFrame:
+    """Per-segment quartile breakpoints from the bounded sample of the
+    (already normalized) long-form segments: for segment s with sorted
+    sample values v_1..v_n (1-based), breakpoint i = v_max(1, (n*i)
+    div 4) for i in 1..3.  Output: (seg, b1, b2, b3) — 18 values
+    total, a broadcast literal-sized table computed lazily (the rank
+    window sorts only the sample)."""
+    samp = longf.filter(F.col("user_id") % sample_mod == 0).select("seg", "v")
+    w = Window.partitionBy("seg").orderBy("v")
+    ranked = samp.withColumn("rk", F.row_number().over(w))
+    n = samp.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(n, "seg")
+    bps = [
+        j.filter(
+            F.col("rk") == F.greatest(F.lit(1), F.expr(f"(n * {i}) div 4"))
+        )
+        .groupBy("seg")
+        .agg(F.min("v").alias(f"b{i}"))
+        for i in (1, 2, 3)
+    ]
+    out = bps[0]
+    for b in bps[1:]:
+        out = out.join(b, "seg")
+    return out
+
+
+def _normalized_long(paa: DataFrame) -> DataFrame:
+    """Long-form L1-NORMALIZED segments: (user_id, seg, v) with
+    v = floor(1e6 * segment_sum / Σ|segment_sum|) — scale-invariant,
+    so the symbols align with the COSINE scorer the index serves
+    (users with the same shape at different amplitudes must share a
+    word; raw-value quartiles would split them).  floor over an
+    exactly-representable double division — both engines agree;
+    all-zero profiles map to v = 0."""
+    longf = None
+    for s in range(N_SEG):
+        part = paa.select(
+            "user_id",
+            F.lit(s).cast("bigint").alias("seg"),
+            F.col(f"s{s}").alias("raw"),
+        )
+        longf = part if longf is None else longf.unionAll(part)
+    tot = longf.groupBy("user_id").agg(F.sum(F.abs("raw")).alias("l1"))
+    return longf.join(tot, "user_id").select(
+        "user_id",
+        "seg",
+        F.when(F.col("l1") > 0,
+               F.floor(F.col("raw").cast("double") * 1_000_000 / F.col("l1")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("v"),
+    )
+
+
+def sax_words(events: DataFrame, sample_mod: int = 2) -> DataFrame:
+    """(user_id, word): six 2-bit symbols (L1-normalized segment value
+    vs its three sample-trained breakpoints) packed little-endian into
+    one bigint."""
+    longf = _normalized_long(user_paa(events))
+    bp = _breakpoints_from_long(longf, sample_mod)
+    sym = (
+        longf.join(F.broadcast(bp), "seg")
+        .select(
+            "user_id",
+            "seg",
+            (
+                (F.col("v") >= F.col("b1")).cast("bigint")
+                + (F.col("v") >= F.col("b2")).cast("bigint")
+                + (F.col("v") >= F.col("b3")).cast("bigint")
+            ).alias("sym"),
+        )
+    )
+    return sym.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(sym, CAST(2 * seg AS INT))"))
+        .cast("bigint")
+        .alias("word")
+    )
+
+
+def sax_candidates(
+    events: DataFrame, sample_mod: int = 2, prefix_segs: int = 4
+) -> DataFrame:
+    """Similar-behavior candidate pairs: users sharing the low
+    ``prefix_segs``-segment SAX prefix — the iSAX coarsening knob (the
+    full 6-segment word is the finest resolution; a shorter prefix
+    trades candidate volume for recall exactly like SimHash prefix
+    bits).  4^prefix_segs buckets bound the self-join fan-out.
+    Output: (u1, u2, bucket), u1 < u2."""
+    mask = (1 << (2 * prefix_segs)) - 1
+    wds = sax_words(events, sample_mod).select(
+        "user_id", F.col("word").bitwiseAND(F.lit(mask)).alias("bucket")
+    )
+    a, b = wds.alias("a"), wds.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("a.bucket").alias("bucket"),
+        )
+    )
+
+
+def sax_recall_audit(spark, sf_dir: str, query_mod: int = 50) -> DataFrame:
+    """Index-quality audit as a CAPTURE-vs-SIMILARITY CURVE (the same
+    banded discipline as the hyperplane-LSH audit): every profile pair
+    of a bounded query batch is banded by its quantized-cosine score
+    (floor(score*20)) and each band reports how many of its pairs the
+    SAX buckets surface.  Capture must rise with the band — and on a
+    corpus whose cosine-nearest profiles are sparse random overlaps
+    (no true behavioral clusters), the absent high bands ARE the
+    honest answer, not a low flat number.
+
+    Output: (band, n_pairs, n_hits, capture), one row per occupied
+    band; exact-integer counts."""
+    from oracdc_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    qv = F.round(F.col("value") * 1000, 0).cast("bigint")
+    prof = (
+        events.select("user_id", F.hour("ts").cast("bigint").alias("h"), qv.alias("q"))
+        .groupBy("user_id", "h")
+        .agg(F.sum("q").alias("q"))
+    )
+    qq = prof.filter(F.col("user_id") % query_mod == 0).select(
+        F.col("user_id").alias("qu"), "h", F.col("q").alias("qa")
+    )
+    cc = prof.select(F.col("user_id").alias("nu"), "h", F.col("q").alias("qb"))
+    dots = (
+        F.broadcast(qq)
+        .join(cc, "h")
+        .filter(F.col("qu") != F.col("nu"))
+        .groupBy("qu", "nu")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    qn = qq.groupBy("qu").agg(F.sum(F.col("qa") * F.col("qa")).alias("qn"))
+    cn = cc.groupBy("nu").agg(F.sum(F.col("qb") * F.col("qb")).alias("cn"))
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
+    )
+    pairs = (
+        dots.join(F.broadcast(qn), "qu")
+        .join(cn, "nu")
+        .select(
+            F.least("qu", "nu").alias("u1"),
+            F.greatest("qu", "nu").alias("u2"),
+            score.alias("score"),
+        )
+        .groupBy("u1", "u2")
+        .agg(F.max("score").alias("score"))
+    )
+    cand = sax_candidates(events).select("u1", "u2", F.lit(1).alias("hit"))
+    return (
+        pairs.join(cand, ["u1", "u2"], "left")
+        .groupBy(F.floor(F.col("score") * 20).cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "band",
+            "n_pairs",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_pairs").cast("double"), 6
+            ).alias("capture"),
+        )
+    )

@@ -1,0 +1,44 @@
+"""SAX time-series index (operators/tsindex.py) invariants."""
+
+import pyspark.sql.functions as F
+
+from oracdc_spark.catalog import load_table
+from oracdc_spark.operators import tsindex
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_words_in_range_one_per_user(spark):
+    ev = load_table(spark, SF, "events")
+    rows = tsindex.sax_words(ev).collect()
+    users = ev.select("user_id").distinct().count()
+    assert len(rows) == users
+    assert all(0 <= r.word < 4096 for r in rows)
+
+
+def test_candidates_are_bucket_pairs(spark):
+    ev = load_table(spark, SF, "events")
+    words = {r.user_id: r.word for r in tsindex.sax_words(ev).collect()}
+    cand = tsindex.sax_candidates(ev).collect()
+    for r in cand:
+        assert r.u1 < r.u2
+        assert (words[r.u1] & 255) == (words[r.u2] & 255) == r.bucket
+
+
+def test_words_scale_invariant(spark):
+    """L1 normalization makes the symbols amplitude-blind: scaling every
+    value by an exact constant must leave every SAX word unchanged
+    (the property that aligns the index with the cosine scorer)."""
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "value")
+    base = {r.user_id: r.word for r in tsindex.sax_words(ev).collect()}
+    scaled = ev.withColumn("value", F.col("value") * 4)
+    got = {r.user_id: r.word for r in tsindex.sax_words(scaled).collect()}
+    assert base == got
+
+
+def test_audit_counts_consistent(spark):
+    rows = tsindex.sax_recall_audit(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_pairs
+        assert abs(r.capture - r.n_hits / r.n_pairs) < 1e-6
