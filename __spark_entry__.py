@@ -1518,6 +1518,12 @@ def _q_events_sax_recall(spark, sf_dir):
     return tsindex.sax_recall_audit(spark, sf_dir)
 
 
+def _q_events_sax_topk(spark, sf_dir):
+    from oracdc_spark.operators import tsindex
+
+    return tsindex.sax_topk(spark, sf_dir)
+
+
 def _pii_injected(spark, sf_dir):
     """Deterministic PII fixture: the synthetic corpus has no PII, so
     inject emails/URLs/IPs by doc_id class (mirrored in the oracle CTE).
@@ -1741,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_similarity": analytics.events_user_similarity,
         "events_sax_candidates": _q_events_sax_candidates,
         "events_sax_recall": _q_events_sax_recall,
+        "events_sax_topk": _q_events_sax_topk,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -1927,12 +1934,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
-# ROUND-8 TODO: window = (a) first driver rows for the nine late-r7
+# ROUND-8 TODO: window = (a) first driver rows for the ten late-r7
 # queries declared behind the window (text_langid_confusion,
 # text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast,
 # events_asof_tolerance, events_asof_nearest, events_user_similarity,
-# events_sax_candidates, events_sax_recall — all sf0.001+sf0.01 green
-# locally); (b) re-checks for whatever r8 changes; (c) the
+# events_sax_candidates, events_sax_recall, events_sax_topk — all
+# sf0.001+sf0.01 green locally); (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
@@ -3461,6 +3468,47 @@ SELECT CAST(FLOOR(p.score * 20) AS BIGINT) AS band,
              / COUNT(*), 6) AS capture
 FROM pairs p LEFT JOIN cand c ON p.u1 = c.u1 AND p.u2 = c.u2
 GROUP BY 1
+"""
+    )
+    sql["events_sax_topk"] = (
+        "WITH "
+        + _SAX_WORDS
+        + """,
+bkt AS (SELECT user_id, word & 255 AS bucket FROM words),
+qb AS (SELECT user_id AS query_user, bucket FROM bkt WHERE user_id % 50 = 0),
+cand AS (
+  SELECT q.query_user, b.user_id AS neighbor_user
+  FROM qb q JOIN bkt b USING (bucket)
+  WHERE q.query_user <> b.user_id
+),
+prof AS (
+  SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY user_id, hour(ts)
+),
+dots AS (
+  SELECT c.query_user, c.neighbor_user, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM cand c
+  JOIN prof a ON a.user_id = c.query_user
+  JOIN prof b ON b.user_id = c.neighbor_user AND b.h = a.h
+  GROUP BY c.query_user, c.neighbor_user
+),
+qn AS (SELECT user_id, CAST(SUM(q * q) AS BIGINT) AS qn FROM prof GROUP BY user_id),
+cn AS (SELECT user_id, CAST(SUM(q * q) AS BIGINT) AS cn FROM prof GROUP BY user_id),
+scored AS (
+  SELECT d.query_user, d.neighbor_user,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(q1.qn AS DOUBLE) * CAST(c1.cn AS DOUBLE)) AS score
+  FROM dots d
+  JOIN qn q1 ON q1.user_id = d.query_user
+  JOIN cn c1 ON c1.user_id = d.neighbor_user
+)
+SELECT query_user, neighbor_user, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_user
+                               ORDER BY score DESC, neighbor_user) AS rank
+  FROM scored) t
+WHERE rank <= 3
 """
     )
     sql["events_running_total"] = """

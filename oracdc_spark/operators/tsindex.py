@@ -225,3 +225,85 @@ def sax_recall_audit(spark, sf_dir: str, query_mod: int = 50) -> DataFrame:
             ).alias("capture"),
         )
     )
+
+
+def sax_topk(
+    spark,
+    sf_dir: str,
+    query_mod: int = 50,
+    k_neighbors: int = 3,
+    prefix_segs: int = 4,
+) -> DataFrame:
+    """The SAX index's SEARCH endpoint (the ivfpq_refine shape for time
+    series): candidate users from the query's SAX prefix bucket, exact
+    quantized-cosine re-scoring of ONLY those pairs, top-k per query.
+    Queries whose bucket has no other member return no rows — the
+    index serves "similar enough to share a bucket", and the banded
+    audit quantifies what that misses.
+
+    Scale shape: the candidate join is bucket-equality (bounded
+    fan-out); the profile component table is touched once, pruned by
+    the broadcast candidate pair list before any per-hour work.
+    Output: (query_user, neighbor_user, rank)."""
+    from oracdc_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    mask = (1 << (2 * prefix_segs)) - 1
+    wds = sax_words(events).select(
+        "user_id", F.col("word").bitwiseAND(F.lit(mask)).alias("bucket")
+    )
+    q = wds.filter(F.col("user_id") % query_mod == 0).select(
+        F.col("user_id").alias("query_user"), "bucket"
+    )
+    cand = (
+        F.broadcast(q)
+        .join(wds.withColumnRenamed("user_id", "neighbor_user"), "bucket")
+        .filter(F.col("query_user") != F.col("neighbor_user"))
+        .select("query_user", "neighbor_user")
+    )
+    qv = F.round(F.col("value") * 1000, 0).cast("bigint")
+    prof = (
+        events.select("user_id", F.hour("ts").cast("bigint").alias("h"), qv.alias("q"))
+        .groupBy("user_id", "h")
+        .agg(F.sum("q").alias("q"))
+    )
+    pq_ = prof.select(F.col("user_id").alias("query_user"), "h", F.col("q").alias("qa"))
+    pn = prof.select(
+        F.col("user_id").alias("neighbor_user"), "h", F.col("q").alias("qb")
+    )
+    dots = (
+        pn.join(F.broadcast(cand), "neighbor_user")
+        .join(F.broadcast(pq_), ["query_user", "h"])
+        .groupBy("query_user", "neighbor_user")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    qn = (
+        pq_.join(F.broadcast(cand.select("query_user").distinct()), "query_user")
+        .groupBy("query_user")
+        .agg(F.sum(F.col("qa") * F.col("qa")).alias("qn"))
+    )
+    cn = (
+        pn.join(F.broadcast(cand.select("neighbor_user").distinct()), "neighbor_user")
+        .groupBy("neighbor_user")
+        .agg(F.sum(F.col("qb") * F.col("qb")).alias("cn"))
+    )
+    score = (
+        F.signum(F.col("dot").cast("double"))
+        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
+    )
+    w = Window.partitionBy("query_user").orderBy(
+        F.col("score").desc(), "neighbor_user"
+    )
+    return (
+        dots.join(F.broadcast(qn), "query_user")
+        .join(F.broadcast(cn), "neighbor_user")
+        .select("query_user", "neighbor_user", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_user",
+            "neighbor_user",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

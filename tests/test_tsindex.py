@@ -42,3 +42,16 @@ def test_audit_counts_consistent(spark):
     for r in rows:
         assert 0 <= r.n_hits <= r.n_pairs
         assert abs(r.capture - r.n_hits / r.n_pairs) < 1e-6
+
+
+def test_sax_topk_serves_in_bucket_neighbors(spark):
+    rows = tsindex.sax_topk(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    words = {r.user_id: r.word & 255 for r in tsindex.sax_words(ev).collect()}
+    by_q: dict = {}
+    for r in rows:
+        # neighbors share the query's SAX prefix bucket
+        assert words[r.query_user] == words[r.neighbor_user]
+        by_q.setdefault(r.query_user, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q

@@ -106,6 +106,17 @@ NOTES = {
                               "rebuild is a per-row array expression, bounded by doc length",
     "similarity_ann_purity": "three label joins (broadcast, |Q|*k rows) over the exact/PQ/IVF-PQ top-k "
                              "plans; PQ codes come from the session cache — no retraining",
+    "events_asof_nearest": "one exchange on the join key; backward and forward window sorts share it "
+                           "(forward = running max over the negated timestamp); per-row CASE picks the "
+                           "closer in-tolerance match",
+    "events_user_similarity": "one (user, hour) profile aggregate; dot join keys on the 24-value hour "
+                              "dimension with the bounded query side broadcast — corpus profiles touched once",
+    "events_sax_candidates": "one corpus profile aggregate; 18-row breakpoint table from a sample-bounded "
+                             "rank window, broadcast back; candidates from the 256-bucket prefix self-join",
+    "pipeline_curation_v4": "three semi joins (badwords/perplexity/exact-dedup keeps) prune the corpus "
+                            "BEFORE the global-budget histogram cut; every stage the audited operator's plan",
+    "dedup_minhash_estimate": "signature + shingle joins restricted to the LSH candidate pairs "
+                              "(broadcastable); ppm-integer error aggregation — one final division",
 }
 
 KEEP = (
