@@ -1454,6 +1454,13 @@ def _q_text_exact_substr_trim(spark, sf_dir):
     return winnow.exact_substr_trim(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_split_divergence(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.split_divergence(docs, sampling.train_split(docs))
+
+
 def _q_text_langid_confusion(spark, sf_dir):
     return textops.langid_confusion(load_table(spark, sf_dir, "documents"))
 
@@ -1739,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared late-r7 BEHIND the window (sf0.001 parity-gate checked;
         # first driver rows belong in the r8 window — see _R7_WINDOW note)
         "text_langid_confusion": _q_text_langid_confusion,
+        "text_split_divergence": _q_text_split_divergence,
         "text_length_quantiles": _q_text_length_quantiles,
         "dedup_minhash_estimate": _q_dedup_minhash_estimate,
         "dedup_clusters_fast": _q_dedup_clusters_fast,
@@ -1934,12 +1942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
-# ROUND-8 TODO: window = (a) first driver rows for the ten late-r7
+# ROUND-8 TODO: window = (a) first driver rows for the eleven late-r7
 # queries declared behind the window (text_langid_confusion,
 # text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast,
 # events_asof_tolerance, events_asof_nearest, events_user_similarity,
-# events_sax_candidates, events_sax_recall, events_sax_topk — all
-# sf0.001+sf0.01 green locally); (b) re-checks for whatever r8 changes; (c) the
+# events_sax_candidates, events_sax_recall, events_sax_topk,
+# text_split_divergence — all sf0.001+sf0.01 green locally); (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
@@ -3751,6 +3759,58 @@ SELECT doc_id,
             ELSE 'train' END AS split
 FROM documents
 """
+    # train/val distribution drift: JSD over unigram distributions,
+    # per-term contributions quantized to 1e9 integers before the
+    # vocabulary sum (textops.split_divergence)
+    sql["text_split_divergence"] = (
+        "WITH "
+        + _TOKS
+        + """,
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   < 214748364 THEN 'test'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   < 429496729 THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+),
+tk AS (
+  SELECT sp.split, lower(t.tok) AS tok
+  FROM toks JOIN sp USING (doc_id), UNNEST(w) AS t(tok)
+  WHERE sp.split IN ('train', 'val')
+),
+counts AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train,
+         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS val
+  FROM tk GROUP BY tok
+),
+totals AS (SELECT SUM(train) AS nt, SUM(val) AS nv FROM counts),
+per_term AS (
+  SELECT train, val,
+         CAST(round((
+           (CASE WHEN train > 0
+                 THEN (CAST(train AS DOUBLE) / nt)
+                      * ln((CAST(train AS DOUBLE) / nt)
+                           / ((CAST(train AS DOUBLE) / nt + CAST(val AS DOUBLE) / nv) / 2))
+                 ELSE 0.0 END
+          + CASE WHEN val > 0
+                 THEN (CAST(val AS DOUBLE) / nv)
+                      * ln((CAST(val AS DOUBLE) / nv)
+                           / ((CAST(train AS DOUBLE) / nt + CAST(val AS DOUBLE) / nv) / 2))
+                 ELSE 0.0 END) / 2 * 1e9)) AS BIGINT) AS qc
+  FROM counts, totals
+)
+SELECT CAST(MAX(nt) AS BIGINT) AS n_train_tokens,
+       CAST(MAX(nv) AS BIGINT) AS n_val_tokens,
+       CAST(SUM(CASE WHEN train > 0 AND val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_vocab,
+       CAST(SUM(CASE WHEN train > 0 AND val = 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_only_vocab,
+       CAST(SUM(CASE WHEN train = 0 AND val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS val_only_vocab,
+       ROUND(CAST(SUM(qc) AS DOUBLE) / 1e9, 6) AS jsd
+FROM per_term, totals
+"""
+    )
     sql["text_vocab_coverage"] = (
         "WITH "
         + _TOKS

@@ -1347,3 +1347,64 @@ def doc_length_quantiles(
         )
         .select(F.col("pct").cast("int").alias("pct"), "n_tokens", "n_docs")
     )
+
+
+def split_divergence(docs: DataFrame, splits: DataFrame) -> DataFrame:
+    """Distribution-shift audit between corpus splits: Jensen-Shannon
+    divergence of the train vs val unigram distributions — the drift
+    check a pipeline runs before trusting a held-out split (a skewed
+    split silently biases every perplexity/quality measurement made on
+    it).  JSD is symmetric and bounded in [0, ln 2]; 0 = identical
+    distributions.
+
+    Determinism contract (the unigram_logprob recipe): every per-term
+    contribution p·ln(p/m) is computed in doubles FROM exact integer
+    counts — identical on both engines — then quantized to round(·1e9)
+    bigints so the vocabulary-sized SUM is exact integer arithmetic
+    (no float summation order).  One final /1e9 division.
+
+    Output: one row (n_train_tokens, n_val_tokens, shared_vocab,
+    train_only_vocab, val_only_vocab, jsd).  Scale: two token-count
+    aggregates + one full-outer join on the token key (web-bounded
+    vocabulary), nothing corpus-quadratic."""
+    toks = (
+        _parallel(docs)
+        .join(splits, "doc_id")
+        .filter(F.col("split").isin("train", "val"))
+        .select("split", F.explode(_tokens()).alias("tok"))
+        .select("split", F.lower("tok").alias("tok"))
+    )
+    counts = toks.groupBy("tok").pivot("split", ["train", "val"]).count().na.fill(0)
+    totals = counts.agg(
+        F.sum("train").alias("nt"), F.sum("val").alias("nv")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p = F.col("train").cast("double") / F.col("nt")
+    q = F.col("val").cast("double") / F.col("nv")
+    m = (p + q) / 2
+    contrib = (
+        F.when(F.col("train") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("val") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / 2
+    per_term = j.select(
+        "train",
+        "val",
+        F.round(contrib * 1e9, 0).cast("bigint").alias("qc"),
+    )
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("nt").cast("bigint").alias("n_train_tokens"),
+            F.max("nv").cast("bigint").alias("n_val_tokens"),
+            F.sum(((F.col("train") > 0) & (F.col("val") > 0)).cast("bigint"))
+            .cast("bigint")
+            .alias("shared_vocab"),
+            F.sum(((F.col("train") > 0) & (F.col("val") == 0)).cast("bigint"))
+            .cast("bigint")
+            .alias("train_only_vocab"),
+            F.sum(((F.col("train") == 0) & (F.col("val") > 0)).cast("bigint"))
+            .cast("bigint")
+            .alias("val_only_vocab"),
+            F.round(F.sum("qc").cast("double") / 1e9, 6).alias("jsd"),
+        )
+    )

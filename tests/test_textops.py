@@ -624,3 +624,49 @@ def test_minhash_estimate_audit_bounds(spark):
     assert 0 <= r.mean_est_ppm <= 1_000_000
     assert 0 <= r.mean_exact_ppm <= 1_000_000
     assert 0 <= r.mean_abs_err_ppm <= r.max_abs_err_ppm <= 1_000_000
+
+
+class TestSplitDivergence:
+    def test_identical_distributions_give_zero(self, spark):
+        from oracdc_spark.operators.textops import split_divergence
+
+        docs = spark.createDataFrame(
+            [(i, "same tokens every time") for i in range(40)],
+            "doc_id long, text string",
+        )
+        splits = spark.createDataFrame(
+            [(i, "train" if i % 2 == 0 else "val") for i in range(40)],
+            "doc_id long, split string",
+        )
+        r = split_divergence(docs, splits).collect()[0]
+        assert r.jsd == 0.0
+        assert r.train_only_vocab == 0 and r.val_only_vocab == 0
+
+    def test_disjoint_vocab_gives_ln2(self, spark):
+        import math
+
+        from oracdc_spark.operators.textops import split_divergence
+
+        docs = spark.createDataFrame(
+            [(1, "aaa bbb ccc"), (2, "xxx yyy zzz")],
+            "doc_id long, text string",
+        )
+        splits = spark.createDataFrame(
+            [(1, "train"), (2, "val")], "doc_id long, split string"
+        )
+        r = split_divergence(docs, splits).collect()[0]
+        assert abs(r.jsd - math.log(2)) < 1e-6
+        assert r.shared_vocab == 0
+        assert r.train_only_vocab == 3 and r.val_only_vocab == 3
+
+    def test_bounds_on_real_corpus(self, spark):
+        import math
+
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.sampling import train_split
+        from oracdc_spark.operators.textops import split_divergence
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        r = split_divergence(docs, train_split(docs)).collect()[0]
+        assert 0.0 <= r.jsd <= math.log(2) + 1e-9
+        assert r.n_train_tokens > r.n_val_tokens > 0
