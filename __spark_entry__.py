@@ -1314,6 +1314,10 @@ def _q_sim_hyperplane_lsh(spark, sf_dir):
     return pq.hyperplane_lsh_candidates(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_sim_hyperplane_planted(spark, sf_dir):
+    return pq.hyperplane_planted_audit(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_sim_hyperplane_recall(spark, sf_dir):
     return pq.hyperplane_recall_audit(load_table(spark, sf_dir, "embeddings"), 100)
 
@@ -1816,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hyperplane_lsh": _q_sim_hyperplane_lsh,
         "similarity_hyperplane_recall": _q_sim_hyperplane_recall,
         "similarity_ann_purity": _q_sim_ann_purity,
+        "similarity_hyperplane_planted": _q_sim_hyperplane_planted,
         # ================= end of 50-query window =================
         # green at their latest driver check; unchanged this round
         "events_range_join": analytics.events_range_join,
@@ -1942,12 +1947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
-# ROUND-8 TODO: window = (a) first driver rows for the eleven late-r7
+# ROUND-8 TODO: window = (a) first driver rows for the twelve late-r7
 # queries declared behind the window (text_langid_confusion,
 # text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast,
 # events_asof_tolerance, events_asof_nearest, events_user_similarity,
 # events_sax_candidates, events_sax_recall, events_sax_topk,
-# text_split_divergence — all sf0.001+sf0.01 green locally); (b) re-checks for whatever r8 changes; (c) the
+# text_split_divergence, similarity_hyperplane_planted — all
+# sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
+# at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
@@ -4535,6 +4542,51 @@ hcand AS (
   GROUP BY a.vec_id, b.vec_id
 )"""
 
+    # planted-positive audit: every vector gets a +1-integer-unit twin
+    # (component = vec_id % 64); capture = twins sharing >= 1 bucket
+    sql["similarity_hyperplane_planted"] = """
+WITH rawc0 AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS j,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+twin AS (
+  SELECT ovid + 1000000 AS vec_id, j, q2 AS q FROM (
+    SELECT vec_id AS ovid, j,
+           q + CASE WHEN j = vec_id % 64 THEN 1 ELSE 0 END AS q2
+    FROM rawc0) s
+),
+rawc AS (SELECT * FROM rawc0 UNION ALL SELECT * FROM twin),
+hh AS (
+  SELECT o.io, jj.j,
+         CASE WHEN bit_count(o.io & jj.j) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS io) o,
+       (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS j) jj
+),
+rot AS (
+  SELECT vec_id, io, CAST(SUM(sgn * q) AS BIGINT) AS y
+  FROM rawc JOIN hh USING (j) GROUP BY vec_id, io
+),
+bkt AS (
+  SELECT vec_id, CAST(io // 8 AS BIGINT) AS tbl,
+         CAST(SUM((CASE WHEN y > 0 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END) << (io % 8))
+              AS BIGINT) AS bucket
+  FROM rot WHERE io < 64 GROUP BY vec_id, io // 8
+),
+hits AS (
+  SELECT DISTINCT o.vec_id
+  FROM bkt o JOIN bkt t
+    ON t.vec_id = o.vec_id + 1000000 AND t.tbl = o.tbl
+   AND t.bucket = o.bucket
+  WHERE o.vec_id < 1000000
+),
+np AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_planted FROM embeddings),
+nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits)
+SELECT n_planted, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_planted, 6) AS capture
+FROM np, nh
+"""
     sql["similarity_hyperplane_lsh"] = (
         "WITH " + _hlsh_cte(8, 8) + "\nSELECT d1, d2, n_tables_hit FROM hcand\n"
     )

@@ -108,16 +108,23 @@ def opq_components(vecs: DataFrame, m: int = PQ_M, d: int = OPQ_D) -> DataFrame:
     d=64); the matvec is one broadcast join + one (vec_id, o) partial
     aggregate — a single corpus shuffle, same as the encode pass it
     feeds.  Output: (vec_id, i, q, sub) like pq_components."""
-    spark = vecs.sparkSession
+    return _rotate_components(quantized(vecs), m, d)
+
+
+def _rotate_components(comps: DataFrame, m: int = PQ_M, d: int = OPQ_D) -> DataFrame:
+    """The WHT matvec on an existing exact-integer component table
+    (vec_id, i, q) — split out so audits can inject synthetic
+    components (planted twins) ahead of the rotation."""
+    spark = comps.sparkSession
     h_rows = [
         (o, j, 1 if bin(o & j).count("1") % 2 == 0 else -1)
         for o in range(d)
         for j in range(d)
     ]
     H = spark.createDataFrame(h_rows, "io long, j long, sgn long")
-    comps = quantized(vecs).withColumnRenamed("i", "j")
     return (
-        comps.join(F.broadcast(H), "j")
+        comps.withColumnRenamed("i", "j")
+        .join(F.broadcast(H), "j")
         .groupBy("vec_id", "io")
         .agg(F.sum(F.col("sgn") * F.col("q")).alias("q"))
         .select(
@@ -759,3 +766,72 @@ def ann_label_purity(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+PLANT_OFFSET = 1_000_000  # twin vec_id = original + PLANT_OFFSET
+
+
+def hyperplane_planted_audit(
+    vecs: DataFrame, n_bits: int = 8, n_tables: int = 8
+) -> DataFrame:
+    """Planted-positive audit for the hyperplane index: the natural
+    corpus has no true near-duplicates (its capture curve tops out in
+    the weak-cosine bands), so this audit PLANTS them — every vector
+    gets a twin perturbed by exactly +1 integer unit on one component
+    (component index = vec_id % 64; cosine ~ 1 - 1e-7) — and reports
+    how many (original, twin) pairs share a bucket in at least one
+    table.  This is the near-dup regime the index exists for; by the
+    sign-stability argument a twin flips a bit only where the rotated
+    component sits within 1 unit of zero, so capture should be ~1.
+    The complement of the banded curve: curve = behavior on the
+    corpus's real geometry, planted = behavior at the operating point.
+
+    One row: (n_planted, n_hits, capture) — exact integer counts."""
+    comps = quantized(vecs)
+    twins = comps.select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        "i",
+        (
+            F.col("q")
+            + ((F.col("i") == (F.col("vec_id") % 64)).cast("bigint"))
+        ).alias("q"),
+    )
+    rot = _rotate_components(comps.unionByName(twins))
+    bkts = (
+        rot.filter(F.col("i") < n_tables * n_bits)
+        .select(
+            "vec_id",
+            F.floor(F.col("i") / n_bits).cast("bigint").alias("tbl"),
+            (F.col("i") % n_bits).alias("b"),
+            (F.col("q") > 0).cast("bigint").alias("bit"),
+        )
+        .groupBy("vec_id", "tbl")
+        .agg(
+            F.sum(F.expr("shiftleft(bit, CAST(b AS INT))"))
+            .cast("bigint")
+            .alias("bucket")
+        )
+    )
+    orig = bkts.filter(F.col("vec_id") < PLANT_OFFSET)
+    twin = bkts.filter(F.col("vec_id") >= PLANT_OFFSET).select(
+        (F.col("vec_id") - PLANT_OFFSET).alias("vec_id"),
+        "tbl",
+        F.col("bucket").alias("t_bucket"),
+    )
+    hits = (
+        orig.join(twin, ["vec_id", "tbl"])
+        .filter(F.col("bucket") == F.col("t_bucket"))
+        .select("vec_id")
+        .distinct()
+    )
+    n_planted = vecs.select("vec_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+    n_hits = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return n_planted.crossJoin(n_hits).select(
+        "n_planted",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_planted").cast("double"), 6
+        ).alias("capture"),
+    )

@@ -227,3 +227,11 @@ def test_ann_label_purity_rows_and_bounds(spark):
         assert r.n_pairs == r.n_queries * 5
         assert 0 <= r.n_same_label <= r.n_pairs
         assert abs(r.purity - r.n_same_label / r.n_pairs) < 1e-6
+
+
+def test_planted_twins_fully_captured(spark):
+    vecs = load_table(spark, SF, "embeddings")
+    r = pq.hyperplane_planted_audit(vecs).collect()[0]
+    assert r.n_planted == vecs.count()
+    assert r.n_hits == r.n_planted
+    assert r.capture == 1.0
