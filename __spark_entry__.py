@@ -1535,6 +1535,12 @@ def _q_events_sax_topk(spark, sf_dir):
     return tsindex.sax_topk(spark, sf_dir)
 
 
+def _q_events_sax_planted(spark, sf_dir):
+    from oracdc_spark.operators import tsindex
+
+    return tsindex.sax_planted_audit(load_table(spark, sf_dir, "events"))
+
+
 def _pii_injected(spark, sf_dir):
     """Deterministic PII fixture: the synthetic corpus has no PII, so
     inject emails/URLs/IPs by doc_id class (mirrored in the oracle CTE).
@@ -1760,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sax_candidates": _q_events_sax_candidates,
         "events_sax_recall": _q_events_sax_recall,
         "events_sax_topk": _q_events_sax_topk,
+        "events_sax_planted": _q_events_sax_planted,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -1947,17 +1954,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
-# ROUND-8 TODO: window = (a) first driver rows for the twelve late-r7
+# ROUND-8 TODO: window = (a) first driver rows for the thirteen late-r7
 # queries declared behind the window (text_langid_confusion,
 # text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast,
 # events_asof_tolerance, events_asof_nearest, events_user_similarity,
 # events_sax_candidates, events_sax_recall, events_sax_topk,
-# text_split_divergence, similarity_hyperplane_planted — all
+# text_split_divergence, similarity_hyperplane_planted,
+# events_sax_planted — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
+# Candidate r8 new work: a learned OPQ rotation
+# (alternate codebook/rotation refits on the bounded sample, still
+# driver-side numpy, vs the fixed WHT baseline the audit now pins);
+# ragged/d!=64 handling for the rotation family (pad-to-pow2 contract);
+# a domain-quota composition (url_domain_stats x quota_sample).
 #
 # ROUND-7 window (the 50 entries the driver's gate checks this round):
 # (a) the 6 never-checked r7 queries; (b) the 9 queries r7 changed —
@@ -3404,6 +3417,42 @@ words AS (
   SELECT user_id, CAST(SUM(sym << CAST(2 * seg AS INT)) AS BIGINT) AS word
   FROM sym GROUP BY user_id
 )"""
+    # planted-twin audit: twin users carry all original events + one
+    # extra 0.001-value copy of the earliest event (one quantized unit)
+    _SAX_WORDS_PLANTED = _SAX_WORDS.replace(
+        "FROM events GROUP BY user_id", "FROM events2 GROUP BY user_id"
+    )
+    sql["events_sax_planted"] = (
+        """WITH firstev AS (
+  SELECT user_id, ts, 0.001 AS value FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+    FROM events) t WHERE rn = 1
+),
+events2 AS (
+  SELECT user_id, ts, value FROM events
+  UNION ALL
+  SELECT user_id + 1000000 AS user_id, ts, value FROM events
+  UNION ALL
+  SELECT user_id + 1000000 AS user_id, ts, value FROM firstev
+),
+"""
+        + _SAX_WORDS_PLANTED
+        + """,
+bkt AS (SELECT user_id, word & 255 AS bucket FROM words),
+hits AS (
+  SELECT o.user_id
+  FROM bkt o JOIN bkt t
+    ON t.user_id = o.user_id + 1000000 AND t.bucket = o.bucket
+  WHERE o.user_id < 1000000
+),
+np AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_planted FROM events),
+nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits)
+SELECT n_planted, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_planted, 6) AS capture
+FROM np, nh
+"""
+    )
     sql["events_sax_candidates"] = (
         "WITH "
         + _SAX_WORDS

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     # shapes over a 2x corpus union — no new plan);
     # text_split_divergence (two token-count aggregates + one
     # vocab-keyed outer join — the benched unigram scorer's shapes);
+    # events_sax_planted (the benched word shapes over a 2x union);
     # events_sax_topk (bucket candidates + pruned exact re-score — the
     # serving composition of two benched shapes);
     # events_sax_candidates / events_sax_recall (one corpus aggregate

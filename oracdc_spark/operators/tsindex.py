@@ -307,3 +307,54 @@ def sax_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+PLANT_OFFSET = 1_000_000  # twin user_id = original + PLANT_OFFSET
+
+
+def sax_planted_audit(events: DataFrame) -> DataFrame:
+    """Planted-positive audit for the SAX index (the hyperplane
+    pattern): every user gets a twin with an ALMOST-identical profile —
+    the twin carries all the user's events plus ONE extra copy of the
+    user's earliest event with value pinned to 0.001 (one quantized
+    unit in one hour) — and the row reports how many (user, twin)
+    pairs share a SAX prefix bucket.  Exact duplicates would collide
+    trivially (scale-invariance is already unit-tested); the one-unit
+    perturbation makes capture a real measurement of symbol stability
+    at the operating point.  One row: (n_planted, n_hits, capture)."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    first = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("value", F.lit(0.001))
+    )
+    twins = events.unionByName(first).withColumn(
+        "user_id", F.col("user_id") + PLANT_OFFSET
+    )
+    both = events.unionByName(twins)
+    mask = 255  # the shipped 4-segment prefix
+    wds = sax_words(both).select(
+        "user_id", F.col("word").bitwiseAND(F.lit(mask)).alias("bucket")
+    )
+    orig = wds.filter(F.col("user_id") < PLANT_OFFSET)
+    twin = wds.filter(F.col("user_id") >= PLANT_OFFSET).select(
+        (F.col("user_id") - PLANT_OFFSET).alias("user_id"),
+        F.col("bucket").alias("t_bucket"),
+    )
+    hits = (
+        orig.join(twin, "user_id")
+        .filter(F.col("bucket") == F.col("t_bucket"))
+        .select("user_id")
+    )
+    np_ = events.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+    nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return np_.crossJoin(nh).select(
+        "n_planted",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_planted").cast("double"), 6
+        ).alias("capture"),
+    )

@@ -55,3 +55,16 @@ def test_sax_topk_serves_in_bucket_neighbors(spark):
         by_q.setdefault(r.query_user, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_planted_twins_mostly_captured(spark):
+    """One-unit twins share the bucket unless a symbol sits exactly on
+    a quartile breakpoint; at this 15-user smoke scale a couple of
+    boundary flips are expected (sf0.01/sf0.1 both measure 1.0), so
+    assert a strong majority, not perfection."""
+    ev = load_table(spark, SF, "events")
+    r = tsindex.sax_planted_audit(ev).collect()[0]
+    assert r.n_planted == ev.select("user_id").distinct().count()
+    assert 0 < r.n_hits <= r.n_planted
+    assert r.capture >= 0.6
+    assert abs(r.capture - r.n_hits / r.n_planted) < 1e-6
