@@ -1541,6 +1541,22 @@ def _q_events_sax_planted(spark, sf_dir):
     return tsindex.sax_planted_audit(load_table(spark, sf_dir, "events"))
 
 
+def _q_pipeline_domain_quota(spark, sf_dir):
+    """Domain-balanced sampling: cap documents per registrable domain —
+    the provenance-mixing composition (url_domain_stats' site key x
+    quota_sample's deterministic cap) over the messy-URL fixture."""
+    from oracdc_spark.operators import sampling
+
+    docs = _full_url_injected(spark, sf_dir)
+    host = F.lower(F.regexp_extract("text", textops.URL_RE, 1))
+    host_np = F.split(host, ":").getItem(0)
+    site = F.when(host == "", F.lit("none")).otherwise(
+        F.array_join(F.slice(F.split(host_np, r"\."), -2, 2), ".")
+    )
+    d = docs.select("doc_id", site.alias("site"))
+    return sampling.quota_sample(d, group_col="site", quota=30)
+
+
 def _pii_injected(spark, sf_dir):
     """Deterministic PII fixture: the synthetic corpus has no PII, so
     inject emails/URLs/IPs by doc_id class (mirrored in the oracle CTE).
@@ -1767,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sax_recall": _q_events_sax_recall,
         "events_sax_topk": _q_events_sax_topk,
         "events_sax_planted": _q_events_sax_planted,
+        "pipeline_domain_quota": _q_pipeline_domain_quota,
         "text_dsir": _q_text_dsir,
         "text_tfidf_top_terms": _q_text_tfidf,
         "text_hll_distinct": _q_text_hll,
@@ -1954,13 +1971,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: q[k] for k in list(_R7_WINDOW) + rest}
 
 
-# ROUND-8 TODO: window = (a) first driver rows for the thirteen late-r7
+# ROUND-8 TODO: window = (a) first driver rows for the fourteen late-r7
 # queries declared behind the window (text_langid_confusion,
 # text_length_quantiles, dedup_minhash_estimate, dedup_clusters_fast,
 # events_asof_tolerance, events_asof_nearest, events_user_similarity,
 # events_sax_candidates, events_sax_recall, events_sax_topk,
 # text_split_divergence, similarity_hyperplane_planted,
-# events_sax_planted — all
+# events_sax_planted, pipeline_domain_quota — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -1970,7 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (alternate codebook/rotation refits on the bounded sample, still
 # driver-side numpy, vs the fixed WHT baseline the audit now pins);
 # ragged/d!=64 handling for the rotation family (pad-to-pow2 contract);
-# a domain-quota composition (url_domain_stats x quota_sample).
+# (the domain-quota composition landed late-r7 as
+# pipeline_domain_quota).
 #
 # ROUND-7 window (the 50 entries the driver's gate checks this round):
 # (a) the 6 never-checked r7 queries; (b) the 9 queries r7 changed —
@@ -5724,6 +5742,43 @@ SELECT doc_id, n_tokens, score, cum_tokens
 FROM ranked WHERE cum_tokens <= 20000
 """
     )
+    # domain-balanced cap: first URL's registrable site (port stripped,
+    # 'none' when the doc has no URL) x the md5-rank quota window
+    sql["pipeline_domain_quota"] = """
+WITH injected AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN text || ' see HTTPS://WWW.Example.COM/Path/?utm_source=x&utm_campaign=c'
+                || CAST(doc_id % 5 AS VARCHAR) || '&id=' || CAST(doc_id % 5 AS VARCHAR)
+                || '#frag and https://www.example.com/Path/?id='
+                || CAST(doc_id % 5 AS VARCHAR) || ' end'
+      WHEN 1 THEN text || ' see https://www.example.com:443/Path/?id='
+                || CAST(doc_id % 5 AS VARCHAR)
+      WHEN 2 THEN text || ' ref http://News.example.org:80/a/'
+                || CAST(doc_id % 20 AS VARCHAR) || '/'
+      ELSE text END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN h = '' THEN 'none'
+              ELSE regexp_extract(string_split(h, ':')[1],
+                                  '([^.]+\\.[^.]+)$', 1) END AS site
+  FROM (
+    SELECT doc_id,
+           lower(regexp_extract(text, 'https?://([^/\\s]+)', 1)) AS h
+    FROM injected) t
+),
+r AS (
+  SELECT doc_id, site,
+         ROW_NUMBER() OVER (
+           PARTITION BY site
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+                    doc_id) AS rk
+  FROM s
+)
+SELECT doc_id, site, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 30
+"""
     sql["dedup_url_canonical"] = """
 WITH injected AS (
   SELECT doc_id,

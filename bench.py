@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     # dedup_minhash_estimate (signature + shingle joins restricted to
     # the benched LSH candidate pairs — both legs' plans already timed
     # via dedup_minhash_lsh / dedup_ngram_jaccard);
+    # pipeline_domain_quota (regexp site key + the benched quota
+    # window shape);
     # similarity_hyperplane_planted (the benched rotation + bucket
     # shapes over a 2x corpus union — no new plan);
     # text_split_divergence (two token-count aggregates + one
