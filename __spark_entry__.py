@@ -3864,12 +3864,12 @@ totals AS (SELECT SUM(train) AS nt, SUM(val) AS nv FROM counts),
 per_term AS (
   SELECT train, val,
          CAST(round((
-           (CASE WHEN train > 0
+           (CASE WHEN train > 0 AND nt > 0 AND nv > 0
                  THEN (CAST(train AS DOUBLE) / nt)
                       * ln((CAST(train AS DOUBLE) / nt)
                            / ((CAST(train AS DOUBLE) / nt + CAST(val AS DOUBLE) / nv) / 2))
                  ELSE 0.0 END
-          + CASE WHEN val > 0
+          + CASE WHEN val > 0 AND nt > 0 AND nv > 0
                  THEN (CAST(val AS DOUBLE) / nv)
                       * ln((CAST(val AS DOUBLE) / nv)
                            / ((CAST(train AS DOUBLE) / nt + CAST(val AS DOUBLE) / nv) / 2))
@@ -3881,7 +3881,8 @@ SELECT CAST(MAX(nt) AS BIGINT) AS n_train_tokens,
        CAST(SUM(CASE WHEN train > 0 AND val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_vocab,
        CAST(SUM(CASE WHEN train > 0 AND val = 0 THEN 1 ELSE 0 END) AS BIGINT) AS train_only_vocab,
        CAST(SUM(CASE WHEN train = 0 AND val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS val_only_vocab,
-       ROUND(CAST(SUM(qc) AS DOUBLE) / 1e9, 6) AS jsd
+       CASE WHEN MAX(nt) > 0 AND MAX(nv) > 0
+            THEN ROUND(CAST(SUM(qc) AS DOUBLE) / 1e9, 6) END AS jsd
 FROM per_term, totals
 """
     )

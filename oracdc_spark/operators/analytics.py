@@ -1146,16 +1146,10 @@ def events_user_similarity(
     query side broadcast (|Q|*24 rows), so corpus profiles are touched
     once — identical contract to similarity.cosine_scores.  Output:
     (query_user, neighbor_user, rank)."""
+    from oracdc_spark.operators.tsindex import user_profile
+
     e = load_table(spark, sf_dir, "events")
-    prof = (
-        e.select(
-            "user_id",
-            F.hour("ts").cast("bigint").alias("h"),
-            F.round(F.col("value") * 1000, 0).cast("bigint").alias("qv"),
-        )
-        .groupBy("user_id", "h")
-        .agg(F.sum("qv").alias("q"))
-    )
+    prof = user_profile(e)
     qq = prof.filter(F.col("user_id") % query_mod == 0).select(
         F.col("user_id").alias("query_user"), "h", F.col("q").alias("qa")
     )
@@ -1171,11 +1165,9 @@ def events_user_similarity(
     )
     qn = qq.groupBy("query_user").agg(F.sum(F.col("qa") * F.col("qa")).alias("qn"))
     cn = cc.groupBy("neighbor_user").agg(F.sum(F.col("qb") * F.col("qb")).alias("cn"))
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    from oracdc_spark.operators.similarity import qcos_score
+
+    score = qcos_score()
     w = Window.partitionBy("query_user").orderBy(
         F.col("score").desc(), "neighbor_user"
     )

@@ -170,8 +170,14 @@ def _lloyd_train(sample_rows, k: int, iters: int, sample_mod: int):
         vecs_d = by_sub[sub]
         vec_ids = sorted(vecs_d)
         i_list = sorted({i for v in vecs_d.values() for i in v})
+        # ragged corpora: a vector missing component i reads as 0 —
+        # EXACTLY the distributed encode pass's semantics (_assigned
+        # sums only present rows, and the full centroid norm cc2 makes
+        # an absent component contribute (0 - cq)^2), so the module's
+        # ragged/unknown-d contract survives the driver-side training
         X = np.array(
-            [[vecs_d[v][i] for i in i_list] for v in vec_ids], dtype=np.int64
+            [[vecs_d[v].get(i, 0) for i in i_list] for v in vec_ids],
+            dtype=np.int64,
         )
         ids = np.array(vec_ids, dtype=np.int64)
         assign = (ids // sample_mod) % k
@@ -602,6 +608,13 @@ def hyperplane_lsh_buckets(
     if n_tables * n_bits > d:
         raise ValueError(f"n_tables*n_bits must be <= d, got {n_tables}*{n_bits} > {d}")
     rot = opq_components(vecs, d=d).select("vec_id", "i", "q")
+    return _buckets_from_rot(rot, n_bits, n_tables)
+
+
+def _buckets_from_rot(rot: DataFrame, n_bits: int, n_tables: int) -> DataFrame:
+    """Sign-bucket fold over rotated components (vec_id, i, q) — shared
+    by the index and its planted audit so both measure the SAME bucket
+    encoding.  Output: (vec_id, tbl, bucket)."""
     return (
         rot.filter(F.col("i") < n_tables * n_bits)
         .select(
@@ -786,7 +799,11 @@ def hyperplane_planted_audit(
     The complement of the banded curve: curve = behavior on the
     corpus's real geometry, planted = behavior at the operating point.
 
-    One row: (n_planted, n_hits, capture) — exact integer counts."""
+    One row: (n_planted, n_hits, capture) — exact integer counts.
+    The id-space split requires every real vec_id < PLANT_OFFSET —
+    enforced with a runtime raise folded into the n_planted aggregate
+    (a violated corpus would otherwise silently misclassify originals
+    as twins)."""
     comps = quantized(vecs)
     twins = comps.select(
         (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
@@ -796,21 +813,8 @@ def hyperplane_planted_audit(
             + ((F.col("i") == (F.col("vec_id") % 64)).cast("bigint"))
         ).alias("q"),
     )
-    rot = _rotate_components(comps.unionByName(twins))
-    bkts = (
-        rot.filter(F.col("i") < n_tables * n_bits)
-        .select(
-            "vec_id",
-            F.floor(F.col("i") / n_bits).cast("bigint").alias("tbl"),
-            (F.col("i") % n_bits).alias("b"),
-            (F.col("q") > 0).cast("bigint").alias("bit"),
-        )
-        .groupBy("vec_id", "tbl")
-        .agg(
-            F.sum(F.expr("shiftleft(bit, CAST(b AS INT))"))
-            .cast("bigint")
-            .alias("bucket")
-        )
+    bkts = _buckets_from_rot(
+        _rotate_components(comps.unionByName(twins)), n_bits, n_tables
     )
     orig = bkts.filter(F.col("vec_id") < PLANT_OFFSET)
     twin = bkts.filter(F.col("vec_id") >= PLANT_OFFSET).select(
@@ -824,8 +828,25 @@ def hyperplane_planted_audit(
         .select("vec_id")
         .distinct()
     )
-    n_planted = vecs.select("vec_id").distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    n_planted = (
+        vecs.agg(
+            F.count_distinct("vec_id").alias("_n"),
+            F.max("vec_id").alias("_mx"),
+        )
+        .select(
+            F.when(
+                F.col("_mx") >= PLANT_OFFSET,
+                F.raise_error(
+                    F.lit(
+                        "hyperplane_planted_audit: vec_id >= PLANT_OFFSET — "
+                        "the planted id space would collide with real ids"
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("_n"))
+            .cast("bigint")
+            .alias("n_planted")
+        )
     )
     n_hits = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     return n_planted.crossJoin(n_hits).select(

@@ -52,6 +52,18 @@ def _norms(q: DataFrame, id_col: str) -> DataFrame:
     return q.groupBy(id_col).agg(F.sum(F.col("q") * F.col("q")).alias("norm2"))
 
 
+def qcos_score(dot: str = "dot", qn: str = "qn", cn: str = "cn"):
+    """The engine's quantized-cosine score expression —
+    sign(dot)·dot²/(qn·cn) over exact-integer columns, one IEEE
+    division — shared so every consumer (similarity, PQ, time-series
+    profiles) computes the bit-identical contract the oracles mirror."""
+    return (
+        F.signum(F.col(dot).cast("double"))
+        * (F.col(dot).cast("double") * F.col(dot).cast("double"))
+        / (F.col(qn).cast("double") * F.col(cn).cast("double"))
+    )
+
+
 def cosine_scores(
     queries: DataFrame, corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1302,8 +1302,10 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
     cells = li.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    totals = li.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("lang_total")
+    # class totals re-aggregate the |langs|^2 CELL table, not the
+    # corpus — language_id's marker scan runs exactly once
+    totals = cells.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("lang_total")
     )
     return cells.join(F.broadcast(totals), "lang").select(
         "lang",
@@ -1379,12 +1381,16 @@ def split_divergence(docs: DataFrame, splits: DataFrame) -> DataFrame:
         F.sum("train").alias("nt"), F.sum("val").alias("nv")
     )
     j = counts.crossJoin(F.broadcast(totals))
-    p = F.col("train").cast("double") / F.col("nt")
-    q = F.col("val").cast("double") / F.col("nv")
+    # an empty side (nt or nv = 0) makes the divergence undefined —
+    # guard every division so the per-term column is 0 there and the
+    # final jsd goes NULL instead of crashing (ANSI /0) or silently
+    # reading 0.0 "identical" through a NaN cast
+    p = F.when(F.col("nt") > 0, F.col("train").cast("double") / F.col("nt")).otherwise(F.lit(0.0))
+    q = F.when(F.col("nv") > 0, F.col("val").cast("double") / F.col("nv")).otherwise(F.lit(0.0))
     m = (p + q) / 2
     contrib = (
-        F.when(F.col("train") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
-        + F.when(F.col("val") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+        F.when((F.col("train") > 0) & (p > 0) & (m > 0), p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when((F.col("val") > 0) & (q > 0) & (m > 0), q * F.log(q / m)).otherwise(F.lit(0.0))
     ) / 2
     per_term = j.select(
         "train",
@@ -1405,6 +1411,9 @@ def split_divergence(docs: DataFrame, splits: DataFrame) -> DataFrame:
             F.sum(((F.col("train") == 0) & (F.col("val") > 0)).cast("bigint"))
             .cast("bigint")
             .alias("val_only_vocab"),
-            F.round(F.sum("qc").cast("double") / 1e9, 6).alias("jsd"),
+            F.when(
+                (F.max("nt") > 0) & (F.max("nv") > 0),
+                F.round(F.sum("qc").cast("double") / 1e9, 6),
+            ).alias("jsd"),
         )
     )

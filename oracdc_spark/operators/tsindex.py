@@ -35,6 +35,19 @@ N_SEG = 6
 SEG_W = N_HOURS // N_SEG
 
 
+def user_profile(events: DataFrame) -> DataFrame:
+    """Sparse per-user hourly value profile: (user_id, h, q) with
+    q = sum of round(value*1000) for hour-of-day h — the shared
+    exact-integer signature the similarity scorer, the SAX audit, and
+    the serving path all consume (ONE definition, one oracle form)."""
+    qv = F.round(F.col("value") * 1000, 0).cast("bigint")
+    return (
+        events.select("user_id", F.hour("ts").cast("bigint").alias("h"), qv.alias("q"))
+        .groupBy("user_id", "h")
+        .agg(F.sum("q").alias("q"))
+    )
+
+
 def user_paa(events: DataFrame) -> DataFrame:
     """Dense per-user PAA segments: (user_id, s0..s5) — segment sums of
     the quantized hourly value profile, absent hours contributing 0."""
@@ -173,12 +186,7 @@ def sax_recall_audit(spark, sf_dir: str, query_mod: int = 50) -> DataFrame:
     from oracdc_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
-    qv = F.round(F.col("value") * 1000, 0).cast("bigint")
-    prof = (
-        events.select("user_id", F.hour("ts").cast("bigint").alias("h"), qv.alias("q"))
-        .groupBy("user_id", "h")
-        .agg(F.sum("q").alias("q"))
-    )
+    prof = user_profile(events)
     qq = prof.filter(F.col("user_id") % query_mod == 0).select(
         F.col("user_id").alias("qu"), "h", F.col("q").alias("qa")
     )
@@ -190,13 +198,11 @@ def sax_recall_audit(spark, sf_dir: str, query_mod: int = 50) -> DataFrame:
         .groupBy("qu", "nu")
         .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
     )
+    from oracdc_spark.operators.similarity import qcos_score
+
     qn = qq.groupBy("qu").agg(F.sum(F.col("qa") * F.col("qa")).alias("qn"))
     cn = cc.groupBy("nu").agg(F.sum(F.col("qb") * F.col("qb")).alias("cn"))
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    score = qcos_score()
     pairs = (
         dots.join(F.broadcast(qn), "qu")
         .join(cn, "nu")
@@ -261,13 +267,15 @@ def sax_topk(
         .filter(F.col("query_user") != F.col("neighbor_user"))
         .select("query_user", "neighbor_user")
     )
-    qv = F.round(F.col("value") * 1000, 0).cast("bigint")
-    prof = (
-        events.select("user_id", F.hour("ts").cast("bigint").alias("h"), qv.alias("q"))
-        .groupBy("user_id", "h")
-        .agg(F.sum("q").alias("q"))
+    prof = user_profile(events)
+    # query-side profiles are PRUNED to the bounded candidate query set
+    # BEFORE the broadcast — broadcasting the raw corpus-sized profile
+    # table would contradict the pruned-first contract (and OOM the
+    # driver at scale); the qn/cn legs below already follow this shape
+    pq_ = (
+        prof.select(F.col("user_id").alias("query_user"), "h", F.col("q").alias("qa"))
+        .join(F.broadcast(cand.select("query_user").distinct()), "query_user")
     )
-    pq_ = prof.select(F.col("user_id").alias("query_user"), "h", F.col("q").alias("qa"))
     pn = prof.select(
         F.col("user_id").alias("neighbor_user"), "h", F.col("q").alias("qb")
     )
@@ -277,21 +285,17 @@ def sax_topk(
         .groupBy("query_user", "neighbor_user")
         .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
     )
-    qn = (
-        pq_.join(F.broadcast(cand.select("query_user").distinct()), "query_user")
-        .groupBy("query_user")
-        .agg(F.sum(F.col("qa") * F.col("qa")).alias("qn"))
+    qn = pq_.groupBy("query_user").agg(
+        F.sum(F.col("qa") * F.col("qa")).alias("qn")
     )
     cn = (
         pn.join(F.broadcast(cand.select("neighbor_user").distinct()), "neighbor_user")
         .groupBy("neighbor_user")
         .agg(F.sum(F.col("qb") * F.col("qb")).alias("cn"))
     )
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    from oracdc_spark.operators.similarity import qcos_score
+
+    score = qcos_score()
     w = Window.partitionBy("query_user").orderBy(
         F.col("score").desc(), "neighbor_user"
     )
@@ -347,8 +351,25 @@ def sax_planted_audit(events: DataFrame) -> DataFrame:
         .filter(F.col("bucket") == F.col("t_bucket"))
         .select("user_id")
     )
-    np_ = events.select("user_id").distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    np_ = (
+        events.agg(
+            F.count_distinct("user_id").alias("_n"),
+            F.max("user_id").alias("_mx"),
+        )
+        .select(
+            F.when(
+                F.col("_mx") >= PLANT_OFFSET,
+                F.raise_error(
+                    F.lit(
+                        "sax_planted_audit: user_id >= PLANT_OFFSET — the "
+                        "planted id space would collide with real ids"
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("_n"))
+            .cast("bigint")
+            .alias("n_planted")
+        )
     )
     nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     return np_.crossJoin(nh).select(

@@ -124,8 +124,14 @@ def dedup_gate_batch(
     else:
         seen = None
         fresh = w_first
-    out = fresh.select(batch.columns).persist()
-    out.count()  # pin before the state swap invalidates the read path
+    # localCheckpoint, NOT persist: the state swap below rewrites
+    # state_path, so any lineage recompute (lost cached partition,
+    # consumer action racing the rename) would anti-join against the
+    # UPDATED state and silently drop every emitted row; an eager
+    # local checkpoint severs the lineage so the emitted rows can
+    # never be recomputed through the new state
+    fresh = fresh.localCheckpoint(eager=True)
+    out = fresh.select(batch.columns)
     new_digests = fresh.select("digest").distinct()
     all_digests = (
         new_digests if seen is None

@@ -235,3 +235,29 @@ def test_planted_twins_fully_captured(spark):
     assert r.n_planted == vecs.count()
     assert r.n_hits == r.n_planted
     assert r.capture == 1.0
+
+
+def test_ragged_corpus_trains_and_encodes(spark):
+    """Vectors of different lengths must train (missing components read
+    as 0, matching the encode pass) — the module's ragged contract."""
+    vecs = load_table(spark, SF, "embeddings").limit(8)
+    ragged = vecs.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, F.slice("embedding", 1, 32)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    codes, cb = pq.pq_train_encode(ragged)
+    rows = codes.collect()
+    assert len(rows) == 8 * pq.PQ_M
+    assert all(0 <= r.cluster < pq.PQ_K for r in rows)
+
+
+def test_planted_audit_rejects_colliding_ids(spark):
+    import pytest as _pytest
+
+    vecs = load_table(spark, SF, "embeddings").limit(3).withColumn(
+        "vec_id", F.col("vec_id") + pq.PLANT_OFFSET
+    )
+    with _pytest.raises(Exception, match="PLANT_OFFSET"):
+        pq.hyperplane_planted_audit(vecs).collect()
