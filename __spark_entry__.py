@@ -1335,6 +1335,17 @@ def _q_sim_opq_recall(spark, sf_dir):
     )
 
 
+def _q_sim_opq_balanced_recall(spark, sf_dir):
+    # third split row: variance-balanced dimension permutation (the
+    # OPQ-P eigenvalue-allocation family reduced to its exact-integer
+    # diagonal form, pq._balanced_alloc) — read next to the interleave
+    # (similarity_pq_recall) and WHT (similarity_opq_recall) rows, the
+    # three quantify what each subspace decomposition buys
+    return pq.pq_recall(
+        load_table(spark, sf_dir, "embeddings"), 100, 5, split="balanced"
+    )
+
+
 def _q_sim_ivfpq(spark, sf_dir):
     return pq.ivfpq_topk(load_table(spark, sf_dir, "embeddings"), 100, 5, 2)
 
@@ -1841,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": analytics.events_hourly,
         "similarity_pq_recall": _q_sim_pq_recall,
         "similarity_opq_recall": _q_sim_opq_recall,
+        "similarity_opq_balanced_recall": _q_sim_opq_balanced_recall,
         "similarity_hyperplane_lsh": _q_sim_hyperplane_lsh,
         "similarity_hyperplane_recall": _q_sim_hyperplane_recall,
         "similarity_ann_purity": _q_sim_ann_purity,
@@ -1977,16 +1989,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_asof_tolerance, events_asof_nearest, events_user_similarity,
 # events_sax_candidates, events_sax_recall, events_sax_topk,
 # text_split_divergence, similarity_hyperplane_planted,
-# events_sax_planted, pipeline_domain_quota — all
+# events_sax_planted, pipeline_domain_quota,
+# similarity_opq_balanced_recall — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
-# Candidate r8 new work: a learned OPQ rotation
-# (alternate codebook/rotation refits on the bounded sample, still
-# driver-side numpy, vs the fixed WHT baseline the audit now pins);
-# ragged/d!=64 handling for the rotation family (pad-to-pow2 contract);
+# Candidate r8 new work: a full alternating-minimization OPQ
+# (codebook/rotation refits via SVD on the bounded sample — float
+# rotation, so rows-only driver check; the exact-integer family is
+# complete: interleave / WHT / balanced permutation all landed r7);
 # (the domain-quota composition landed late-r7 as
 # pipeline_domain_quota).
 #
@@ -4314,7 +4327,7 @@ WHERE (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
     def _pq_sql(
         m: int, k: int, iters: int, query_mod: int, topk: int, recall: bool,
         n_probe: int | None = None, refine: int | None = None,
-        smod: int = 2, opq: bool = False,
+        smod: int = 2, opq: bool = False, balanced: bool = False,
     ) -> str:
         # r7: training runs over the vec_id % smod = 0 SAMPLE (sv) with
         # (vec_id // smod) % k seeding (mirrors pq._lloyd_train — the
@@ -4327,7 +4340,36 @@ WHERE (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
         # exact side then also computes in rotated space, which is
         # bit-identical to raw-space scoring (uniform power-of-2 dot
         # scaling), so the recall compare stays apples-to-apples.
-        if opq:
+        # balanced=True replaces the interleaved (i-1)%m subspace map
+        # with the variance-balanced dimension permutation (mirrors
+        # pq._balanced_alloc: rank dims by the exact-integer variance
+        # numerator n*sum(q^2)-sum(q)^2 over the training sample, ties
+        # to the lower dim id, snake-deal ranks into subspaces); the
+        # exact side computes over the RAW pre-allocation components
+        # (mirrors brute_force_topk — a permutation never changes (i,q),
+        # but the alloc inner join drops sample-unseen dims from the
+        # approx side only, so the ground truth must not route through
+        # it).
+        if balanced:
+            qv_cte = f"""WITH qv0 AS (
+  SELECT vec_id, label, CAST(i AS BIGINT) AS i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+vstat AS (
+  SELECT i, COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS vnum
+  FROM qv0 WHERE vec_id % {smod} = 0 GROUP BY i
+),
+alloc AS (
+  SELECT i, CAST(CASE WHEN ((rk - 1) // {m}) % 2 = 0
+                      THEN (rk - 1) % {m}
+                      ELSE {m} - 1 - ((rk - 1) % {m}) END AS BIGINT) AS sub
+  FROM (SELECT i, ROW_NUMBER() OVER (ORDER BY vnum DESC, i) AS rk FROM vstat) r
+),
+qv AS (
+  SELECT vec_id, label, i, sub, q FROM qv0 JOIN alloc USING (i)
+),"""
+        elif opq:
             qv_cte = f"""WITH rawc AS (
   SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS j,
          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
@@ -4512,12 +4554,18 @@ SELECT query_id, neighbor_id, rank FROM (
         if not recall:
             out.append("\nSELECT query_id, neighbor_id, rank FROM approx")
             return "".join(out)
+        # exact ground truth: raw pre-allocation components when the
+        # approx side routed through the alloc join (balanced), else qv
+        # (identical to raw under opq's bit-identity / interleave)
+        esrc = "qv0" if balanced else "qv"
         out.append(
             f""",
-ec AS (SELECT vec_id AS neighbor_id, i, q FROM qv),
+ec AS (SELECT vec_id AS neighbor_id, i, q FROM {esrc}),
+eqq AS (SELECT vec_id AS query_id, i, q FROM {esrc} WHERE vec_id % {query_mod} = 0),
+eqn AS (SELECT query_id, CAST(SUM(q * q) AS BIGINT) AS qn FROM eqq GROUP BY query_id),
 edots AS (
   SELECT query_id, neighbor_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
-  FROM qq a JOIN ec b USING (i)
+  FROM eqq a JOIN ec b USING (i)
   WHERE a.query_id <> b.neighbor_id
   GROUP BY query_id, neighbor_id
 ),
@@ -4527,7 +4575,7 @@ escored AS (
          (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
          * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
          / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
-  FROM edots JOIN qn USING (query_id) JOIN ecn USING (neighbor_id)
+  FROM edots JOIN eqn USING (query_id) JOIN ecn USING (neighbor_id)
 ),
 exact AS (
   SELECT query_id, neighbor_id FROM (
@@ -4553,6 +4601,9 @@ LEFT JOIN hits h ON eq.query_id = h.query_id"""
     sql["similarity_pq_topk"] = _pq_sql(16, 16, 2, 100, 5, recall=False)
     sql["similarity_pq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True)
     sql["similarity_opq_recall"] = _pq_sql(16, 16, 2, 100, 5, recall=True, opq=True)
+    sql["similarity_opq_balanced_recall"] = _pq_sql(
+        16, 16, 2, 100, 5, recall=True, balanced=True
+    )
 
     # label-purity audit: each leg wraps an already-declared top-k
     # statement (exact / PQ-ADC / IVF-PQ) and joins the label column

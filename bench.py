@@ -202,7 +202,10 @@ BENCH_QUERIES = [
     # dedup_clusters_fast (the O(log diameter) pointer-jumping CC — at
     # sf0.1 the dup components are shallow so it would only measure
     # its per-round overhead vs the benched dedup_clusters; its win is
-    # deep-chain graphs, pinned by the unit test instead)
+    # deep-chain graphs, pinned by the unit test instead);
+    # similarity_opq_balanced_recall (identical plan family to the
+    # benched similarity_opq_recall minus the WHT matvec — the
+    # permutation is a d-row broadcast join, strictly cheaper)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

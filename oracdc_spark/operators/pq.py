@@ -9,11 +9,18 @@ compresses each vector to ``m`` one-byte codes (here m=16 over 64 dims:
 16x compression vs float32) and query scoring never touches the
 original vectors, only a per-query lookup table of size m*k.
 
-Decomposition: dimension ``i`` (0-based) belongs to subspace
-``i % m`` — INTERLEAVED grouping rather than contiguous blocks, so the
-subspace split needs no knowledge of the vector length (the operator
-works on ragged/unknown-d corpora, and the SQL oracle mirrors it as
-``(i-1) % m`` over DuckDB's 1-based UNNEST index).
+Decomposition (the ``split`` knob, three members):
+- "interleave" (default): dimension ``i`` (0-based) belongs to subspace
+  ``i % m`` — needs no knowledge of the vector length (works on
+  ragged/unknown-d corpora; the SQL oracle mirrors it as ``(i-1) % m``
+  over DuckDB's 1-based UNNEST index).
+- "wht": fixed Walsh-Hadamard pre-rotation (opq_components) ahead of
+  the interleaved split — the structured stand-in for OPQ's learned
+  rotation, energy-spreading across subspaces.
+- "balanced": variance-balanced dimension permutation
+  (_balanced_alloc) — OPQ-P eigenvalue allocation reduced to its
+  exact-integer diagonal form, trained on the same bounded sample as
+  the codebooks and pinned as a d-row broadcast.
 
 Training is per-subspace Lloyd k-means with the exact-integer recipe
 of ``operators/clustering.py`` (quantized bigint components,
@@ -134,6 +141,49 @@ def _rotate_components(comps: DataFrame, m: int = PQ_M, d: int = OPQ_D) -> DataF
             (F.col("io") % m).cast("bigint").alias("sub"),
         )
     )
+
+
+def _balanced_alloc(raw_rows, m: int = PQ_M) -> dict:
+    """OPQ eigenvalue allocation (Ge et al., CVPR 2013 §4, the
+    parametric OPQ-P solution) reduced to its DIAGONAL / permutation
+    form: instead of a learned dense rotation, re-ALLOCATE raw
+    dimensions to subspaces so per-subspace variance balances.  OPQ-P
+    allocates principal directions to buckets balancing the product of
+    eigenvalues; without PCA the diagonal approximation ranks raw
+    dimensions by variance and deals them into subspaces in snake
+    (boustrophedon) order — rank r goes to subspace ``r % m`` on even
+    passes and ``m-1-(r % m)`` on odd passes, the closed-form stand-in
+    for greedy balanced bin-packing (greedy is inherently sequential;
+    snake is rank arithmetic, so the SQL oracle can mirror it with one
+    window function).
+
+    Exact-integer: the ranking key is the variance NUMERATOR
+    ``n*sum(q^2) - sum(q)^2`` per dimension (int64 — no float mean),
+    ties to the lower dimension id, computed over the SAME bounded
+    training sample the Lloyd loop collects (FAISS practice: transform
+    statistics train on the sample, not the corpus).  The permutation
+    is orthogonal, so quantized-cosine scores are bit-identical to raw
+    space and the exact ground truth needs no re-mapping.  Dimensions
+    never seen in the sample get no allocation (their rows drop from
+    the inner alloc join — they would quantize against untrained
+    codebooks anyway); ragged vectors contribute rows only for present
+    components, both mirrored by the oracle.
+
+    Input: collected raw component rows (vec_id, i, q).  Returns
+    {i: sub} — d entries of metadata, pinned as a literal broadcast."""
+    stats: dict = {}
+    for r in raw_rows:
+        n, s, s2 = stats.get(r["i"], (0, 0, 0))
+        q = r["q"]
+        stats[r["i"]] = (n + 1, s + q, s2 + q * q)
+    ranked = sorted(
+        stats.items(), key=lambda kv: (-(kv[1][0] * kv[1][2] - kv[1][1] ** 2), kv[0])
+    )
+    alloc = {}
+    for r0, (i, _) in enumerate(ranked):
+        rnd, pos = divmod(r0, m)
+        alloc[i] = pos if rnd % 2 == 0 else m - 1 - pos
+    return alloc
 
 
 PQ_SAMPLE_MOD = 2   # training-sample stride: the codebook is trained on
@@ -286,7 +336,80 @@ def _assigned(
 # Keyed by the corpus DataFrame's semantic hash; codes is the persisted
 # encode pass, cb a literal DataFrame — both reused byte-identically by
 # every later query in the family.
-_TRAIN_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_TRAIN_CACHE: dict[tuple, tuple] = {}
+
+
+_SPLIT_MODES = ("interleave", "wht", "balanced")
+
+
+def _split_mode(rotate: bool, split: str | None) -> str:
+    """Normalize the (rotate, split) knobs to one mode string.  The
+    ``rotate`` bool predates the three-way split family and is kept as
+    sugar for split="wht"; passing both inconsistently is an error, not
+    a silent precedence."""
+    if split is None:
+        return "wht" if rotate else "interleave"
+    if split not in _SPLIT_MODES:
+        raise ValueError(f"split must be one of {_SPLIT_MODES}, got {split!r}")
+    if rotate and split != "wht":
+        raise ValueError(f"rotate=True conflicts with split={split!r}")
+    return split
+
+
+def _train_encode(
+    vecs: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    sample_mod: int = PQ_SAMPLE_MOD,
+    mode: str = "interleave",
+):
+    """Shared trainer behind pq_train_encode/pq_topk: returns
+    (codes, codebook, comp_fn) where comp_fn maps a vector DataFrame to
+    its (vec_id, i, q, sub) components under this training's subspace
+    split — the query side of ADC must decompose queries with the SAME
+    split the codebook trained under (for ``balanced`` that split is
+    data-dependent, so only the trainer can hand it out)."""
+    try:
+        key = (vecs.semanticHash(), m, k, iters, sample_mod, mode)
+    except Exception:
+        key = None
+    if key is not None and key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
+    spark = vecs.sparkSession
+    if mode == "balanced":
+        raw = quantized(vecs.filter(F.col("vec_id") % sample_mod == 0)).collect()
+        alloc = _balanced_alloc(raw, m)
+        sample_rows = [
+            {"vec_id": r["vec_id"], "i": r["i"], "q": r["q"], "sub": alloc[r["i"]]}
+            for r in raw
+        ]
+        alloc_df = spark.createDataFrame(
+            sorted(alloc.items()), "i long, sub long"
+        )
+
+        def comp_fn(v: DataFrame, m: int = m) -> DataFrame:
+            return (
+                quantized(v)
+                .join(F.broadcast(alloc_df), "i")
+                .select("vec_id", "i", "q", "sub")
+            )
+
+    else:
+        comp_fn = opq_components if mode == "wht" else pq_components
+        sample_rows = comp_fn(
+            vecs.filter(F.col("vec_id") % sample_mod == 0), m
+        ).collect()
+    cb_rows = _lloyd_train(sample_rows, k, iters, sample_mod)
+    cb_arr, cc2_arr = _literal_assign_tables(spark, cb_rows, k)
+    codes = _assigned(comp_fn(vecs, m), cb_arr, cc2_arr, k)
+    cb = spark.createDataFrame(
+        sorted(cb_rows), "sub long, cluster long, i long, cq long"
+    )
+    if key is not None:
+        codes = codes.persist()
+        _TRAIN_CACHE[key] = (codes, cb, comp_fn)
+    return codes, cb, comp_fn
 
 
 def pq_train_encode(
@@ -296,6 +419,7 @@ def pq_train_encode(
     iters: int = PQ_ITERS,
     sample_mod: int = PQ_SAMPLE_MOD,
     rotate: bool = False,
+    split: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks on a bounded sample and encode the
     corpus.
@@ -316,27 +440,15 @@ def pq_train_encode(
     compute 1,024 metadata rows).  One bounded collect (sample
     components — the lazy-builder gate's justified exception), zero
     corpus-scale driver transfers, one corpus shuffle total.
+
+    ``split`` picks the subspace decomposition: "interleave" (default,
+    i % m), "wht" (= rotate=True, fixed Walsh-Hadamard pre-rotation,
+    see opq_components), or "balanced" (data-dependent variance-
+    balanced dimension permutation, see _balanced_alloc).
     """
-    try:
-        key = (vecs.semanticHash(), m, k, iters, sample_mod, rotate)
-    except Exception:
-        key = None
-    if key is not None and key in _TRAIN_CACHE:
-        return _TRAIN_CACHE[key]
-    comp_fn = opq_components if rotate else pq_components
-    spark = vecs.sparkSession
-    sample_rows = comp_fn(
-        vecs.filter(F.col("vec_id") % sample_mod == 0), m
-    ).collect()
-    cb_rows = _lloyd_train(sample_rows, k, iters, sample_mod)
-    cb_arr, cc2_arr = _literal_assign_tables(spark, cb_rows, k)
-    codes = _assigned(comp_fn(vecs, m), cb_arr, cc2_arr, k)
-    cb = spark.createDataFrame(
-        sorted(cb_rows), "sub long, cluster long, i long, cq long"
+    codes, cb, _ = _train_encode(
+        vecs, m, k, iters, sample_mod, _split_mode(rotate, split)
     )
-    if key is not None:
-        codes = codes.persist()
-        _TRAIN_CACHE[key] = (codes, cb)
     return codes, cb
 
 
@@ -348,20 +460,24 @@ def pq_topk(
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     rotate: bool = False,
+    split: str | None = None,
 ) -> DataFrame:
     """ADC top-k: PQ-coded corpus scored against full-precision queries
     through the per-query (sub, cluster) dot-product LUT.  Output:
     (query_id, neighbor_id, rank).
 
-    ``rotate=True`` runs the whole pipeline (training sample, encode,
-    query LUT) in the opq_components Walsh-Hadamard space — scores stay
-    bit-identical to raw-space scoring of the rotated codebook, see
-    opq_components.
+    ``rotate=True`` (= split="wht") runs the whole pipeline (training
+    sample, encode, query LUT) in the opq_components Walsh-Hadamard
+    space — scores stay bit-identical to raw-space scoring of the
+    rotated codebook, see opq_components.  ``split="balanced"`` uses
+    the variance-balanced dimension permutation (_balanced_alloc); the
+    query side decomposes under the trainer's own data-dependent split.
 
     Same bounded-query-batch input contract as brute_force_topk; the
     %-derived subset is the sandbox stand-in for an external batch."""
-    codes, cb = pq_train_encode(vecs, m, k, iters, rotate=rotate)
-    comp_fn = opq_components if rotate else pq_components
+    codes, cb, comp_fn = _train_encode(
+        vecs, m, k, iters, mode=_split_mode(rotate, split)
+    )
     qq = comp_fn(vecs.filter(F.col("vec_id") % query_mod == 0), m).withColumnRenamed(
         "vec_id", "query_id"
     )
@@ -489,17 +605,20 @@ def pq_recall(
     query_mod: int = 100,
     k_neighbors: int = 5,
     rotate: bool = False,
+    split: str | None = None,
 ) -> DataFrame:
     """Quantization quality audit: per-query overlap between PQ-ADC
     top-k and exact top-k.  Output: (query_id, n_matches, recall).
 
-    With ``rotate=True`` the ADC side runs in the Walsh-Hadamard space
-    (opq_components) while the exact side stays raw — valid because the
-    rotation leaves quantized-cosine scores bit-identical (power-of-2
-    uniform scaling), so the raw exact top-k IS the rotated exact
-    top-k.  Comparing this row against the rotate=False row quantifies
-    the OPQ lift."""
-    approx = pq_topk(vecs, query_mod, k_neighbors, rotate=rotate)
+    With ``rotate=True`` (= split="wht") the ADC side runs in the
+    Walsh-Hadamard space (opq_components) while the exact side stays
+    raw — valid because the rotation leaves quantized-cosine scores
+    bit-identical (power-of-2 uniform scaling), so the raw exact top-k
+    IS the rotated exact top-k.  ``split="balanced"`` likewise needs no
+    ground-truth re-mapping (a permutation is orthogonal and leaves
+    dots/norms literally unchanged).  Comparing the three split rows
+    quantifies each decomposition's lift."""
+    approx = pq_topk(vecs, query_mod, k_neighbors, rotate=rotate, split=split)
     exact = brute_force_topk(vecs, query_mod, k_neighbors)
     hits = (
         approx.select("query_id", "neighbor_id")

@@ -188,6 +188,77 @@ def test_opq_recall_audit_shares_exact_ground_truth(spark):
     assert all(0.0 <= v <= 1.0 for v in rot.values())
 
 
+def test_balanced_alloc_is_snake_balanced_and_deterministic():
+    """_balanced_alloc must deal variance-ranked dims into subspaces in
+    snake order: equal bucket sizes when d % m == 0, the top-m variance
+    dims in m DISTINCT subspaces, ties broken to the lower dim id."""
+    # dim i has variance numerator decreasing in i (n=3 samples each):
+    # values {0, +v, -v} give vnum = 3*2v^2 exactly, v = 100 - i
+    rows = []
+    for i in range(8):
+        v = 100 - i
+        for vid, q in ((0, 0), (2, v), (4, -v)):
+            rows.append({"vec_id": vid, "i": i, "q": q})
+    alloc = pq._balanced_alloc(rows, m=4)
+    # snake over ranks 0..7 at m=4: pass 0 -> subs 0,1,2,3; pass 1
+    # (odd) -> subs 3,2,1,0 — dims ranked by DESC variance = dim order
+    assert alloc == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3, 5: 2, 6: 1, 7: 0}
+    # bucket sizes balance
+    sizes = {}
+    for s in alloc.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    assert set(sizes.values()) == {2}
+    # tie-break: equal variances rank by lower dim id first
+    tied = [
+        {"vec_id": vid, "i": i, "q": q}
+        for i in range(4)
+        for vid, q in ((0, 0), (2, 7), (4, -7))
+    ]
+    assert pq._balanced_alloc(tied, m=2) == {0: 0, 1: 1, 2: 1, 3: 0}
+
+
+def test_split_mode_validation():
+    import pytest as _pytest
+
+    assert pq._split_mode(False, None) == "interleave"
+    assert pq._split_mode(True, None) == "wht"
+    assert pq._split_mode(False, "balanced") == "balanced"
+    assert pq._split_mode(True, "wht") == "wht"
+    with _pytest.raises(ValueError):
+        pq._split_mode(True, "balanced")
+    with _pytest.raises(ValueError):
+        pq._split_mode(False, "pca")
+
+
+def test_balanced_split_codes_partition_by_alloc(spark):
+    """Under split='balanced' every vector still gets exactly m codes
+    (one per subspace) and the recall audit shares the raw exact ground
+    truth (a permutation leaves dots/norms unchanged)."""
+    vecs = load_table(spark, SF, "embeddings")
+    n = vecs.count()
+    codes, cb = pq.pq_train_encode(vecs, split="balanced")
+    per_vec = codes.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("sub").alias("nsub")
+    )
+    assert per_vec.filter(
+        (F.col("n") != pq.PQ_M) | (F.col("nsub") != pq.PQ_M)
+    ).count() == 0
+    assert per_vec.count() == n
+    # the codebook's dim->sub map must be a function (each dim in ONE sub)
+    multi = (
+        cb.select("i", "sub").distinct().groupBy("i").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert multi == 0
+    raw = {r.query_id: r.recall for r in pq.pq_recall(vecs, 100, 5).collect()}
+    bal = {
+        r.query_id: r.recall
+        for r in pq.pq_recall(vecs, 100, 5, split="balanced").collect()
+    }
+    assert set(raw) == set(bal) and len(bal) > 0
+    assert all(0.0 <= v <= 1.0 for v in bal.values())
+
+
 def test_hyperplane_buckets_in_range_and_cover(spark):
     vecs = load_table(spark, SF, "embeddings")
     n = vecs.count()
