@@ -1346,6 +1346,15 @@ def _q_sim_opq_balanced_recall(spark, sf_dir):
     )
 
 
+def _q_sim_opq_learned_audit(spark, sf_dir):
+    # rows-only by necessity (the OPQ-NP fit is an SVD — no DuckDB
+    # replay): one row per alternation count pairing the fit's own
+    # objective (sample MSE, monotone down) with corpus recall vs the
+    # raw exact ground truth — see pq.opq_learned_audit for why the
+    # CURVE is the deliverable
+    return pq.opq_learned_audit(load_table(spark, sf_dir, "embeddings"), 100, 5)
+
+
 def _q_sim_ivfpq(spark, sf_dir):
     return pq.ivfpq_topk(load_table(spark, sf_dir, "embeddings"), 100, 5, 2)
 
@@ -1360,6 +1369,10 @@ def _q_sim_ivfpq_refine(spark, sf_dir):
 
 def _q_text_tokens(spark, sf_dir):
     return textops.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_corpus_datasheet(spark, sf_dir):
+    return textops.corpus_datasheet(load_table(spark, sf_dir, "documents"))
 
 
 def _q_text_quality(spark, sf_dir):
@@ -1853,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_recall": _q_sim_pq_recall,
         "similarity_opq_recall": _q_sim_opq_recall,
         "similarity_opq_balanced_recall": _q_sim_opq_balanced_recall,
+        "similarity_opq_learned_audit": _q_sim_opq_learned_audit,
         "similarity_hyperplane_lsh": _q_sim_hyperplane_lsh,
         "similarity_hyperplane_recall": _q_sim_hyperplane_recall,
         "similarity_ann_purity": _q_sim_ann_purity,
@@ -1880,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_sq8_recall": _q_sim_sq8_recall,
         "similarity_near_dups": _q_sim_near_dups,
         "text_token_stats": _q_text_tokens,
+        "text_corpus_datasheet": _q_text_corpus_datasheet,
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
         "text_fingerprint": _q_text_fingerprint,
@@ -1990,18 +2005,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_sax_candidates, events_sax_recall, events_sax_topk,
 # text_split_divergence, similarity_hyperplane_planted,
 # events_sax_planted, pipeline_domain_quota,
-# similarity_opq_balanced_recall — all
+# similarity_opq_balanced_recall, similarity_opq_learned_audit
+# (rows-only: SVD fit — its evidence is the MSE-vs-recall curve),
+# text_corpus_datasheet (CUBE data-mixing report) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
 # (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode, then
 # the r4 block per the CORRECTNESS_r0*.json history).
-# Candidate r8 new work: a full alternating-minimization OPQ
-# (codebook/rotation refits via SVD on the bounded sample — float
-# rotation, so rows-only driver check; the exact-integer family is
-# complete: interleave / WHT / balanced permutation all landed r7);
-# (the domain-quota composition landed late-r7 as
-# pipeline_domain_quota).
+# The OPQ family is COMPLETE as of late r7: interleave / WHT /
+# balanced permutation (all oracle-checked) + learned OPQ-NP
+# (rows-only audit, pq.opq_learned_audit) — no r8 work remains there.
 #
 # ROUND-7 window (the 50 entries the driver's gate checks this round):
 # (a) the 6 never-checked r7 queries; (b) the 9 queries r7 changed —
@@ -4882,6 +4896,27 @@ SELECT n_seqs, total_tokens,
        ROUND(CAST(n_seqs - (total_tokens + 1023) // 1024 AS DOUBLE)
              / ((total_tokens + 1023) // 1024) * 100, 4) AS overhead_pct
 FROM agg
+"""
+    )
+    sql["text_corpus_datasheet"] = (
+        "WITH "
+        + _TOKS
+        + """,
+dbase AS (
+  SELECT lang, source, CAST(len(w) AS BIGINT) AS tok,
+         CAST(n_chars AS BIGINT) AS nch,
+         CAST(ceil(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / 4) AS BIGINT) AS bpe
+  FROM toks
+)
+SELECT
+  CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE coalesce(lang, '(null)') END AS lang,
+  CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE coalesce(source, '(null)') END AS source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+  CAST(SUM(nch) AS BIGINT) AS n_chars,
+  CAST(SUM(bpe) AS BIGINT) AS bpe_est_tokens
+FROM dbase
+GROUP BY CUBE (lang, source)
 """
     )
     sql["text_token_stats"] = (

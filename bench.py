@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
     "text_quality",
+    # CUBE grouping-sets report — the one Expand-operator plan in the
+    # suite, worth timing on its own
+    "text_corpus_datasheet",
     "text_gopher_quality",
     "text_fingerprint",
     "text_contamination",
@@ -205,7 +208,11 @@ BENCH_QUERIES = [
     # deep-chain graphs, pinned by the unit test instead);
     # similarity_opq_balanced_recall (identical plan family to the
     # benched similarity_opq_recall minus the WHT matvec — the
-    # permutation is a d-row broadcast join, strictly cheaper)
+    # permutation is a d-row broadcast join, strictly cheaper);
+    # similarity_opq_learned_audit (3 legs of the benched pq_recall
+    # plan — rotated-matvec encode + ADC + exact, shapes all timed —
+    # plus a driver-side numpy SVD fit per leg; no new distributed
+    # shape to measure)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

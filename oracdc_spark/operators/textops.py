@@ -1417,3 +1417,51 @@ def split_divergence(docs: DataFrame, splits: DataFrame) -> DataFrame:
             ).alias("jsd"),
         )
     )
+
+
+def corpus_datasheet(docs: DataFrame) -> DataFrame:
+    """Data-mixing datasheet: doc/token/char totals per (lang, source)
+    cell plus every rollup — per-lang, per-source, and the grand total
+    — in ONE corpus pass via CUBE grouping sets (the "what is in my
+    training mix" report every large-scale pipeline publishes, cf.
+    datasheets-for-datasets / the Pile's per-component tables).
+
+    Aggregated-out dimensions are marked '(all)' via GROUPING() —
+    distinguishable from a genuine NULL value ('(null)') — so the
+    report is self-describing and the DuckDB oracle's null-ordering
+    never enters the hash compare.
+
+    Scale shape: Catalyst's Expand replicates each row once per
+    grouping set (4x here) before ONE partial-aggregated shuffle on
+    low-cardinality keys — no second pass, no driver work; at 100 TB
+    the expansion is map-side and the result is metadata-sized
+    (|langs| x |sources| cells).  Token counts reuse token_stats'
+    whitespace + BPE-proxy semantics."""
+    toks = _tokens()
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    base = _parallel(docs).select(
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("tok"),
+        F.col("n_chars").cast("bigint").alias("nch"),
+        F.ceil(n_nonspace / 4).cast("bigint").alias("bpe"),
+    )
+    agg = base.cube("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+        F.sum("nch").cast("bigint").alias("n_chars"),
+        F.sum("bpe").cast("bigint").alias("bpe_est_tokens"),
+        F.grouping("lang").alias("_gl"),
+        F.grouping("source").alias("_gs"),
+    )
+    mark = lambda c, g: F.when(F.col(g) == 1, F.lit("(all)")).otherwise(  # noqa: E731
+        F.coalesce(F.col(c), F.lit("(null)"))
+    )
+    return agg.select(
+        mark("lang", "_gl").alias("lang"),
+        mark("source", "_gs").alias("source"),
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "bpe_est_tokens",
+    )

@@ -52,6 +52,11 @@ ALLOWED_BUILD_JOBS = {
     # composes pq_topk + ivfpq_topk: pays the training collect only if
     # the raw-space cache is cold (it is warm in window order)
     "similarity_ann_purity": 15,
+    # balanced split trains on its own bounded sample (new cache key)
+    "similarity_opq_balanced_recall": 15,
+    # learned-OPQ audit: one raw-sample collect for the driver-side fit
+    # plus one training collect per iters_grid leg (3 legs)
+    "similarity_opq_learned_audit": 60,
 }
 
 

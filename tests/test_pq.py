@@ -217,6 +217,31 @@ def test_balanced_alloc_is_snake_balanced_and_deterministic():
     assert pq._balanced_alloc(tied, m=2) == {0: 0, 1: 1, 2: 1, 3: 0}
 
 
+def test_rotation_width_validation_and_pad_to_pow2(spark):
+    """d must be a power of two (score bit-identity needs the uniform
+    power-of-2 scaling); short vectors zero-pad to d — the pad-to-pow2
+    contract for d != 64 corpora.  At d=8 over 5-dim vectors the
+    rotated pairwise dots must equal exactly 8x the raw dots
+    (H·Hᵀ = d·I with implicit zero-padding)."""
+    import itertools
+    import pytest as _pytest
+
+    rows = [(0, [1.0, 2.0, -1.0, 0.5, 3.0]), (1, [2.0, -1.0, 1.0, 1.5, 0.0]),
+            (2, [0.25, 0.5, 0.75, -0.5, 1.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        pq.opq_components(vecs, m=2, d=5).collect()
+    with _pytest.raises(ValueError):
+        pq.opq_components(vecs, m=2, d=48).collect()
+    raw = {(r.vec_id, r.i): r.q for r in pq.pq_components(vecs, m=2).collect()}
+    rot = {(r.vec_id, r.i): r.q for r in pq.opq_components(vecs, m=2, d=8).collect()}
+    ids = [0, 1, 2]
+    for a, b in itertools.combinations(ids, 2):
+        raw_dot = sum(raw[(a, i)] * raw[(b, i)] for i in range(5))
+        rot_dot = sum(rot[(a, o)] * rot[(b, o)] for o in range(8))
+        assert rot_dot == 8 * raw_dot, (a, b)
+
+
 def test_split_mode_validation():
     import pytest as _pytest
 
@@ -257,6 +282,41 @@ def test_balanced_split_codes_partition_by_alloc(spark):
     }
     assert set(raw) == set(bal) and len(bal) > 0
     assert all(0.0 <= v <= 1.0 for v in bal.values())
+
+
+def test_opq_learned_audit_curve_contract(spark):
+    """The learned-rotation audit must emit exactly one row per
+    alternation count, with sample MSE monotone NON-INCREASING in
+    opq_iters (Lloyd + Procrustes are both descent steps on the OPQ
+    objective) and every recall in [0, 1] over the same query count.
+    Recall itself is free to fall — the audit exists to expose the
+    MSE-down/recall-down divergence on unstructured corpora."""
+    vecs = load_table(spark, SF, "embeddings")
+    rows = pq.opq_learned_audit(vecs, 100, 5, iters_grid=(0, 2)).collect()
+    assert [r.opq_iters for r in rows] == [0, 2]
+    assert rows[0].sample_mse >= rows[1].sample_mse > 0
+    nq = {r.n_queries for r in rows}
+    assert len(nq) == 1 and nq.pop() > 0
+    assert all(0.0 <= r.avg_recall <= 1.0 for r in rows)
+
+
+def test_learned_rotation_quantized_and_orthogonal_ish():
+    """The learned R_int must be the OPQ_R_SCALE quantization of a
+    near-orthogonal matrix: R_intᵀ·R_int / SCALE² ~ I within the
+    1/(2*SCALE) per-entry rounding budget."""
+    import numpy as np
+
+    rows = [
+        {"vec_id": v, "i": i, "q": ((v * 7 + i * 13) % 29) - 14}
+        for v in range(0, 40, 2)
+        for i in range(8)
+    ]
+    R_int, d, mse = pq._opq_learn_rotation(rows, m=4, k=4, lloyd_iters=2,
+                                           sample_mod=2, opq_iters=2)
+    assert d == 8 and R_int.shape == (8, 8) and mse > 0
+    G = (R_int.astype(np.float64) / pq.OPQ_R_SCALE)
+    err = np.abs(G.T @ G - np.eye(8)).max()
+    assert err < 8 * (1.0 / pq.OPQ_R_SCALE), err
 
 
 def test_hyperplane_buckets_in_range_and_cover(spark):

@@ -670,3 +670,46 @@ class TestSplitDivergence:
         r = split_divergence(docs, train_split(docs)).collect()[0]
         assert 0.0 <= r.jsd <= math.log(2) + 1e-9
         assert r.n_train_tokens > r.n_val_tokens > 0
+
+
+class TestCorpusDatasheet:
+    def _ds(self, spark):
+        rows = [
+            (1, "a b c", "en", "s1", 5),
+            (2, "d e", "en", "s2", 3),
+            (3, "f", "fr", "s1", 1),
+            (4, "g h i j", None, "s1", 7),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        return {
+            (r.lang, r.source): r
+            for r in textops.corpus_datasheet(docs).collect()
+        }
+
+    def test_rollups_consistent_and_null_marked(self, spark):
+        ds = self._ds(spark)
+        # grand total row aggregates everything
+        g = ds[("(all)", "(all)")]
+        assert g.n_docs == 4 and g.n_tokens == 3 + 2 + 1 + 4
+        # per-lang rollup sums its (lang, source) cells
+        en = ds[("en", "(all)")]
+        assert en.n_docs == 2 and en.n_tokens == 5
+        assert ds[("en", "s1")].n_docs == 1 and ds[("en", "s2")].n_docs == 1
+        # genuine NULL lang is distinguishable from the rollup marker
+        assert ds[("(null)", "s1")].n_docs == 1
+        assert ("(null)", "(all)") in ds
+        # 4 grouping sets: cells + lang rollups + source rollups + total
+        langs, sources = {"en", "fr", "(null)"}, {"s1", "s2"}
+        assert len(ds) == 4 + len(langs) + len(sources) + 1
+
+    def test_single_pass_plan(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a", "en", "s1", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        plan = textops.corpus_datasheet(docs)._jdf.queryExecution().executedPlan().toString()
+        # CUBE compiles to one Expand + one aggregation — not a union of scans
+        assert plan.count("Expand") == 1
+        assert "Union" not in plan

@@ -117,6 +117,16 @@ NOTES = {
                             "BEFORE the global-budget histogram cut; every stage the audited operator's plan",
     "dedup_minhash_estimate": "signature + shingle joins restricted to the LSH candidate pairs "
                               "(broadcastable); ppm-integer error aggregation — one final division",
+    # late-r7 additions
+    "similarity_opq_balanced_recall": "variance-balanced permutation: alloc is a d-row broadcast join "
+                                      "(stats fold into the already-collected training sample — zero "
+                                      "extra corpus passes); encode/ADC identical to the PQ family",
+    "similarity_opq_learned_audit": "per leg: int64-quantized learned R = one broadcast 4096-row join + "
+                                    "one (vec_id, o) partial aggregate (same shape as WHT); fit is "
+                                    "driver-side numpy on the bounded sample; legs union bounded by "
+                                    "|iters_grid|",
+    "text_corpus_datasheet": "CUBE = ONE Expand (4 grouping sets, map-side) + one partial-aggregated "
+                             "exchange on low-cardinality (lang, source); result metadata-sized",
 }
 
 KEEP = (
