@@ -1437,6 +1437,18 @@ def _q_pipeline_split(spark, sf_dir):
     return sampling.train_split(load_table(spark, sf_dir, "documents"))
 
 
+def _q_pipeline_split_leakage(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.split_leakage_audit(load_table(spark, sf_dir, "documents"))
+
+
+def _q_pipeline_mixture_rebalance(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.mixture_rebalance(load_table(spark, sf_dir, "documents"))
+
+
 def _q_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster-bucketed embedding-cosine near-dup pairs
@@ -1962,6 +1974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_quota_sample": _q_quota_sample,
         "pipeline_temperature_mix": _q_temperature_mix,
         "pipeline_split": _q_pipeline_split,
+        "pipeline_split_leakage": _q_pipeline_split_leakage,
+        "pipeline_mixture_rebalance": _q_pipeline_mixture_rebalance,
         "text_vocab_coverage": _q_text_vocab_coverage,
         "text_top_ngrams": _q_text_top_ngrams,
         "text_contamination": _q_text_contamination,
@@ -2007,7 +2021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_sax_planted, pipeline_domain_quota,
 # similarity_opq_balanced_recall, similarity_opq_learned_audit
 # (rows-only: SVD fit — its evidence is the MSE-vs-recall curve),
-# text_corpus_datasheet (CUBE data-mixing report) — all
+# text_corpus_datasheet (CUBE data-mixing report),
+# pipeline_split_leakage (near-dup pairs straddling train/val/test),
+# pipeline_mixture_rebalance (downsample-only fixed-mixture spec) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -3860,6 +3876,54 @@ SELECT doc_id,
             ELSE 'train' END AS split
 FROM documents
 """
+    # near-dup leakage across the split boundary: LSH candidate pairs
+    # (the dedup_minhash_lsh statement verbatim) x the split coin
+    sql["pipeline_split_leakage"] = (
+        "WITH cand AS (SELECT d1, d2 FROM ("
+        + sql["dedup_minhash_lsh"]
+        + """) c),
+sp AS ("""
+        + sql["pipeline_split"]
+        + """)
+SELECT LEAST(a.split, b.split) AS split_a,
+       GREATEST(a.split, b.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       LEAST(a.split, b.split) <> GREATEST(a.split, b.split) AS leaked
+FROM cand
+JOIN sp a ON cand.d1 = a.doc_id
+JOIN sp b ON cand.d2 = b.doc_id
+GROUP BY 1, 2
+"""
+    )
+    # downsample-only mixture rebalance (sampling.mixture_rebalance):
+    # keep f_g = (w_g/t_g)/max_h(w_h/t_h); membership by pure integer
+    # cross-multiplication in HUGEINT (mirrors the DECIMAL(38,0) Spark
+    # side); argmax by double ratio + group-name tie-break (correctly
+    # rounded division agrees across engines)
+    sql["pipeline_mixture_rebalance"] = (
+        "WITH "
+        + _TOKS
+        + """,
+mbase AS (
+  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens FROM toks
+),
+tgt(lang, tw) AS (VALUES ('de', 200000), ('en', 500000), ('es', 200000), ('fr', 100000)),
+gt AS (
+  SELECT b.lang, CAST(SUM(n_tokens) AS BIGINT) AS t, MAX(tw) AS tw
+  FROM mbase b JOIN tgt USING (lang) GROUP BY b.lang
+),
+hstar AS (
+  SELECT tw AS wh, t AS th FROM gt
+  ORDER BY CAST(tw AS DOUBLE) / t DESC, lang LIMIT 1
+),
+thr AS (SELECT lang, t, tw, wh, th FROM gt, hstar)
+SELECT b.doc_id, b.lang, b.n_tokens
+FROM mbase b JOIN thr USING (lang)
+WHERE CAST(CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS HUGEINT)
+        * CAST(t AS HUGEINT) * CAST(wh AS HUGEINT)
+      < CAST(4294967296 AS HUGEINT) * CAST(tw AS HUGEINT) * CAST(th AS HUGEINT)
+"""
+    )
     # train/val distribution drift: JSD over unigram distributions,
     # per-term contributions quantized to 1e9 integers before the
     # vocabulary sum (textops.split_divergence)

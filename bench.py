@@ -212,7 +212,12 @@ BENCH_QUERIES = [
     # similarity_opq_learned_audit (3 legs of the benched pq_recall
     # plan — rotated-matvec encode + ADC + exact, shapes all timed —
     # plus a driver-side numpy SVD fit per leg; no new distributed
-    # shape to measure)
+    # shape to measure);
+    # pipeline_split_leakage (the benched dedup_minhash_lsh pair plan
+    # + two split lookups and a 6-row aggregate);
+    # pipeline_mixture_rebalance (one corpus token aggregate + a
+    # broadcast-threshold map filter — the benched
+    # pipeline_temperature_mix's exact plan family)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -366,3 +366,124 @@ def token_budget_global(docs: DataFrame, budget: int = 20000) -> DataFrame:
             .alias("cum_tokens"),
         )
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    n: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Train/val/test NEAR-DUP leakage audit: joins the MinHash-LSH
+    candidate pairs against the deterministic split assignment and
+    counts pairs per (split_a, split_b) combination — the `leaked`
+    rows (split_a != split_b) are near-duplicate documents straddling
+    a split boundary, i.e. evaluation contamination the doc-level
+    hash split cannot see (it guarantees a DOC never crosses splits,
+    not that its near-copies don't).
+
+    Composes two audited operators verbatim: dedup.minhash_lsh_candidates
+    (bucket-bounded pair generation — never all-pairs) and train_split
+    (md5 coin).  Output: (split_a, split_b, n_pairs, leaked), <= 6 rows.
+
+    Scale shape: candidate pairs are the only corpus-derived rows and
+    are web-bounded (near-dup density); the two split lookups join on
+    d1/d2 unhinted — AQE broadcasts the pair side when it is small,
+    shuffles otherwise; the final aggregate is 6 rows."""
+    from oracdc_spark.operators.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(docs, n, num_hashes, bands)
+    sp = train_split(docs, val_pct, test_pct)
+    j = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1")),
+            "d1",
+        ).join(
+            sp.select(F.col("doc_id").alias("d2"), F.col("split").alias("s2")),
+            "d2",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("s1", "s2").alias("split_a"),
+            F.greatest("s1", "s2").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def mixture_rebalance(
+    docs: DataFrame,
+    targets_ppm: dict | None = None,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Downsample-only mixture rebalancing: keep a deterministic subset
+    of each group so the kept TOKEN shares land proportional to the
+    target weights (the fixed-mixture recipe of Pile-style corpus
+    assembly; contrast temperature_mix, which re-weights by a power of
+    the observed shares rather than to an explicit spec).
+
+    Method: with observed group token totals t_g and target weights
+    w_g, keep fraction f_g = (w_g/t_g) / max_h(w_h/t_h) — the unique
+    downsample-only solution with expected kept-token shares exactly
+    proportional to w (the most over-target group keeps everything;
+    every other group downsamples below it).  Membership is the md5
+    coin vs an integer threshold, evaluated as pure cross-
+    multiplication in DECIMAL(38,0):
+
+        keep  <=>  hash32(doc_id) * t_g * w_h  <  2^32 * w_g * t_h
+
+    — no division, no float boundary (same convention as
+    temperature_mix).  h (the argmax) is picked by double-precision
+    ratio with a group-name tie-break: correctly-rounded division maps
+    equal rationals to identical doubles in BOTH engines, so the pick
+    is engine-portable even when ratios tie.  Groups absent from
+    ``targets_ppm`` are dropped (weight 0).
+
+    Output: the kept docs (doc_id, <group_col>, n_tokens).
+
+    Scale shape: one corpus token aggregate (|groups| rows), a
+    metadata-sized ORDER BY .. LIMIT 1 for the argmax, the threshold
+    table broadcast back onto one map-side filter pass — the corpus is
+    never shuffled."""
+    if targets_ppm is None:
+        targets_ppm = {"en": 500000, "de": 200000, "es": 200000, "fr": 100000}
+    spark = docs.sparkSession
+    from oracdc_spark.plans.parallel import ensure_parallelism
+
+    tgt = spark.createDataFrame(
+        sorted(targets_ppm.items()), f"{group_col} string, w long"
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = ensure_parallelism(docs).select(
+        "doc_id", group_col, F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    gt = (
+        base.groupBy(group_col)
+        .agg(F.sum("n_tokens").alias("t"))
+        .join(F.broadcast(tgt), group_col)
+    )
+    hstar = (
+        gt.orderBy(
+            (F.col("w").cast("double") / F.col("t")).desc(), group_col
+        )
+        .limit(1)
+        .select(F.col("w").alias("wh"), F.col("t").alias("th"))
+    )
+    thr = gt.crossJoin(F.broadcast(hstar))
+    keep = (
+        _hash32(F.col("doc_id")).cast(_DEC)
+        * F.col("t").cast(_DEC)
+        * F.col("wh").cast(_DEC)
+        < F.lit(2**32).cast(_DEC) * F.col("w").cast(_DEC) * F.col("th").cast(_DEC)
+    )
+    return (
+        base.join(F.broadcast(thr), group_col)
+        .filter(keep)
+        .select("doc_id", group_col, "n_tokens")
+    )

@@ -352,3 +352,64 @@ def test_curation_v4_invariants(spark):
         .collect()
     }
     assert not (ids & tail)
+
+
+class TestSplitLeakage:
+    def test_counts_consistent_with_components(self, spark):
+        """The audit's total pair count must equal the LSH candidate
+        count, and each (split_a, split_b) cell must match a manual
+        join of the two composed operators."""
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.dedup import minhash_lsh_candidates
+        from oracdc_spark.operators.sampling import (
+            split_leakage_audit,
+            train_split,
+        )
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = split_leakage_audit(docs).collect()
+        assert sum(r.n_pairs for r in rows) == minhash_lsh_candidates(docs).count()
+        # leaked flag is derived, split_a <= split_b normalized
+        for r in rows:
+            assert r.split_a <= r.split_b
+            assert r.leaked == (r.split_a != r.split_b)
+        sp = {r.doc_id: r.split for r in train_split(docs).collect()}
+        manual: dict = {}
+        for p in minhash_lsh_candidates(docs).collect():
+            key = tuple(sorted((sp[p.d1], sp[p.d2])))
+            manual[key] = manual.get(key, 0) + 1
+        assert {(r.split_a, r.split_b): r.n_pairs for r in rows} == manual
+
+
+class TestMixtureRebalance:
+    def _docs(self, spark):
+        # skewed synthetic corpus: en 10 docs x 10 tokens, fr 2 x 10
+        rows = [(i, " ".join(["tok"] * 10), "en" if i < 10 else "fr")
+                for i in range(12)]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_most_under_target_group_keeps_everything(self, spark):
+        from oracdc_spark.operators.sampling import mixture_rebalance
+
+        kept = mixture_rebalance(
+            self._docs(spark), {"en": 500000, "fr": 500000}
+        ).collect()
+        by_lang: dict = {}
+        for r in kept:
+            by_lang.setdefault(r.lang, []).append(r.doc_id)
+        # fr is most under target (share 1/6 vs 1/2): keeps all 2 docs
+        assert sorted(by_lang["fr"]) == [10, 11]
+        # en downsamples toward f_en = (0.5/ (5/6)) / (0.5/(1/6)) = 1/5
+        assert 0 < len(by_lang["en"]) < 10
+        assert all(r.n_tokens == 10 for r in kept)
+
+    def test_absent_groups_drop_and_determinism(self, spark):
+        from oracdc_spark.operators.sampling import mixture_rebalance
+
+        docs = self._docs(spark)
+        kept1 = sorted(r.doc_id for r in mixture_rebalance(docs, {"en": 1000000}).collect())
+        # fr has no target -> dropped entirely; en keeps everything
+        # (it is the argmax group)
+        assert kept1 == list(range(10))
+        kept2 = sorted(r.doc_id for r in mixture_rebalance(docs, {"en": 1000000}).collect())
+        assert kept1 == kept2

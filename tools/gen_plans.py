@@ -127,6 +127,11 @@ NOTES = {
                                     "|iters_grid|",
     "text_corpus_datasheet": "CUBE = ONE Expand (4 grouping sets, map-side) + one partial-aggregated "
                              "exchange on low-cardinality (lang, source); result metadata-sized",
+    "pipeline_split_leakage": "the dedup_minhash_lsh bucket-bounded pair plan + two unhinted split "
+                              "lookups (AQE broadcasts the small pair side) + a 6-row aggregate",
+    "pipeline_mixture_rebalance": "one corpus token aggregate (|groups| rows) -> metadata ORDER BY/"
+                                  "LIMIT 1 argmax -> broadcast threshold table -> map-side DECIMAL "
+                                  "cross-multiplication filter; the corpus never shuffles",
 }
 
 KEEP = (
