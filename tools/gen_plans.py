@@ -137,7 +137,7 @@ NOTES = {
 KEEP = (
     "Scan parquet", "Exchange", "BroadcastHashJoin", "SortMergeJoin",
     "HashAggregate", "TakeOrdered", "Sort ", "Window", "Filter",
-    "Project", "Generate", "AdaptiveSparkPlan",
+    "Project", "Generate", "AdaptiveSparkPlan", "Expand",
 )
 
 
