@@ -1889,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_profile": analytics.events_value_profile,
         "events_moving_avg": analytics.events_moving_avg,
         "events_funnel": analytics.events_funnel,
+        "events_retention_cohorts": analytics.events_retention_cohorts,
         # cdc_feed's scan is exercised by the five in-window CDC queries
         "cdc_feed": _q_cdc_feed,
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -2023,7 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (rows-only: SVD fit — its evidence is the MSE-vs-recall curve),
 # text_corpus_datasheet (CUBE data-mixing report),
 # pipeline_split_leakage (near-dup pairs straddling train/val/test),
-# pipeline_mixture_rebalance (downsample-only fixed-mixture spec) — all
+# pipeline_mixture_rebalance (downsample-only fixed-mixture spec),
+# events_retention_cohorts (cohort retention matrix) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -3277,6 +3279,27 @@ WHERE n_supp >= 2 AND n_at_max = 1 AND s_max = o_max
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
+"""
+    sql["events_retention_cohorts"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+udc AS (
+  SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort FROM ud
+),
+sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM udc WHERE day = cohort GROUP BY cohort
+),
+act AS (
+  SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM udc GROUP BY cohort, day_offset
+)
+SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_day,
+       a.day_offset, a.n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(CAST(a.n_active AS DOUBLE) / s.cohort_size * 100, 4) AS retention_pct
+FROM act a JOIN sizes s USING (cohort)
 """
     sql["events_funnel"] = """
 WITH s1 AS (

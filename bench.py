@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "events_moving_avg",
     "events_value_profile",
     "events_funnel",
+    # retention matrix: the repartition-fused distinct+window shape
+    "events_retention_cohorts",
     # round-2 CDC additions
     "cdc_wrapped_apply",
     "cdc_direct_load",

@@ -513,6 +513,56 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort triangle: users grouped by FIRST-SEEN day
+    (their cohort), then counted as active per day offset from that
+    cohort — the classic product-analytics retention matrix
+    (cohort_day x day_offset -> n_active, cohort_size, retention_pct).
+
+    Scale shape: ONE corpus exchange — an explicit user_id repartition
+    that simultaneously satisfies the (user_id, day) distinct (subset
+    clustering) and the cohort-MIN window's partitionBy(user_id); the
+    (cohort, offset) aggregate then shuffles only distinct user-days.
+    cohort_size needs no second pass over the activity relation:
+    every cohort member is by construction active at offset 0, so the
+    offset-0 row IS the cohort size, lifted onto its siblings by a
+    cohort-keyed window over the aggregated (metadata-sized) rows —
+    single lineage, no join, no duplicated subtree.  No per-user event
+    ordering, no self-join over the raw events.
+    retention_pct is int/int division — correctly rounded,
+    engine-portable.
+
+    Reference parity: beyond-reference analytics (SURVEY.md §2.6
+    window/agg family) — the reference ships no cohort operator."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    udc = ud.withColumn("cohort", F.min("day").over(w))
+    act = udc.groupBy(
+        "cohort", F.datediff("day", "cohort").cast("bigint").alias("day_offset")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    wc = Window.partitionBy("cohort")
+    return (
+        act.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(wc),
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size") * 100, 4
+            ).alias("retention_pct"),
+        )
+    )
+
+
 def events_value_histogram(
     spark: SparkSession, sf_dir: str, n_bins: int = 20, lo: float = 0.0, hi: float = 100.0
 ) -> DataFrame:

@@ -75,3 +75,31 @@ def test_value_histogram_merges_by_addition(spark):
         whole = events_value_histogram(spark, sf)
         assert merged.exceptAll(whole).count() == 0
         assert whole.exceptAll(merged).count() == 0
+
+
+def test_retention_cohorts_invariants(spark):
+    """Offset-0 row per cohort equals the cohort size (100% retention
+    by construction); no offset exceeds it; the plan carries exactly
+    the three declared exchanges (user repartition fused under the
+    distinct + window, the cohort/offset aggregate, the cohort window)."""
+    from oracdc_spark.operators.analytics import events_retention_cohorts
+
+    df = events_retention_cohorts(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    for cohort, rs in by_cohort.items():
+        z = [r for r in rs if r.day_offset == 0]
+        assert len(z) == 1 and z[0].n_active == z[0].cohort_size
+        assert z[0].retention_pct == 100.0
+        assert all(r.n_active <= r.cohort_size for r in rs)
+        assert all(r.cohort_size == z[0].cohort_size for r in rs)
+    import re
+
+    # post-execution AQE plans print Final + Initial sections — count
+    # the final section only
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 3

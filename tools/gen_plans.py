@@ -132,6 +132,10 @@ NOTES = {
     "pipeline_mixture_rebalance": "one corpus token aggregate (|groups| rows) -> metadata ORDER BY/"
                                   "LIMIT 1 argmax -> broadcast threshold table -> map-side DECIMAL "
                                   "cross-multiplication filter; the corpus never shuffles",
+    "events_retention_cohorts": "ONE user_id repartition satisfies both the (user, day) distinct "
+                                "(subset clustering) and the cohort-MIN window; cohort_size lifted "
+                                "from the offset-0 row by a window over the aggregated metadata — "
+                                "single lineage, 3 exchanges total, no join",
 }
 
 KEEP = (
