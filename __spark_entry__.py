@@ -1890,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": analytics.events_moving_avg,
         "events_funnel": analytics.events_funnel,
         "events_retention_cohorts": analytics.events_retention_cohorts,
+        "events_active_users": analytics.events_active_users,
         # cdc_feed's scan is exercised by the five in-window CDC queries
         "cdc_feed": _q_cdc_feed,
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -2025,7 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # text_corpus_datasheet (CUBE data-mixing report),
 # pipeline_split_leakage (near-dup pairs straddling train/val/test),
 # pipeline_mixture_rebalance (downsample-only fixed-mixture spec),
-# events_retention_cohorts (cohort retention matrix) — all
+# events_retention_cohorts (cohort retention matrix),
+# events_active_users (exact sliding-distinct DAU/WAU) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -3279,6 +3281,26 @@ WHERE n_supp >= 2 AND n_at_max = 1 AND s_max = o_max
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
+"""
+    sql["events_active_users"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_dau FROM ud GROUP BY day
+),
+contrib AS (
+  SELECT DISTINCT user_id, CAST(t.d AS DATE) AS day
+  FROM ud, UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                                  CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                  INTERVAL 1 DAY)) AS t(d)
+),
+wau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_wau FROM contrib GROUP BY day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, n_dau, n_wau,
+       ROUND(CAST(n_dau AS DOUBLE) / n_wau * 100, 4) AS stickiness_pct
+FROM dau JOIN wau USING (day)
 """
     sql["events_retention_cohorts"] = """
 WITH ud AS (

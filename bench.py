@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "events_funnel",
     # retention matrix: the repartition-fused distinct+window shape
     "events_retention_cohorts",
+    # exact sliding distinct: bounded-explode contribution decomposition
+    "events_active_users",
     # round-2 CDC additions
     "cdc_wrapped_apply",
     "cdc_direct_load",

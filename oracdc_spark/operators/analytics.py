@@ -563,6 +563,61 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_active_users(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Exact sliding-window distinct users: per observed activity day,
+    DAU (distinct users that day) and WAU (distinct users in the
+    trailing ``window_days`` incl. the day) + stickiness = DAU/WAU —
+    the engagement report next to the HLL sketch path
+    (text_hll_distinct), which is the approximate answer to the same
+    question at extreme scale.
+
+    Sliding DISTINCT cannot map-side combine directly (a user active
+    twice in one window must count once), so the exact decomposition
+    CONTRIBUTES each distinct (user, day) row to the <= window_days
+    target days it can count toward (bounded explode), then
+    re-distincts per (target_day, user): the expansion factor is the
+    window length, never the corpus, and every aggregate partial-
+    combines.  Days with no activity are not reported (observed-days
+    contract — join back to the DAU relation).
+
+    Output: (day, n_dau, n_wau, stickiness_pct)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id")
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add("day", window_days - 1),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_dau",
+            "n_wau",
+            F.round(F.col("n_dau").cast("double") / F.col("n_wau") * 100, 4).alias(
+                "stickiness_pct"
+            ),
+        )
+    )
+
+
 def events_value_histogram(
     spark: SparkSession, sf_dir: str, n_bins: int = 20, lo: float = 0.0, hi: float = 100.0
 ) -> DataFrame:

@@ -103,3 +103,33 @@ def test_retention_cohorts_invariants(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 3
+
+
+def test_active_users_sliding_distinct_semantics(spark, tmp_path):
+    """A user active twice inside one trailing window counts ONCE in
+    WAU; DAU <= WAU; stickiness derived. Handcrafted 3-user corpus."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # u1 active on day0 and day2 (same 7-day window), u2 on day0,
+    # u3 on day9 (outside the first window)
+    for i, (u, d) in enumerate([(1, 0), (1, 2), (2, 0), (3, 9)]):
+        rows.append((i, base + dt.timedelta(days=d, hours=1), u, "click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    from oracdc_spark.operators.analytics import events_active_users
+
+    out = {r.day: r for r in events_active_users(spark, sf).collect()}
+    # observed days: 0, 2, 9
+    assert set(out) == {"2024-01-01", "2024-01-03", "2024-01-10"}
+    assert out["2024-01-01"].n_dau == 2 and out["2024-01-01"].n_wau == 2
+    # day2: u1 counts once in the window {day0..day2 contributions}
+    assert out["2024-01-03"].n_dau == 1 and out["2024-01-03"].n_wau == 2
+    assert out["2024-01-10"].n_dau == 1 and out["2024-01-10"].n_wau == 1
+    for r in out.values():
+        assert r.n_dau <= r.n_wau
+        assert r.stickiness_pct == round(r.n_dau / r.n_wau * 100, 4)

@@ -136,6 +136,10 @@ NOTES = {
                                 "(subset clustering) and the cohort-MIN window; cohort_size lifted "
                                 "from the offset-0 row by a window over the aggregated metadata — "
                                 "single lineage, 3 exchanges total, no join",
+    "events_active_users": "sliding DISTINCT decomposed: each distinct (user, day) explodes to its "
+                           "<= 7 target days (bounded by window length, never the corpus), "
+                           "re-distinct per (day, user), partial-combining counts; exact answer "
+                           "next to the HLL approximate path",
 }
 
 KEEP = (
