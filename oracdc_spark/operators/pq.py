@@ -9,7 +9,7 @@ compresses each vector to ``m`` one-byte codes (here m=16 over 64 dims:
 16x compression vs float32) and query scoring never touches the
 original vectors, only a per-query lookup table of size m*k.
 
-Decomposition (the ``split`` knob, three members):
+Decomposition (the ``split`` knob, four members):
 - "interleave" (default): dimension ``i`` (0-based) belongs to subspace
   ``i % m`` — needs no knowledge of the vector length (works on
   ragged/unknown-d corpora; the SQL oracle mirrors it as ``(i-1) % m``
@@ -21,6 +21,10 @@ Decomposition (the ``split`` knob, three members):
   (_balanced_alloc) — OPQ-P eigenvalue allocation reduced to its
   exact-integer diagonal form, trained on the same bounded sample as
   the codebooks and pinned as a d-row broadcast.
+- "learned": full OPQ-NP alternating minimization (_opq_learn_rotation)
+  — driver-side numpy fit, int64-quantized rotation; rows-only (SVD has
+  no SQL oracle), shipped through opq_learned_audit's MSE-vs-recall
+  curve.
 
 Training is per-subspace Lloyd k-means with the exact-integer recipe
 of ``operators/clustering.py`` (quantized bigint components,

@@ -96,6 +96,14 @@ def cosine_scores(
     )
 
 
+# Exact top-k results cached per (corpus plan, query_mod, k) within a
+# session — every ANN recall/purity audit (pq_recall x4 splits,
+# opq_learned_audit's legs, ann_label_purity, sq8/ivf recalls) shares
+# the SAME ground truth; recomputing the O(|Q|*|C|*d) scan per audit
+# is pure waste.  Same convention as pq._TRAIN_CACHE.
+_EXACT_CACHE: dict[tuple, DataFrame] = {}
+
+
 def brute_force_topk(
     vecs: DataFrame, query_mod: int = 100, k: int = 5
 ) -> DataFrame:
@@ -108,16 +116,26 @@ def brute_force_topk(
     O(|Q|·|C|·d) with the queries broadcast — if the query load itself
     is corpus-sized, this operator is the wrong tool (use
     embedding_near_dups' banded self-join instead)."""
+    try:
+        key = (vecs.semanticHash(), query_mod, k)
+    except Exception:
+        key = None
+    if key is not None and key in _EXACT_CACHE:
+        return _EXACT_CACHE[key]
     queries = vecs.filter(F.col("vec_id") % query_mod == 0)
     scores = cosine_scores(queries, vecs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         scores.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
     )
+    if key is not None:
+        out = out.persist()
+        _EXACT_CACHE[key] = out
+    return out
 
 
 def ivf_topk(vecs: DataFrame, query_mod: int = 100, k: int = 3) -> DataFrame:
