@@ -717,6 +717,14 @@ def _q_multimodal_image_ahash(spark, sf_dir):
     return multimodal.image_ahash(media, grid=4)
 
 
+def _q_multimodal_image_near_dups(spark, sf_dir):
+    """Banded Hamming near-dup pairs over the perceptual hashes —
+    exact-complete at max_hamming < bands (pigeonhole), so the SQL
+    mirror is a full oracle, not a recall check."""
+    media = multimodal.synthetic_codec_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_near_dups(media, grid=4, max_hamming=3, bands=4)
+
+
 def _q_multimodal_audio_ehash(spark, sf_dir):
     """Energy-envelope audio fingerprint over REAL WAV decode; the
     arithmetic sample generator mirrors decode → segment energies →
@@ -1922,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_span_fraction": _q_text_dup_spans,
         "text_pii_scrub": _q_text_pii_scrub,
         "multimodal_image_ahash": _q_multimodal_image_ahash,
+        "multimodal_image_near_dups": _q_multimodal_image_near_dups,
         "multimodal_audio_ehash": _q_multimodal_audio_ehash,
         "registry_evolution": _q_registry_evolution,
         "promo_revenue": analytics.promo_revenue,
@@ -2027,7 +2036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # pipeline_split_leakage (near-dup pairs straddling train/val/test),
 # pipeline_mixture_rebalance (downsample-only fixed-mixture spec),
 # events_retention_cohorts (cohort retention matrix),
-# events_active_users (exact sliding-distinct DAU/WAU) — all
+# events_active_users (exact sliding-distinct DAU/WAU),
+# multimodal_image_near_dups (banded Hamming pairs, exact-complete) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -2586,6 +2596,22 @@ hashes AS (
 SELECT media_id, ahash,
        CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same_hash
 FROM hashes
+"""
+    # banded Hamming near-dups over the same hashes CTE: 4 bands x 4
+    # bits, exact-complete at hamming <= 3 (pigeonhole — one band must
+    # survive untouched), so the band join + exact filter IS the answer
+    sql["multimodal_image_near_dups"] = sql["multimodal_image_ahash"].rsplit(
+        "SELECT media_id", 1
+    )[0] + """,
+banded AS (
+  SELECT media_id, ahash, t.b AS band, (ahash >> (t.b * 4)) & 15 AS val
+  FROM hashes, UNNEST(generate_series(0, 3)) AS t(b)
+)
+SELECT DISTINCT a.media_id AS m1, b.media_id AS m2,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 """
     sql["multimodal_audio_ehash"] = """
 WITH a AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),

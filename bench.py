@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "dedup_lsh_incremental",
     # round-5 additions
     "multimodal_image_ahash",
+    # banded Hamming pair join over the perceptual hashes (new shape:
+    # the decode stage + an LSH-style bucket self-join)
+    "multimodal_image_near_dups",
     "multimodal_audio_ehash",
     "registry_evolution",
     "pipeline_pack_sequences",

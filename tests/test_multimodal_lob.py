@@ -288,3 +288,36 @@ def test_audio_ehash_empty_segments_bit_positions():
         mean = int(evs.sum()) // len(ks)
         eh = int(((evs > mean).astype(np.int64) << ks).sum())
         assert eh == scalar_ehash(samples), samples
+
+
+class TestImageNearDups:
+    def test_exact_complete_vs_brute_force(self, spark):
+        """At max_hamming < bands the banded candidates are EXACT —
+        the output must equal the brute-force Hamming-<=3 pair set
+        over the decoded hashes (completeness AND soundness)."""
+        import itertools
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        media = multimodal.synthetic_codec_media(docs)
+        hashes = {
+            r.media_id: r.ahash
+            for r in multimodal._image_hashes(media).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(hashes), 2):
+            h = bin(hashes[a] ^ hashes[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+        got = {
+            (r.m1, r.m2): r.hamming
+            for r in multimodal.image_near_dups(media).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_parameter_validation(self, spark):
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        media = multimodal.synthetic_codec_media(docs)
+        with pytest.raises(ValueError):
+            multimodal.image_near_dups(media, grid=4, max_hamming=4, bands=4)
+        with pytest.raises(ValueError):
+            multimodal.image_near_dups(media, grid=4, max_hamming=2, bands=5)
