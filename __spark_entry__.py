@@ -1383,6 +1383,10 @@ def _q_text_corpus_datasheet(spark, sf_dir):
     return textops.corpus_datasheet(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_boilerplate_strip(spark, sf_dir):
+    return textops.boilerplate_strip(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_quality(spark, sf_dir):
     return textops.quality_scores(load_table(spark, sf_dir, "documents"))
 
@@ -1917,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_near_dups": _q_sim_near_dups,
         "text_token_stats": _q_text_tokens,
         "text_corpus_datasheet": _q_text_corpus_datasheet,
+        "text_boilerplate_strip": _q_text_boilerplate_strip,
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
         "text_fingerprint": _q_text_fingerprint,
@@ -2037,7 +2042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # pipeline_mixture_rebalance (downsample-only fixed-mixture spec),
 # events_retention_cohorts (cohort retention matrix),
 # events_active_users (exact sliding-distinct DAU/WAU),
-# multimodal_image_near_dups (banded Hamming pairs, exact-complete) — all
+# multimodal_image_near_dups (banded Hamming pairs, exact-complete),
+# text_boilerplate_strip (cross-doc line furniture removal) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -5033,6 +5039,27 @@ SELECT n_seqs, total_tokens,
 FROM agg
 """
     )
+    sql["text_boilerplate_strip"] = """
+WITH bparts AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS parts FROM documents
+),
+blines AS (
+  SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS line
+  FROM bparts, UNNEST(generate_series(1, len(parts))) AS t(i)
+),
+boiler AS (
+  SELECT source, line FROM blines GROUP BY source, line
+  HAVING COUNT(DISTINCT doc_id) >= 3
+)
+SELECT l.doc_id,
+       COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS cleaned_text,
+       CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_removed
+FROM blines l
+LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+GROUP BY l.doc_id
+"""
     sql["text_corpus_datasheet"] = (
         "WITH "
         + _TOKS

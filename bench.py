@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     # CUBE grouping-sets report — the one Expand-operator plan in the
     # suite, worth timing on its own
     "text_corpus_datasheet",
+    # cross-doc line frequency + per-doc reassembly (posexplode +
+    # (source,line) agg + collect_list sort — the family's heavy member)
+    "text_boilerplate_strip",
     "text_gopher_quality",
     "text_fingerprint",
     "text_contamination",

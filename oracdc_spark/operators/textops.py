@@ -1465,3 +1465,58 @@ def corpus_datasheet(docs: DataFrame) -> DataFrame:
         "n_chars",
         "bpe_est_tokens",
     )
+
+
+def boilerplate_strip(docs: DataFrame, min_docs: int = 3) -> DataFrame:
+    """Cross-document boilerplate removal: a line occurring in at least
+    ``min_docs`` DISTINCT documents of the same source is site
+    furniture (nav bars, cookie banners, footers) and is stripped from
+    every document of that source — the line-level cross-doc pass of
+    RefinedWeb/CCNet-style web curation, complementing c4_line_filter
+    (within-doc rules) and chunk_dedup_stats (passage-level stats).
+
+    Exact semantics (oracle-mirrored): lines split on '\\n', compared
+    byte-exact; the doc rebuilds as the '\\n'-join of its surviving
+    lines in original order; docs reduced to nothing emit an empty
+    string.  Output: (doc_id, cleaned_text, n_lines_removed).
+
+    Scale shape: one (source, line) frequency aggregate — key
+    cardinality is web-bounded (distinct lines per site), the
+    distinct-doc count partial-aggregates; the join back is keyed the
+    same; reassembly is a per-doc sort_array over positions already on
+    the doc's partition (one doc_id exchange).  No pair joins, nothing
+    corpus²."""
+    lines = _parallel(docs).select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("source", "line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("source", "line", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(boiler, ["source", "line"], "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_boiler").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+            F.sum(
+                F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_lines_removed"),
+        )
+    )

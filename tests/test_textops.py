@@ -713,3 +713,40 @@ class TestCorpusDatasheet:
         # CUBE compiles to one Expand + one aggregation — not a union of scans
         assert plan.count("Expand") == 1
         assert "Union" not in plan
+
+
+class TestBoilerplateStrip:
+    def test_cross_doc_lines_stripped_in_order(self, spark):
+        """A line in >= min_docs distinct docs of the SAME source is
+        stripped everywhere; same line under another source survives;
+        order is preserved; fully-stripped docs emit ''."""
+        nav = "HOME | ABOUT | CONTACT"
+        rows = [
+            (1, f"{nav}\nalpha body\ncookie notice", "s1"),
+            (2, f"{nav}\nbeta body\ncookie notice", "s1"),
+            (3, f"cookie notice\n{nav}\ngamma body", "s1"),
+            (4, nav, "s1"),                       # nothing survives
+            (5, f"{nav}\ndelta body", "s2"),      # other source: kept
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r.doc_id: r for r in textops.boilerplate_strip(docs, min_docs=3).collect()}
+        assert out[1].cleaned_text == "alpha body"
+        assert out[1].n_lines_removed == 2
+        assert out[2].cleaned_text == "beta body"
+        assert out[3].cleaned_text == "gamma body"
+        assert out[4].cleaned_text == "" and out[4].n_lines_removed == 1
+        # s2 has only one doc: its nav line is below min_docs there
+        assert out[5].cleaned_text == f"{nav}\ndelta body"
+        assert out[5].n_lines_removed == 0
+
+    def test_order_preserved_across_many_lines(self, spark):
+        body = "\n".join(f"line {i}" for i in range(20))
+        rows = [(i, f"AD\n{body}\nAD", "s") for i in range(3)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = textops.boilerplate_strip(docs, min_docs=3).collect()
+        # every body line also repeats across the 3 docs -> stripped too;
+        # with min_docs=4 nothing is stripped and order survives intact
+        assert all(r.cleaned_text == "" for r in out)
+        out2 = textops.boilerplate_strip(docs, min_docs=4).collect()
+        assert all(r.cleaned_text == f"AD\n{body}\nAD" for r in out2)
+        assert all(r.n_lines_removed == 0 for r in out2)
