@@ -1387,6 +1387,24 @@ def _q_text_boilerplate_strip(spark, sf_dir):
     return textops.boilerplate_strip(load_table(spark, sf_dir, "documents"))
 
 
+def _q_events_zorder_key(spark, sf_dir):
+    """Surface the Z-order layout primitive (plans/zorder.py — Morton
+    interleave + coarse bucket, Delta OPTIMIZE ZORDER BY's key) as an
+    oracle-checked row; the actual partition-pruning proof lives in
+    tests/test_zorder.py."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.plans.zorder import zbucket, zorder_key
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+    return e.select(
+        "event_id",
+        zorder_key(F.col("user_id"), day).alias("zkey"),
+        zbucket(F.col("user_id"), day).cast("bigint").alias("zb"),
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     return textops.quality_scores(load_table(spark, sf_dir, "documents"))
 
@@ -1922,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_tokens,
         "text_corpus_datasheet": _q_text_corpus_datasheet,
         "text_boilerplate_strip": _q_text_boilerplate_strip,
+        "events_zorder_key": _q_events_zorder_key,
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
         "text_fingerprint": _q_text_fingerprint,
@@ -2043,7 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_retention_cohorts (cohort retention matrix),
 # events_active_users (exact sliding-distinct DAU/WAU),
 # multimodal_image_near_dups (banded Hamming pairs, exact-complete),
-# text_boilerplate_strip (cross-doc line furniture removal) — all
+# text_boilerplate_strip (cross-doc line furniture removal),
+# events_zorder_key (Morton layout key, surfaces plans/zorder.py) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -5039,6 +5059,21 @@ SELECT n_seqs, total_tokens,
 FROM agg
 """
     )
+    # Morton interleave mirrored bit-by-bit (16 bits per coordinate,
+    # bucket = top 6 bits of the 32-bit key — mirrors plans/zorder.py)
+    _z_terms = " | ".join(
+        f"(((u >> {i}) & 1) << {2 * i}) | (((d >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    sql["events_zorder_key"] = f"""
+WITH zc AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS u,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+  FROM events
+),
+zk AS (SELECT event_id, CAST({_z_terms} AS BIGINT) AS zkey FROM zc)
+SELECT event_id, zkey, CAST(zkey >> 26 AS BIGINT) AS zb FROM zk
+"""
     sql["text_boilerplate_strip"] = """
 WITH bparts AS (
   SELECT doc_id, source, string_split(text, chr(10)) AS parts FROM documents

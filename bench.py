@@ -227,7 +227,10 @@ BENCH_QUERIES = [
     # + two split lookups and a 6-row aggregate);
     # pipeline_mixture_rebalance (one corpus token aggregate + a
     # broadcast-threshold map filter — the benched
-    # pipeline_temperature_mix's exact plan family)
+    # pipeline_temperature_mix's exact plan family);
+    # events_zorder_key (pure codegen bit arithmetic over the benched
+    # events scan — no exchange at all; the pruning effect itself is
+    # proven by tests/test_zorder.py, not timeable at sandbox scale)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the
