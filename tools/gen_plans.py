@@ -140,6 +140,14 @@ NOTES = {
                            "<= 7 target days (bounded by window length, never the corpus), "
                            "re-distinct per (day, user), partial-combining counts; exact answer "
                            "next to the HLL approximate path",
+    "text_boilerplate_strip": "one (source, line) frequency aggregate (web-bounded keys, "
+                              "partial-combining distinct-doc count) + keyed join back + per-doc "
+                              "ordered reassembly on the doc_id exchange; no pair joins",
+    "multimodal_image_near_dups": "narrow decode (bytes never leave executors) -> bounded x4 band "
+                                  "explode -> per-(band, value) bucket self-join -> codegen "
+                                  "bit_count filter; exact-complete at hamming < bands",
+    "events_zorder_key": "pure whole-stage-codegen bit interleave over the scan — zero exchanges; "
+                         "the partition-pruning payoff is pinned by tests/test_zorder.py",
 }
 
 KEEP = (
