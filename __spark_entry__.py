@@ -1354,6 +1354,14 @@ def _q_sim_opq_balanced_recall(spark, sf_dir):
     )
 
 
+def _q_sim_hard_negatives(spark, sf_dir):
+    from oracdc_spark.operators import similarity
+
+    return similarity.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), 100, 5
+    )
+
+
 def _q_sim_opq_learned_audit(spark, sf_dir):
     # rows-only by necessity (the OPQ-NP fit is an SVD — no DuckDB
     # replay): one row per alternation count pairing the fit's own
@@ -1909,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_opq_recall": _q_sim_opq_recall,
         "similarity_opq_balanced_recall": _q_sim_opq_balanced_recall,
         "similarity_opq_learned_audit": _q_sim_opq_learned_audit,
+        "similarity_hard_negatives": _q_sim_hard_negatives,
         "similarity_hyperplane_lsh": _q_sim_hyperplane_lsh,
         "similarity_hyperplane_recall": _q_sim_hyperplane_recall,
         "similarity_ann_purity": _q_sim_ann_purity,
@@ -2063,7 +2072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_active_users (exact sliding-distinct DAU/WAU),
 # multimodal_image_near_dups (banded Hamming pairs, exact-complete),
 # text_boilerplate_strip (cross-doc line furniture removal),
-# events_zorder_key (Morton layout key, surfaces plans/zorder.py) — all
+# events_zorder_key (Morton layout key, surfaces plans/zorder.py),
+# similarity_hard_negatives (cross-label top-k for contrastive
+# training) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -4270,6 +4281,41 @@ scored AS (
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+    )
+    # hard-negative mining: exact scores restricted to label-mismatched
+    # pairs (similarity.hard_negatives)
+    sql["similarity_hard_negatives"] = (
+        "WITH "
+        + _QUANT
+        + """,
+q AS (SELECT vec_id AS query_id, i, q FROM qv WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, i, q FROM qv),
+lab AS (SELECT vec_id, label FROM embeddings),
+dots AS (
+  SELECT query_id, neighbor_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM q a JOIN c b USING (i)
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+qn AS (SELECT query_id, CAST(SUM(q*q) AS BIGINT) AS qn FROM q GROUP BY query_id),
+cn AS (SELECT neighbor_id, CAST(SUM(q*q) AS BIGINT) AS cn FROM c GROUP BY neighbor_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM dots JOIN qn USING (query_id) JOIN cn USING (neighbor_id)
+  JOIN lab ql ON ql.vec_id = dots.query_id
+  JOIN lab nl ON nl.vec_id = dots.neighbor_id
+  WHERE ql.label <> nl.label
+)
+SELECT query_id, negative_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id AS negative_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
   FROM scored) t
 WHERE rank <= 5
 """

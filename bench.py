@@ -230,7 +230,9 @@ BENCH_QUERIES = [
     # pipeline_temperature_mix's exact plan family);
     # events_zorder_key (pure codegen bit arithmetic over the benched
     # events scan — no exchange at all; the pruning effect itself is
-    # proven by tests/test_zorder.py, not timeable at sandbox scale)
+    # proven by tests/test_zorder.py, not timeable at sandbox scale);
+    # similarity_hard_negatives (the benched brute-force score plan +
+    # two label lookups and the same top-k window)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -499,3 +499,55 @@ def sq8_recall(vecs: DataFrame, query_mod: int = 100, k: int = 5) -> DataFrame:
         F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
         F.round(F.coalesce("n_matches", F.lit(0)).cast("double") / k, 6).alias("recall"),
     )
+
+
+def hard_negatives(
+    vecs: DataFrame, query_mod: int = 100, k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar vectors with a DIFFERENT label — the negatives
+    that sit closest to the decision boundary, the standard
+    dense-retriever / embedding-finetune training-set builder (cf. DPR,
+    sentence-transformers' mine_hard_negatives).
+
+    Same bounded-query-batch contract and quantized-cosine scoring as
+    brute_force_topk; the label-mismatch predicate pushes into the
+    broadcast join (codegen filter before the score aggregate).  At
+    corpus scale swap the exact scan for the IVF/PQ candidates exactly
+    as ivfpq_refine_topk does — the ranking contract is unchanged.
+
+    Output: (query_id, negative_id, rank)."""
+    labeled = vecs.select("vec_id", "label")
+    queries = vecs.filter(F.col("vec_id") % query_mod == 0)
+    scores = (
+        cosine_scores(queries, vecs)
+        .join(
+            F.broadcast(
+                labeled.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            labeled.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("qlabel") != F.col("nlabel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -392,3 +392,31 @@ def test_planted_audit_rejects_colliding_ids(spark):
     )
     with _pytest.raises(Exception, match="PLANT_OFFSET"):
         pq.hyperplane_planted_audit(vecs).collect()
+
+
+def test_hard_negatives_cross_label_only(spark):
+    """Every mined negative must carry a label different from its
+    query's, ranks are 1..k dense per query, and the top negative is
+    the best cross-label neighbor from the exact score table."""
+    from oracdc_spark.operators.similarity import cosine_scores, hard_negatives
+
+    vecs = load_table(spark, SF, "embeddings")
+    labels = {r.vec_id: r.label for r in vecs.select("vec_id", "label").collect()}
+    out = hard_negatives(vecs, 100, 5).collect()
+    assert out
+    by_q: dict = {}
+    for r in out:
+        assert labels[r.query_id] != labels[r.negative_id]
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # cross-check rank 1 against the raw score table
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    scores = cosine_scores(queries, vecs).collect()
+    for qid, ranks in by_q.items():
+        best = max(
+            (s for s in scores
+             if s.query_id == qid and labels[s.neighbor_id] != labels[qid]),
+            key=lambda s: (s.score, -s.neighbor_id),
+        )
+        got1 = [r.negative_id for r in out if r.query_id == qid and r.rank == 1]
+        assert got1 == [best.neighbor_id]
