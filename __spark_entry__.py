@@ -1234,6 +1234,10 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"), n=5, threshold=0.5)
 
 
+def _q_dedup_canonical(spark, sf_dir):
+    return dedup.dedup_canonical(load_table(spark, sf_dir, "documents"), n=5, threshold=0.5)
+
+
 def _q_dedup_clusters_fast(spark, sf_dir):
     # pointer-jumping variant — same declared semantics as
     # dedup_clusters, proven against the SAME independent recursive-CTE
@@ -2014,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
         "dedup_decisions": _q_dedup_decisions,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
         "pipeline_sample": _q_pipeline_sample,
         "pipeline_quota_sample": _q_quota_sample,
         "pipeline_temperature_mix": _q_temperature_mix,
@@ -2074,7 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # text_boilerplate_strip (cross-doc line furniture removal),
 # events_zorder_key (Morton layout key, surfaces plans/zorder.py),
 # similarity_hard_negatives (cross-label top-k for contrastive
-# training) — all
+# training), dedup_canonical (one kept representative per near-dup
+# cluster) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -3971,6 +3977,21 @@ SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
     # the pointer-jumping variant declares the SAME semantics — same
     # independent recursive-CTE oracle
     sql["dedup_clusters_fast"] = sql["dedup_clusters"]
+    # canonical representative per cluster: longest member, ties to the
+    # lowest doc_id (dedup.dedup_canonical)
+    sql["dedup_canonical"] = (
+        """
+SELECT doc_id, cluster_id, n_chars, n_members FROM (
+  SELECT c.doc_id, c.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
+  FROM ("""
+        + sql["dedup_clusters"]
+        + """) c JOIN documents d USING (doc_id)
+) t WHERE rk = 1
+"""
+    )
     sql["pipeline_sample"] = (
         "SELECT * FROM documents WHERE "
         "substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 2) < '1a'"

@@ -232,7 +232,9 @@ BENCH_QUERIES = [
     # events scan — no exchange at all; the pruning effect itself is
     # proven by tests/test_zorder.py, not timeable at sandbox scale);
     # similarity_hard_negatives (the benched brute-force score plan +
-    # two label lookups and the same top-k window)
+    # two label lookups and the same top-k window);
+    # dedup_canonical (the benched dedup_clusters propagation + one
+    # metadata join and a single shared-exchange cluster window)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

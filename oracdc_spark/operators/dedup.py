@@ -24,7 +24,7 @@ pairs (tiny) ever reach a wide join.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -360,6 +360,41 @@ def dedup_clusters(docs: DataFrame, n: int = 5, threshold: float = 0.5) -> DataF
     # singletons (no dup pair) are their own cluster — one final join
     return docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+
+def dedup_canonical(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Canonical-representative selection: ONE kept document per
+    near-dup cluster — the step that turns dedup_clusters' labeling
+    into an actual deduplicated corpus.  Keeps the LONGEST member
+    (max n_chars, ties to the lowest doc_id) — the common web-curation
+    heuristic (the longest variant usually subsumes its truncated
+    copies); swap the ORDER BY for a quality score to keep the
+    best-scored member instead, the plan is identical.
+
+    Output: (doc_id, cluster_id, n_chars, n_members) — one row per
+    cluster; singletons keep themselves with n_members = 1.
+
+    Scale shape: dedup_clusters' label propagation (pair-graph-sized
+    frontier) + one broadcastable join of the label table against the
+    corpus metadata + one cluster-keyed window; both window functions
+    (rank, member count) share a single exchange/sort."""
+    clusters = dedup_clusters(docs, n=n, threshold=threshold)
+    joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "n_members",
+        )
     )
 
 

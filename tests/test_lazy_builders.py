@@ -40,6 +40,8 @@ ALLOWED_BUILD_JOBS = {
     # pointer-jumping variant: eager localCheckpoints + convergence
     # counts per round (O(log diameter) rounds)
     "dedup_clusters_fast": 40,
+    # composes dedup_clusters' convergence loop + a window
+    "dedup_canonical": 40,
     # PQ codebook training: one bounded sample-components collect (see
     # module docstring), AQE may split it into several jobs; cache-hit = 0
     "similarity_pq_topk": 15,

@@ -750,3 +750,26 @@ class TestBoilerplateStrip:
         out2 = textops.boilerplate_strip(docs, min_docs=4).collect()
         assert all(r.cleaned_text == f"AD\n{body}\nAD" for r in out2)
         assert all(r.n_lines_removed == 0 for r in out2)
+
+
+class TestDedupCanonical:
+    def test_one_representative_per_cluster_longest_wins(self, spark):
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.dedup import dedup_canonical, dedup_clusters
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        n_docs = docs.count()
+        reps = dedup_canonical(docs).collect()
+        cl = dedup_clusters(docs).collect()
+        by_cluster: dict = {}
+        for r in cl:
+            by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+        # exactly one representative per cluster, members fully counted
+        assert {r.cluster_id for r in reps} == set(by_cluster)
+        assert sum(r.n_members for r in reps) == n_docs
+        chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+        for r in reps:
+            members = by_cluster[r.cluster_id]
+            assert r.n_members == len(members)
+            best = min(members, key=lambda d: (-chars[d], d))
+            assert r.doc_id == best and r.n_chars == chars[best]
