@@ -725,6 +725,13 @@ def _q_multimodal_image_near_dups(spark, sf_dir):
     return multimodal.image_near_dups(media, grid=4, max_hamming=3, bands=4)
 
 
+def _q_multimodal_audio_near_dups(spark, sf_dir):
+    """Audio-side banded Hamming near-dups over a 16-segment energy
+    hash (the 8-segment default is too coarse to band)."""
+    media = multimodal.synthetic_codec_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_near_dups(media, segments=16, max_hamming=3, bands=4)
+
+
 def _q_multimodal_audio_ehash(spark, sf_dir):
     """Energy-envelope audio fingerprint over REAL WAV decode; the
     arithmetic sample generator mirrors decode → segment energies →
@@ -1969,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_ahash": _q_multimodal_image_ahash,
         "multimodal_image_near_dups": _q_multimodal_image_near_dups,
         "multimodal_audio_ehash": _q_multimodal_audio_ehash,
+        "multimodal_audio_near_dups": _q_multimodal_audio_near_dups,
         "registry_evolution": _q_registry_evolution,
         "promo_revenue": analytics.promo_revenue,
         "cdc_replay_filter": _q_cdc_replay_filter,
@@ -2080,7 +2088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_zorder_key (Morton layout key, surfaces plans/zorder.py),
 # similarity_hard_negatives (cross-label top-k for contrastive
 # training), dedup_canonical (one kept representative per near-dup
-# cluster) — all
+# cluster), multimodal_audio_near_dups (banded Hamming over the
+# 16-segment energy hash) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -2680,6 +2689,39 @@ hashes AS (
 SELECT media_id, ehash,
        CAST(COUNT(*) OVER (PARTITION BY ehash) AS BIGINT) AS n_same_hash
 FROM hashes
+"""
+    # 16-segment ehash variant + the same banded Hamming join as the
+    # image oracle (4 bands x 4 bits, exact-complete at hamming <= 3)
+    sql["multimodal_audio_near_dups"] = """
+WITH a AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+dims AS (SELECT media_id, CAST((media_id % 100) + 1 AS BIGINT) AS n FROM a),
+smp AS (
+  SELECT media_id, n,
+         ((media_id*31 + i*17) % 65536) - 32768 AS s,
+         (i * 16) // n AS seg
+  FROM dims, UNNEST(generate_series(0, n - 1)) AS t(i)
+),
+segs AS (
+  SELECT media_id, seg, SUM(s * s) // COUNT(*) AS ev
+  FROM smp GROUP BY media_id, seg
+),
+means AS (SELECT media_id, SUM(ev) // COUNT(*) AS mv FROM segs GROUP BY media_id),
+hashes AS (
+  SELECT s.media_id,
+         CAST(SUM(CASE WHEN ev > mv
+                       THEN CAST(1 AS BIGINT) << CAST(seg AS INT)
+                       ELSE 0 END) AS BIGINT) AS ehash
+  FROM segs s JOIN means USING (media_id) GROUP BY s.media_id
+),
+banded AS (
+  SELECT media_id, ehash, t.b AS band, (ehash >> (t.b * 4)) & 15 AS val
+  FROM hashes, UNNEST(generate_series(0, 3)) AS t(b)
+)
+SELECT DISTINCT a.media_id AS m1, b.media_id AS m2,
+       CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
+WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
 """
     sql["multimodal_decode"] = """
 WITH m AS (

@@ -234,7 +234,10 @@ BENCH_QUERIES = [
     # similarity_hard_negatives (the benched brute-force score plan +
     # two label lookups and the same top-k window);
     # dedup_canonical (the benched dedup_clusters propagation + one
-    # metadata join and a single shared-exchange cluster window)
+    # metadata join and a single shared-exchange cluster window);
+    # multimodal_audio_near_dups (the benched image_near_dups pairing
+    # plan over the benched ehash decode — no new distributed shape,
+    # and the blunt 16-bit envelope saturates pairs at sandbox scale)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

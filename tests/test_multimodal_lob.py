@@ -321,3 +321,25 @@ class TestImageNearDups:
             multimodal.image_near_dups(media, grid=4, max_hamming=4, bands=4)
         with pytest.raises(ValueError):
             multimodal.image_near_dups(media, grid=4, max_hamming=2, bands=5)
+
+
+class TestAudioNearDups:
+    def test_exact_complete_vs_brute_force(self, spark):
+        import itertools
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        media = multimodal.synthetic_codec_media(docs)
+        hashes = {
+            r.media_id: r.ehash
+            for r in multimodal._audio_hashes(media, 16).collect()
+        }
+        want = {
+            (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+            for a, b in itertools.combinations(sorted(hashes), 2)
+            if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+        }
+        got = {
+            (r.m1, r.m2): r.hamming
+            for r in multimodal.audio_near_dups(media, 16).collect()
+        }
+        assert got == want and len(want) > 0
