@@ -1365,6 +1365,14 @@ def _q_sim_opq_balanced_recall(spark, sf_dir):
     )
 
 
+def _q_retrieval_mmr(spark, sf_dir):
+    from oracdc_spark.operators import retrieval
+
+    return retrieval.mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"), 100, 20, 3
+    )
+
+
 def _q_sim_hard_negatives(spark, sf_dir):
     from oracdc_spark.operators import similarity
 
@@ -1929,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_opq_balanced_recall": _q_sim_opq_balanced_recall,
         "similarity_opq_learned_audit": _q_sim_opq_learned_audit,
         "similarity_hard_negatives": _q_sim_hard_negatives,
+        "retrieval_mmr": _q_retrieval_mmr,
         "similarity_hyperplane_lsh": _q_sim_hyperplane_lsh,
         "similarity_hyperplane_recall": _q_sim_hyperplane_recall,
         "similarity_ann_purity": _q_sim_ann_purity,
@@ -2089,7 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # similarity_hard_negatives (cross-label top-k for contrastive
 # training), dedup_canonical (one kept representative per near-dup
 # cluster), multimodal_audio_near_dups (banded Hamming over the
-# 16-segment energy hash) — all
+# 16-segment energy hash), retrieval_mmr (MMR diversified re-rank,
+# greedy k=3 unrolled) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -4346,6 +4356,104 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
                                ORDER BY score DESC, neighbor_id) AS rank
   FROM scored) t
 WHERE rank <= 5
+"""
+    )
+    # MMR diversified re-rank (retrieval.mmr_rerank): greedy k=3 loop
+    # unrolled; argmax ties to the lower doc id; 0.7/0.3 cast to DOUBLE
+    # so both engines combine identical IEEE values
+    _mmr_score = (
+        "(CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)"
+        " * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))"
+    )
+    sql["retrieval_mmr"] = (
+        "WITH "
+        + _QUANT
+        + f""",
+mq AS (SELECT vec_id AS query_id, i, q FROM qv WHERE vec_id % 100 = 0),
+mc AS (SELECT vec_id AS neighbor_id, i, q FROM qv),
+mdots AS (
+  SELECT query_id, neighbor_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM mq a JOIN mc b USING (i)
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY query_id, neighbor_id
+),
+nn AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2 FROM qv GROUP BY vec_id),
+mscored AS (
+  SELECT query_id, neighbor_id,
+         {_mmr_score} / (CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS score
+  FROM mdots JOIN nn a ON a.vec_id = mdots.query_id
+             JOIN nn b ON b.vec_id = mdots.neighbor_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rk
+    FROM mscored) t WHERE rk <= 20
+),
+cp AS (
+  SELECT DISTINCT a.neighbor_id AS da, b.neighbor_id AS db
+  FROM cand a JOIN cand b USING (query_id)
+  WHERE a.neighbor_id <> b.neighbor_id
+),
+pd AS (
+  SELECT cp.da, cp.db, CAST(SUM(x.q * y.q) AS BIGINT) AS dot
+  FROM cp JOIN qv x ON x.vec_id = cp.da
+          JOIN qv y ON y.vec_id = cp.db AND y.i = x.i
+  GROUP BY cp.da, cp.db
+),
+psim AS (
+  SELECT da, db,
+         {_mmr_score} / (CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS sim
+  FROM pd JOIN nn a ON a.vec_id = pd.da JOIN nn b ON b.vec_id = pd.db
+),
+sel1 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rk
+    FROM cand) t WHERE rk = 1
+),
+rem1 AS (
+  SELECT c.* FROM cand c LEFT JOIN sel1 s
+    ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+  WHERE s.neighbor_id IS NULL
+),
+mmr2 AS (
+  SELECT r.query_id, r.neighbor_id,
+         CAST(0.7 AS DOUBLE) * r.score - CAST(0.3 AS DOUBLE) * MAX(p.sim) AS mmr
+  FROM rem1 r JOIN sel1 s ON r.query_id = s.query_id
+  JOIN psim p ON p.da = r.neighbor_id AND p.db = s.neighbor_id
+  GROUP BY r.query_id, r.neighbor_id, r.score
+),
+sel2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, neighbor_id) AS rk
+    FROM mmr2) t WHERE rk = 1
+),
+rem2 AS (
+  SELECT r.* FROM rem1 r LEFT JOIN sel2 s
+    ON r.query_id = s.query_id AND r.neighbor_id = s.neighbor_id
+  WHERE s.neighbor_id IS NULL
+),
+sel12 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+mmr3 AS (
+  SELECT r.query_id, r.neighbor_id,
+         CAST(0.7 AS DOUBLE) * r.score - CAST(0.3 AS DOUBLE) * MAX(p.sim) AS mmr
+  FROM rem2 r JOIN sel12 s ON r.query_id = s.query_id
+  JOIN psim p ON p.da = r.neighbor_id AND p.db = s.neighbor_id
+  GROUP BY r.query_id, r.neighbor_id, r.score
+),
+sel3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, neighbor_id) AS rk
+    FROM mmr3) t WHERE rk = 1
+)
+SELECT query_id, neighbor_id AS doc_id, CAST(1 AS BIGINT) AS position FROM sel1
+UNION ALL
+SELECT query_id, neighbor_id, CAST(2 AS BIGINT) FROM sel2
+UNION ALL
+SELECT query_id, neighbor_id, CAST(3 AS BIGINT) FROM sel3
 """
     )
     # hard-negative mining: exact scores restricted to label-mismatched

@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "text_bm25",
     "text_dsir",
     "hybrid_retrieval",
+    # MMR diversified re-rank: candidate pair-sim join + unrolled
+    # greedy windows — the retrieval family's new heaviest member
+    "retrieval_mmr",
     # TPC-H completion block representative: q21 carries the heaviest
     # shape (per-order supplier windows over lineitem); q2/q11/q12/q16/
     # q20 are sub-second scan/agg/window variants the block already times

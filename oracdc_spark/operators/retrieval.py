@@ -110,3 +110,117 @@ def hybrid_rrf_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def mmr_rerank(
+    vecs: DataFrame,
+    query_mod: int = 100,
+    n_candidates: int = 20,
+    k: int = 3,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998): greedily pick k results maximizing
+
+        0.7 * rel(q, d)  -  0.3 * max_{s in selected} sim(d, s)
+
+    — relevance traded against redundancy, the standard diversified
+    final stage of a RAG/search serving stack (and of diverse few-shot
+    exemplar selection in training-data pipelines).
+
+    Determinism: rel and sim are the engine's quantized-cosine doubles;
+    the MMR combine is a fixed expression over identical doubles with
+    the literal constants 0.7/0.3, so both engines compute the same
+    value; every argmax ties to the lower doc id.  The greedy loop is
+    inherently sequential — it unrolls as k-1 DataFrame iterations
+    (k is a small serving constant, never data-sized).
+
+    Scale shape: candidates are top-``n_candidates``-bounded per query
+    BEFORE any pairwise work (the bounded-query-batch contract);
+    pairwise sims compute only for candidate pairs CO-OCCURRING in some
+    query's list (<= |Q|*N^2 pairs, deduplicated across queries before
+    the d-dim dot); each greedy step is a join + one per-query window
+    over <= |Q|*N rows.  Swap the exact relevance source for
+    pq.ivfpq_topk at billion-vector scale, contract unchanged.
+
+    Output: (query_id, doc_id, position) with position in 1..k."""
+    from oracdc_spark.operators.similarity import cosine_scores, qcos_score, quantized
+
+    queries = vecs.filter(F.col("vec_id") % query_mod == 0)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        cosine_scores(queries, vecs)
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_candidates)
+        .select("query_id", "neighbor_id", "score")
+    )
+    # candidate-candidate sims, deduplicated across queries
+    cp = (
+        cand.alias("a")
+        .join(cand.alias("b"), "query_id")
+        .filter(F.col("a.neighbor_id") != F.col("b.neighbor_id"))
+        .select(
+            F.col("a.neighbor_id").alias("da"),
+            F.col("b.neighbor_id").alias("db"),
+        )
+        .distinct()
+    )
+    comps = quantized(vecs)
+    ca = comps.select(F.col("vec_id").alias("da"), "i", F.col("q").alias("qa"))
+    cb = comps.select(F.col("vec_id").alias("db"), "i", F.col("q").alias("qb"))
+    nn = comps.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
+    pdots = (
+        cp.join(ca, "da")
+        .join(cb, ["db", "i"])
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    psim = (
+        pdots.join(nn.select(F.col("vec_id").alias("da"), F.col("n2").alias("qn")), "da")
+        .join(nn.select(F.col("vec_id").alias("db"), F.col("n2").alias("cn")), "db")
+        .select("da", "db", qcos_score().alias("sim"))
+    )
+    picked = (
+        cand.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).cast("bigint").alias("position"))
+    )
+    remaining = cand.join(
+        picked.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+    )
+    for pos in range(2, k + 1):
+        pen = (
+            remaining.join(
+                picked.select("query_id", F.col("neighbor_id").alias("db")),
+                "query_id",
+            )
+            .join(
+                psim.select(F.col("da").alias("neighbor_id"), "db", "sim"),
+                ["neighbor_id", "db"],
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("sim").alias("pen"))
+        )
+        mmr = remaining.join(pen, ["query_id", "neighbor_id"]).withColumn(
+            "mmr", F.lit(0.7) * F.col("score") - F.lit(0.3) * F.col("pen")
+        )
+        wm = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("neighbor_id")
+        )
+        nxt = (
+            mmr.withColumn("rk", F.row_number().over(wm))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(pos).cast("bigint").alias("position"),
+            )
+        )
+        picked = picked.unionByName(nxt)
+        remaining = remaining.join(
+            nxt.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+    return picked.select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "position"
+    )

@@ -420,3 +420,33 @@ def test_hard_negatives_cross_label_only(spark):
         )
         got1 = [r.negative_id for r in out if r.query_id == qid and r.rank == 1]
         assert got1 == [best.neighbor_id]
+
+
+def test_mmr_rerank_diversity_and_contract(spark):
+    """On a handcrafted corpus where the two most relevant docs are
+    near-identical, MMR must pick the diverse third doc at position 2
+    (pure relevance would pick the redundant twin); positions are
+    1..k distinct docs drawn from the candidate pool."""
+    from oracdc_spark.operators.retrieval import mmr_rerank
+
+    # query 0 sits between two orthogonal directions; docs 1/2 are
+    # near-identical twins on one axis, doc 3 equally relevant on the
+    # other: relevance alone ranks (1, 2, 3) but MMR's redundancy
+    # penalty (sim(2,1) ~ 1, sim(3,1) ~ 0) must promote 3 to position 2
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0], "a"),
+        (1, [1.0, 0.01, 0.0, 0.0], "a"),
+        (2, [1.0, 0.009, 0.0, 0.0], "a"),
+        (3, [0.01, 1.0, 0.0, 0.0], "b"),
+        (5, [0.0, 0.0, 0.0, 1.0], "b"),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r.position: r.doc_id for r in
+           mmr_rerank(vecs, query_mod=100, n_candidates=4, k=3).collect()}
+    # only vec 0 is a query (0 % 100 == 0)
+    assert len(out) == 3 and len(set(out.values())) == 3
+    assert out[1] == 1          # most relevant
+    assert out[2] == 3          # diverse beats the redundant twin (2)
+    assert out[3] == 2
