@@ -1365,6 +1365,12 @@ def _q_sim_opq_balanced_recall(spark, sf_dir):
     )
 
 
+def _q_sim_norm_outliers(spark, sf_dir):
+    from oracdc_spark.operators import similarity
+
+    return similarity.norm_outliers(load_table(spark, sf_dir, "embeddings"), 1)
+
+
 def _q_retrieval_mmr(spark, sf_dir):
     from oracdc_spark.operators import retrieval
 
@@ -1938,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_opq_learned_audit": _q_sim_opq_learned_audit,
         "similarity_hard_negatives": _q_sim_hard_negatives,
         "retrieval_mmr": _q_retrieval_mmr,
+        "similarity_norm_outliers": _q_sim_norm_outliers,
         "similarity_hyperplane_lsh": _q_sim_hyperplane_lsh,
         "similarity_hyperplane_recall": _q_sim_hyperplane_recall,
         "similarity_ann_purity": _q_sim_ann_purity,
@@ -2099,7 +2106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # training), dedup_canonical (one kept representative per near-dup
 # cluster), multimodal_audio_near_dups (banded Hamming over the
 # 16-segment energy hash), retrieval_mmr (MMR diversified re-rank,
-# greedy k=3 unrolled) — all
+# greedy k=3 unrolled), similarity_norm_outliers (embedding QC,
+# rank-based 1% trim via the histogram decomposition) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -4356,6 +4364,24 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
                                ORDER BY score DESC, neighbor_id) AS rank
   FROM scored) t
 WHERE rank <= 5
+"""
+    )
+    # embedding-norm QC: rank-based 1% trim, oracle = the literal
+    # global-sort ROW_NUMBER (the engine decomposes it over bins)
+    sql["similarity_norm_outliers"] = (
+        "WITH "
+        + _QUANT
+        + """,
+nrm AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS norm2 FROM qv GROUP BY vec_id),
+rr AS (
+  SELECT vec_id, norm2,
+         CAST(ROW_NUMBER() OVER (ORDER BY norm2, vec_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM nrm
+)
+SELECT vec_id, norm2, rn,
+       CASE WHEN 100 * rn <= 1 * n THEN 'low' ELSE 'high' END AS side
+FROM rr WHERE 100 * rn <= 1 * n OR 100 * rn > 99 * n
 """
     )
     # MMR diversified re-rank (retrieval.mmr_rerank): greedy k=3 loop

@@ -240,7 +240,9 @@ BENCH_QUERIES = [
     # metadata join and a single shared-exchange cluster window);
     # multimodal_audio_near_dups (the benched image_near_dups pairing
     # plan over the benched ehash decode — no new distributed shape,
-    # and the blunt 16-bit envelope saturates pairs at sandbox scale)
+    # and the blunt 16-bit envelope saturates pairs at sandbox scale);
+    # similarity_norm_outliers (one norm aggregate + the benched
+    # histogram-rank decomposition shape of text_perplexity_buckets)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -551,3 +551,56 @@ def hard_negatives(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def norm_outliers(
+    vecs: DataFrame, pct: int = 1, bin_div: int = 100_000
+) -> DataFrame:
+    """Embedding QC: flag the bottom and top ``pct`` percent of vectors
+    by exact norm² — near-zero norms are broken/padded embeddings,
+    extreme norms are encoder blowups; both poison cosine ANN and
+    SemDeDup decisions, so real pipelines trim them before indexing.
+
+    Rank-based trim (no value thresholds, so ties are unambiguous):
+    the exact global rank over (norm2 asc, vec_id asc) decomposes over
+    a coarse norm2 // bin_div histogram exactly like
+    textops.perplexity_buckets — (vectors in strictly-lower bins) +
+    (rank within own bin) — so there is NO global sort: the bin
+    histogram is metadata-sized, the rank window partitions by bin.
+    Outlier predicates compare in pure integers: low iff
+    100*rn <= pct*n, high iff 100*rn > (100-pct)*n.
+
+    Output: (vec_id, norm2, rn, side) for flagged vectors only.
+
+    Scale shape: one corpus norm aggregate, one bin-partitioned rank
+    window, broadcast 1-row/tiny histogram aggregates; degenerate
+    norm concentration re-spreads with a smaller bin_div (the knob is
+    the contract)."""
+    norms = quantized(vecs).groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("norm2")
+    )
+    binned = norms.withColumn("bin", (F.col("norm2") / bin_div).cast("bigint"))
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    lower = hist.select(
+        "bin",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).cast("bigint").alias("lower_total"),
+    )
+    total = norms.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wi = Window.partitionBy("bin").orderBy("norm2", "vec_id")
+    ranked = (
+        binned.join(F.broadcast(lower), "bin")
+        .withColumn("rn", (F.col("lower_total") + F.row_number().over(wi)).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+    )
+    low = 100 * F.col("rn") <= pct * F.col("n")
+    high = 100 * F.col("rn") > (100 - pct) * F.col("n")
+    return (
+        ranked.filter(low | high)
+        .select(
+            "vec_id",
+            "norm2",
+            "rn",
+            F.when(low, F.lit("low")).otherwise(F.lit("high")).alias("side"),
+        )
+    )

@@ -450,3 +450,33 @@ def test_mmr_rerank_diversity_and_contract(spark):
     assert out[1] == 1          # most relevant
     assert out[2] == 3          # diverse beats the redundant twin (2)
     assert out[3] == 2
+
+
+def test_norm_outliers_rank_trim_exact(spark):
+    """The decomposed rank must equal the literal global sort's: flags
+    exactly floor(pct*n/100) low + matching high rows, every low rn <=
+    every kept rn <= every high rn, side derived from rank."""
+    from oracdc_spark.operators.similarity import norm_outliers, quantized
+
+    vecs = load_table(spark, SF, "embeddings")
+    n = vecs.count()
+    out = norm_outliers(vecs, pct=2).collect()
+    lows = [r for r in out if r.side == "low"]
+    highs = [r for r in out if r.side == "high"]
+    assert len(lows) == (2 * n) // 100
+    assert len(highs) == n - (98 * n) // 100
+    # ranks are the global (norm2, vec_id) order
+    norms = sorted(
+        (r.norm2, r.vec_id)
+        for r in quantized(vecs)
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("q")).alias("norm2"))
+        .select("vec_id", "norm2")
+        .collect()
+    )
+    pos = {v: i + 1 for i, (nm, v) in enumerate(norms)}
+    for r in out:
+        assert r.rn == pos[r.vec_id]
+    assert max((r.rn for r in lows), default=0) <= min(
+        (r.rn for r in highs), default=n + 1
+    )
