@@ -1957,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": analytics.events_funnel,
         "events_retention_cohorts": analytics.events_retention_cohorts,
         "events_active_users": analytics.events_active_users,
+        "events_transitions": analytics.events_transitions,
         # cdc_feed's scan is exercised by the five in-window CDC queries
         "cdc_feed": _q_cdc_feed,
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -2107,7 +2108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # cluster), multimodal_audio_near_dups (banded Hamming over the
 # 16-segment energy hash), retrieval_mmr (MMR diversified re-rank,
 # greedy k=3 unrolled), similarity_norm_outliers (embedding QC,
-# rank-based 1% trim via the histogram decomposition) — all
+# rank-based 1% trim via the histogram decomposition),
+# events_transitions (Markov transition matrix over user paths) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -3410,6 +3412,24 @@ WHERE n_supp >= 2 AND n_at_max = 1 AND s_max = o_max
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
+"""
+    sql["events_transitions"] = """
+WITH steps AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+tc AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_steps
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n_steps,
+       ROUND(CAST(n_steps AS DOUBLE)
+             / CAST(SUM(n_steps) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS p
+FROM tc
 """
     sql["events_active_users"] = """
 WITH ud AS (

@@ -242,7 +242,9 @@ BENCH_QUERIES = [
     # plan over the benched ehash decode — no new distributed shape,
     # and the blunt 16-bit envelope saturates pairs at sandbox scale);
     # similarity_norm_outliers (one norm aggregate + the benched
-    # histogram-rank decomposition shape of text_perplexity_buckets)
+    # histogram-rank decomposition shape of text_perplexity_buckets);
+    # events_transitions (one lag window sharing the benched
+    # sessionize exchange shape + a |types|^2 aggregate)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

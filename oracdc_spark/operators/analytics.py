@@ -618,6 +618,45 @@ def events_active_users(
     )
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path transition matrix: counts of consecutive
+    (prev_type -> event_type) steps within each user's timeline plus
+    the row-normalized transition probability — the Markov-chain view
+    behind user-journey/funnel-drop-off analysis.
+
+    Scale shape: ONE user-keyed exchange for the lag window (ordered by
+    ts, event_id — the engine's total order for ties), then a
+    low-cardinality (|types|²) aggregate that partial-combines
+    map-side; the probability divides two exact counts per row
+    (correctly rounded, engine-portable).  First events per user have
+    no predecessor and are excluded (lag NULL).
+
+    Output: (prev_type, event_type, n_steps, p) sorted by the pair."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_steps"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return steps.select(
+        "prev_type",
+        "event_type",
+        "n_steps",
+        F.round(
+            F.col("n_steps").cast("double")
+            / F.sum("n_steps").over(wp).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
 def events_value_histogram(
     spark: SparkSession, sf_dir: str, n_bins: int = 20, lo: float = 0.0, hi: float = 100.0
 ) -> DataFrame:

@@ -133,3 +133,34 @@ def test_active_users_sliding_distinct_semantics(spark, tmp_path):
     for r in out.values():
         assert r.n_dau <= r.n_wau
         assert r.stickiness_pct == round(r.n_dau / r.n_wau * 100, 4)
+
+
+def test_transitions_markov_invariants(spark, tmp_path):
+    """Per prev_type the probabilities sum to 1; counts reflect the
+    per-user consecutive pairs exactly (handcrafted timeline)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # u1: a -> b -> a ; u2: a -> b   => (a,b): 2, (b,a): 1
+    rows = [
+        (0, base, 1, "a", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=1), 1, "b", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=2), 1, "a", 1.0, "{}"),
+        (3, base, 2, "a", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=1), 2, "b", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    from oracdc_spark.operators.analytics import events_transitions
+
+    out = {(r.prev_type, r.event_type): r for r in events_transitions(spark, sf).collect()}
+    assert out[("a", "b")].n_steps == 2 and out[("a", "b")].p == 1.0
+    assert out[("b", "a")].n_steps == 1 and out[("b", "a")].p == 1.0
+    assert len(out) == 2
+    by_prev: dict = {}
+    for (pt, _), r in out.items():
+        by_prev[pt] = by_prev.get(pt, 0.0) + r.p
+    assert all(abs(v - 1.0) < 1e-9 for v in by_prev.values())
