@@ -1958,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": analytics.events_retention_cohorts,
         "events_active_users": analytics.events_active_users,
         "events_transitions": analytics.events_transitions,
+        "events_funnel_windowed": analytics.events_funnel_windowed,
         # cdc_feed's scan is exercised by the five in-window CDC queries
         "cdc_feed": _q_cdc_feed,
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -2109,7 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # 16-segment energy hash), retrieval_mmr (MMR diversified re-rank,
 # greedy k=3 unrolled), similarity_norm_outliers (embedding QC,
 # rank-based 1% trim via the histogram decomposition),
-# events_transitions (Markov transition matrix over user paths) — all
+# events_transitions (Markov transition matrix over user paths),
+# events_funnel_windowed (24h conversion-window funnel) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -3494,6 +3496,31 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
        CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after,
        ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
              / (SELECT COUNT(*) FROM s1) * 100, 4) AS conversion_pct
+"""
+    sql["events_funnel_windowed"] = """
+WITH w1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+),
+w2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN w1 ON e.user_id = w1.user_id
+  WHERE e.event_type = 'click' AND e.ts > w1.t1
+    AND e.ts <= w1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+w3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN w2 ON e.user_id = w2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > w2.t2
+    AND e.ts <= w2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM w1) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM w2) AS BIGINT) AS n_click_24h,
+       CAST((SELECT COUNT(*) FROM w3) AS BIGINT) AS n_purchase_24h,
+       ROUND(CAST((SELECT COUNT(*) FROM w3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM w1) * 100, 4) AS conversion_pct
 """
     sql["events_asof_join"] = """
 WITH l AS (

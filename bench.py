@@ -244,7 +244,9 @@ BENCH_QUERIES = [
     # similarity_norm_outliers (one norm aggregate + the benched
     # histogram-rank decomposition shape of text_perplexity_buckets);
     # events_transitions (one lag window sharing the benched
-    # sessionize exchange shape + a |types|^2 aggregate)
+    # sessionize exchange shape + a |types|^2 aggregate);
+    # events_funnel_windowed (the benched events_funnel plan plus a
+    # codegen interval predicate per join)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the

@@ -618,6 +618,57 @@ def events_active_users(
     )
 
 
+def events_funnel_windowed(
+    spark: SparkSession, sf_dir: str, window_hours: int = 24
+) -> DataFrame:
+    """Conversion-window funnel: the ordered signup → click → purchase
+    funnel of events_funnel, but each step must land WITHIN
+    ``window_hours`` of the previous step's first occurrence — the
+    form product analytics actually reports ("converted within 24h"),
+    and the one that distinguishes stalled journeys from converted
+    ones.  Same earliest-occurrence semantics and plan shape as
+    events_funnel (per-user MIN aggregates + user_id equi-joins, all
+    sharing one exchange lineage); the window bound is a codegen
+    predicate on the joined row.
+
+    Output: one row (n_signup, n_click_24h, n_purchase_24h,
+    conversion_pct)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    bound = F.expr(f"INTERVAL {int(window_hours)} HOURS")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + bound))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + bound))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_24h")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+        .select(
+            F.col("n_signup").cast("bigint").alias("n_signup"),
+            F.col("n_click_24h").cast("bigint").alias("n_click_24h"),
+            F.col("n_purchase_24h").cast("bigint").alias("n_purchase_24h"),
+            F.round(
+                F.col("n_purchase_24h").cast("double") / F.col("n_signup") * 100, 4
+            ).alias("conversion_pct"),
+        )
+    )
+
+
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-path transition matrix: counts of consecutive
     (prev_type -> event_type) steps within each user's timeline plus

@@ -164,3 +164,32 @@ def test_transitions_markov_invariants(spark, tmp_path):
     for (pt, _), r in out.items():
         by_prev[pt] = by_prev.get(pt, 0.0) + r.p
     assert all(abs(v - 1.0) < 1e-9 for v in by_prev.values())
+
+
+def test_funnel_windowed_excludes_stalled_steps(spark, tmp_path):
+    """A click later than the window after signup must not count —
+    unlike the unbounded funnel."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1 converts fully inside 24h windows
+        (0, base, 1, "signup", 1.0, "{}"),
+        (1, base + dt.timedelta(hours=2), 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=4), 1, "purchase", 1.0, "{}"),
+        # u2 clicks 30h after signup -> outside the 24h window
+        (3, base, 2, "signup", 1.0, "{}"),
+        (4, base + dt.timedelta(hours=30), 2, "click", 1.0, "{}"),
+        (5, base + dt.timedelta(hours=31), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    from oracdc_spark.operators.analytics import events_funnel, events_funnel_windowed
+
+    wout = events_funnel_windowed(spark, sf, 24).collect()[0]
+    assert (wout.n_signup, wout.n_click_24h, wout.n_purchase_24h) == (2, 1, 1)
+    uout = events_funnel(spark, sf).collect()[0]
+    assert (uout.n_signup, uout.n_click_after, uout.n_purchase_after) == (2, 2, 2)
