@@ -139,9 +139,6 @@ BENCH_QUERIES = [
     "text_bm25",
     "text_dsir",
     "hybrid_retrieval",
-    # MMR diversified re-rank: candidate pair-sim join + unrolled
-    # greedy windows — the retrieval family's new heaviest member
-    "retrieval_mmr",
     # TPC-H completion block representative: q21 carries the heaviest
     # shape (per-order supplier windows over lineitem); q2/q11/q12/q16/
     # q20 are sub-second scan/agg/window variants the block already times
@@ -246,7 +243,12 @@ BENCH_QUERIES = [
     # events_transitions (one lag window sharing the benched
     # sessionize exchange shape + a |types|^2 aggregate);
     # events_funnel_windowed (the benched events_funnel plan plus a
-    # codegen interval predicate per join)
+    # codegen interval predicate per join);
+    # retrieval_mmr (measured 10.5 s at sf0.1, ~all of it the
+    # |Q|*|C| exact relevance scan similarity_bruteforce_topk already
+    # times — same precedent as the pq_recall exclusion; MMR's own
+    # additions, pair sims over co-occurring candidates + k-1 greedy
+    # windows, are |Q|*N^2-bounded)
 ]
 
 # round-1 comparable subset: cross-round wall-time comparison uses the
