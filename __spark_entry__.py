@@ -1959,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_active_users": analytics.events_active_users,
         "events_transitions": analytics.events_transitions,
         "events_funnel_windowed": analytics.events_funnel_windowed,
+        "orders_rfm_segments": analytics.rfm_segments,
         # cdc_feed's scan is exercised by the five in-window CDC queries
         "cdc_feed": _q_cdc_feed,
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -2111,7 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # greedy k=3 unrolled), similarity_norm_outliers (embedding QC,
 # rank-based 1% trim via the histogram decomposition),
 # events_transitions (Markov transition matrix over user paths),
-# events_funnel_windowed (24h conversion-window funnel) — all
+# events_funnel_windowed (24h conversion-window funnel),
+# orders_rfm_segments (RFM quartile segmentation) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -3496,6 +3498,32 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
        CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after,
        ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
              / (SELECT COUNT(*) FROM s1) * 100, 4) AS conversion_pct
+"""
+    sql["orders_rfm_segments"] = """
+WITH pc AS (
+  SELECT o_custkey AS custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_date,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+  FROM orders GROUP BY o_custkey
+),
+ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+base AS (
+  SELECT custkey,
+         CAST(date_diff('day', last_date, ref_date) AS BIGINT) AS recency_days,
+         frequency, mon
+  FROM pc, ref
+),
+scored AS (
+  SELECT custkey, recency_days, frequency, CAST(mon AS DOUBLE) AS monetary,
+         CAST(NTILE(4) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r,
+         CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f,
+         CAST(NTILE(4) OVER (ORDER BY mon DESC, custkey) AS BIGINT) AS m
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary, r, f, m,
+       CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' || CAST(m AS VARCHAR) AS segment
+FROM scored
 """
     sql["events_funnel_windowed"] = """
 WITH w1 AS (

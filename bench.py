@@ -244,6 +244,9 @@ BENCH_QUERIES = [
     # sessionize exchange shape + a |types|^2 aggregate);
     # events_funnel_windowed (the benched events_funnel plan plus a
     # codegen interval predicate per join);
+    # orders_rfm_segments (one custkey aggregate + three NTILE windows
+    # over the dimension-sized customer relation — the benched q13/q18
+    # aggregate shapes);
     # retrieval_mmr (measured 10.5 s at sf0.1, ~all of it the
     # |Q|*|C| exact relevance scan similarity_bruteforce_topk already
     # times — same precedent as the pq_recall exclusion; MMR's own

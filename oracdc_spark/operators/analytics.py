@@ -618,6 +618,59 @@ def events_active_users(
     )
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: per customer, Recency
+    (days from last order to the corpus max date), Frequency (order
+    count) and Monetary (exact-decimal spend), each scored into
+    quartiles 1..4 — the classic CRM/marketing OLAP segmentation.
+
+    Determinism: quartiles are NTILE(4) over a TOTAL order (metric +
+    custkey tie-break — identical rank arithmetic in both engines);
+    monetary sums in decimal(18,2) (exact, order-independent).
+
+    Scale shape: the windowed relation is the per-CUSTOMER aggregate —
+    dimension-sized, orders of magnitude under the fact table the
+    aggregate consumes (one custkey exchange, map-side combining);
+    the reference date is a broadcast 1-row aggregate.  For a
+    customer population too large to window globally, swap NTILE for
+    the histogram-rank decomposition of similarity.norm_outliers —
+    contract unchanged.
+
+    Output: (custkey, recency_days, frequency, monetary, r, f, m,
+    segment)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_date"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    base = per_cust.crossJoin(F.broadcast(ref)).select(
+        "custkey",
+        F.datediff("ref_date", "last_date").cast("bigint").alias("recency_days"),
+        "frequency",
+        "mon",
+    )
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "custkey")
+    wm = Window.orderBy(F.col("mon").desc(), "custkey")
+    return (
+        base.withColumn("r", F.ntile(4).over(wr).cast("bigint"))
+        .withColumn("f", F.ntile(4).over(wf).cast("bigint"))
+        .withColumn("m", F.ntile(4).over(wm).cast("bigint"))
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            F.col("mon").cast("double").alias("monetary"),
+            "r",
+            "f",
+            "m",
+            F.concat_ws("-", "r", "f", "m").alias("segment"),
+        )
+    )
+
+
 def events_funnel_windowed(
     spark: SparkSession, sf_dir: str, window_hours: int = 24
 ) -> DataFrame:

@@ -193,3 +193,25 @@ def test_funnel_windowed_excludes_stalled_steps(spark, tmp_path):
     assert (wout.n_signup, wout.n_click_24h, wout.n_purchase_24h) == (2, 1, 1)
     uout = events_funnel(spark, sf).collect()[0]
     assert (uout.n_signup, uout.n_click_after, uout.n_purchase_after) == (2, 2, 2)
+
+
+def test_rfm_quartiles_balanced_and_consistent(spark):
+    """NTILE(4) buckets differ in size by at most 1; scores match the
+    metric order (best recency -> r=1, top spender -> m=1); segment
+    string derives from (r, f, m)."""
+    from oracdc_spark.operators.analytics import rfm_segments
+
+    rows = rfm_segments(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r", "f", "m"):
+        sizes = {}
+        for r in rows:
+            sizes[getattr(r, col)] = sizes.get(getattr(r, col), 0) + 1
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    best_rec = min(rows, key=lambda r: (r.recency_days, r.custkey))
+    assert best_rec.r == 1
+    top_spend = max(rows, key=lambda r: (r.monetary, -r.custkey))
+    assert top_spend.m == 1
+    assert all(r.segment == f"{r.r}-{r.f}-{r.m}" for r in rows)
