@@ -1960,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": analytics.events_transitions,
         "events_funnel_windowed": analytics.events_funnel_windowed,
         "orders_rfm_segments": analytics.rfm_segments,
+        "lineitem_copurchase_lift": analytics.copurchase_lift,
         # cdc_feed's scan is exercised by the five in-window CDC queries
         "cdc_feed": _q_cdc_feed,
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -2113,7 +2114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # rank-based 1% trim via the histogram decomposition),
 # events_transitions (Markov transition matrix over user paths),
 # events_funnel_windowed (24h conversion-window funnel),
-# orders_rfm_segments (RFM quartile segmentation) — all
+# orders_rfm_segments (RFM quartile segmentation),
+# lineitem_copurchase_lift (market-basket association lift) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -3498,6 +3500,29 @@ SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
        CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after,
        ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
              / (SELECT COUNT(*) FROM s1) * 100, 4) AS conversion_pct
+"""
+    sql["lineitem_copurchase_lift"] = """
+WITH citems AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM citems),
+marg AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM citems GROUP BY brand),
+cpairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM citems a JOIN citems b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+  HAVING COUNT(*) >= 5
+)
+SELECT brand_a, brand_b, n_ab,
+       ROUND(CAST(n_ab * n_orders AS DOUBLE)
+             / CAST(ma.n_b * mb.n_b AS DOUBLE), 6) AS lift
+FROM cpairs
+JOIN marg ma ON ma.brand = cpairs.brand_a
+JOIN marg mb ON mb.brand = cpairs.brand_b
+CROSS JOIN no
 """
     sql["orders_rfm_segments"] = """
 WITH pc AS (

@@ -244,6 +244,9 @@ BENCH_QUERIES = [
     # sessionize exchange shape + a |types|^2 aggregate);
     # events_funnel_windowed (the benched events_funnel plan plus a
     # codegen interval predicate per join);
+    # lineitem_copurchase_lift (broadcast dim join + per-order-bounded
+    # pair self-join + tiny marginals — the benched q9/q18 join-agg
+    # shapes at basket-squared row counts);
     # orders_rfm_segments (one custkey aggregate + three NTILE windows
     # over the dimension-sized customer relation — the benched q13/q18
     # aggregate shapes);

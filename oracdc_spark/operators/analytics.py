@@ -618,6 +618,75 @@ def events_active_users(
     )
 
 
+def copurchase_lift(
+    spark: SparkSession, sf_dir: str, min_pairs: int = 5
+) -> DataFrame:
+    """Market-basket affinity: association LIFT between part brands
+    co-occurring in one order — lift(a,b) = P(a,b) / (P(a)·P(b)), the
+    basic association-rule mining report (>1 = bought together more
+    than independence predicts).
+
+    Scale shape: the per-order brand set is DISTINCT (orderkey, brand)
+    — the pair self-join runs per order and is bounded by the square
+    of the per-order basket size (TPC-H ~4 items), never the corpus;
+    brand marginals and the order count are tiny/1-row broadcast
+    aggregates; the brand dimension joins broadcast.  Lift computes as
+    one double division of exact-integer products
+    (n_ab·N / (n_a·n_b)), ties and ordering deterministic.
+
+    Output: (brand_a, brand_b, n_ab, lift) for pairs with
+    n_ab >= min_pairs; brand_a < brand_b."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    items = (
+        li.join(F.broadcast(part), "l_partkey")
+        .select("l_orderkey", "brand")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    marg = items.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("n_bb"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_bb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation over orders: per customer, Recency
     (days from last order to the corpus max date), Frequency (order

@@ -215,3 +215,35 @@ def test_rfm_quartiles_balanced_and_consistent(spark):
     top_spend = max(rows, key=lambda r: (r.monetary, -r.custkey))
     assert top_spend.m == 1
     assert all(r.segment == f"{r.r}-{r.f}-{r.m}" for r in rows)
+
+
+def test_copurchase_lift_independence_identity(spark, tmp_path):
+    """On a handcrafted basket set the lift must equal the exact
+    n_ab*N/(n_a*n_b) formula; a pair co-occurring in every order of
+    both brands gets lift >= 1, a never-paired brand drops below the
+    support floor and is absent."""
+    # 6 orders: brands A,B always together (4x), C alone twice with A
+    li, part = [], [(1, "x", "A", "t", 1, 1.0), (2, "x", "B", "t", 1, 1.0), (3, "x", "C", "t", 1, 1.0)]
+    ok = 0
+    for _ in range(4):
+        ok += 1
+        li += [(ok * 10 + 1, ok, 1), (ok * 10 + 2, ok, 2)]
+    for _ in range(2):
+        ok += 1
+        li += [(ok * 10 + 1, ok, 1), (ok * 10 + 2, ok, 3)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(lk, o, p) for lk, o, p in li], "l_linenumber long, l_orderkey long, l_partkey long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        part, "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double"
+    ).write.parquet(f"{sf}/part.parquet")
+    from oracdc_spark.operators.analytics import copurchase_lift
+
+    out = {(r.brand_a, r.brand_b): r for r in copurchase_lift(spark, sf, min_pairs=2).collect()}
+    # N=6 orders; n_A=6, n_B=4, n_C=2; n_AB=4, n_AC=2, n_BC=0
+    ab = out[("A", "B")]
+    assert ab.n_ab == 4 and ab.lift == round(4 * 6 / (6 * 4), 6) == 1.0
+    ac = out[("A", "C")]
+    assert ac.n_ab == 2 and ac.lift == round(2 * 6 / (6 * 2), 6) == 1.0
+    assert ("B", "C") not in out
