@@ -247,9 +247,9 @@ BENCH_QUERIES = [
     # lineitem_copurchase_lift (broadcast dim join + per-order-bounded
     # pair self-join + tiny marginals — the benched q9/q18 join-agg
     # shapes at basket-squared row counts);
-    # orders_rfm_segments (one custkey aggregate + three NTILE windows
-    # over the dimension-sized customer relation — the benched q13/q18
-    # aggregate shapes);
+    # orders_rfm_segments (one custkey aggregate + three bin-histogram
+    # rank decompositions and the closed-form NTILE — no global sort;
+    # the benched q13/q18 aggregate + perplexity-bucket shapes);
     # retrieval_mmr (measured 10.5 s at sf0.1, ~all of it the
     # |Q|*|C| exact relevance scan similarity_bruteforce_topk already
     # times — same precedent as the pq_recall exclusion; MMR's own

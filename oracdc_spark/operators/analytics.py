@@ -687,23 +687,69 @@ def copurchase_lift(
     )
 
 
+def _decomposed_rank(
+    df: DataFrame,
+    col: str,
+    ascending: bool,
+    bin_div: int,
+    tie_col: str,
+    out: str,
+) -> DataFrame:
+    """Exact global rank over (col asc/desc, tie_col asc) WITHOUT a
+    global sort: coarse ``col // bin_div`` histogram (metadata-sized) +
+    bin-partitioned rank window — the perplexity_buckets /
+    norm_outliers decomposition, shared by rfm_segments'
+    three metrics."""
+    bn, lt = f"_{out}_bin", f"_{out}_lt"
+    binned = df.withColumn(bn, (F.col(col) / bin_div).cast("bigint"))
+    hist = binned.groupBy(bn).agg(F.count(F.lit(1)).alias("_bn"))
+    order = F.col(bn).asc() if ascending else F.col(bn).desc()
+    wb = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    lower = hist.select(
+        bn, F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("bigint").alias(lt)
+    )
+    inorder = F.col(col).asc() if ascending else F.col(col).desc()
+    wi = Window.partitionBy(bn).orderBy(inorder, tie_col)
+    return (
+        binned.join(F.broadcast(lower), bn)
+        .withColumn(out, (F.col(lt) + F.row_number().over(wi)).cast("bigint"))
+        .drop(bn, lt)
+    )
+
+
+def _ntile4(rn, n):
+    """Closed-form NTILE(4) from a global rank: with q, r = divmod(n, 4)
+    the first r buckets hold q+1 rows — pure integer arithmetic, so the
+    decomposed rank reproduces the window function exactly (the oracle
+    runs the literal NTILE as proof)."""
+    q = F.floor(n / 4)
+    r = n % 4
+    boundary = r * (q + 1)
+    return (
+        F.when(rn <= boundary, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - 1 - boundary) / q) + 1)
+        .cast("bigint")
+    )
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation over orders: per customer, Recency
     (days from last order to the corpus max date), Frequency (order
     count) and Monetary (exact-decimal spend), each scored into
     quartiles 1..4 — the classic CRM/marketing OLAP segmentation.
 
-    Determinism: quartiles are NTILE(4) over a TOTAL order (metric +
-    custkey tie-break — identical rank arithmetic in both engines);
-    monetary sums in decimal(18,2) (exact, order-independent).
+    Determinism AND scale in one shape: quartile = the closed-form
+    NTILE(4) (_ntile4, pure integer arithmetic) applied to an exact
+    global rank over (metric, custkey) computed by the histogram
+    decomposition (_decomposed_rank) — so there is NO single-partition
+    global sort anywhere, yet the result is bit-identical to the
+    literal NTILE window the DuckDB oracle runs.  Monetary sums in
+    decimal(18,2) (exact, order-independent).
 
-    Scale shape: the windowed relation is the per-CUSTOMER aggregate —
-    dimension-sized, orders of magnitude under the fact table the
-    aggregate consumes (one custkey exchange, map-side combining);
-    the reference date is a broadcast 1-row aggregate.  For a
-    customer population too large to window globally, swap NTILE for
-    the histogram-rank decomposition of similarity.norm_outliers —
-    contract unchanged.
+    Scale shape: one custkey exchange for the per-customer aggregate
+    (dimension-sized vs the fact table), then per metric a
+    metadata-sized bin histogram + a bin-partitioned rank window;
+    the reference date is a broadcast 1-row aggregate.
 
     Output: (custkey, recency_days, frequency, monetary, r, f, m,
     segment)."""
@@ -720,13 +766,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "mon",
     )
-    wr = Window.orderBy("recency_days", "custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "custkey")
-    wm = Window.orderBy(F.col("mon").desc(), "custkey")
+    total = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = _decomposed_rank(base, "recency_days", True, 16, "custkey", "_rr")
+    ranked = _decomposed_rank(ranked, "frequency", False, 1, "custkey", "_rf")
+    ranked = _decomposed_rank(ranked, "mon", False, 10_000, "custkey", "_rm")
     return (
-        base.withColumn("r", F.ntile(4).over(wr).cast("bigint"))
-        .withColumn("f", F.ntile(4).over(wf).cast("bigint"))
-        .withColumn("m", F.ntile(4).over(wm).cast("bigint"))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("r", _ntile4(F.col("_rr"), F.col("_n")))
+        .withColumn("f", _ntile4(F.col("_rf"), F.col("_n")))
+        .withColumn("m", _ntile4(F.col("_rm"), F.col("_n")))
         .select(
             "custkey",
             "recency_days",
