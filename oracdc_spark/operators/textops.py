@@ -363,29 +363,51 @@ def vocab_coverage(docs: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)) -> Dat
     mass.  The comparison is integer cross-multiplied
     (``cum·100 >= total·pct``) — no float boundary.
 
-    The rank/cumsum window is ordered over the VOCABULARY (count desc,
-    token), not the corpus — vocabulary size is sublinear in corpus size,
-    so the single-partition window is bounded the same way the sketch
-    tables are.  Output: (pct, vocab_size, n_total)."""
+    No vocabulary-sized window at all (r7 rework — the pre-r7 form
+    windowed over the vocab, defended as "sublinear"; at web scale the
+    vocab is still billions):  tokens sharing a count are
+    interchangeable for SIZING, so the answer needs only the
+    COUNT-VALUE histogram — distinct count values are O(sqrt(corpus
+    tokens)) (their sum is the corpus), genuinely metadata.  With
+    thr = ceil(total·pct/100), mass_h/vocab_h the mass and vocab in
+    strictly-higher counts, and n_b the boundary count value:
+    vocab_size = vocab_h + ceil((thr − mass_h) / n_b) — pure integer
+    arithmetic, bit-equal to the literal rank/cumsum the oracle runs.
+    Output: (pct, vocab_size, n_total)."""
     toks = _parallel(docs).select(F.explode(_tokens()).alias("tok")).select(
         F.lower("tok").alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), "tok")
-    ranked = counts.select(
-        F.row_number().over(w).alias("rank"),
-        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
-    ).crossJoin(F.broadcast(counts.agg(F.sum("n").alias("n_total"))))
+    ch = counts.groupBy("n").agg(F.count(F.lit(1)).alias("v"))
+    wb = Window.orderBy(F.col("n").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = ch.select(
+        "n",
+        "v",
+        F.coalesce(F.sum(F.col("n") * F.col("v")).over(wb), F.lit(0)).alias("mass_h"),
+        F.coalesce(F.sum("v").over(wb), F.lit(0)).alias("vocab_h"),
+    ).crossJoin(F.broadcast(ch.agg(F.sum(F.col("n") * F.col("v")).alias("n_total"))))
     th = F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct")
+    thr = F.floor((F.col("n_total") * F.col("pct") + 99) / 100)
     return (
-        ranked.select("rank", "cum", "n_total", th)
-        .filter(F.col("cum") * 100 >= F.col("n_total") * F.col("pct"))
-        .groupBy("pct")
-        .agg(
-            F.min("rank").cast("bigint").alias("vocab_size"),
-            F.max("n_total").cast("bigint").alias("n_total"),
+        cum.select("n", "v", "mass_h", "vocab_h", "n_total", th)
+        .withColumn("thr", thr)
+        # the unique boundary row: higher counts fall short, this one covers
+        .filter(
+            (F.col("mass_h") < F.col("thr"))
+            & (F.col("mass_h") + F.col("n") * F.col("v") >= F.col("thr"))
         )
-        .select(F.col("pct").cast("int").alias("pct"), "vocab_size", "n_total")
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            (
+                F.col("vocab_h")
+                + F.floor((F.col("thr") - F.col("mass_h") + F.col("n") - 1) / F.col("n"))
+            )
+            .cast("bigint")
+            .alias("vocab_size"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+        )
     )
 
 
