@@ -1547,6 +1547,26 @@ def _q_text_bm25(spark, sf_dir):
     return textops.bm25_rank(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_bpe_merges(spark, sf_dir):
+    return textops.bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_content_chunks(spark, sf_dir):
+    return dedup.content_chunk_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_bpe_compression(spark, sf_dir):
+    return textops.bpe_compression(load_table(spark, sf_dir, "documents"))
+
+
+def _q_events_wau_hll(spark, sf_dir):
+    return analytics.events_wau_hll_audit(spark, sf_dir)
+
+
+def _q_orders_bloom_revenue(spark, sf_dir):
+    return analytics.bloom_pruned_revenue(spark, sf_dir)
+
+
 def _q_text_perplexity_buckets(spark, sf_dir):
     return textops.perplexity_buckets(load_table(spark, sf_dir, "documents"))
 
@@ -1980,6 +2000,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_tokens,
         "text_corpus_datasheet": _q_text_corpus_datasheet,
         "text_boilerplate_strip": _q_text_boilerplate_strip,
+        # new late-r7: BPE tokenizer training (first 3 merges) + its
+        # corpus-compression audit (marginal-gain identity)
+        "text_bpe_merges": _q_text_bpe_merges,
+        "text_bpe_compression": _q_text_bpe_compression,
+        # new late-r7: shift-resistant passage dedup (content-defined
+        # chunk boundaries — the FastCDC trick at token granularity)
+        "dedup_content_chunks": _q_dedup_content_chunks,
+        # new late-r7: HLL sliding-WAU estimate audited against the
+        # exact bounded-explode decomposition (the 100 TB serving path)
+        "events_wau_hll": _q_events_wau_hll,
+        # new late-r7: runtime Bloom semi-join pruning on the star
+        # schema (lossless — oracle runs the plain semi-join)
+        "orders_bloom_revenue": _q_orders_bloom_revenue,
         "events_zorder_key": _q_events_zorder_key,
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
@@ -2115,7 +2148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_transitions (Markov transition matrix over user paths),
 # events_funnel_windowed (24h conversion-window funnel),
 # orders_rfm_segments (RFM quartile segmentation),
-# lineitem_copurchase_lift (market-basket association lift) — all
+# lineitem_copurchase_lift (market-basket association lift),
+# text_bpe_merges (BPE tokenizer training, first 3 merges) + its
+# text_bpe_compression marginal-gain audit,
+# dedup_content_chunks (shift-resistant content-defined chunking),
+# events_wau_hll (mergeable-sketch sliding WAU vs the exact path),
+# orders_bloom_revenue (runtime Bloom semi-join pruning, lossless) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -6483,4 +6521,160 @@ SELECT doc_id, n_chunks, n_dup_chunks,
 FROM per_doc
 """
     )
+    # BPE merge learning (textops.bpe_merges): the literal Sennrich loop
+    # unrolled — per step, pair counts over the current symbol sequences,
+    # argmax with lexicographic tie-break, padded double-replace apply
+    # (two identical passes are complete: a pass-1 miss only ever follows
+    # a consumed leading space, and is flanked by merged output after).
+    _bpe_step = """
+p{k} AS (
+  SELECT pair, CAST(SUM(wcount) AS BIGINT) AS freq FROM (
+    SELECT wcount,
+           unnest(list_transform(range(1, len(string_split(trim(seq), ' '))),
+                  i -> string_split(trim(seq), ' ')[i] || ' ' || string_split(trim(seq), ' ')[i+1])) AS pair
+    FROM s{j}) u
+  GROUP BY pair
+),
+b{k} AS (SELECT pair, freq FROM p{k} ORDER BY freq DESC, pair LIMIT 1),
+s{k} AS (
+  SELECT wcount,
+         replace(replace(seq, ' ' || b{k}.pair || ' ', ' ' || replace(b{k}.pair, ' ', '') || ' '),
+                 ' ' || b{k}.pair || ' ', ' ' || replace(b{k}.pair, ' ', '') || ' ') AS seq
+  FROM s{j} CROSS JOIN b{k}
+)"""
+    _bpe_chain_sql = (
+        r"""WITH tk AS (
+  SELECT lower(t.tok) AS w
+  FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS wl
+        FROM documents) d, UNNEST(wl) AS t(tok)
+),
+words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wcount FROM tk
+  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+),
+s0 AS (SELECT wcount, ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS seq FROM words),"""
+        + ",".join(_bpe_step.format(k=k, j=k - 1) for k in (1, 2, 3))
+    )
+    sql["text_bpe_merges"] = (
+        _bpe_chain_sql
+        + """
+SELECT CAST(1 AS INT) AS step, pair, replace(pair, ' ', '') AS merged, freq FROM b1
+UNION ALL SELECT 2, pair, replace(pair, ' ', ''), freq FROM b2
+UNION ALL SELECT 3, pair, replace(pair, ' ', ''), freq FROM b3
+"""
+    )
+    # compression audit: symbols recomputed independently on both sides
+    # (the engine derives symbols_after from the merged sequences, the
+    # oracle from the SAME literal chain — and symbols_before − after
+    # must equal Σ winning freqs, the Sennrich marginal-gain identity)
+    sql["text_bpe_compression"] = (
+        _bpe_chain_sql
+        + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(wcount) AS BIGINT) AS n_words,
+       (SELECT CAST(SUM(wcount * length(w)) AS BIGINT) FROM words) AS symbols_before,
+       CAST(SUM(wcount * len(string_split(trim(seq), ' '))) AS BIGINT) AS symbols_after,
+       ROUND((SELECT CAST(SUM(wcount * length(w)) AS DOUBLE) FROM words)
+             / SUM(wcount * len(string_split(trim(seq), ' '))), 6) AS compression
+FROM s3
+"""
+    )
+    # content-defined chunking (dedup.content_chunk_dedup_stats): cut
+    # after token i iff hash(3-gram ending at i) % 16 == 0; the literal
+    # window-function form of the engine's single-exchange plan.
+    sql["dedup_content_chunks"] = (
+        "WITH "
+        + _TOKS
+        + r""",
+tk AS (
+  SELECT doc_id, w, CAST(u.pos AS BIGINT) AS pos, w[u.pos + 1] AS tok
+  FROM toks, UNNEST(range(0, len(w))) u(pos)
+),
+m AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos >= 2 AND
+                   CAST('0x' || substr(md5(array_to_string(w[(pos - 1):(pos + 1)], ' ')), 1, 15) AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS mark
+  FROM tk
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(mark) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+  FROM m
+),
+ch AS (
+  SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS dig
+  FROM c GROUP BY doc_id, chunk
+),
+counts AS (SELECT dig, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY dig)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_chunk_frac
+FROM ch JOIN counts USING (dig) GROUP BY doc_id
+"""
+    )
+    # HLL sliding-WAU audit (analytics.events_wau_hll_audit): per-day
+    # register tables merged into target days by MAX (the exact path's
+    # bounded-explode shape), estimator bit-identical to text_hll_distinct.
+    sql["events_wau_hll"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+ex AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_wau_exact FROM (
+    SELECT DISTINCT user_id, CAST(t.d AS DATE) AS day
+    FROM ud, UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                                    CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS t(d)
+  ) c GROUP BY day
+),
+hs AS (
+  SELECT day, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM ud
+),
+regs AS (
+  SELECT day, (h >> 50) AS bucket,
+         MAX(CASE WHEN (h % 1125899906842624) = 0 THEN 51
+                  ELSE 50 - length(bin(h % 1125899906842624)) + 1 END) AS m_j
+  FROM hs GROUP BY day, (h >> 50)
+),
+merged AS (
+  SELECT CAST(t.d AS DATE) AS day, bucket, MAX(m_j) AS m_j
+  FROM regs, UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                                    CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS t(d)
+  GROUP BY CAST(t.d AS DATE), bucket
+),
+agg AS (
+  SELECT day, SUM(power(2.0, -m_j)) AS z_nonempty, COUNT(*) AS n_buckets
+  FROM merged GROUP BY day
+),
+est AS (
+  SELECT day, CASE
+           WHEN (755541.746198293 / (z_nonempty + (1024 - n_buckets))) <= 2560.0
+                AND (1024 - n_buckets) > 0
+           THEN 1024.0 * ln(1024.0 / (1024 - n_buckets))
+           ELSE 755541.746198293 / (z_nonempty + (1024 - n_buckets))
+         END AS e
+  FROM agg
+),
+observed AS (SELECT DISTINCT day FROM ud)
+SELECT strftime(ex.day, '%Y-%m-%d') AS day, n_wau_exact,
+       ROUND(est.e, 3) AS n_wau_est,
+       ROUND(ABS(est.e - n_wau_exact) / n_wau_exact, 4) AS rel_err
+FROM ex JOIN est USING (day) JOIN observed USING (day)
+"""
+    # Bloom-pruned revenue (analytics.bloom_pruned_revenue): the Bloom
+    # prune is lossless (no false negatives) and the exact semi-join
+    # removes false positives, so the oracle is the PLAIN semi-join —
+    # a hash match proves the runtime-filter path changes nothing.
+    sql["orders_bloom_revenue"] = """
+SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+"""
     return sql

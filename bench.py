@@ -184,6 +184,22 @@ BENCH_QUERIES = [
     "similarity_opq_recall",
     "similarity_hyperplane_lsh",
     "text_perplexity_buckets",
+    # BPE tokenizer training (new family, late r7): three chained
+    # pair-count aggregates over the word-TYPE table + lazy broadcast
+    # best-pair selection — the corpus explode recomputes per step, so
+    # this times the family's full 3-step plan.  Named exclusion:
+    # text_bpe_compression (two 1-row aggregates over the same chain)
+    "text_bpe_merges",
+    # content-defined chunking (new shape in the passage-dedup family:
+    # doc-keyed lag + prefix-sum windows carry the chunker on one
+    # exchange, vs the benched fixed-stride narrow map)
+    "dedup_content_chunks",
+    # named exclusion: events_wau_hll (the benched events_active_users
+    # exact plan + a days x 1024-row register merge — the sketch side
+    # is metadata-sized, nothing new to time at any SF)
+    # named exclusion: orders_bloom_revenue (a sub-second broadcast
+    # semi-join scan/agg the q-block already times; the Bloom prune's
+    # K broadcast lookups are the benched text_bloom_membership shape)
     # ExactSubstr removal: shares dup_span_fraction's gram table but
     # adds the covered-position fold + per-row reconstruction — the
     # family's new heaviest member, so it joins and the metric-only

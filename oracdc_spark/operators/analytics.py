@@ -618,6 +618,127 @@ def events_active_users(
     )
 
 
+def events_wau_hll_audit(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """The SCALE PATH for sliding-window distinct users, with its audit:
+    per observed activity day, exact trailing-7-day WAU (the
+    events_active_users decomposition) next to the HLL-sketch estimate
+    a 100 TB deployment would serve instead — per-day register tables
+    merged across the window by register-max (HLL's mergeability is the
+    whole point: one fixed 2^10-register sketch per day, window merges
+    are max(), never a re-scan of the raw events).
+
+    The merge reuses the exact path's bounded-explode shape: each
+    (day, bucket, m_j) register row contributes to the <= window_days
+    target days it can count toward, then groupBy(target_day, bucket)
+    MAX — register tables are days x 1024 rows (metadata-sized), so the
+    x7 expansion is nothing, and every aggregate partial-combines.
+    Estimator identical to text_hll_distinct (alpha_m m^2/Z + linear
+    counting), bit-mirrored in the oracle.
+
+    Output: (day, n_wau_exact, n_wau_est, rel_err)."""
+    from oracdc_spark.operators.textops import (
+        HLL_M,
+        _HLL_ALPHA,
+        _gram_hash,
+        hll_registers,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id")
+        .distinct()
+    )
+    target_days = lambda: F.explode(
+        F.sequence(
+            F.col("day"),
+            F.date_add("day", window_days - 1),
+            F.expr("interval 1 day"),
+        )
+    ).alias("day")
+    exact = (
+        ud.select("user_id", target_days())
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_wau_exact"))
+    )
+    regs = hll_registers(
+        ud.select("day", _gram_hash(F.col("user_id").cast("string")).alias("h")),
+        keys=("day",),
+    )
+    merged = (
+        regs.select(target_days(), "bucket", "m_j")
+        .groupBy("day", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    agg = merged.groupBy("day").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_nonempty"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    z = F.col("z_nonempty") + (F.lit(HLL_M) - F.col("n_buckets"))
+    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M) / z
+    v = F.lit(HLL_M) - F.col("n_buckets")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    observed = ud.select("day").distinct()
+    return (
+        exact.join(agg.select("day", est.alias("e")), "day")
+        .join(observed, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_wau_exact",
+            F.round(F.col("e"), 3).alias("n_wau_est"),
+            F.round(
+                F.abs(F.col("e") - F.col("n_wau_exact")) / F.col("n_wau_exact"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom semi-join pruning on the star schema — the manual
+    form of the runtime-filter pushdown engines apply at 100 TB:
+    monthly revenue of BUILDING-segment customers' orders, where the
+    fact side is pruned by a broadcast ≤8 KiB Bloom filter built over
+    the qualifying dimension keys BEFORE the exact join pays its
+    shuffle/broadcast (textops.bloom_build/bloom_prune — lossless by
+    the no-false-negative guarantee; false positives are then removed
+    by the exact broadcast semi-join, so the result is bit-identical
+    to the plain semi-join the oracle runs).
+
+    At sandbox scale the broadcast join alone is cheap; the point is
+    the SHAPE — with a 100 TB fact table and a selective dim predicate,
+    the Bloom prune drops ~4/5 of fact rows before any exchange, and
+    the filter itself is fixed-size regardless of dim cardinality
+    (unlike a broadcast IN-list).  Output: (month, n_orders, revenue)."""
+    from oracdc_spark.operators.textops import bloom_build, bloom_prune
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    filt = bloom_build(c.select(F.col("c_custkey").cast("string").alias("tok")))
+    pruned = bloom_prune(
+        o.withColumn("_k", F.col("o_custkey").cast("string")), "_k", filt
+    ).drop("_k")
+    exact = pruned.join(
+        F.broadcast(c.select("c_custkey")),
+        pruned["o_custkey"] == F.col("c_custkey"),
+        "semi",
+    )
+    return (
+        exact.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
 def copurchase_lift(
     spark: SparkSession, sf_dir: str, min_pairs: int = 5
 ) -> DataFrame:

@@ -682,3 +682,84 @@ def dedup_clusters_fast(
     return docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
+
+
+def content_chunk_dedup_stats(
+    docs: DataFrame, gram: int = 3, modulus: int = 16
+) -> DataFrame:
+    """Passage-level dedup statistics over CONTENT-DEFINED chunks — the
+    shift-resistant complement of :func:`chunk_dedup_stats`.  Fixed-
+    stride windows miss a repeated passage whenever an insertion shifts
+    its alignment by one token; content-defined chunking (the rsync /
+    FastCDC boundary trick, here at token granularity) cuts after token
+    ``i`` iff the hash of the ``gram``-token window ending at ``i``
+    is ≡ 0 (mod ``modulus``), so chunk boundaries move WITH the
+    content: an edit perturbs only the chunks it touches and identical
+    passages elsewhere re-align to identical digests (mean chunk length
+    ≈ ``modulus`` tokens; pure hash boundaries, no min/max clamp —
+    documented simplification of FastCDC's normalized chunking).
+
+    Output matches chunk_dedup_stats: (doc_id, n_chunks, n_dup_chunks,
+    dup_chunk_frac) — a chunk is duplicated iff its digest occurs in
+    ≥ 2 distinct documents.
+
+    Scale shape (100 TB): ONE doc_id exchange carries the whole
+    chunking stage — the rolling gram is a lag window, the running
+    boundary count a prefix-sum window, and the (doc_id, chunk)
+    reassembly groupBy is subset-satisfied by the same hash(doc_id)
+    partitioning (no second exchange); then the digest table is one
+    map-side-combined groupBy on the uniform md5 key joined back on
+    itself, exactly the audited chunk_dedup_stats tail.  Never a pair
+    join, never all-pairs."""
+    from oracdc_spark.operators.textops import _gram_hash
+
+    toks = _parallel(docs).select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_text = F.concat_ws(
+        " ", *[F.lag("tok", gram - 1 - j).over(w) for j in range(gram - 1)], F.col("tok")
+    )
+    marked = toks.withColumn(
+        "mark",
+        F.when(
+            (F.col("pos") >= gram - 1) & (_gram_hash(gram_text) % modulus == 0), 1
+        ).otherwise(0),
+    )
+    chunked = marked.withColumn(
+        "chunk",
+        F.coalesce(
+            F.sum("mark").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    ch = chunked.groupBy("doc_id", "chunk").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("dig")
+    )
+    counts = ch.groupBy("dig").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        ch.join(counts, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_chunk_frac"),
+        )
+    )

@@ -639,13 +639,14 @@ _HLL_REST_BITS = 60 - HLL_B
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
-def hll_registers(values) -> DataFrame:
+def hll_registers(values, keys: tuple[str, ...] = ()) -> DataFrame:
     """HLL register table from a column of 60-bit hashes: bucket = top
     HLL_B bits, register = max over items of (leading-zero count of the
     remaining bits + 1).  The bit-length comes from `length(bin(x))` —
     pure string ops that Spark and DuckDB evaluate identically, so the
     sketch (and therefore the estimate) is engine-exact.  One groupBy
-    over at most 2^HLL_B groups; mergeable by max."""
+    over at most 2^HLL_B groups per key; mergeable by max.  ``keys``
+    builds one sketch per key group (e.g. per day) from a single pass."""
     h = values
     # integer bit ops only — double division would lose precision > 2^53
     bucket = F.shiftright(F.col("h"), _HLL_REST_BITS)
@@ -654,8 +655,8 @@ def hll_registers(values) -> DataFrame:
         F.lit(_HLL_REST_BITS) - F.length(F.bin(rest)) + 1
     )
     return (
-        h.select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        h.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
 
@@ -1540,5 +1541,137 @@ def boilerplate_strip(docs: DataFrame, min_docs: int = 3) -> DataFrame:
             F.sum(
                 F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)
             ).cast("bigint").alias("n_lines_removed"),
+        )
+    )
+
+
+def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
+    """BPE tokenizer training, the first ``steps`` merges (Sennrich et
+    al. 2016's learn_bpe loop): word-frequency table -> adjacent
+    symbol-pair counts -> merge the most frequent pair -> repeat.  The
+    op a training-data pipeline runs to fit a corpus-specific tokenizer
+    before token counting / packing.  No end-of-word marker (the
+    minbpe-style simplification), lowercase alpha word types only.
+
+    Scale shape: everything past the first aggregate is VOCAB-bounded —
+    the word-TYPE table (~10M rows at web scale, with integer counts
+    carrying the corpus weight), per-step pair counts (vocab x word
+    length), and a 1-row TakeOrdered best-pair selection that stays
+    lazy via broadcast crossJoin (no driver action, lazy-builder gate
+    clean).  The corpus-sized explode happens once per plan; production
+    would persist the word table between steps (metadata-sized) — here
+    the lineage recomputes it, keeping the builder pure.
+
+    Merge application is the padded double-replace identity: with
+    sequences stored ' a b c ' (space-padded), one left-to-right
+    non-overlapping pass of replace(' a b ', ' ab ') can miss an
+    occurrence only when the preceding occurrence consumed its leading
+    space; every such miss is flanked by already-merged output after
+    pass one, so a second identical pass is complete.  Greedy-left BPE
+    semantics ('a a a' -> 'aa a') fall out of left-to-right
+    non-overlap.  Ties break on the lexicographically smallest pair —
+    ASCII-only symbols, so Spark and DuckDB collate identically.
+
+    Output: one row per merge step — (step, pair, merged, freq), freq
+    the exact integer occurrence count of the winning pair at that
+    step."""
+    _, best_rows = _bpe_chain(docs, steps)
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_chain(docs: DataFrame, steps: int):
+    """Shared BPE merge chain: returns (seqs-after-all-steps, [one-row
+    best-pair DataFrames per step]).  See bpe_merges for semantics."""
+    toks = _parallel(docs).select(F.explode(_tokens()).alias("w")).select(
+        F.lower("w").alias("w")
+    )
+    words = (
+        toks.filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
+    )
+    seqs = words.select(
+        "wcount",
+        F.concat(
+            F.lit(" "), F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" ")
+        ).alias("seq"),
+    )
+    merged_of = lambda c: F.replace(c, F.lit(" "), F.lit(""))
+    best_rows = []
+    for step in range(1, steps + 1):
+        t = F.split(F.trim(F.col("seq")), " ")
+        pairs = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat(F.get(t, i), F.lit(" "), F.get(t, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pc = (
+            seqs.select("wcount", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wcount").cast("bigint").alias("freq"))
+        )
+        best = pc.orderBy(F.col("freq").desc(), "pair").limit(1)
+        best_rows.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                "pair",
+                merged_of(F.col("pair")).alias("merged"),
+                "freq",
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(F.lit(" "), merged_of(F.col("pair")), F.lit(" "))
+        seqs = seqs.crossJoin(F.broadcast(best)).select(
+            "wcount",
+            F.replace(F.replace(F.col("seq"), pat, rep), pat, rep).alias("seq"),
+        )
+    return seqs, best_rows
+
+
+def bpe_compression(docs: DataFrame, steps: int = 3) -> DataFrame:
+    """Tokenizer-sizing audit over :func:`bpe_merges`: the corpus-level
+    compression the first ``steps`` learned merges buy — symbol counts
+    (corpus-weighted) before and after applying the merges, i.e. the
+    curve a pipeline inspects to choose its vocab size (each merge's
+    marginal gain is exactly the winning pair's freq, so
+    symbols_before − symbols_after = Σ step freqs; the oracle recomputes
+    both sides independently and the identity is hash-checked).
+
+    Same scale shape as bpe_merges (the chain is shared); the outputs
+    here are two 1-row integer aggregates over the vocab-bounded word
+    table.  Output: one row — (n_word_types, n_words, symbols_before,
+    symbols_after, compression)."""
+    seqs, _ = _bpe_chain(docs, steps)
+    base = seqs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        F.sum("wcount").cast("bigint").alias("n_words"),
+        # initial symbols = chars per word type (seq after `steps` merges
+        # no longer equals the char count, so recompute from token size)
+        F.sum(
+            F.col("wcount") * F.size(F.split(F.trim(F.col("seq")), " "))
+        ).cast("bigint").alias("symbols_after"),
+    )
+    toks0 = _parallel(docs).select(F.explode(_tokens()).alias("w")).select(
+        F.lower("w").alias("w")
+    )
+    before = (
+        toks0.filter(F.col("w").rlike("^[a-z]+$"))
+        .agg(F.sum(F.length("w")).cast("bigint").alias("symbols_before"))
+    )
+    return (
+        base.crossJoin(F.broadcast(before))
+        .select(
+            "n_word_types",
+            "n_words",
+            "symbols_before",
+            "symbols_after",
+            F.round(
+                F.col("symbols_before").cast("double") / F.col("symbols_after"), 6
+            ).alias("compression"),
         )
     )

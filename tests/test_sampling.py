@@ -413,3 +413,47 @@ class TestMixtureRebalance:
         assert kept1 == list(range(10))
         kept2 = sorted(r.doc_id for r in mixture_rebalance(docs, {"en": 1000000}).collect())
         assert kept1 == kept2
+
+
+class TestContentChunkDedupStats:
+    def test_shift_resistance_vs_fixed_stride(self, spark):
+        """The op's reason to exist: prepending ONE token re-aligns
+        every fixed-stride window (fixed chunking finds zero dups) but
+        content-defined boundaries move with the content, so the
+        shared tail still produces duplicated chunks."""
+        from oracdc_spark.operators.dedup import (
+            chunk_dedup_stats,
+            content_chunk_dedup_stats,
+        )
+
+        body = " ".join(f"tok{i} filler{i}" for i in range(100))  # 200 tokens
+        docs = spark.createDataFrame(
+            [(1, body), (2, "shifted " + body)],
+            "doc_id long, text string",
+        )
+        fixed = {r.doc_id: r for r in chunk_dedup_stats(docs, size=16).collect()}
+        cdc = {r.doc_id: r for r in content_chunk_dedup_stats(docs).collect()}
+        # fixed-stride: the 1-token shift misaligns every window
+        assert fixed[1].n_dup_chunks == 0 and fixed[2].n_dup_chunks == 0
+        # content-defined: boundaries re-sync after the edit point
+        assert cdc[1].n_dup_chunks > 0 and cdc[2].n_dup_chunks > 0
+
+    def test_identical_docs_fully_duplicated(self, spark):
+        from oracdc_spark.operators.dedup import content_chunk_dedup_stats
+
+        body = " ".join(f"x{i}" for i in range(64))
+        docs = spark.createDataFrame(
+            [(1, body), (2, body)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in content_chunk_dedup_stats(docs).collect()}
+        assert got[1].dup_chunk_frac == 1.0 and got[2].dup_chunk_frac == 1.0
+        assert got[1].n_chunks == got[2].n_chunks
+
+    def test_short_doc_single_chunk(self, spark):
+        """Fewer tokens than the gram: no boundary candidates at all —
+        the whole doc is one chunk."""
+        from oracdc_spark.operators.dedup import content_chunk_dedup_stats
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        [r] = content_chunk_dedup_stats(docs).collect()
+        assert r.n_chunks == 1 and r.n_dup_chunks == 0

@@ -247,3 +247,71 @@ def test_copurchase_lift_independence_identity(spark, tmp_path):
     ac = out[("A", "C")]
     assert ac.n_ab == 2 and ac.lift == round(2 * 6 / (6 * 2), 6) == 1.0
     assert ("B", "C") not in out
+
+
+def test_wau_hll_audit_exact_matches_and_estimate_sane(spark, tmp_path):
+    """The audit's exact column must equal events_active_users' n_wau
+    day-for-day, and the HLL estimate must be within the 1024-register
+    theoretical error envelope (~3.25%; allow 4x slack) on a corpus well
+    inside the linear-counting regime."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for u in range(200):
+        for d in (u % 3, 3 + u % 5):
+            rows.append((eid, base + dt.timedelta(days=d, hours=2), u, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    from oracdc_spark.operators.analytics import (
+        events_active_users,
+        events_wau_hll_audit,
+    )
+
+    exact = {r.day: r.n_wau for r in events_active_users(spark, sf).collect()}
+    audit = {r.day: r for r in events_wau_hll_audit(spark, sf).collect()}
+    assert set(audit) == set(exact)
+    for day, r in audit.items():
+        assert r.n_wau_exact == exact[day]
+        assert r.rel_err <= 0.13, (day, r)
+
+
+def test_bloom_pruned_revenue_matches_plain_semijoin(spark):
+    """The Bloom prune must be invisible in the result (lossless), and
+    must actually prune: kept rows >= exact matches (no false
+    negatives) but well below the full fact table."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.catalog import load_table
+    from oracdc_spark.operators.analytics import bloom_pruned_revenue
+    from oracdc_spark.operators.textops import bloom_build, bloom_prune
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    plain = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == F.col("c_custkey"), "semi")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    got = {r.month: r.n_orders for r in bloom_pruned_revenue(spark, SF_SMOKE).collect()}
+    want = {r.month: r.n_orders for r in plain.collect()}
+    assert got == want
+
+    filt = bloom_build(c.select(F.col("c_custkey").cast("string").alias("tok")))
+    n_total = o.count()
+    n_pruned = bloom_prune(
+        o.withColumn("_k", F.col("o_custkey").cast("string")), "_k", filt
+    ).count()
+    n_exact = o.join(
+        F.broadcast(c.select("c_custkey")), o["o_custkey"] == F.col("c_custkey"), "semi"
+    ).count()
+    assert n_exact <= n_pruned < n_total

@@ -773,3 +773,71 @@ class TestDedupCanonical:
             assert r.n_members == len(members)
             best = min(members, key=lambda d: (-chars[d], d))
             assert r.doc_id == best and r.n_chars == chars[best]
+
+
+class TestBpeMerges:
+    """BPE merge learning: planted corpora pin the pair-count argmax,
+    the greedy-left merge apply (padded double-replace identity), and
+    tie-breaking.  Exact parity vs DuckDB is covered by run_parity."""
+
+    def test_classic_sennrich_corpus(self, spark):
+        """'low'*5 + 'lowest'*2: step1 merges (l,o) 7x; the merged 'lo'
+        then pairs with 'w' 7x at step2; then (low, e) 2x at step3 ties
+        with (es, t)... pin the first two exactly."""
+        from oracdc_spark.operators.textops import bpe_merges
+
+        docs = _docs(spark, ["low " * 5 + "lowest " * 2])
+        rows = {r.step: (r.pair, r.merged, r.freq) for r in bpe_merges(docs).collect()}
+        assert rows[1] == ("l o", "lo", 7)
+        assert rows[2] == ("lo w", "low", 7)
+
+    def test_greedy_left_overlap(self, spark):
+        """'aaaa' (one word, count 3): pairs (a,a) x3 -> merge 'aa';
+        greedy-left turns 'a a a a' into 'aa aa', so step2 sees pair
+        (aa,aa) once per word, freq 3."""
+        from oracdc_spark.operators.textops import bpe_merges
+
+        docs = _docs(spark, ["aaaa aaaa aaaa"])
+        rows = {r.step: (r.pair, r.freq) for r in bpe_merges(docs, steps=2).collect()}
+        assert rows[1] == ("a a", 9)  # 3 word occurrences x 3 adjacent pairs
+        assert rows[2] == ("aa aa", 3)
+
+    def test_alternating_occurrences_all_merged(self, spark):
+        """'ababab': the double-replace must catch the occurrence whose
+        leading space the first pass consumed — 'a b a b a b' must end
+        as 'ab ab ab', giving step2 pair (ab,ab) freq 2."""
+        from oracdc_spark.operators.textops import bpe_merges
+
+        docs = _docs(spark, ["ababab"])
+        rows = {r.step: (r.pair, r.freq) for r in bpe_merges(docs, steps=2).collect()}
+        assert rows[1] == ("a b", 3)
+        assert rows[2] == ("ab ab", 2)
+
+    def test_tie_breaks_lexicographic(self, spark):
+        """'ba' and 'dc' each once: pairs (b,a) and (d,c) tie at 1;
+        the lexicographically smaller 'b a' must win."""
+        from oracdc_spark.operators.textops import bpe_merges
+
+        docs = _docs(spark, ["ba dc"])
+        rows = {r.step: r.pair for r in bpe_merges(docs, steps=1).collect()}
+        assert rows[1] == "b a"
+
+    def test_single_char_words_no_pairs(self, spark):
+        """All 1-char words -> no pairs anywhere -> empty result."""
+        from oracdc_spark.operators.textops import bpe_merges
+
+        docs = _docs(spark, ["a b c a b"])
+        assert bpe_merges(docs, steps=2).count() == 0
+
+    def test_compression_marginal_gain_identity(self, spark):
+        """symbols_before - symbols_after == sum of winning pair freqs
+        (each merge collapses exactly freq pair occurrences into one
+        symbol each) — the Sennrich marginal-gain identity."""
+        from oracdc_spark.operators.textops import bpe_compression, bpe_merges
+
+        docs = _docs(spark, ["low " * 5 + "lowest " * 2 + "newer " * 3])
+        merges = bpe_merges(docs).collect()
+        [c] = bpe_compression(docs).collect()
+        assert c.symbols_before - c.symbols_after == sum(r.freq for r in merges)
+        assert c.compression > 1.0
+        assert c.n_words == 10 and c.n_word_types == 3
