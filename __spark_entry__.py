@@ -1567,6 +1567,10 @@ def _q_orders_bloom_revenue(spark, sf_dir):
     return analytics.bloom_pruned_revenue(spark, sf_dir)
 
 
+def _q_text_stem_reduction(spark, sf_dir):
+    return textops.stem_vocab_reduction(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_perplexity_buckets(spark, sf_dir):
     return textops.perplexity_buckets(load_table(spark, sf_dir, "documents"))
 
@@ -2013,6 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new late-r7: runtime Bloom semi-join pruning on the star
         # schema (lossless — oracle runs the plain semi-join)
         "orders_bloom_revenue": _q_orders_bloom_revenue,
+        # new late-r7: Harman S-stemmer vocab-reduction audit
+        "text_stem_reduction": _q_text_stem_reduction,
         "events_zorder_key": _q_events_zorder_key,
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
@@ -2153,7 +2159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # text_bpe_compression marginal-gain audit,
 # dedup_content_chunks (shift-resistant content-defined chunking),
 # events_wau_hll (mergeable-sketch sliding WAU vs the exact path),
-# orders_bloom_revenue (runtime Bloom semi-join pruning, lossless) — all
+# orders_bloom_revenue (runtime Bloom semi-join pruning, lossless),
+# text_stem_reduction (Harman S-stemmer vocab-reduction audit) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -6677,4 +6684,29 @@ FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 GROUP BY 1
 """
+    # Harman S-stemmer vocab reduction (textops.stem_vocab_reduction):
+    # the literal three-rule CASE, RE2-safe character classes.
+    sql["text_stem_reduction"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tk AS (SELECT lower(t.tok) AS tok FROM toks, UNNEST(w) AS t(tok)),
+st AS (
+  SELECT tok,
+         CASE WHEN regexp_matches(tok, '[^ae]ies$') THEN regexp_replace(tok, 'ies$', 'y')
+              WHEN regexp_matches(tok, 'ies$') THEN tok
+              WHEN regexp_matches(tok, '[^aeo]es$') THEN regexp_replace(tok, 's$', '')
+              WHEN regexp_matches(tok, 'es$') THEN tok
+              WHEN regexp_matches(tok, '[^us]s$') THEN regexp_replace(tok, 's$', '')
+              ELSE tok END AS stem
+  FROM tk
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_raw,
+       CAST(COUNT(DISTINCT stem) AS BIGINT) AS vocab_stemmed,
+       ROUND(CAST(COUNT(DISTINCT tok) - COUNT(DISTINCT stem) AS DOUBLE)
+             / COUNT(DISTINCT tok), 6) AS reduction_frac
+FROM st
+"""
+    )
     return sql

@@ -1675,3 +1675,50 @@ def bpe_compression(docs: DataFrame, steps: int = 3) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+def weak_stem(col) -> "F.Column":
+    """Harman (1991) 'S-stemmer' — the weak, high-precision plural
+    stemmer IR stacks run before indexing (the conservative cousin of
+    Porter's step 1a).  Three ordered rules on lowercase words:
+    ies->y unless (aies|eies); es->e unless (aes|ees|oes); s->'' unless
+    (us|ss).  The rules are keyed to the LONGEST matching ending — a
+    word ending 'ies' is rule 1's business only (an exception like
+    'aies' stops there, it does not fall through to the 'es' rule).
+    Pure regexp with explicit character classes (no lookarounds —
+    portable to RE2, so the DuckDB oracle is literal)."""
+    c = F.lower(col)
+    return (
+        F.when(c.rlike("[^ae]ies$"), F.regexp_replace(c, "ies$", "y"))
+        .when(c.rlike("ies$"), c)
+        .when(c.rlike("[^aeo]es$"), F.regexp_replace(c, "s$", ""))
+        .when(c.rlike("es$"), c)
+        .when(c.rlike("[^us]s$"), F.regexp_replace(c, "s$", ""))
+        .otherwise(c)
+    )
+
+
+def stem_vocab_reduction(docs: DataFrame) -> DataFrame:
+    """Lexical-normalization audit: how much vocabulary the weak
+    stemmer folds away — the number an indexing pipeline checks before
+    enabling stemming (too little: skip the pass; too much: the rules
+    are over-firing on the corpus's morphology).
+
+    Scale shape: one corpus token pass feeding two vocab-bounded
+    DISTINCT aggregates fused into a single 1-row result (raw and
+    stemmed vocab counted from the same explode — Catalyst expands the
+    two count_distincts with one Expand, not two scans).  Output: one
+    row — (n_tokens, vocab_raw, vocab_stemmed, reduction_frac)."""
+    toks = _parallel(docs).select(F.explode(_tokens()).alias("tok")).select(
+        F.lower("tok").alias("tok")
+    )
+    return toks.select("tok", weak_stem(F.col("tok")).alias("stem")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count_distinct("tok").cast("bigint").alias("vocab_raw"),
+        F.count_distinct("stem").cast("bigint").alias("vocab_stemmed"),
+        F.round(
+            (F.count_distinct("tok") - F.count_distinct("stem")).cast("double")
+            / F.count_distinct("tok"),
+            6,
+        ).alias("reduction_frac"),
+    )

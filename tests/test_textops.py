@@ -841,3 +841,34 @@ class TestBpeMerges:
         assert c.symbols_before - c.symbols_after == sum(r.freq for r in merges)
         assert c.compression > 1.0
         assert c.n_words == 10 and c.n_word_types == 3
+
+
+class TestWeakStem:
+    def test_harman_rules(self, spark):
+        """Pin each rule and each exception from Harman (1991)."""
+        from oracdc_spark.operators.textops import weak_stem
+
+        cases = {
+            "parties": "party",    # ies -> y
+            "eies": "eies",        # exception
+            "aies": "aies",        # exception
+            "classes": "classe",   # es -> e (drop only the s)
+            "shoes": "shoes",      # oes exception
+            "sees": "sees",        # ees exception
+            "cats": "cat",         # s -> ''
+            "corpus": "corpus",    # us exception
+            "glass": "glass",      # ss exception
+            "dog": "dog",          # no rule
+        }
+        df = spark.createDataFrame([(w,) for w in cases], "tok string")
+        got = {r.tok: r.stem for r in df.select("tok", weak_stem(F.col("tok")).alias("stem")).collect()}
+        assert got == cases
+
+    def test_vocab_reduction_counts(self, spark):
+        from oracdc_spark.operators.textops import stem_vocab_reduction
+
+        docs = _docs(spark, ["cats cat dogs dog corpus glass"])
+        [r] = stem_vocab_reduction(docs).collect()
+        # {cats,cat}->cat, {dogs,dog}->dog, corpus, glass: 6 raw -> 4 stems
+        assert r.n_tokens == 6 and r.vocab_raw == 6 and r.vocab_stemmed == 4
+        assert abs(r.reduction_frac - round(2 / 6, 6)) < 1e-9
