@@ -656,6 +656,56 @@ def _q_pipeline_curation_v4(spark, sf_dir):
     )
 
 
+def _q_pipeline_curation_funnel(spark, sf_dir):
+    """Per-source survivor funnel over the v4 curation stages — the
+    run-report a data-engineering dashboard shows: how many documents
+    each gate (badwords, perplexity tail-drop, exact dedup, global
+    token budget) costs each source.  Pure composition: four LEFT
+    semi-flags over the individually-audited stage outputs, one
+    source aggregate; the cumulative-AND counts are exact integers."""
+    from oracdc_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    bw = (
+        textops.c4_badwords_filter(_badword_injected(spark, sf_dir), _BADWORD_HASHES)
+        .filter(F.col("keep"))
+        .select("doc_id", F.lit(1).alias("f_bw"))
+    )
+    pb = (
+        textops.perplexity_buckets(docs)
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id", F.lit(1).alias("f_pb"))
+    )
+    ex = dedup.exact_dedup_keep(docs).select("doc_id", F.lit(1).alias("f_ex"))
+    survivors = (
+        docs.join(bw.select("doc_id"), "doc_id", "semi")
+        .join(pb.select("doc_id"), "doc_id", "semi")
+        .join(ex.select("doc_id"), "doc_id", "semi")
+    )
+    sel = sampling.token_budget_global(survivors, budget=8000).select(
+        "doc_id", F.lit(1).alias("f_sel")
+    )
+    flagged = (
+        docs.select("doc_id", "source")
+        .join(bw, "doc_id", "left")
+        .join(pb, "doc_id", "left")
+        .join(ex, "doc_id", "left")
+        .join(sel, "doc_id", "left")
+    )
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        c(F.col("f_bw").isNotNull()).alias("n_badwords"),
+        c(F.col("f_bw").isNotNull() & F.col("f_pb").isNotNull()).alias("n_perplexity"),
+        c(
+            F.col("f_bw").isNotNull()
+            & F.col("f_pb").isNotNull()
+            & F.col("f_ex").isNotNull()
+        ).alias("n_dedup"),
+        c(F.col("f_sel").isNotNull()).alias("n_selected"),
+    )
+
+
 def _q_row_fusion(spark, sf_dir):
     return fusion.row_fusion(spark, sf_dir)
 
@@ -2019,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bloom_revenue": _q_orders_bloom_revenue,
         # new late-r7: Harman S-stemmer vocab-reduction audit
         "text_stem_reduction": _q_text_stem_reduction,
+        # new late-r7: per-source survivor funnel over the v4 stages
+        "pipeline_curation_funnel": _q_pipeline_curation_funnel,
         "events_zorder_key": _q_events_zorder_key,
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
@@ -2160,7 +2212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # dedup_content_chunks (shift-resistant content-defined chunking),
 # events_wau_hll (mergeable-sketch sliding WAU vs the exact path),
 # orders_bloom_revenue (runtime Bloom semi-join pruning, lossless),
-# text_stem_reduction (Harman S-stemmer vocab-reduction audit) — all
+# text_stem_reduction (Harman S-stemmer vocab-reduction audit),
+# pipeline_curation_funnel (per-source survivor counts per v4 gate) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -6298,7 +6351,7 @@ FROM flagged
     # v4 composition: every stage is the LITERAL (global-sort /
     # direct) form of an operator the engine computes via its
     # decomposed scale shape — the hash match proves the composition.
-    sql["pipeline_curation_v4"] = (
+    _v4_ctes = (
         """WITH injected AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 7 = 0 THEN ' zyxbad' ELSE '' END
@@ -6359,8 +6412,35 @@ branked AS (
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM surv
 )
+"""
+    )
+    sql["pipeline_curation_v4"] = (
+        _v4_ctes
+        + """
 SELECT doc_id, lang, source, n_tokens, score, cum_tokens
 FROM branked WHERE cum_tokens <= 8000
+"""
+    )
+    # per-source survivor funnel over the SAME v4 stage CTEs — the
+    # observability report a curation pipeline logs per run (which gate
+    # costs which source how many documents)
+    sql["pipeline_curation_funnel"] = (
+        _v4_ctes
+        + """
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN bw.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_badwords,
+       CAST(SUM(CASE WHEN bw.doc_id IS NOT NULL AND pb.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_perplexity,
+       CAST(SUM(CASE WHEN bw.doc_id IS NOT NULL AND pb.doc_id IS NOT NULL
+                     AND ex.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+FROM documents d
+LEFT JOIN bw_keep bw USING (doc_id)
+LEFT JOIN pb_keep pb USING (doc_id)
+LEFT JOIN ex_keep ex USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM branked WHERE cum_tokens <= 8000) sel USING (doc_id)
+GROUP BY d.source
 """
     )
     sql["pipeline_token_budget"] = (

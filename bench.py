@@ -203,6 +203,10 @@ BENCH_QUERIES = [
     # named exclusion: text_stem_reduction (one token scan + a fused
     # two-distinct aggregate — the benched hll_distinct's exact-count
     # leg shape with a codegen CASE added)
+    # named exclusion: pipeline_curation_funnel (four left joins over
+    # the individually-benched v4 stage outputs + one 20-group
+    # aggregate — no stage the benched curation_v2/perplexity/
+    # token_budget_global members don't already time)
     # ExactSubstr removal: shares dup_span_fraction's gram table but
     # adds the covered-position fold + per-row reconstruction — the
     # family's new heaviest member, so it joins and the metric-only
