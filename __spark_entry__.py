@@ -1621,6 +1621,25 @@ def _q_text_stem_reduction(spark, sf_dir):
     return textops.stem_vocab_reduction(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_typo_pairs(spark, sf_dir):
+    # the synthetic corpus shares one clean vocabulary, so (like the
+    # badwords fixture) the gate needs planted positives: docs with
+    # doc_id % 13 == 0 get their first token re-appended with its 3rd
+    # char dropped — a deterministic deletion-distance-1 misspelling
+    # derived from the corpus itself, mirrored verbatim in the oracle
+    docs = load_table(spark, sf_dir, "documents")
+    first = F.element_at(F.split(F.trim(F.lower("text")), r"\s+"), 1)
+    mangled = F.concat(first.substr(F.lit(1), F.lit(2)), first.substr(F.lit(4), F.length(first)))
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 13 == 0) & first.rlike("^[a-z]{5,}$"),
+            F.concat(F.col("text"), F.lit(" "), mangled),
+        ).otherwise(F.col("text")),
+    )
+    return textops.typo_pairs(injected)
+
+
 def _q_text_perplexity_buckets(spark, sf_dir):
     return textops.perplexity_buckets(load_table(spark, sf_dir, "documents"))
 
@@ -2071,6 +2090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stem_reduction": _q_text_stem_reduction,
         # new late-r7: per-source survivor funnel over the v4 stages
         "pipeline_curation_funnel": _q_pipeline_curation_funnel,
+        # new late-r7: SymSpell deletion-neighborhood typo pairing
+        "text_typo_pairs": _q_text_typo_pairs,
         "events_zorder_key": _q_events_zorder_key,
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
@@ -2213,7 +2234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_wau_hll (mergeable-sketch sliding WAU vs the exact path),
 # orders_bloom_revenue (runtime Bloom semi-join pruning, lossless),
 # text_stem_reduction (Harman S-stemmer vocab-reduction audit),
-# pipeline_curation_funnel (per-source survivor counts per v4 gate) — all
+# pipeline_curation_funnel (per-source survivor counts per v4 gate),
+# text_typo_pairs (SymSpell deletion-neighborhood edit-distance-1
+# vocabulary pairing over a planted-misspelling fixture) — all
 # sf0.001+sf0.01 green locally, and every late-r7 oracle re-verified
 # at sf0.1 as well; (b) re-checks for whatever r8 changes; (c) the
 # stalest greens continuing from where (d) below left off
@@ -6787,6 +6810,43 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(CAST(COUNT(DISTINCT tok) - COUNT(DISTINCT stem) AS DOUBLE)
              / COUNT(DISTINCT tok), 6) AS reduction_frac
 FROM st
+"""
+    )
+    # SymSpell deletion-neighborhood typo pairs (textops.typo_pairs):
+    # the literal blocking — {word} U del-1 variants as the join key,
+    # exact levenshtein <= 1 on candidates.
+    sql["text_typo_pairs"] = (
+        """WITH tinj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 AND regexp_matches(
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')[1],
+                  '^[a-z]{5,}$')
+              THEN text || ' ' ||
+                   substr(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')[1], 1, 2) ||
+                   substr(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')[1], 4)
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM tinj
+),
+tk AS (SELECT lower(t.tok) AS w FROM toks, UNNEST(w) AS t(tok)),
+words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 4 GROUP BY w
+),
+vars AS (
+  SELECT w, n, unnest(list_prepend(w,
+           list_transform(range(1, length(w) + 1),
+                          i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS v
+  FROM words
+),
+cand AS (
+  SELECT DISTINCT a.w AS w1, b.w AS w2, a.n AS n1, b.n AS n2
+  FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w
+)
+SELECT w1, w2, n1, n2 FROM cand WHERE levenshtein(w1, w2) <= 1
 """
     )
     return sql

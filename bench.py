@@ -207,6 +207,10 @@ BENCH_QUERIES = [
     # the individually-benched v4 stage outputs + one 20-group
     # aggregate — no stage the benched curation_v2/perplexity/
     # token_budget_global members don't already time)
+    # SymSpell deletion-neighborhood typo pairing (new blocking shape:
+    # vocab x word-length variant explode + variant-keyed self-join +
+    # exact levenshtein on candidates)
+    "text_typo_pairs",
     # ExactSubstr removal: shares dup_span_fraction's gram table but
     # adds the covered-position fold + per-row reconstruction — the
     # family's new heaviest member, so it joins and the metric-only

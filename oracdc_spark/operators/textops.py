@@ -1722,3 +1722,52 @@ def stem_vocab_reduction(docs: DataFrame) -> DataFrame:
             6,
         ).alias("reduction_frac"),
     )
+
+
+def typo_pairs(docs: DataFrame, min_len: int = 4) -> DataFrame:
+    """Typo / OCR-noise vocabulary pairing via SymSpell-style
+    deletion-neighborhood blocking: two vocabulary words are candidates
+    iff they share a member of {word} ∪ {word minus one char} — that
+    neighborhood provably covers every Levenshtein-distance-1 pair
+    (substitution: delete the differing position from both; insertion/
+    deletion: the shorter word IS a deletion variant of the longer) —
+    then the exact `levenshtein() <= 1` filter makes the output exact.
+    The text-normalization signal a corpus-cleaning pass uses to map
+    rare misspellings onto their frequent canonical forms.
+
+    Scale shape: the variant table is vocab x (len+1) rows —
+    VOCAB-bounded, never corpus-sized; the self-join key is the
+    deletion variant, whose bucket sizes stay small for alpha words of
+    length >= ``min_len`` (shorter words saturate the neighborhood —
+    excluded by contract); the exact distance check runs only on
+    candidates.  Never all-pairs, no corpus shuffle past the vocab
+    aggregate.  Output: (w1, w2, n1, n2) with w1 < w2 lexicographic,
+    counts from the corpus."""
+    toks = _parallel(docs).select(F.explode(_tokens()).alias("w")).select(
+        F.lower("w").alias("w")
+    )
+    words = (
+        toks.filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= min_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    c = F.col("w")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(c.substr(F.lit(1), i - 1), c.substr(i + 1, F.length(c))),
+    )
+    variants = words.select(
+        "w", "n", F.explode(F.concat(F.array(c), dels)).alias("v")
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
+        .select(
+            F.col("a.w").alias("w1"),
+            F.col("b.w").alias("w2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("w1", "w2") <= 1)

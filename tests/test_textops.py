@@ -872,3 +872,28 @@ class TestWeakStem:
         # {cats,cat}->cat, {dogs,dog}->dog, corpus, glass: 6 raw -> 4 stems
         assert r.n_tokens == 6 and r.vocab_raw == 6 and r.vocab_stemmed == 4
         assert abs(r.reduction_frac - round(2 / 6, 6)) < 1e-9
+
+
+class TestTypoPairs:
+    def test_substitution_deletion_found_distance2_rejected(self, spark):
+        from oracdc_spark.operators.textops import typo_pairs
+
+        docs = _docs(spark, [
+            "spark spark spark spbrk",    # substitution (dist 1)
+            "table tble",                  # deletion (dist 1)
+            "merge mxrgx",                 # dist 2 — blocked candidate must be filtered
+            "cat bat",                     # len < 4 — excluded by contract
+        ])
+        got = {(r.w1, r.w2): (r.n1, r.n2) for r in typo_pairs(docs).collect()}
+        assert ("spark", "spbrk") in got and got[("spark", "spbrk")] == (3, 1)
+        assert ("table", "tble") in got
+        assert not any("mxrgx" in p for pair in got for p in pair)
+        assert not any(w in ("cat", "bat") for pair in got for w in pair)
+
+    def test_insertion_direction_covered(self, spark):
+        """b = a plus one inserted char: a IS a deletion variant of b."""
+        from oracdc_spark.operators.textops import typo_pairs
+
+        docs = _docs(spark, ["filter fillter"])
+        got = [(r.w1, r.w2) for r in typo_pairs(docs).collect()]
+        assert got == [("fillter", "filter")] or got == [("filter", "fillter")]
