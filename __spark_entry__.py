@@ -1621,6 +1621,12 @@ def _q_text_stem_reduction(spark, sf_dir):
     return textops.stem_vocab_reduction(load_table(spark, sf_dir, "documents"))
 
 
+def _q_graph_triangles(spark, sf_dir):
+    from oracdc_spark.operators import graph
+
+    return graph.copurchase_triangles(spark, sf_dir)
+
+
 def _q_text_typo_pairs(spark, sf_dir):
     # the synthetic corpus shares one clean vocabulary, so (like the
     # badwords fixture) the gate needs planted positives: docs with
@@ -2092,6 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_funnel": _q_pipeline_curation_funnel,
         # new late-r7: SymSpell deletion-neighborhood typo pairing
         "text_typo_pairs": _q_text_typo_pairs,
+        # new late-r7: degree-oriented triangle count + clustering coeff
+        "graph_triangles": _q_graph_triangles,
         "events_zorder_key": _q_events_zorder_key,
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
@@ -6849,4 +6857,41 @@ cand AS (
 SELECT w1, w2, n1, n2 FROM cand WHERE levenshtein(w1, w2) <= 1
 """
     )
+    # degree-oriented triangle counting (graph.copurchase_triangles):
+    # the literal Suri–Vassilvitskii orientation — each triangle counted
+    # once from its (degree, id)-lowest corner.
+    sql["graph_triangles"] = """
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) t
+  GROUP BY n
+),
+oe AS (
+  SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg da ON da.n = e.u JOIN deg db ON db.n = e.v
+),
+wedges AS (
+  SELECT a.t AS b, b.t AS c
+  FROM oe a JOIN oe b ON a.s = b.s AND a.t < b.t
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM wedges w WHERE EXISTS (SELECT 1 FROM edges e WHERE e.u = w.b AND e.v = w.c)
+),
+ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+nc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       ROUND(3 * CAST(n_triangles AS DOUBLE) / n_wedges, 6) AS clustering_coeff
+FROM tri, ec, nc
+"""
     return sql

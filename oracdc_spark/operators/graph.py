@@ -111,3 +111,85 @@ def pagerank_top(
         top.withColumn("rank", F.row_number().over(w))
         .select("rank", "node", "pr")
     )
+
+
+def copurchase_triangles(spark, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph (parts are nodes, an edge joins two parts that
+    co-occur in some order) — the graph-statistics report next to
+    PageRank and connected components; on a crawl graph the same shape
+    measures link-farm density.
+
+    The canonical shuffle-minimal algorithm (Suri & Vassilvitskii,
+    WWW 2011 — "Counting triangles and the curse of the last reducer"):
+    orient every edge from the (degree, id)-LOWER endpoint to the
+    higher, so each triangle is counted exactly once from its
+    lowest-degree corner, and wedge fan-out per node is bounded by its
+    OUT-degree in the orientation — O(sqrt(m)) even for hubs (the
+    orientation sends a hub's edges AWAY from it, so the hub never
+    enumerates its own neighbor pairs).  Wedges (s -> b, s -> c with
+    b < c) then close into triangles via one join against the edge
+    list on the (b, c) key — uniform, never all-pairs.
+
+    Determinism: pure integer counts; the clustering coefficient
+    3·triangles / wedges(undirected) is one rounded division.
+    Output: one row — (n_nodes, n_edges, n_triangles, n_wedges,
+    clustering_coeff)."""
+    from oracdc_spark.catalog import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    ranked = (
+        edges.join(da, F.col("u") == F.col("da.n"))
+        .join(db, F.col("v") == F.col("db.n"))
+        .select(
+            "u",
+            "v",
+            F.struct(F.col("da.d"), F.col("u")).alias("ku"),
+            F.struct(F.col("db.d"), F.col("v")).alias("kv"),
+        )
+    )
+    oe = ranked.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    w1, w2 = oe.alias("w1"), oe.alias("w2")
+    wedges = w1.join(
+        w2, (F.col("w1.s") == F.col("w2.s")) & (F.col("w1.t") < F.col("w2.t"))
+    ).select(F.col("w1.t").alias("b"), F.col("w2.t").alias("c"))
+    tri = wedges.join(
+        edges, (F.col("u") == F.col("b")) & (F.col("v") == F.col("c")), "semi"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    counts = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    return (
+        tri.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                3 * F.col("n_triangles").cast("double") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )

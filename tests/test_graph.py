@@ -38,3 +38,33 @@ def test_pagerank_mass_and_determinism(spark):
     assert len(a) == 20
     assert all(r.pr >= graph.PR_BASE for r in a)
     assert [r.rank for r in a] == list(range(1, 21))
+
+
+def test_triangle_count_k4_plus_isolated_edge(spark, tmp_path):
+    """K4 (one 4-item order) has exactly 4 triangles and clustering 1.0
+    even with an isolated edge attached elsewhere."""
+    rows = [(1, p) for p in (1, 2, 3, 4)] + [(2, 5), (2, 6)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    from oracdc_spark.operators.graph import copurchase_triangles
+
+    [r] = copurchase_triangles(spark, sf).collect()
+    assert r.n_nodes == 6 and r.n_edges == 7
+    assert r.n_triangles == 4
+    # wedges: K4 nodes have degree 3 -> 4*3 = 12; edge nodes degree 1 -> 0
+    assert r.n_wedges == 12  # the isolated edge adds none; 5-6 deg1
+    assert r.clustering_coeff == 1.0
+
+
+def test_triangle_orientation_counts_once(spark, tmp_path):
+    """A single triangle sharing orders: counted exactly once however
+    the degrees tie (all degree 2 — ties break by id)."""
+    rows = [(1, 10), (1, 20), (2, 20), (2, 30), (3, 10), (3, 30)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    from oracdc_spark.operators.graph import copurchase_triangles
+
+    [r] = copurchase_triangles(spark, sf).collect()
+    assert r.n_triangles == 1 and r.n_edges == 3 and r.n_nodes == 3
