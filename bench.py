@@ -121,6 +121,10 @@ BENCH_QUERIES = [
     # round-4 additions
     "similarity_kmeans_cells",
     "graph_pagerank",
+    # triangle census: a second graph-family member with its own shape
+    # (degree-oriented edge list + out-adjacency array_intersect close;
+    # nothing in the pagerank iteration times an intersection join)
+    "graph_triangles",
     "ora_tde_decrypt",
     "dedup_lsh_incremental",
     # round-5 additions

@@ -68,3 +68,17 @@ def test_triangle_orientation_counts_once(spark, tmp_path):
 
     [r] = copurchase_triangles(spark, sf).collect()
     assert r.n_triangles == 1 and r.n_edges == 3 and r.n_nodes == 3
+
+
+def test_triangle_free_graph_counts_zero(spark, tmp_path):
+    """A path graph (no triangles): the inner adjacency join drops every
+    edge row, and the count must still be 0, not null."""
+    rows = [(1, 10), (1, 20), (2, 20), (2, 30)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    from oracdc_spark.operators.graph import copurchase_triangles
+
+    [r] = copurchase_triangles(spark, sf).collect()
+    assert r.n_triangles == 0 and r.n_edges == 2 and r.n_wedges == 1
+    assert r.clustering_coeff == 0.0
