@@ -1924,6 +1924,12 @@ def _q_token_budget_global(spark, sf_dir):
     return sampling.token_budget_global(load_table(spark, sf_dir, "documents"))
 
 
+def _q_weighted_sample(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.weighted_sample(load_table(spark, sf_dir, "documents"), k=100)
+
+
 def _q_doc_chunks(spark, sf_dir):
     from oracdc_spark.operators import sampling
 
@@ -2100,6 +2106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_typo_pairs": _q_text_typo_pairs,
         # new late-r7: degree-oriented triangle count + clustering coeff
         "graph_triangles": _q_graph_triangles,
+        # new late-r7: sequential-Poisson weight-proportional sampling
+        "pipeline_weighted_sample": _q_weighted_sample,
         "events_zorder_key": _q_events_zorder_key,
         "text_gopher_quality": _q_text_gopher,
         "text_language_id": _q_text_lang,
@@ -6860,6 +6868,20 @@ SELECT w1, w2, n1, n2 FROM cand WHERE levenshtein(w1, w2) <= 1
     # degree-oriented triangle counting (graph.copurchase_triangles):
     # the literal Suri–Vassilvitskii orientation — each triangle counted
     # once from its (degree, id)-lowest corner.
+    # sequential Poisson sampling (sampling.weighted_sample): the key is
+    # the exact integer (hash32 << 20) div weight — DuckDB's // is the
+    # same floor division on positive BIGINTs as Spark's div.
+    sql["pipeline_weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          * 1048576) // CAST(GREATEST(n_chars, 1) AS BIGINT) AS skey
+  FROM documents
+)
+SELECT doc_id, source, weight, CAST(skey AS BIGINT) AS skey
+FROM keyed ORDER BY skey, doc_id LIMIT 100
+"""
     sql["graph_triangles"] = """
 WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 edges AS (

@@ -368,6 +368,47 @@ def token_budget_global(docs: DataFrame, budget: int = 20000) -> DataFrame:
     )
 
 
+def weighted_sample(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement of ``k`` documents
+    — sequential Poisson / priority sampling (Ohlsson 1998; the
+    Duffield–Lund–Thorup priority-sampling family): draw a uniform
+    u_i per item, key it as u_i / w_i, and keep the k smallest keys.
+    Inclusion probability is ≈ k·w_i/Σw (exactly πps as n→∞), which is
+    how a corpus is subsampled token-proportionally: weighting by
+    document length makes "pick k docs" statistically equivalent to a
+    uniform sample over TOKENS, so long docs aren't under-represented.
+
+    Determinism discipline (same as temperature_mix): the uniform is
+    hash32(doc_id) and the key is the INTEGER ``(h << 20) div w`` —
+    exact in both engines (h < 2^32, so h·2^20 < 2^52 fits BIGINT and
+    integer division is floor everywhere), never a float ratio whose
+    1-ulp libm differences could flip the k-th rank.  The 2^20 scale
+    quantizes the ideal ratio; ties (possible after quantization)
+    break by doc_id.  Weight = max(n_chars, 1).
+
+    Scale shape: zero shuffles — ``ORDER BY key LIMIT k`` compiles to
+    TakeOrderedAndProject (per-partition top-k heaps, then a k·P-row
+    driver merge); the corpus is scanned once, map-side.
+
+    Output: (doc_id, source, weight, skey) of the k selected docs."""
+    from oracdc_spark.plans.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # map-side key + per-partition top-k
+    w = F.greatest(F.col("n_chars").cast("bigint"), F.lit(1))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        (_hash32(F.col("doc_id")) * F.lit(1 << 20)).alias("_num"),
+    ).select(
+        "doc_id",
+        "source",
+        "weight",
+        F.expr("_num div weight").cast("bigint").alias("skey"),
+    )
+    return keyed.orderBy("skey", "doc_id").limit(k)
+
+
 def split_leakage_audit(
     docs: DataFrame,
     val_pct: int = 5,

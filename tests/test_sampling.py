@@ -457,3 +457,49 @@ class TestContentChunkDedupStats:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         [r] = content_chunk_dedup_stats(docs).collect()
         assert r.n_chunks == 1 and r.n_dup_chunks == 0
+
+
+class TestWeightedSample:
+    def test_inclusion_tracks_weight(self, spark):
+        """Sequential Poisson: with weights 10_000 vs 1, the heavy half
+        dominates a half-size sample (the key h<<20 div w is ~2^20x
+        smaller for heavy docs)."""
+        from oracdc_spark.operators.sampling import weighted_sample
+
+        rows = [(i, "s", 10_000 if i < 50 else 1) for i in range(100)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = weighted_sample(docs, k=50).collect()
+        heavy = sum(1 for r in out if r.doc_id < 50)
+        assert len(out) == 50 and heavy == 50
+
+    def test_exactly_k_and_deterministic(self, spark):
+        from oracdc_spark.operators.sampling import weighted_sample
+
+        rows = [(i, "s", 1 + i % 7) for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        a = sorted(r.doc_id for r in weighted_sample(docs, k=25).collect())
+        b = sorted(r.doc_id for r in weighted_sample(docs, k=25).collect())
+        assert len(a) == 25 and a == b
+
+    def test_zero_weight_guarded(self, spark):
+        """n_chars = 0 must not divide by zero — the weight floor is 1."""
+        from oracdc_spark.operators.sampling import weighted_sample
+
+        docs = spark.createDataFrame(
+            [(1, "s", 0), (2, "s", 5)], "doc_id long, source string, n_chars long"
+        )
+        out = weighted_sample(docs, k=2).collect()
+        assert {r.doc_id for r in out} == {1, 2}
+        assert min(r.weight for r in out) == 1
+
+    def test_plan_is_take_ordered(self, spark):
+        """The global top-k must compile to TakeOrderedAndProject, not a
+        full Sort exchange."""
+        from oracdc_spark.operators.sampling import weighted_sample
+
+        docs = spark.createDataFrame(
+            [(i, "s", i + 1) for i in range(10)],
+            "doc_id long, source string, n_chars long",
+        )
+        plan = weighted_sample(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
