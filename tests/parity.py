@@ -41,6 +41,37 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+# DuckDB result types the driver's hash normalization renders identically
+# to the matching Spark type.  Anything outside this set (HUGEINT from a
+# widened window SUM, DECIMAL from unfenced arithmetic, ...) may hash
+# differently on the driver even when every value is equal under str() —
+# exactly the events_range_frame r6/r7 red-row class.  The local gate must
+# therefore flag such columns even though _norm_cell() would hide them.
+_SAFE_DUCK_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE",
+}
+
+
+def _unsafe_duck_cols(con, sql: str, sdf) -> list[tuple[str, str]]:
+    """(col, duckdb_type) pairs whose oracle result type the driver's hash
+    normalization does not render 1:1 — unless the Spark column is itself
+    decimal (then DECIMAL-vs-DECIMAL is a deliberate, matched choice)."""
+    rel = con.sql(sql)
+    spark_types = {f.name.lower(): f.dataType.typeName() for f in sdf.schema.fields}
+    bad = []
+    for name, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        base = t.split("(")[0].strip()
+        if base in _SAFE_DUCK_TYPES:
+            continue
+        if base == "DECIMAL" and spark_types.get(name.lower(), "").startswith("decimal"):
+            continue
+        bad.append((name, t))
+    return bad
+
+
 def compare(spark, con, query_fn, sql: str, sf_dir: str) -> dict:
     sdf = query_fn(spark, sf_dir)
     s_cols = [c.lower() for c in sdf.columns]
@@ -54,13 +85,14 @@ def compare(spark, con, query_fn, sql: str, sf_dir: str) -> dict:
         "cols_match": sorted(s_cols) == sorted(d_cols),
         "spark_cols": s_cols,
         "duck_cols": d_cols,
+        "unsafe_duck_types": _unsafe_duck_cols(con, sql, sdf),
     }
     if not out["cols_match"] or len(s_rows) != len(d_rows):
         out["values_match"] = False
         return out
     sn = _norm_rows(s_cols, s_rows)
     dn = _norm_rows(d_cols, d_rows)
-    out["values_match"] = sn == dn
+    out["values_match"] = sn == dn and not out["unsafe_duck_types"]
     if not out["values_match"]:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b]
         out["first_diffs"] = diffs[:3]
