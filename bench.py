@@ -314,6 +314,34 @@ def main() -> None:
     # separate per-query regressions from whole-suite contention;
     # a comma-list runs exactly those queries
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+
+    # Isolated longitudinal number (r7 verdict item 4): the in-suite
+    # r1_comparable_sec drifts with suite growth (~11% contention at 81
+    # queries, more at 96 — SCALING.md), so the full-suite run first
+    # measures the r1 set in a FRESH JVM via a child bench.py process.
+    # The child runs to completion before this process builds its own
+    # SparkSession, so the two JVMs never compete for the 32 cores.
+    r1_isolated = None
+    if not only and not os.environ.get("SPARK_GRAFT_NO_ISOLATED"):
+        import subprocess
+
+        child_env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY="r1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=child_env, capture_output=True, text=True, timeout=600,
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                if "r1_comparable_sec" in obj:
+                    r1_isolated = obj["r1_comparable_sec"]
+                    break
+        except Exception:
+            r1_isolated = None  # never let the probe sink the suite run
+
     import __spark_entry__ as entry_mod
     from oracdc_spark.session import get_spark
 
@@ -388,6 +416,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "r1_comparable_sec": r1_comparable,
+                "r1_comparable_isolated_sec": r1_isolated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
