@@ -84,7 +84,14 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_recall",
-    "dedup_clusters",
+    # r8 promotion (r7 verdict item 7): the O(log diameter)
+    # pointer-jumping variant is now the benched/default clusters path —
+    # output-identical to dedup_clusters (same recursive-CTE oracle;
+    # equivalence also pinned by a deep-chain unit test), and on 100 TB
+    # boilerplate chains the difference between ~20 rounds and
+    # unbounded.  dedup_clusters stays declared as the plain-propagation
+    # cross-check but leaves the bench.
+    "dedup_clusters_fast",
     "pipeline_curation_v2",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
@@ -243,10 +250,10 @@ BENCH_QUERIES = [
     # events_asof_tolerance / events_asof_nearest (same single-exchange
     # sortable-mark plan as the benched events_asof_join, plus a codegen
     # CASE per row — no new heavy stage);
-    # dedup_clusters_fast (the O(log diameter) pointer-jumping CC — at
-    # sf0.1 the dup components are shallow so it would only measure
-    # its per-round overhead vs the benched dedup_clusters; its win is
-    # deep-chain graphs, pinned by the unit test instead);
+    # dedup_clusters (plain O(diameter) propagation — demoted to the
+    # unbenched cross-check when dedup_clusters_fast took the family's
+    # bench slot in r8; both share the jaccard_pairs edge derivation,
+    # so only the iteration scheme differs);
     # similarity_opq_balanced_recall (identical plan family to the
     # benched similarity_opq_recall minus the WHT matvec — the
     # permutation is a d-row broadcast join, strictly cheaper);
