@@ -834,6 +834,17 @@ _NUMBER_GOLDENS = [
 _BF_BD_GOLDENS = [
     (1, "bfddb3d7", "bffbb67ae8584caa"),
 ]
+# INTERVAL YM/DS golden vectors (encoding per data/OraIntervalYM.java /
+# OraIntervalDS.java: excess-2^31 leading field, excess-60 small fields,
+# excess-2^31 nanos; values cross-checked against decode_interval_* unit
+# vectors) — gives P5 a tabular driver row instead of pytest-only (r8)
+_INTERVAL_GOLDENS = [
+    (1, "ym", "800000033e", "+3-2"),
+    (2, "ym", "7fffffff39", "-1-3"),
+    (3, "ds", "8000000546484a80000000", "+5 10:12:14.000000000"),
+    (4, "ds", "800000023d3e3f875bcd15", "+2 01:02:03.123456789"),
+    (5, "ds", "7fffffff3a393880000000", "-1 02:03:04.000000000"),
+]
 
 
 def _q_ora_number_decode(spark, sf_dir):
@@ -845,6 +856,29 @@ def _q_ora_number_decode(spark, sf_dir):
         [(i, h) for i, h, _ in _NUMBER_GOLDENS], "id bigint, hex string"
     )
     return df.select("id", ora_number_to_double(F.col("hex")).alias("val"))
+
+
+def _q_ora_interval_decode(spark, sf_dir):
+    """P5 — INTERVAL YEAR TO MONTH / DAY TO SECOND decode to the
+    reference's canonical string forms (OraInterval SMT output shape)."""
+    from oracdc_spark.functions.decoders import (
+        ora_interval_ds_str,
+        ora_interval_ym_str,
+    )
+    from oracdc_spark.session import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [(i, k, h) for i, k, h, _ in _INTERVAL_GOLDENS],
+        "id bigint, kind string, hex string",
+    )
+    return df.select(
+        "id",
+        "kind",
+        F.when(F.col("kind") == "ym", ora_interval_ym_str(F.col("hex")))
+        .otherwise(ora_interval_ds_str(F.col("hex")))
+        .alias("s"),
+    )
 
 
 def _q_ora_binary_fp_decode(spark, sf_dir):
@@ -1244,6 +1278,44 @@ def _q_dedup_exact_groups(spark, sf_dir):
 
 def _q_dedup_exact_keep(spark, sf_dir):
     return dedup.exact_dedup_keep(load_table(spark, sf_dir, "documents"))
+
+
+def _q_streaming_dedup_gate(spark, sf_dir):
+    # Batch-equivalence mirror of the streaming exact-dedup gate (r7
+    # verdict item 8): documents arrive as three ordered micro-batches
+    # (doc_id % 3 == 0, 1, 2), each folded through
+    # streaming_sketches.dedup_gate_batch against a fresh digest-state
+    # dir; the union of emitted rows must equal first-occurrence-per-
+    # digest under (batch, doc_id) arrival order — exactly what the
+    # oracle's ROW_NUMBER computes.  The 3-iteration driver loop is the
+    # trigger loop, not a data loop (bounded by batch COUNT, not size).
+    import shutil
+    import tempfile
+
+    from oracdc_spark.streaming import sketches as streaming_sketches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state_dir = tempfile.mkdtemp(prefix="oracdc_gate_state_")
+    state_path = state_dir + "/digests"
+    emitted = []
+    try:
+        for b in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == b)
+            emitted.append(
+                streaming_sketches.dedup_gate_batch(spark, batch, state_path)
+            )
+        out = emitted[0]
+        for e in emitted[1:]:
+            out = out.unionAll(e)
+        # emitted rows are localCheckpoint-severed from the state, so
+        # collecting the plan here is safe after the tmpdir vanishes
+        return out.select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            (F.col("doc_id") % 3).cast("bigint").alias("batch"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def _q_dedup_jaccard(spark, sf_dir):
@@ -2169,6 +2241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_total": analytics.events_running_total,
         "events_type_stats": analytics.events_type_stats,
         "dedup_exact_keep": _q_dedup_exact_keep,
+        # r8: batch-equivalence driver row for the streaming dedup gate
+        "streaming_dedup_gate": _q_streaming_dedup_gate,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
@@ -2206,6 +2280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ora_charset_decode": _q_ora_charset_decode,
         "ora_vector_decode": _q_ora_vector_decode,
         "ora_tstz_decode": _q_ora_tstz_decode,
+        # r8: P5 interval decode promoted from pytest-only to a driver row
+        "ora_interval_decode": _q_ora_interval_decode,
         "ora_datetime_decode": _q_ora_datetime_decode,
         "ora_charset_id_decode": _q_ora_charset_id_decode,
         "oson_decode": _q_oson_decode,
@@ -2224,13 +2300,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # its tabular evidence is the MSE-vs-recall curve); (b) the 2 queries
 # r8 changed — events_range_frame (oracle window SUM now CAST to
 # BIGINT; DuckDB widened the bare SUM to HUGEINT, the judge-confirmed
-# cause of the r6/r7 red rows — engine values verified identical) and
+# cause of the r6/r7 red rows — engine values verified identical),
 # text_bigram_logprob (plan rework: distinct-pair scoring, one wide
-# join); (c) 5 stalest greens, all last checked round 3
-# (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode,
-# ora_tstz_decode, ora_datetime_decode).  Rolls to r9: the remaining
-# r3 block (ora_charset_id_decode, oson_decode, ora_rowid_decode) then
-# the r4 block per the CORRECTNESS_r0*.json history.
+# join), streaming_dedup_gate (new: the streaming gate's
+# batch-equivalence mirror, r7 verdict item 8), and
+# ora_interval_decode (new: P5 promoted from pytest-only to a golden-
+# vector driver row); (c) 3 stalest greens, all last checked round 3
+# (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode).
+# Rolls to r9: the remaining r3 block (ora_tstz_decode,
+# ora_datetime_decode, ora_charset_id_decode, oson_decode,
+# ora_rowid_decode) then the r4 block per the CORRECTNESS_r0*.json
+# history.
 _R8_WINDOW = [
     # (a) first driver rows — late-r7 declarations
     "text_langid_confusion",
@@ -2276,15 +2356,15 @@ _R8_WINDOW = [
     "dedup_canonical",
     "pipeline_split_leakage",
     "pipeline_mixture_rebalance",
-    # (b) changed in r8
+    # (b) changed/new in r8
     "events_range_frame",
     "text_bigram_logprob",
+    "streaming_dedup_gate",
+    "ora_interval_decode",
     # (c) stalest greens (r3)
     "ora_binary_fp_decode",
     "ora_charset_decode",
     "ora_vector_decode",
-    "ora_tstz_decode",
-    "ora_datetime_decode",
 ]
 
 
@@ -2664,6 +2744,10 @@ LEFT JOIN embeddings e ON k.doc_id = e.vec_id
         "upper(to_hex(o_orderkey)) AS rawkey, "
         "CAST(NULL AS VARCHAR) AS note "
         "FROM orders"
+    )
+    sql["ora_interval_decode"] = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS id, {k!r} AS kind, {s!r} AS s"
+        for i, k, _, s in _INTERVAL_GOLDENS
     )
     sql["ora_binary_fp_decode"] = (
         "SELECT CAST(1 AS BIGINT) AS id, "
@@ -4041,6 +4125,16 @@ FROM events GROUP BY event_type
         "SELECT * FROM documents WHERE doc_id IN "
         "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text))"
     )
+    # first occurrence per digest under (batch, doc_id) arrival order —
+    # the algebraic statement of what the micro-batch gate fold emits
+    sql["streaming_dedup_gate"] = """
+SELECT doc_id, digest, CAST(doc_id % 3 AS BIGINT) AS batch
+FROM (SELECT doc_id, md5(text) AS digest,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id % 3, doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+"""
     sql["dedup_ngram_jaccard"] = (
         "WITH "
         + _SHINGLES
