@@ -1336,6 +1336,10 @@ def _q_dedup_lsh_recall(spark, sf_dir):
     return dedup.lsh_recall_audit(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_tfidf_cosine(spark, sf_dir):
+    return dedup.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _q_dedup_lsh_incremental(spark, sf_dir):
     """Incremental index maintenance: every 7th document (doc_id%7==3)
     plays the NEW crawl batch, the rest the already-indexed corpus."""
@@ -2243,6 +2247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": _q_dedup_exact_keep,
         # r8: batch-equivalence driver row for the streaming dedup gate
         "streaming_dedup_gate": _q_streaming_dedup_gate,
+        # new r8: sparse TF-IDF cosine pairing (df-bounded inverted index)
+        "dedup_tfidf_cosine": _q_dedup_tfidf_cosine,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
@@ -4125,6 +4131,48 @@ FROM events GROUP BY event_type
         "SELECT * FROM documents WHERE doc_id IN "
         "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text))"
     )
+    # sparse TF-IDF cosine pairs: the oracle mirrors the df-bounded
+    # inverted index literally — quantized integer weights, exact
+    # integer dot/norms, ONE final IEEE division (same convention as
+    # the quantized-cosine dense path)
+    sql["dedup_tfidf_cosine"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+tfq AS (
+  SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS term,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+  GROUP BY doc_id, term
+),
+dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tfq GROUP BY term HAVING COUNT(*) BETWEEN 2 AND 1000
+),
+post AS (
+  SELECT doc_id, tfq.term,
+         CAST(round(tf * ln(1 + CAST(n AS DOUBLE) / df) * 1000) AS BIGINT) AS w
+  FROM tfq JOIN dfq ON tfq.term = dfq.term, total
+),
+norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM post GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT * FROM (
+  SELECT d1, d2, n_shared_terms,
+         ROUND((CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+               / (CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 6) AS score
+  FROM pairs JOIN norms x ON pairs.d1 = x.doc_id
+             JOIN norms y ON pairs.d2 = y.doc_id
+) WHERE score >= 0.04
+"""
     # first occurrence per digest under (batch, doc_id) arrival order —
     # the algebraic statement of what the micro-batch gate fold emits
     sql["streaming_dedup_gate"] = """

@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     # LLM-pipeline ops
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
+    # r8: sparse TF-IDF cosine pairing — same posting-self-join family
+    # as ngram_jaccard but over NON-distinct tf postings with integer
+    # weight math and two norm joins; the df-bounded index is the
+    # Bayardo all-pairs shape, worth its own number
+    "dedup_tfidf_cosine",
     "dedup_minhash_lsh",
     "dedup_lsh_recall",
     # r8 promotion (r7 verdict item 7): the O(log diameter)

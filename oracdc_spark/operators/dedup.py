@@ -763,3 +763,102 @@ def content_chunk_dedup_stats(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    df_min: int = 2,
+    df_max: int = 1000,
+    threshold: float = 0.04,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairing via a df-bounded inverted
+    index — the sparse-vector complement to the dense
+    ``similarity.embedding_near_dups`` path (Bayardo, Ma & Srikant,
+    "Scaling Up All Pairs Similarity Search", WWW 2007: bound the
+    per-term posting list instead of comparing all pairs).
+
+    Terms are word n-gram shingles WITH term frequency (unlike the
+    set-semantics :func:`shingles`); per-doc-term weight is
+    ``round(tf · ln(1 + N/df) · 1000)`` as BIGINT — the engine's
+    quantize-before-aggregate determinism convention — so dot products
+    and norms are exact integer sums and the only IEEE step is the one
+    final division.  Score is the squared-cosine form of the shared
+    quantized-cosine contract: ``dot² / (n1·n2)``, rounded to 6.
+
+    Scale shape: the ONLY superlinear stage is the per-term posting
+    self-join, bounded by Σ_kept-terms df² — the ``df_max`` cap is the
+    operator's scale lever (a term in more than df_max docs is
+    boilerplate with near-zero idf; dropping it is the blunt form of
+    Bayardo's prefix filter).  df_min=2 drops unpairable singleton
+    terms before the join.  Everything else: one (doc, term) tf
+    aggregate, one vocab-sized df aggregate, a (d1, d2) pair aggregate,
+    and doc-count-sized norm joins that co-partition with the pair keys
+    (NOT broadcast — one row per document).  The corpus count N is a
+    lazy 1-row broadcast aggregate.
+
+    Output: (d1, d2, n_shared_terms, score) with d1 < d2,
+    score ≥ threshold."""
+    w = _tokens()
+    sh = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        _parallel(docs)
+        .select("doc_id", F.explode(sh).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .filter((F.col("df") >= df_min) & (F.col("df") <= df_max))
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    post = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n").cast("double") / F.col("df"))
+                * 1000
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    norms = post.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+        )
+    )
+    score = F.round(
+        (F.col("dot").cast("double") * F.col("dot").cast("double"))
+        / (F.col("na").cast("double") * F.col("nb").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(norms.select(F.col("doc_id").alias("d1"), F.col("n2").alias("na")), "d1")
+        .join(norms.select(F.col("doc_id").alias("d2"), F.col("n2").alias("nb")), "d2")
+        .withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+        .select("d1", "d2", "n_shared_terms", "score")
+    )
