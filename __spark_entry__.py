@@ -166,6 +166,13 @@ def _q_cdc_scd2(spark, sf_dir):
     return cdc.scd2_history(change_feed(spark, sf_dir))
 
 
+def _q_cdc_scd2_asof(spark, sf_dir):
+    # interval-table time travel; the oracle is the INDEPENDENT log
+    # replay (cdc_replica_asof's ranked replay at the same cut), so a
+    # hash match proves the SCD2 interval algebra == replaying the log
+    return cdc.scd2_as_of_relative(change_feed(spark, sf_dir))
+
+
 def _q_cdc_replica_asof(spark, sf_dir):
     """Flashback AS OF SCN: replica state at the midpoint of the commit
     SCN range (scale-factor independent; mirrored in the oracle's scalar
@@ -2221,6 +2228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_row_fusion": _q_row_fusion,
         "cdc_debezium": _q_cdc_debezium,
         "cdc_scd2_history": _q_cdc_scd2,
+        # new r8: as-of snapshot served from the SCD2 interval table,
+        # proven against the independent log-replay oracle
+        "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_tombstones": _q_cdc_tombstones,
         "lob_reassembly": _q_lob_reassembly,
         "mvlog_batch": _q_mvlog_batch,
@@ -2577,6 +2587,24 @@ SELECT owner, table_name, pk,
        totalprice, status
 FROM stamped
 WINDOW w AS (PARTITION BY owner, table_name, pk ORDER BY commit_scn, scn, ssn)
+"""
+    # the SCD2 interval lookup is proven against the INDEPENDENT log
+    # replay (same text as cdc_replica_asof): hash match == the interval
+    # algebra and the replay agree at the same cut
+    sql["cdc_scd2_asof"] = cte + ", " + _STAMPED + """,
+upto AS (SELECT * FROM stamped
+         WHERE commit_scn <= CAST(FLOOR(
+             (SELECT MIN(commit_scn) FROM stamped)
+             + 0.5 * ((SELECT MAX(commit_scn) FROM stamped)
+                      - (SELECT MIN(commit_scn) FROM stamped))) AS BIGINT)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY owner, table_name, pk
+      ORDER BY commit_scn DESC, scn DESC, ssn DESC) AS rn
+  FROM upto
+)
+SELECT owner, table_name, pk, totalprice, status FROM ranked
+WHERE rn = 1 AND op <> 2
 """
     sql["cdc_replica_asof"] = cte + ", " + _STAMPED + """,
 upto AS (SELECT * FROM stamped

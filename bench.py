@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     # the individually-benched v4 stage outputs + one 20-group
     # aggregate — no stage the benched curation_v2/perplexity/
     # token_budget_global members don't already time)
+    # r8 named exclusion: cdc_scd2_asof (the benched cdc_scd2_history
+    # window + a codegen interval filter; the replay alternative is the
+    # benched cdc_replica_asof — nothing new to time)
     # SymSpell deletion-neighborhood typo pairing (new blocking shape:
     # vocab x word-length variant explode + variant-keyed self-join +
     # exact levenshtein on candidates)

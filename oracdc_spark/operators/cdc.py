@@ -310,6 +310,39 @@ def scd2_history(feed: DataFrame) -> DataFrame:
     )
 
 
+def scd2_as_of_relative(feed: DataFrame, fraction: float = 0.5) -> DataFrame:
+    """Point-in-time snapshot served FROM the SCD2 interval table —
+    Flashback ``AS OF SCN`` answered by an interval lookup instead of a
+    log replay: the version valid at s is the one with
+    ``valid_from_scn <= s < coalesce(valid_to_scn, ∞)`` and not a
+    delete.  Same-commit rewrites collapse naturally because their
+    intervals are empty ([c, c) matches nothing), so no dedup window is
+    needed at query time — that is the point of materializing SCD2: at
+    100 TB the history table answers ANY as-of query with one
+    partition-prunable filter, while :func:`replica_as_of` re-replays
+    the log per query.  Output-identical to
+    :func:`replica_as_of_relative` at the same cut (pinned in tests and
+    by the driver oracle).
+
+    The cut is derived in-plan exactly like replica_as_of_relative:
+    min + fraction·(max−min) over valid_from_scn, one broadcast
+    scalar."""
+    hist = scd2_history(feed)
+    bounds = hist.agg(
+        F.min("valid_from_scn").alias("_mn"), F.max("valid_from_scn").alias("_mx")
+    )
+    cut = F.floor(F.col("_mn") + F.lit(fraction) * (F.col("_mx") - F.col("_mn")))
+    return (
+        hist.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("valid_from_scn") <= cut)
+            & (F.col("valid_to_scn").isNull() | (F.col("valid_to_scn") > cut))
+            & (F.col("is_deleted") == 0)
+        )
+        .select("owner", "table_name", "pk", "totalprice", "status")
+    )
+
+
 def suppress_unchanged_updates(feed: DataFrame) -> DataFrame:
     """F9 — drop UPDATE records whose after-image equals the before-image
     (``a2.process.all.update.statements=false`` behavior). Null-safe struct

@@ -275,6 +275,24 @@ def test_replica_as_of_semantics(spark):
     assert 0 < mid.count() < len(cur)
 
 
+def test_scd2_asof_equals_log_replay(spark):
+    """The SCD2 interval lookup at the relative cut must return exactly
+    the replica the log replay reconstructs at the same cut — the
+    equivalence that makes the history table a valid time-travel
+    serving path (empty [c, c) intervals absorb same-commit rewrites
+    with no dedup window)."""
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import (
+        replica_as_of_relative,
+        scd2_as_of_relative,
+    )
+
+    feed = change_feed(spark, "/root/testdata/sf0.001")
+    via_intervals = {tuple(r) for r in scd2_as_of_relative(feed).collect()}
+    via_replay = {tuple(r) for r in replica_as_of_relative(feed).collect()}
+    assert via_intervals == via_replay and via_intervals
+
+
 class TestScd2:
     def test_version_chain(self, spark):
         """insert -> update -> delete for one pk: three versions whose
