@@ -1347,6 +1347,10 @@ def _q_dedup_tfidf_cosine(spark, sf_dir):
     return dedup.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_pmi_collocations(spark, sf_dir):
+    return textops.pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
 def _q_dedup_lsh_incremental(spark, sf_dir):
     """Incremental index maintenance: every 7th document (doc_id%7==3)
     plays the NEW crawl batch, the rest the already-indexed corpus."""
@@ -2259,6 +2263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_gate": _q_streaming_dedup_gate,
         # new r8: sparse TF-IDF cosine pairing (df-bounded inverted index)
         "dedup_tfidf_cosine": _q_dedup_tfidf_cosine,
+        # new r8: Church-Hanks PMI collocation top-k
+        "text_pmi_collocations": _q_text_pmi_collocations,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
@@ -4158,6 +4164,39 @@ FROM events GROUP BY event_type
     sql["dedup_exact_keep"] = (
         "SELECT * FROM documents WHERE doc_id IN "
         "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text))"
+    )
+    sql["text_pmi_collocations"] = (
+        "WITH "
+        + _TOKS
+        + """,
+lw AS (SELECT doc_id, list_transform(w, x -> lower(x)) AS w FROM toks),
+bic AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_bi
+  FROM lw, UNNEST(range(1, len(w))) AS t(i)
+  GROUP BY w[i], w[i+1]
+),
+n_bi AS (SELECT CAST(SUM(c_bi) AS BIGINT) AS n_bi FROM bic),
+uni AS (
+  SELECT t.tok AS tok, CAST(COUNT(*) AS BIGINT) AS c_uni
+  FROM lw, UNNEST(w) AS t(tok) GROUP BY t.tok
+),
+n_tok AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_tok FROM uni),
+scored AS (
+  SELECT w1, w2, c_bi,
+         CAST(round(ln((CAST(c_bi AS DOUBLE) / n_bi)
+                       / ((CAST(u1.c_uni AS DOUBLE) / n_tok)
+                          * (CAST(u2.c_uni AS DOUBLE) / n_tok))) * 1000000)
+              AS BIGINT) AS q_pmi
+  FROM bic JOIN uni u1 ON bic.w1 = u1.tok
+           JOIN uni u2 ON bic.w2 = u2.tok, n_bi, n_tok
+  WHERE c_bi >= 5
+)
+SELECT * FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY q_pmi DESC, w1, w2) AS BIGINT) AS rank,
+         w1, w2, c_bi, q_pmi
+  FROM scored
+) WHERE rank <= 15
+"""
     )
     # sparse TF-IDF cosine pairs: the oracle mirrors the df-bounded
     # inverted index literally — quantized integer weights, exact

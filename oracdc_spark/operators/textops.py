@@ -1789,3 +1789,77 @@ def typo_pairs(docs: DataFrame, min_len: int = 4) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.levenshtein("w1", "w2") <= 1)
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 15
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990): pairs that co-occur far more than their unigram
+    frequencies predict —
+    ``pmi = ln( (c_bi / n_bi) / ((c_w1/n_tok)·(c_w2/n_tok)) )``, the
+    classic phrase-mining signal (word2vec's phrase pass and spaCy's
+    collocation scorers use the same statistic).
+
+    Determinism contract: the PMI is quantized to an integer
+    (``round(pmi·1e6)``) before ranking, and ties break on (w1, w2) —
+    so the top-k cut is bit-stable in any engine.  ``min_count``
+    suppresses the low-frequency pairs whose PMI is spuriously high
+    (the standard Church-Hanks caveat).
+
+    Scale shape: everything after the two token scans is vocab-bounded
+    — one (w1,w2) bigram aggregate, one unigram aggregate, two 1-row
+    lazy broadcast totals; the ranking window is single-partition but
+    runs over the min_count-filtered VOCAB²-bounded pair table
+    (metadata-sized at any corpus scale), never over corpus rows.
+    Output: (rank, w1, w2, c_bi, q_pmi)."""
+    w = _tokens()
+    low = F.transform(w, lambda x: F.lower(x))
+    toked = _parallel(docs).select(low.alias("toks"))
+    t = F.col("toks")
+    prs = F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)),
+    ).otherwise(F.array())
+    bic = (
+        toked.select(F.explode(prs).alias("b"))
+        .select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_bi"))
+    )
+    n_bi = bic.agg(F.sum("c_bi").cast("bigint").alias("n_bi"))
+    uni = (
+        toked.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_uni"))
+    )
+    n_tok = uni.agg(F.sum("c_uni").cast("bigint").alias("n_tok"))
+    pmi = F.log(
+        (F.col("c_bi").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("c1").cast("double") / F.col("n_tok"))
+            * (F.col("c2").cast("double") / F.col("n_tok"))
+        )
+    )
+    scored = (
+        bic.filter(F.col("c_bi") >= min_count)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c_uni").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c_uni").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            "c_bi",
+            F.round(pmi * 1_000_000).cast("bigint").alias("q_pmi"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("q_pmi").desc(), "w1", "w2")
+        ).cast("bigint"),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "rank", "w1", "w2", "c_bi", "q_pmi"
+    )

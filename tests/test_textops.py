@@ -897,3 +897,24 @@ class TestTypoPairs:
         docs = _docs(spark, ["filter fillter"])
         got = [(r.w1, r.w2) for r in typo_pairs(docs).collect()]
         assert got == [("fillter", "filter")] or got == [("filter", "fillter")]
+
+
+class TestPmiCollocations:
+    def test_planted_collocation_ranks_first(self, spark):
+        from oracdc_spark.operators.textops import pmi_collocations
+
+        # "neural network" always co-occurs; filler words pair randomly
+        filler = "the a of to in on at by is was " * 3
+        docs = _docs(spark, ["neural network " + filler] * 6)
+        out = pmi_collocations(docs, min_count=5, k=5).collect()
+        assert out[0].w1 == "neural" and out[0].w2 == "network"
+        assert out[0].rank == 1
+        # ranks are contiguous and ties deterministic
+        assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+    def test_min_count_suppresses_rare_pairs(self, spark):
+        from oracdc_spark.operators.textops import pmi_collocations
+
+        docs = _docs(spark, ["rare pair " + "x y " * 10])
+        out = pmi_collocations(docs, min_count=5, k=10).collect()
+        assert not any(r.w1 == "rare" for r in out)
