@@ -1351,6 +1351,17 @@ def _q_text_pmi_collocations(spark, sf_dir):
     return textops.pmi_collocations(load_table(spark, sf_dir, "documents"))
 
 
+def _q_graph_kcore(spark, sf_dir):
+    from oracdc_spark.operators import graph
+
+    return graph.kcore_members(
+        graph.trade_edges(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        )
+    )
+
+
 def _q_dedup_lsh_incremental(spark, sf_dir):
     """Incremental index maintenance: every 7th document (doc_id%7==3)
     plays the NEW crawl batch, the rest the already-indexed corpus."""
@@ -2265,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tfidf_cosine": _q_dedup_tfidf_cosine,
         # new r8: Church-Hanks PMI collocation top-k
         "text_pmi_collocations": _q_text_pmi_collocations,
+        # new r8: k-core peeling over the trade graph (fixed 4 rounds)
+        "graph_kcore": _q_graph_kcore,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
@@ -4740,6 +4753,46 @@ WHERE rank <= {k}"""
         return "\n".join(out)
 
     sql["graph_pagerank"] = _pagerank_sql(3, 20)
+
+    # k-core peeling: the fixed 4 simultaneous-peel rounds unrolled
+    # verbatim (standard SQL cannot aggregate in a recursive term, so
+    # the engine pins the round count and the oracle mirrors it —
+    # same discipline as the pagerank unroll above)
+    def _kcore_sql(k: int, rounds: int) -> str:
+        out = [
+            """WITH pairs AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0 AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+)"""
+        ]
+        for r in range(1, rounds + 1):
+            out.append(
+                f""",
+keep{r} AS (
+  SELECT src FROM (SELECT src, COUNT(*) AS deg FROM e{r - 1} GROUP BY src)
+  WHERE deg >= {k}
+),
+e{r} AS (
+  SELECT e.src, e.dst
+  FROM e{r - 1} e JOIN keep{r} a ON e.src = a.src
+                  JOIN keep{r} b ON e.dst = b.src
+)"""
+            )
+        out.append(
+            f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg,
+       CASE WHEN COUNT(*) >= {k} THEN 1 ELSE 0 END AS is_core
+FROM e{rounds} GROUP BY src"""
+        )
+        return "\n".join(out)
+
+    sql["graph_kcore"] = _kcore_sql(30, 4)
     sql["similarity_bruteforce_topk"] = (
         "WITH "
         + _QUANT

@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     # (degree-oriented edge list + out-adjacency array_intersect close;
     # nothing in the pagerank iteration times an intersection join)
     "graph_triangles",
+    # r8: k-core peeling — third graph shape (checkpointed shrinking
+    # edge list + per-round degree aggregate; neither pagerank's
+    # contribution join nor the triangle intersect times this)
+    "graph_kcore",
     "ora_tde_decrypt",
     "dedup_lsh_incremental",
     # round-5 additions

@@ -82,3 +82,35 @@ def test_triangle_free_graph_counts_zero(spark, tmp_path):
     [r] = copurchase_triangles(spark, sf).collect()
     assert r.n_triangles == 0 and r.n_edges == 2 and r.n_wedges == 1
     assert r.clustering_coeff == 0.0
+
+
+def _sym_edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return df.unionAll(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_kcore_cascade_peels_to_empty(spark):
+    """Path a-b-c-d, k=2: round 1 removes the deg-1 endpoints, which
+    drops b,c to degree 1; round 2 removes them — the cascade the
+    simultaneous peel must follow."""
+    from oracdc_spark.operators.graph import kcore_members
+
+    e = _sym_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert kcore_members(e, k=2, rounds=2).count() == 0
+    # one round is NOT enough: survivors exist but are flagged non-core
+    one = kcore_members(e, k=2, rounds=1).collect()
+    assert {r.node for r in one} == {"b", "c"}
+    assert all(r.is_core == 0 for r in one)
+
+
+def test_kcore_triangle_with_tail_converges(spark):
+    """Triangle abc + tail d: the tail peels, the triangle's degrees
+    stay >= 2 — all survivors flagged core (converged)."""
+    from oracdc_spark.operators.graph import kcore_members
+
+    e = _sym_edges(
+        spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")]
+    )
+    out = kcore_members(e, k=2, rounds=3).collect()
+    assert {r.node for r in out} == {"a", "b", "c"}
+    assert all(r.is_core == 1 and r.core_deg == 2 for r in out)

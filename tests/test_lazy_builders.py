@@ -59,6 +59,13 @@ ALLOWED_BUILD_JOBS = {
     # learned-OPQ audit: one raw-sample collect for the driver-side fit
     # plus one training collect per iters_grid leg (3 legs)
     "similarity_opq_learned_audit": 60,
+    # k-core peeling: one eager localCheckpoint per fixed peel round
+    # (iterative-algorithm exception, same class as dedup_clusters_fast)
+    "graph_kcore": 12,
+    # streaming-gate batch-equivalence fold: 3 micro-batch state folds,
+    # each a bounded localCheckpoint + state swap write (the trigger
+    # loop of the streaming operator, not a corpus-sized driver action)
+    "streaming_dedup_gate": 30,
 }
 
 
