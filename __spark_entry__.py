@@ -1351,6 +1351,10 @@ def _q_text_pmi_collocations(spark, sf_dir):
     return textops.pmi_collocations(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_zipf_audit(spark, sf_dir):
+    return textops.zipf_hapax_audit(load_table(spark, sf_dir, "documents"))
+
+
 def _q_graph_kcore(spark, sf_dir):
     from oracdc_spark.operators import graph
 
@@ -2254,6 +2258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_rank": analytics.customer_order_rank,
         "customers_set_ops": analytics.customers_set_ops,
         "orders_rollup": analytics.orders_rollup,
+        # new r8: explicit GROUPING SETS + GROUPING() markers
+        "orders_grouping_sets": analytics.orders_grouping_sets,
         "orders_cube": analytics.orders_cube,
         "orders_pivot": analytics.orders_pivot,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
@@ -2278,6 +2284,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_collocations": _q_text_pmi_collocations,
         # new r8: k-core peeling over the trade graph (fixed 4 rounds)
         "graph_kcore": _q_graph_kcore,
+        # new r8: last-touch attribution (single-exchange carry-forward)
+        "events_attribution": analytics.events_attribution,
+        # new r8: Zipf-slope / hapax vocabulary-health audit
+        "text_zipf_audit": _q_text_zipf_audit,
+        # new r8: per-type z-score outlier QC gate
+        "events_zscore_outliers": analytics.events_zscore_outliers,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
@@ -3270,6 +3282,20 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(SUM(CAST(o_totalprice AS {dec})) AS DOUBLE) AS sum_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
+    sql["orders_grouping_sets"] = f"""
+WITH base AS (SELECT o_orderstatus, o_orderpriority,
+                     CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                     o_totalprice FROM orders)
+SELECT o_orderstatus, o_orderpriority, yr,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
+       CAST(GROUPING(yr) AS INT) AS g_yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {dec})) AS DOUBLE) AS sum_price
+FROM base
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus, yr), ())
+"""
     sql["orders_by_year"] = f"""
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -4146,6 +4172,48 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE), 6) AS running_value
 FROM events
 """
+    sql["events_zscore_outliers"] = """
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 1000) AS BIGINT) AS qv
+  FROM events
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qv) AS BIGINT) AS s,
+         CAST(SUM(qv * qv) AS BIGINT) AS q
+  FROM e GROUP BY event_type
+)
+SELECT event_id, event_type, value, z FROM (
+  SELECT event_id, e.event_type, value,
+         ROUND((CAST(qv AS DOUBLE) - CAST(s AS DOUBLE) / n)
+               / sqrt(CAST(q AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+               4) AS z
+  FROM e JOIN st ON e.event_type = st.event_type
+  WHERE CAST(q AS DOUBLE) / n
+        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+)
+WHERE ABS(z) >= 3.0
+"""
+    sql["events_attribution"] = """
+WITH touched AS (
+  SELECT event_type, value,
+         COALESCE(
+           LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           '(none)') AS touch_type
+  FROM events
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       ROUND(CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE) / 1000, 3)
+           AS credited_value
+FROM touched WHERE event_type = 'purchase'
+GROUP BY touch_type
+"""
     sql["events_sessionize"] = """
 WITH s AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -4177,6 +4245,35 @@ FROM events GROUP BY event_type
     sql["dedup_exact_keep"] = (
         "SELECT * FROM documents WHERE doc_id IN "
         "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text))"
+    )
+    sql["text_zipf_audit"] = (
+        "WITH "
+        + _TOKS
+        + """,
+tk AS (SELECT lower(t.tok) AS tok FROM toks, UNNEST(w) AS t(tok)),
+vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+ranked AS (
+  SELECT cnt,
+         CAST(round(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) * 1000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS y
+  FROM vocab
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM ranked
+)
+SELECT n_types, n_tokens, hapax, dis,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       ROUND((CAST(n_types AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n_types AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+           AS zipf_slope
+FROM agg
+"""
     )
     sql["text_pmi_collocations"] = (
         "WITH "

@@ -227,6 +227,17 @@ BENCH_QUERIES = [
     # the individually-benched v4 stage outputs + one 20-group
     # aggregate — no stage the benched curation_v2/perplexity/
     # token_budget_global members don't already time)
+    # r8 named exclusions: orders_grouping_sets (3-set Expand — the
+    # benched corpus-datasheet CUBE is the same plan class at a larger
+    # Expand factor); events_attribution (single-exchange carry-forward
+    # window, the benched sessionize shape + a codegen coalesce);
+    # text_zipf_audit (one token scan + vocab-sized window/aggregate —
+    # the benched hll_distinct/unigram scan class); events_zscore_outliers
+    # (one grouped aggregate + broadcast lookup + codegen filter,
+    # sub-second scan class); text_pmi_collocations (the benched
+    # bigram_logprob token scans + vocab-bounded aggregates only);
+    # streaming_dedup_gate (3 bounded state folds of the benched
+    # exact-dedup digest shape); ora_interval_decode (5 fixture rows).
     # r8 named exclusion: cdc_scd2_asof (the benched cdc_scd2_history
     # window + a codegen interval filter; the replay alternative is the
     # benched cdc_replica_asof — nothing new to time)

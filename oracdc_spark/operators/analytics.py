@@ -143,6 +143,37 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with mixed, non-hierarchical sets —
+    (status × priority), (status × year), grand total — plus
+    ``GROUPING()`` markers distinguishing NULL-as-aggregate from
+    NULL-as-value, completing the grouping-sets family next to ROLLUP
+    and CUBE.  One Expand + one aggregate exchange: at scale the Expand
+    factor equals the set count (3), same plan class as the CUBE
+    datasheet."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        "o_totalprice",
+    )
+    base.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, yr,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
+               CAST(GROUPING(yr) AS INT) AS g_yr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus, yr), ())
+        """
+    )
+
+
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-style conditional aggregation: priority-class counts per
     order status (CASE inside SUM — no extra scan per class)."""
@@ -369,6 +400,84 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
+    )
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase event credits its value to
+    the user's most recent PRECEDING non-purchase event type — the
+    standard marketing-attribution consumer of a clickstream (credit
+    flows to the channel that closed the conversion).
+
+    One exchange: the carry-forward is ``last(..., ignorenulls)`` over
+    the per-user (ts, event_id) window ending 1 row before current —
+    no self-join, same single-shuffle shape as sessionize.  Purchases
+    with no prior touch land in the '(none)' bucket.  Values are
+    quantized to integer thousandths before the sum (exact,
+    order-independent), one final IEEE division.
+
+    Output: (touch_type, n_attributed, credited_value)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        e.withColumn("touch_type", F.coalesce(touch, F.lit("(none)")))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "touch_type",
+            F.round(F.col("value") * 1000).cast("bigint").alias("qv"),
+        )
+    )
+    return purchases.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_attributed"),
+        F.round(F.sum("qv").cast("double") / 1000, 3).alias("credited_value"),
+    )
+
+
+def events_zscore_outliers(
+    spark: SparkSession, sf_dir: str, z_threshold: float = 3.0
+) -> DataFrame:
+    """Per-type z-score outlier detection — the metric-QC gate that
+    flags instrumentation bugs and value-scale drift in an event feed
+    (and, on a training corpus, feature-value anomalies).
+
+    Two-pass-free: mean and variance come from ONE grouped aggregate of
+    exact integer sums (n, Σqv, Σqv² over milli-quantized values — the
+    engine's quantize-before-aggregate convention, so the sums are
+    order-independent), broadcast back onto the stream as a 5-row
+    lookup; the z computation and threshold are pure codegen — one
+    shuffle total, no window.  Types with zero variance are excluded
+    (z undefined).  z is computed in a fixed IEEE order:
+    (qv − S/n) / sqrt(Q/n − (S/n)²), rounded to 4.
+
+    Output: (event_id, event_type, value, z) for |z| ≥ z_threshold."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 1000).cast("bigint").alias("qv"),
+    )
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("q").cast("double") / F.col("n") - mean * mean
+    z = (F.col("qv").cast("double") - mean) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .filter(var > 0)
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select("event_id", "event_type", "value", "z")
     )
 
 

@@ -1863,3 +1863,61 @@ def pmi_collocations(
     return ranked.filter(F.col("rank") <= k).select(
         "rank", "w1", "w2", "c_bi", "q_pmi"
     )
+
+
+def zipf_hapax_audit(docs: DataFrame) -> DataFrame:
+    """Corpus vocabulary-health audit: type/token counts, hapax and dis
+    legomena, type-token ratio, and the fitted Zipf slope — the
+    datasheet statistics that flag synthetic or template-heavy corpora
+    (natural text fits ln(count) ≈ a + s·ln(rank) with s ≈ −1; a
+    near-flat slope means boilerplate, a cliff means tiny vocab).
+
+    Determinism: the least-squares slope over (ln rank, ln count) is
+    computed from EXACT integer sums — both logs are quantized to
+    integer milli-units per vocab row BEFORE summation, so the Σxy /
+    Σx² accumulations are order-independent bigints (at 1e3 quantization
+    a 1e8-type vocabulary stays far inside int64) and the only IEEE
+    arithmetic is the final closed-form division.  Ranks break ties on
+    the token string.
+
+    Scale shape: one token scan → vocab-sized count table; the ranking
+    window and the six-sum aggregate run over the VOCAB, never the
+    corpus.  Output: 1 row (n_types, n_tokens, hapax, dis, ttr,
+    zipf_slope)."""
+    toks = _parallel(docs).select(F.explode(_tokens()).alias("tok")).select(
+        F.lower("tok").alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ranked = vocab.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tok")).cast("bigint"),
+    ).select(
+        "cnt",
+        F.round(F.log(F.col("rnk").cast("double")) * 1000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1000).cast("bigint").alias("y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("cnt") == 1).cast("bigint")).cast("bigint").alias("hapax"),
+        F.sum((F.col("cnt") == 2).cast("bigint")).cast("bigint").alias("dis"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        F.col("n_types").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n_types").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        "hapax",
+        "dis",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )
