@@ -2349,15 +2349,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # BIGINT; DuckDB widened the bare SUM to HUGEINT, the judge-confirmed
 # cause of the r6/r7 red rows — engine values verified identical),
 # text_bigram_logprob (plan rework: distinct-pair scoring, one wide
-# join), streaming_dedup_gate (new: the streaming gate's
-# batch-equivalence mirror, r7 verdict item 8), and
-# ora_interval_decode (new: P5 promoted from pytest-only to a golden-
-# vector driver row); (c) 3 stalest greens, all last checked round 3
-# (ora_binary_fp_decode, ora_charset_decode, ora_vector_decode).
-# Rolls to r9: the remaining r3 block (ora_tstz_decode,
+# join), streaming_dedup_gate (the streaming gate's batch-equivalence
+# mirror, r7 verdict item 8), ora_interval_decode (P5 promoted from
+# pytest-only to a golden-vector driver row), dedup_tfidf_cosine
+# (df-bounded inverted-index sparse cosine), graph_kcore (fixed-round
+# peel vs the unrolled-CTE oracle), and cdc_scd2_asof (interval time
+# travel vs the independent log-replay oracle).  First rows for all 43
+# backlog queries take precedence over stale re-checks, so the r3
+# re-check block rolls entirely to r9 (ora_binary_fp_decode,
+# ora_charset_decode, ora_vector_decode, ora_tstz_decode,
 # ora_datetime_decode, ora_charset_id_decode, oson_decode,
-# ora_rowid_decode) then the r4 block per the CORRECTNESS_r0*.json
-# history.
+# ora_rowid_decode, then the r4 block per CORRECTNESS_r0*.json), as do
+# the remaining 5 new-in-r8 declarations (text_pmi_collocations,
+# text_zipf_audit, events_attribution, events_zscore_outliers,
+# orders_grouping_sets — all parity-green at sf0.001 AND sf0.01
+# locally).
 _R8_WINDOW = [
     # (a) first driver rows — late-r7 declarations
     "text_langid_confusion",
@@ -2408,10 +2414,9 @@ _R8_WINDOW = [
     "text_bigram_logprob",
     "streaming_dedup_gate",
     "ora_interval_decode",
-    # (c) stalest greens (r3)
-    "ora_binary_fp_decode",
-    "ora_charset_decode",
-    "ora_vector_decode",
+    "dedup_tfidf_cosine",
+    "graph_kcore",
+    "cdc_scd2_asof",
 ]
 
 
