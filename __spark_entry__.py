@@ -166,6 +166,25 @@ def _q_cdc_scd2(spark, sf_dir):
     return cdc.scd2_history(change_feed(spark, sf_dir))
 
 
+def _q_cdc_replica_reconcile(spark, sf_dir):
+    # reconcile the CDC-materialized ORDERS replica against the orders
+    # table it was synthesized from: rolled-back/uncommitted txns and
+    # trailing deletes populate match / value_mismatch /
+    # missing_in_replica (extra_in_replica is empty by construction —
+    # replica keys derive from orders keys); the hash pins the exact
+    # per-class counts and key ranges
+    feed = change_feed(spark, sf_dir)
+    replica = cdc.apply_changes(feed).filter(
+        F.col("table_name") == "ORDERS"
+    ).select("pk", "totalprice", "status")
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return cdc.replica_reconcile(replica, src)
+
+
 def _q_cdc_scd2_asof(spark, sf_dir):
     # interval-table time travel; the oracle is the INDEPENDENT log
     # replay (cdc_replica_asof's ranked replay at the same cut), so a
@@ -2250,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r8: as-of snapshot served from the SCD2 interval table,
         # proven against the independent log-replay oracle
         "cdc_scd2_asof": _q_cdc_scd2_asof,
+        # new r8: replica<->source consistency reconciliation report
+        "cdc_replica_reconcile": _q_cdc_replica_reconcile,
         "cdc_tombstones": _q_cdc_tombstones,
         "lob_reassembly": _q_lob_reassembly,
         "mvlog_batch": _q_mvlog_batch,
@@ -2290,6 +2311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_audit": _q_text_zipf_audit,
         # new r8: per-type z-score outlier QC gate
         "events_zscore_outliers": analytics.events_zscore_outliers,
+        # new r8: mergeable-histogram quantile sketch + exact-rank audit
+        "events_quantile_sketch": analytics.events_quantile_sketch,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
@@ -2623,6 +2646,23 @@ SELECT owner, table_name, pk,
        totalprice, status
 FROM stamped
 WINDOW w AS (PARTITION BY owner, table_name, pk ORDER BY commit_scn, scn, ssn)
+"""
+    sql["cdc_replica_reconcile"] = cte + ", " + _RANKED + """,
+rep AS (SELECT pk, totalprice, status FROM ranked
+        WHERE rn = 1 AND op <> 2 AND table_name = 'ORDERS'),
+src AS (SELECT o_orderkey AS pk, o_totalprice AS totalprice,
+               o_orderstatus AS status FROM orders)
+SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(pk) AS BIGINT) AS min_pk, CAST(MAX(pk) AS BIGINT) AS max_pk
+FROM (
+  SELECT COALESCE(r.pk, s.pk) AS pk,
+         CASE WHEN s.pk IS NULL THEN 'extra_in_replica'
+              WHEN r.pk IS NULL THEN 'missing_in_replica'
+              WHEN r.totalprice IS NOT DISTINCT FROM s.totalprice
+                   AND r.status IS NOT DISTINCT FROM s.status THEN 'match'
+              ELSE 'value_mismatch' END AS diff_class
+  FROM rep r FULL OUTER JOIN src s ON r.pk = s.pk
+) GROUP BY diff_class
 """
     # the SCD2 interval lookup is proven against the INDEPENDENT log
     # replay (same text as cdc_replica_asof): hash match == the interval
@@ -4176,6 +4216,27 @@ SELECT event_id, user_id,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE), 6) AS running_value
 FROM events
+"""
+    sql["events_quantile_sketch"] = """
+WITH e AS (SELECT CAST(round(value * 1000) AS BIGINT) AS qv FROM events),
+vh AS (SELECT qv, COUNT(*) AS cnt FROM e GROUP BY qv),
+cum AS (SELECT qv, CAST(SUM(cnt) OVER (ORDER BY qv) AS BIGINT) AS cum FROM vh),
+nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vh),
+bh AS (SELECT qv - (qv % 1000) AS bin_lo, COUNT(*) AS bcnt FROM e GROUP BY 1),
+bcum AS (SELECT bin_lo, CAST(SUM(bcnt) OVER (ORDER BY bin_lo) AS BIGINT) AS bcum
+         FROM bh),
+want AS (SELECT p, n, CAST(CEIL(p * n) AS BIGINT) AS k
+         FROM (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                              CAST(0.99 AS DOUBLE)]) AS p), nt),
+exact AS (SELECT p, n, k, MIN(qv) AS exact_qv
+          FROM want JOIN cum ON cum >= k GROUP BY p, n, k),
+est AS (SELECT p, MIN(bin_lo) AS est_lo
+        FROM want JOIN bcum ON bcum >= k GROUP BY p)
+SELECT exact.p AS p, n,
+       ROUND(CAST(exact_qv AS DOUBLE) / 1000, 3) AS exact_q,
+       ROUND(CAST(est_lo + 500 AS DOUBLE) / 1000, 3) AS est_q,
+       ROUND(CAST(ABS((est_lo + 500) - exact_qv) AS DOUBLE) / 1000, 3) AS abs_err
+FROM exact JOIN est ON exact.p = est.p
 """
     sql["events_zscore_outliers"] = """
 WITH e AS (

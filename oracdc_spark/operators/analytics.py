@@ -481,6 +481,64 @@ def events_zscore_outliers(
     )
 
 
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimation audited against the
+    exact rank — the quantile member of the sketch-audit family (CMS /
+    HLL / Bloom / WAU-HLL follow the same convention: the approximate
+    structure ships WITH an exact-oracle error measurement).
+
+    The sketch is a 101-bin unit histogram over milli-quantized values
+    (``bin = qv div 1000``) — bin counts are trivially mergeable across
+    partitions/days, the 100 TB serving shape.  The EXACT p-quantile is
+    computed with no global sort via the value-histogram decomposition
+    (the perplexity-buckets machinery): qv has a bounded value domain,
+    so one (qv → count) aggregate plus a domain-sized cumulative window
+    yields the k-th smallest value exactly, k = ceil(p·n).
+
+    Output: one row per p in {0.5, 0.9, 0.99} — (p, n, exact_q, est_q,
+    abs_err), values back in original units."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 1000).cast("bigint").alias("qv")
+    )
+    vh = e.groupBy("qv").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vh.select(
+        "qv", F.sum("cnt").over(wv).alias("cum")
+    ).crossJoin(F.broadcast(vh.agg(F.sum("cnt").cast("bigint").alias("n"))))
+    bh = (
+        e.select((F.col("qv") - (F.col("qv") % 1000)).alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    wb = Window.orderBy("bin_lo").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = bh.select("bin_lo", F.sum("bcnt").over(wb).alias("bcum"))
+    ps = F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("p")
+    want = cum.select("n", ps).distinct().withColumn(
+        "k", F.ceil(F.col("p") * F.col("n")).cast("bigint")
+    )
+    exact = (
+        want.join(cum.select("qv", "cum"), F.col("cum") >= F.col("k"))
+        .groupBy("p", "n", "k")
+        .agg(F.min("qv").alias("exact_qv"))
+    )
+    est = (
+        want.join(bcum, F.col("bcum") >= F.col("k"))
+        .groupBy("p")
+        .agg(F.min("bin_lo").alias("est_lo"))
+    )
+    out = exact.join(est, "p").select(
+        "p",
+        "n",
+        F.round(F.col("exact_qv").cast("double") / 1000, 3).alias("exact_q"),
+        F.round((F.col("est_lo") + 500).cast("double") / 1000, 3).alias("est_q"),
+        F.round(
+            F.abs((F.col("est_lo") + 500) - F.col("exact_qv")).cast("double") / 1000,
+            3,
+        ).alias("abs_err"),
+    )
+    return out
+
+
 def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users + event counts per type; json extraction from props
     (get_json_object — the OraJson/OSON query path, SURVEY §1.2)."""

@@ -343,6 +343,53 @@ def scd2_as_of_relative(feed: DataFrame, fraction: float = 0.5) -> DataFrame:
     )
 
 
+def replica_reconcile(replica: DataFrame, source: DataFrame) -> DataFrame:
+    """Replica↔source consistency reconciliation — the validation tool a
+    CDC operator runs after (re)sync: full-outer join on the key,
+    classify every key as match / value_mismatch / missing_in_replica /
+    extra_in_replica, and report one summary row per class with the key
+    range (min/max pk anchor the hash so a silent class swap cannot
+    slip through).
+
+    Both inputs are (pk, totalprice, status).  Null-safe value compare
+    (eqNullSafe — a NULL column value must not read as a mismatch of
+    itself).  One co-partitioned full-outer shuffle on pk + a 4-row
+    aggregate; at scale this is the same exchange the MERGE sink
+    already paid, so reconciliation piggybacks on the apply partitioning
+    (run it table-bucketed, and the join is shuffle-free)."""
+    r = replica.select(
+        F.col("pk").alias("r_pk"),
+        F.col("totalprice").alias("r_tp"),
+        F.col("status").alias("r_st"),
+    )
+    s = source.select(
+        F.col("pk").alias("s_pk"),
+        F.col("totalprice").alias("s_tp"),
+        F.col("status").alias("s_st"),
+    )
+    j = r.join(s, r["r_pk"] == s["s_pk"], "full_outer")
+    cls = (
+        F.when(F.col("s_pk").isNull(), F.lit("extra_in_replica"))
+        .when(F.col("r_pk").isNull(), F.lit("missing_in_replica"))
+        .when(
+            F.col("r_tp").eqNullSafe(F.col("s_tp"))
+            & F.col("r_st").eqNullSafe(F.col("s_st")),
+            F.lit("match"),
+        )
+        .otherwise(F.lit("value_mismatch"))
+    )
+    pk = F.coalesce(F.col("r_pk"), F.col("s_pk"))
+    return (
+        j.select(cls.alias("diff_class"), pk.alias("pk"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.min("pk").cast("bigint").alias("min_pk"),
+            F.max("pk").cast("bigint").alias("max_pk"),
+        )
+    )
+
+
 def suppress_unchanged_updates(feed: DataFrame) -> DataFrame:
     """F9 — drop UPDATE records whose after-image equals the before-image
     (``a2.process.all.update.statements=false`` behavior). Null-safe struct
