@@ -1366,8 +1366,16 @@ def _q_dedup_tfidf_cosine(spark, sf_dir):
     return dedup.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_containment(spark, sf_dir):
+    return dedup.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_pmi_collocations(spark, sf_dir):
     return textops.pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_stupid_backoff(spark, sf_dir):
+    return textops.stupid_backoff_logprob(load_table(spark, sf_dir, "documents"))
 
 
 def _q_text_zipf_audit(spark, sf_dir):
@@ -2301,6 +2309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_gate": _q_streaming_dedup_gate,
         # new r8: sparse TF-IDF cosine pairing (df-bounded inverted index)
         "dedup_tfidf_cosine": _q_dedup_tfidf_cosine,
+        # new r8: asymmetric containment (sub-document duplication)
+        "dedup_containment": _q_dedup_containment,
         # new r8: Church-Hanks PMI collocation top-k
         "text_pmi_collocations": _q_text_pmi_collocations,
         # new r8: k-core peeling over the trade graph (fixed 4 rounds)
@@ -2309,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": analytics.events_attribution,
         # new r8: Zipf-slope / hapax vocabulary-health audit
         "text_zipf_audit": _q_text_zipf_audit,
+        # new r8: stupid-backoff scoring vs a count-pruned bigram LM
+        "text_stupid_backoff": _q_text_stupid_backoff,
         # new r8: per-type z-score outlier QC gate
         "events_zscore_outliers": analytics.events_zscore_outliers,
         # new r8: mergeable-histogram quantile sketch + exact-rank audit
@@ -4312,6 +4324,43 @@ FROM events GROUP BY event_type
         "SELECT * FROM documents WHERE doc_id IN "
         "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text))"
     )
+    sql["text_stupid_backoff"] = (
+        "WITH "
+        + _TOKS
+        + """,
+lw AS (SELECT doc_id, list_transform(w, x -> lower(x)) AS w FROM toks),
+dp AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lw, UNNEST(range(1, len(w))) AS t(i)
+  GROUP BY doc_id, w[i], w[i+1]
+),
+pruned AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c_bi
+           FROM dp GROUP BY w1, w2 HAVING SUM(cnt) >= 3),
+ctx AS (SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_ctx FROM pruned GROUP BY w1),
+ps AS (SELECT pruned.w1, w2,
+              CAST(round(ln(CAST(c_bi AS DOUBLE) / c_ctx) * 1000000) AS BIGINT) AS q_bi
+       FROM pruned JOIN ctx ON pruned.w1 = ctx.w1),
+uni AS (SELECT t.tok AS tok, CAST(COUNT(*) AS BIGINT) AS c_uni
+        FROM lw, UNNEST(w) AS t(tok) GROUP BY t.tok),
+n_tok AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_tok FROM uni),
+w2s AS (SELECT tok AS w2,
+               CAST(round(ln(0.4 * (CAST(c_uni AS DOUBLE) / n_tok)) * 1000000)
+                    AS BIGINT) AS q_bo
+        FROM uni, n_tok),
+scored AS (
+  SELECT doc_id, cnt, COALESCE(q_bi, q_bo) AS q,
+         CASE WHEN q_bi IS NULL THEN 1 ELSE 0 END AS bo
+  FROM dp LEFT JOIN ps ON dp.w1 = ps.w1 AND dp.w2 = ps.w2
+          JOIN w2s ON dp.w2 = w2s.w2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       CAST(SUM(bo * cnt) AS BIGINT) AS n_backoff,
+       ROUND((CAST(SUM(q * cnt) AS DOUBLE) / SUM(cnt)) / 1000000, 6)
+           AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+    )
     sql["text_zipf_audit"] = (
         "WITH "
         + _TOKS
@@ -4442,6 +4491,26 @@ FROM pairs
 JOIN counts c1 ON c1.doc_id = d1
 JOIN counts c2 ON c2.doc_id = d2
 WHERE ROUND(CAST(common AS DOUBLE) / (c1.n_sh + c2.n_sh - common), 4) >= 0.5
+"""
+    )
+    sql["dedup_containment"] = (
+        "WITH "
+        + _SHINGLES
+        + """,
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT * FROM (
+  SELECT d1, d2, common,
+         ROUND(CAST(common AS DOUBLE) / c1.n_sh, 4) AS c1_in_2,
+         ROUND(CAST(common AS DOUBLE) / c2.n_sh, 4) AS c2_in_1
+  FROM pairs
+  JOIN counts c1 ON c1.doc_id = d1
+  JOIN counts c2 ON c2.doc_id = d2
+) WHERE c1_in_2 >= 0.8 OR c2_in_1 >= 0.8
 """
     )
     mh_cols = ", ".join(

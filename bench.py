@@ -227,6 +227,14 @@ BENCH_QUERIES = [
     # the individually-benched v4 stage outputs + one 20-group
     # aggregate — no stage the benched curation_v2/perplexity/
     # token_budget_global members don't already time)
+    # r8 named exclusions: dedup_containment (jaccard_pairs' exact
+    # posting self-join plan with a different final denominator);
+    # text_stupid_backoff (the benched bigram_logprob r8 plan + a left
+    # join fallback); events_quantile_sketch (two bounded-domain
+    # aggregates + domain-sized windows — the perplexity-buckets
+    # decomposition class); cdc_replica_reconcile (one full-outer
+    # co-partitioned join + 4-row aggregate over the benched
+    # apply-changes replica).
     # r8 named exclusions: orders_grouping_sets (3-set Expand — the
     # benched corpus-datasheet CUBE is the same plan class at a larger
     # Expand factor); events_attribution (single-exchange carry-forward

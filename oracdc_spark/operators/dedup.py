@@ -862,3 +862,50 @@ def tfidf_cosine_pairs(
         .filter(F.col("score") >= threshold)
         .select("d1", "d2", "n_shared_terms", "score")
     )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997's *containment*
+    companion to Jaccard *resemblance*): ``c(A→B) = |A∩B| / |A|``
+    detects SUB-document duplication — a doc whose shingle set is
+    mostly inside another's (quote farms, wrapper pages, excerpt spam)
+    scores high here while symmetric Jaccard stays low because the
+    union is dominated by the larger doc.
+
+    Same shingle self-join + per-doc count joins as
+    :func:`jaccard_pairs` (one candidate-pair aggregate, count joins
+    co-partitioned on the pair keys, never broadcast); the only change
+    is the denominator, so the operator inherits jaccard's scale
+    bounds.  A pair is emitted when EITHER direction clears the
+    threshold; both directions are reported.
+
+    Output: (d1, d2, common, c1_in_2, c2_in_1) with d1 < d2, rounded
+    to 4."""
+    sh = shingles(docs, n)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    c12 = F.round(F.col("common").cast("double") / F.col("n1"), 4)
+    c21 = F.round(F.col("common").cast("double") / F.col("n2"), 4)
+    return (
+        pairs.join(c1, "d1")
+        .join(c2, "d2")
+        .withColumn("c1_in_2", c12)
+        .withColumn("c2_in_1", c21)
+        .filter(
+            (F.col("c1_in_2") >= threshold) | (F.col("c2_in_1") >= threshold)
+        )
+        .select("d1", "d2", "common", "c1_in_2", "c2_in_1")
+    )

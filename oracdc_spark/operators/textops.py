@@ -1921,3 +1921,85 @@ def zipf_hapax_audit(docs: DataFrame) -> DataFrame:
         F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
         F.round(slope, 6).alias("zipf_slope"),
     )
+
+
+def stupid_backoff_logprob(
+    docs: DataFrame, prune_min: int = 3, alpha: float = 0.4
+) -> DataFrame:
+    """Stupid-backoff bigram scoring (Brants et al., EMNLP 2007 — the
+    web-scale LM recipe: no discounting, just a fixed ``alpha`` penalty
+    when the higher-order count is missing) against a COUNT-PRUNED
+    bigram table: pairs with ``c_bi < prune_min`` are dropped from the
+    model (standard LM pruning — at web scale the pruned table is what
+    actually ships), and positions whose pair was pruned back off to
+    ``alpha · p(w2)``.  Self-scoring with an unpruned table would never
+    back off (every observed pair has c ≥ 1); pruning makes the backoff
+    path real and the per-doc backoff rate a quality signal —
+    template-heavy docs reuse frequent pairs (low backoff), scrambled
+    text backs off constantly.
+
+    Same scale shape as the r8 bigram_logprob rework: ONE wide exchange
+    of the position stream into (doc_id, w1, w2, cnt); the pruned
+    score table is vocab²-bounded and corpus-independent; scores are
+    1e6-quantized integers before the cnt-weighted per-doc sum.
+
+    Output: (doc_id, n_bigrams, n_backoff, mean_logprob)."""
+    w = _tokens()
+    low = F.transform(w, lambda x: F.lower(x))
+    toked = _parallel(docs).select("doc_id", low.alias("toks"))
+    t = F.col("toks")
+    prs = F.when(
+        F.size(t) >= 2,
+        F.arrays_zip(F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)),
+    ).otherwise(F.array())
+    doc_pairs = (
+        toked.select("doc_id", F.explode(prs).alias("b"))
+        .select("doc_id", F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pruned = (
+        doc_pairs.groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("c_bi"))
+        .filter(F.col("c_bi") >= prune_min)
+    )
+    ctx = pruned.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
+    q_bi = F.round(
+        F.log(F.col("c_bi").cast("double") / F.col("c_ctx")) * 1_000_000
+    ).cast("bigint")
+    pair_scores = pruned.join(ctx, "w1").select("w1", "w2", q_bi.alias("q_bi"))
+    uni = (
+        toked.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    n_tok = uni.agg(F.sum("c_uni").cast("bigint").alias("n_tok"))
+    q_bo = F.round(
+        F.log(
+            F.lit(alpha) * (F.col("c_uni").cast("double") / F.col("n_tok"))
+        )
+        * 1_000_000
+    ).cast("bigint")
+    w2_scores = (
+        uni.crossJoin(F.broadcast(n_tok))
+        .select(F.col("tok").alias("w2"), q_bo.alias("q_bo"))
+    )
+    scored = (
+        doc_pairs.join(pair_scores, ["w1", "w2"], "left")
+        .join(w2_scores, "w2")
+        .select(
+            "doc_id",
+            "cnt",
+            F.coalesce(F.col("q_bi"), F.col("q_bo")).alias("q"),
+            F.col("q_bi").isNull().cast("bigint").alias("bo"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("bo") * F.col("cnt")).cast("bigint").alias("n_backoff"),
+        F.round(
+            (F.sum(F.col("q") * F.col("cnt")).cast("double") / F.sum("cnt"))
+            / 1_000_000,
+            6,
+        ).alias("mean_logprob"),
+    )
