@@ -1382,6 +1382,10 @@ def _q_text_zipf_audit(spark, sf_dir):
     return textops.zipf_hapax_audit(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_char_entropy(spark, sf_dir):
+    return textops.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def _q_graph_kcore(spark, sf_dir):
     from oracdc_spark.operators import graph
 
@@ -2321,10 +2325,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_audit": _q_text_zipf_audit,
         # new r8: stupid-backoff scoring vs a count-pruned bigram LM
         "text_stupid_backoff": _q_text_stupid_backoff,
+        # new r8: char-entropy junk gate (compression-ratio proxy)
+        "text_char_entropy": _q_text_char_entropy,
         # new r8: per-type z-score outlier QC gate
         "events_zscore_outliers": analytics.events_zscore_outliers,
         # new r8: mergeable-histogram quantile sketch + exact-rank audit
         "events_quantile_sketch": analytics.events_quantile_sketch,
+        # new r8: cohort LTV curve (revenue companion to retention)
+        "events_cohort_ltv": analytics.events_cohort_ltv,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
@@ -3770,6 +3778,35 @@ SELECT strftime(dau.day, '%Y-%m-%d') AS day, n_dau, n_wau,
        ROUND(CAST(n_dau AS DOUBLE) / n_wau * 100, 4) AS stickiness_pct
 FROM dau JOIN wau USING (day)
 """
+    sql["events_cohort_ltv"] = """
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END AS qv
+  FROM events
+),
+c AS (
+  SELECT user_id, day, qv, MIN(day) OVER (PARTITION BY user_id) AS cohort
+  FROM ud
+),
+agg AS (
+  SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+         CAST(SUM(qv) AS BIGINT) AS qsum,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM c GROUP BY cohort, day_offset
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, day_offset,
+       ROUND(CAST(qsum AS DOUBLE) / 1000, 3) AS day_value,
+       ROUND(CAST(cum AS DOUBLE) / 1000, 3) AS cum_value,
+       size AS cohort_size,
+       ROUND((CAST(cum AS DOUBLE) / 1000) / size, 6) AS cum_per_user
+FROM (
+  SELECT cohort, day_offset, qsum,
+         CAST(SUM(qsum) OVER (PARTITION BY cohort ORDER BY day_offset) AS BIGINT) AS cum,
+         CAST(FIRST_VALUE(n_active) OVER (PARTITION BY cohort ORDER BY day_offset) AS BIGINT) AS size
+  FROM agg
+)
+"""
     sql["events_retention_cohorts"] = """
 WITH ud AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -4324,6 +4361,25 @@ FROM events GROUP BY event_type
         "SELECT * FROM documents WHERE doc_id IN "
         "(SELECT MIN(doc_id) FROM documents GROUP BY md5(text))"
     )
+    sql["text_char_entropy"] = """
+WITH ch AS (
+  SELECT doc_id, t.c AS c
+  FROM documents, UNNEST(regexp_split_to_array(text, '')) AS t(c)
+),
+counts AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM ch GROUP BY doc_id, c),
+per AS (SELECT doc_id, cnt,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS qln
+        FROM counts),
+agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(cnt * qln) AS BIGINT) AS s
+        FROM per GROUP BY doc_id)
+SELECT doc_id, n_chars, n_distinct,
+       ROUND(ln(CAST(n_chars AS DOUBLE))
+             - (CAST(s AS DOUBLE) / n_chars) / 1000000, 6) AS entropy
+FROM agg
+"""
     sql["text_stupid_backoff"] = (
         "WITH "
         + _TOKS

@@ -539,6 +539,63 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase value per first-seen-day
+    cohort by day offset — the revenue companion to the retention
+    matrix (product analytics reads both off the same cohort axis).
+
+    Same single-corpus-exchange discipline as events_retention_cohorts:
+    one user_id repartition serves the cohort-MIN window; purchase
+    values are milli-quantized integers so the per-(cohort, offset)
+    sums are exact, and the cumulative sum runs over the aggregated
+    (cohort × offset) rows — metadata-sized, one window, no self-join.
+    cum_value_per_user divides by the cohort's offset-0 active count
+    (every member is active on their first day).
+
+    Output: (cohort, day_offset, day_value, cum_value, cohort_size,
+    cum_per_user)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ud = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1000).cast("bigint"),
+            )
+            .otherwise(F.lit(0))
+            .alias("qv"),
+        )
+        .repartition("user_id")
+        .withColumn("cohort", F.min("day").over(w))
+    )
+    agg = ud.groupBy(
+        "cohort", F.datediff("day", "cohort").cast("bigint").alias("day_offset")
+    ).agg(
+        F.sum("qv").alias("qsum"),
+        F.countDistinct("user_id").cast("bigint").alias("n_active"),
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    size = F.first("n_active").over(
+        Window.partitionBy("cohort").orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = F.sum("qsum").over(wc)
+    return agg.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        F.round(F.col("qsum").cast("double") / 1000, 3).alias("day_value"),
+        F.round(cum.cast("double") / 1000, 3).alias("cum_value"),
+        size.cast("bigint").alias("cohort_size"),
+        F.round((cum.cast("double") / 1000) / size, 6).alias("cum_per_user"),
+    )
+
+
 def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users + event counts per type; json extraction from props
     (get_json_object — the OraJson/OSON query path, SURVEY §1.2)."""

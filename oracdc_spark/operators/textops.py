@@ -2003,3 +2003,44 @@ def stupid_backoff_logprob(
             6,
         ).alias("mean_logprob"),
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy — the
+    compression-ratio quality proxy (Shannon 1948; used as a junk gate
+    in C4-descendant pipelines): binary blobs and base64 runs score
+    near ln(alphabet), stuck-key/repetition junk scores near 0, natural
+    text sits in a stable band.
+
+    Determinism: H = ln(n) − (Σ cnt·ln cnt)/n with the per-character
+    ln(cnt) quantized to an integer BEFORE the weighted sum, so the
+    only order-dependent accumulation is over exact bigints; ln(n) and
+    the final division are one fixed IEEE sequence per doc.  The
+    empty-pattern split('') chars are byte-identical across engines
+    (verified against DuckDB's regexp_split_to_array).
+
+    Scale shape: one narrow char explode → one (doc_id, char) partial-
+    aggregated exchange → one doc_id aggregate.  Output: (doc_id,
+    n_chars, n_distinct, entropy)."""
+    ch = _parallel(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    counts = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    per = counts.select(
+        "doc_id",
+        "cnt",
+        F.round(F.log(F.col("cnt").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("qln"),
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("qln")).cast("bigint").alias("s"),
+    )
+    h = F.log(F.col("n_chars").cast("double")) - (
+        F.col("s").cast("double") / F.col("n_chars")
+    ) / 1_000_000
+    return agg.select(
+        "doc_id", "n_chars", "n_distinct", F.round(h, 6).alias("entropy")
+    )
