@@ -791,7 +791,7 @@ def pq_recall(
         vecs, query_mod, k_neighbors, rotate=rotate, split=split,
         opq_iters=opq_iters,
     )
-    exact = brute_force_topk(vecs, query_mod, k_neighbors)
+    exact = brute_force_topk(vecs, query_mod, k_neighbors, cache=True)
     hits = (
         approx.select("query_id", "neighbor_id")
         .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
@@ -1101,7 +1101,7 @@ def ann_label_purity(
         "label", "n_label"
     )
     methods = [
-        ("exact", brute_force_topk(vecs, query_mod, k_neighbors)),
+        ("exact", brute_force_topk(vecs, query_mod, k_neighbors, cache=True)),
         ("pq", pq_topk(vecs, query_mod, k_neighbors)),
         ("ivfpq", ivfpq_topk(vecs, query_mod, k_neighbors)),
     ]

@@ -105,7 +105,7 @@ _EXACT_CACHE: dict[tuple, DataFrame] = {}
 
 
 def brute_force_topk(
-    vecs: DataFrame, query_mod: int = 100, k: int = 5
+    vecs: DataFrame, query_mod: int = 100, k: int = 5, cache: bool = False
 ) -> DataFrame:
     """Top-k cosine neighbors for the query subset (vec_id % query_mod == 0)
     against the full corpus. Output: (query_id, neighbor_id, rank).
@@ -115,7 +115,15 @@ def brute_force_topk(
     is the sandbox stand-in for that external batch.  Brute force is
     O(|Q|·|C|·d) with the queries broadcast — if the query load itself
     is corpus-sized, this operator is the wrong tool (use
-    embedding_near_dups' banded self-join instead)."""
+    embedding_near_dups' banded self-join instead).
+
+    ``cache=True`` persists the result under a (corpus plan, query_mod,
+    k) key so every ANN recall/purity AUDIT shares one ground-truth
+    computation — callers that consume the result exactly once (the
+    serving-path query, the bench) leave it False: persisting a
+    single-use result is pure materialization overhead (r8 — the r7
+    unconditional persist showed up as a ~1 s bruteforce bench
+    regression with no reuse to pay for it)."""
     try:
         key = (vecs.semanticHash(), query_mod, k)
     except Exception:
@@ -132,7 +140,7 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
     )
-    if key is not None:
+    if cache and key is not None:
         out = out.persist()
         _EXACT_CACHE[key] = out
     return out
@@ -487,7 +495,7 @@ def sq8_recall(vecs: DataFrame, query_mod: int = 100, k: int = 5) -> DataFrame:
     """Quantization quality audit: per-query overlap between SQ8 top-k
     and exact top-k. Output: (query_id, n_matches, recall)."""
     approx = sq8_topk(vecs, query_mod, k)
-    exact = brute_force_topk(vecs, query_mod, k)
+    exact = brute_force_topk(vecs, query_mod, k, cache=True)
     hits = (
         approx.join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
         .groupBy("query_id")
