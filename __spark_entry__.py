@@ -166,6 +166,13 @@ def _q_cdc_scd2(spark, sf_dir):
     return cdc.scd2_history(change_feed(spark, sf_dir))
 
 
+def _q_cdc_net_effect(spark, sf_dir):
+    st = cdc.commit_stamped(change_feed(spark, sf_dir))
+    return cdc.batch_net_effect(st).select(
+        "owner", "table_name", "pk", "net_op", "totalprice", "status"
+    )
+
+
 def _q_cdc_replica_reconcile(spark, sf_dir):
     # reconcile the CDC-materialized ORDERS replica against the orders
     # table it was synthesized from: rolled-back/uncommitted txns and
@@ -2283,6 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         # new r8: replica<->source consistency reconciliation report
         "cdc_replica_reconcile": _q_cdc_replica_reconcile,
+        # new r8: net-effect batch collapse (I+D nets to nothing)
+        "cdc_net_effect": _q_cdc_net_effect,
         "cdc_tombstones": _q_cdc_tombstones,
         "lob_reassembly": _q_lob_reassembly,
         "mvlog_batch": _q_mvlog_batch,
@@ -2666,6 +2675,24 @@ SELECT owner, table_name, pk,
        totalprice, status
 FROM stamped
 WINDOW w AS (PARTITION BY owner, table_name, pk ORDER BY commit_scn, scn, ssn)
+"""
+    sql["cdc_net_effect"] = cte + ", " + _STAMPED + """,
+m AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY owner, table_name, pk
+                            ORDER BY commit_scn DESC, scn DESC, ssn DESC) AS rn,
+         FIRST_VALUE(op) OVER w AS f,
+         LAST_VALUE(op) OVER (PARTITION BY owner, table_name, pk
+                              ORDER BY commit_scn, scn, ssn
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS l
+  FROM stamped
+  WINDOW w AS (PARTITION BY owner, table_name, pk ORDER BY commit_scn, scn, ssn)
+)
+SELECT owner, table_name, pk,
+       CAST(CASE WHEN f = 1 THEN 1 WHEN l = 2 THEN 2 ELSE 3 END AS INT) AS net_op,
+       totalprice, status
+FROM m WHERE rn = 1 AND NOT (f = 1 AND l = 2)
 """
     sql["cdc_replica_reconcile"] = cte + ", " + _RANKED + """,
 rep AS (SELECT pk, totalprice, status FROM ranked

@@ -225,6 +225,55 @@ def batch_pk_dedup(
     )
 
 
+def batch_net_effect(
+    stamped: DataFrame, pk_cols: Sequence[str] = ("owner", "table_name", "pk")
+) -> DataFrame:
+    """Net-effect batch collapse — the stronger form of K6's
+    last-write-wins: fold EVERY change a key saw inside the batch into
+    the single statement the sink actually needs (the "reduction" mode
+    of Kafka-Connect JDBC sinks; Debezium calls it event reduction):
+
+    * first=INSERT, last=DELETE  → emit NOTHING (the key never existed
+      outside the batch — last-write-wins would wrongly issue a DELETE
+      for a row the target does not have);
+    * first=INSERT, last=I/U     → one INSERT carrying the final image;
+    * first=U/D,    last=DELETE  → one DELETE;
+    * otherwise                  → one UPDATE with the final image.
+
+    One window over the batch's pk shuffle computes first-op, last-op,
+    and the final image together — same single exchange as
+    batch_pk_dedup, so net-effect is free where K6 already runs.
+    Output: the collapsed batch with ``net_op`` replacing ``op``."""
+    w = Window.partitionBy(*[F.col(c) for c in pk_cols]).orderBy(
+        "commit_scn", "scn", "ssn"
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    marked = (
+        stamped.withColumn("rn_desc", F.row_number().over(
+            Window.partitionBy(*[F.col(c) for c in pk_cols]).orderBy(
+                F.col("commit_scn").desc(), F.col("scn").desc(), F.col("ssn").desc()
+            )
+        ))
+        .withColumn("first_op", F.first("op").over(wfull))
+        .withColumn("last_op", F.last("op").over(wfull))
+    )
+    latest = marked.filter(F.col("rn_desc") == 1)
+    net = (
+        F.when(
+            (F.col("first_op") == OP_INSERT) & (F.col("last_op") == OP_DELETE),
+            F.lit(None).cast("int"),
+        )
+        .when(F.col("first_op") == OP_INSERT, F.lit(OP_INSERT))
+        .when(F.col("last_op") == OP_DELETE, F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE))
+    )
+    return (
+        latest.withColumn("net_op", net)
+        .filter(F.col("net_op").isNotNull())
+        .drop("rn_desc", "first_op", "last_op", "op")
+    )
+
+
 def apply_changes(feed: DataFrame) -> DataFrame:
     """K2/K3 — materialize the replica: apply committed changes
     last-write-wins per PK and drop rows whose latest change is a DELETE.

@@ -275,6 +275,36 @@ def test_replica_as_of_semantics(spark):
     assert 0 < mid.count() < len(cur)
 
 
+def test_net_effect_all_four_classes(spark):
+    """I→D vanishes; I→U collapses to INSERT with the final image;
+    U→D collapses to DELETE; lone U stays UPDATE."""
+    f = mk(
+        spark,
+        [
+            # pk=1: insert then delete inside the batch -> NOTHING
+            row(10, "A", 1, pk=1, totalprice=1.0, status="O"),
+            row(11, "A", 2, pk=1, b_tp=1.0, b_st="O"),
+            # pk=2: insert then update -> INSERT with final image
+            row(12, "A", 1, pk=2, totalprice=2.0, status="O"),
+            row(13, "A", 3, pk=2, totalprice=22.0, status="U", b_tp=2.0),
+            # pk=3: update then delete (row pre-existed) -> DELETE
+            row(14, "A", 3, pk=3, totalprice=3.0, status="U", b_tp=1.5),
+            row(15, "A", 2, pk=3, b_tp=3.0, b_st="U"),
+            # pk=4: lone update -> UPDATE
+            row(16, "A", 3, pk=4, totalprice=4.0, status="U", b_tp=2.0),
+            row(20, "A", 7),
+        ],
+    )
+    out = {
+        r.pk: (r.net_op, r.totalprice)
+        for r in cdc.batch_net_effect(cdc.commit_stamped(f)).collect()
+    }
+    assert 1 not in out
+    assert out[2] == (1, 22.0)
+    assert out[3][0] == 2
+    assert out[4] == (3, 4.0)
+
+
 def test_scd2_asof_equals_log_replay(spark):
     """The SCD2 interval lookup at the relative cut must return exactly
     the replica the log replay reconstructs at the same cut — the
