@@ -1393,6 +1393,10 @@ def _q_text_char_entropy(spark, sf_dir):
     return textops.char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def _q_text_topic_clusters(spark, sf_dir):
+    return textops.pmi_topic_clusters(load_table(spark, sf_dir, "documents"))
+
+
 def _q_graph_kcore(spark, sf_dir):
     from oracdc_spark.operators import graph
 
@@ -2336,6 +2340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stupid_backoff": _q_text_stupid_backoff,
         # new r8: char-entropy junk gate (compression-ratio proxy)
         "text_char_entropy": _q_text_char_entropy,
+        # new r8: strong-PMI co-occurrence topic clusters (vocab CC)
+        "text_topic_clusters": _q_text_topic_clusters,
         # new r8: per-type z-score outlier QC gate
         "events_zscore_outliers": analytics.events_zscore_outliers,
         # new r8: mergeable-histogram quantile sketch + exact-rank audit
@@ -4442,6 +4448,46 @@ SELECT doc_id,
        ROUND((CAST(SUM(q * cnt) AS DOUBLE) / SUM(cnt)) / 1000000, 6)
            AS mean_logprob
 FROM scored GROUP BY doc_id
+"""
+    )
+    # topic clusters: the pmi scorer's CTE chain + exact recursive
+    # reachability (the engine's fixed hook+shortcut rounds must match
+    # the true closure — convergence is part of what the hash proves)
+    sql["text_topic_clusters"] = (
+        "WITH RECURSIVE "
+        + _TOKS
+        + """,
+lw AS (SELECT doc_id, list_transform(w, x -> lower(x)) AS w FROM toks),
+bic AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_bi
+  FROM lw, UNNEST(range(1, len(w))) AS t(i)
+  GROUP BY w[i], w[i+1]
+),
+n_bi AS (SELECT CAST(SUM(c_bi) AS BIGINT) AS n_bi FROM bic),
+uni AS (
+  SELECT t.tok AS tok, CAST(COUNT(*) AS BIGINT) AS c_uni
+  FROM lw, UNNEST(w) AS t(tok) GROUP BY t.tok
+),
+n_tok AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_tok FROM uni),
+scored AS (
+  SELECT w1, w2,
+         CAST(round(ln((CAST(c_bi AS DOUBLE) / n_bi)
+                       / ((CAST(u1.c_uni AS DOUBLE) / n_tok)
+                          * (CAST(u2.c_uni AS DOUBLE) / n_tok))) * 1000000)
+              AS BIGINT) AS q_pmi
+  FROM bic JOIN uni u1 ON bic.w1 = u1.tok
+           JOIN uni u2 ON bic.w2 = u2.tok, n_bi, n_tok
+  WHERE c_bi >= 5
+),
+eg AS (SELECT w1, w2 FROM scored WHERE q_pmi >= 300000 AND w1 <> w2),
+edges AS (SELECT w1, w2 FROM eg UNION SELECT w2 AS w1, w1 AS w2 FROM eg),
+nodes AS (SELECT DISTINCT w1 AS word FROM edges),
+reach AS (
+  SELECT word, word AS root FROM nodes
+  UNION
+  SELECT e.w2 AS word, r.root FROM reach r JOIN edges e ON e.w1 = r.word
+)
+SELECT word, MIN(root) AS cluster_id FROM reach GROUP BY word
 """
     )
     sql["text_zipf_audit"] = (

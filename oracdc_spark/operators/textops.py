@@ -1791,28 +1791,10 @@ def typo_pairs(docs: DataFrame, min_len: int = 4) -> DataFrame:
     return cand.filter(F.levenshtein("w1", "w2") <= 1)
 
 
-def pmi_collocations(
-    docs: DataFrame, min_count: int = 5, k: int = 15
-) -> DataFrame:
-    """Top-k collocations by pointwise mutual information (Church &
-    Hanks 1990): pairs that co-occur far more than their unigram
-    frequencies predict —
-    ``pmi = ln( (c_bi / n_bi) / ((c_w1/n_tok)·(c_w2/n_tok)) )``, the
-    classic phrase-mining signal (word2vec's phrase pass and spaCy's
-    collocation scorers use the same statistic).
-
-    Determinism contract: the PMI is quantized to an integer
-    (``round(pmi·1e6)``) before ranking, and ties break on (w1, w2) —
-    so the top-k cut is bit-stable in any engine.  ``min_count``
-    suppresses the low-frequency pairs whose PMI is spuriously high
-    (the standard Church-Hanks caveat).
-
-    Scale shape: everything after the two token scans is vocab-bounded
-    — one (w1,w2) bigram aggregate, one unigram aggregate, two 1-row
-    lazy broadcast totals; the ranking window is single-partition but
-    runs over the min_count-filtered VOCAB²-bounded pair table
-    (metadata-sized at any corpus scale), never over corpus rows.
-    Output: (rank, w1, w2, c_bi, q_pmi)."""
+def _pmi_scored(docs: DataFrame, min_count: int) -> DataFrame:
+    """Shared PMI scorer: (w1, w2, c_bi, q_pmi) over the min_count-
+    filtered vocab²-bounded pair table (see pmi_collocations for the
+    statistic and determinism contract)."""
     w = _tokens()
     low = F.transform(w, lambda x: F.lower(x))
     toked = _parallel(docs).select(low.alias("toks"))
@@ -1841,7 +1823,7 @@ def pmi_collocations(
             * (F.col("c2").cast("double") / F.col("n_tok"))
         )
     )
-    scored = (
+    return (
         bic.filter(F.col("c_bi") >= min_count)
         .join(uni.select(F.col("tok").alias("w1"), F.col("c_uni").alias("c1")), "w1")
         .join(uni.select(F.col("tok").alias("w2"), F.col("c_uni").alias("c2")), "w2")
@@ -1854,6 +1836,31 @@ def pmi_collocations(
             F.round(pmi * 1_000_000).cast("bigint").alias("q_pmi"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 15
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990): pairs that co-occur far more than their unigram
+    frequencies predict —
+    ``pmi = ln( (c_bi / n_bi) / ((c_w1/n_tok)·(c_w2/n_tok)) )``, the
+    classic phrase-mining signal (word2vec's phrase pass and spaCy's
+    collocation scorers use the same statistic).
+
+    Determinism contract: the PMI is quantized to an integer
+    (``round(pmi·1e6)``) before ranking, and ties break on (w1, w2) —
+    so the top-k cut is bit-stable in any engine.  ``min_count``
+    suppresses the low-frequency pairs whose PMI is spuriously high
+    (the standard Church-Hanks caveat).
+
+    Scale shape: everything after the two token scans is vocab-bounded
+    — one (w1,w2) bigram aggregate, one unigram aggregate, two 1-row
+    lazy broadcast totals; the ranking window is single-partition but
+    runs over the min_count-filtered VOCAB²-bounded pair table
+    (metadata-sized at any corpus scale), never over corpus rows.
+    Output: (rank, w1, w2, c_bi, q_pmi)."""
+    scored = _pmi_scored(docs, min_count)
     ranked = scored.withColumn(
         "rank",
         F.row_number().over(
@@ -2044,3 +2051,75 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     return agg.select(
         "doc_id", "n_chars", "n_distinct", F.round(h, 6).alias("entropy")
     )
+
+
+def pmi_topic_clusters(
+    docs: DataFrame,
+    min_count: int = 5,
+    q_pmi_min: int = 300_000,
+    rounds: int = 10,
+) -> DataFrame:
+    """Topic word-clusters: connected components of the strong-PMI
+    co-occurrence graph — words joined when their association clears
+    ``q_pmi_min`` (0.3 nats at the 1e6 quantization) form phrase/topic
+    groups, the word2vec-phrases / collocation-graph view of a corpus.
+
+    The graph is VOCAB-bounded (nodes = words with ≥1 strong edge), so
+    the component labeling is metadata-scale regardless of corpus size;
+    the corpus is touched only by the shared PMI scorer's two token
+    scans.  Labeling runs ``rounds`` hook+shortcut rounds (min-label
+    propagation + pointer jumping — the dedup_clusters_fast scheme,
+    converged for any component with diameter ≤ 2^rounds, i.e. always
+    at vocabulary scale), with the tiny edge/label tables
+    localCheckpoint-ed per round (iterative-algorithm exception).  The
+    oracle is the exact recursive-CTE reachability closure — a hash
+    match proves the fixed-round propagation converged.
+
+    Output: (word, cluster_id) for every word on a strong edge,
+    cluster_id = the component's lexicographically-least word."""
+    scored = _pmi_scored(docs, min_count)
+    e1 = scored.filter(
+        (F.col("q_pmi") >= q_pmi_min) & (F.col("w1") != F.col("w2"))
+    ).select("w1", "w2")
+    edges = (
+        e1.unionAll(e1.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("w1").alias("word"))
+        .distinct()
+        .withColumn("cluster_id", F.col("word"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nb_min = (
+            edges.join(labels, edges["w2"] == labels["word"])
+            .groupBy("w1")
+            .agg(F.min("cluster_id").alias("nb_min"))
+        )
+        hooked = (
+            labels.join(nb_min, labels["word"] == nb_min["w1"], "left")
+            .select(
+                "word",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        parent = hooked.select(
+            F.col("word").alias("p_word"), F.col("cluster_id").alias("p_label")
+        )
+        labels = (
+            hooked.join(parent, hooked["cluster_id"] == parent["p_word"], "left")
+            .select(
+                "word",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("p_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("word", "cluster_id")

@@ -62,6 +62,10 @@ ALLOWED_BUILD_JOBS = {
     # k-core peeling: one eager localCheckpoint per fixed peel round
     # (iterative-algorithm exception, same class as dedup_clusters_fast)
     "graph_kcore": 12,
+    # PMI topic clusters: eager edge/label localCheckpoints per
+    # hook+shortcut round over the VOCAB-sized graph (iterative
+    # exception; the corpus is scanned only by the PMI scorer)
+    "text_topic_clusters": 80,  # 10 rounds x (hook agg + shortcut) checkpoints
     # streaming-gate batch-equivalence fold: 3 micro-batch state folds,
     # each a bounded localCheckpoint + state swap write (the trigger
     # loop of the streaming operator, not a corpus-sized driver action)
