@@ -800,6 +800,14 @@ def _q_multimodal_image_ahash(spark, sf_dir):
     return multimodal.image_ahash(media, grid=4)
 
 
+def _q_multimodal_image_dhash(spark, sf_dir):
+    """Gradient difference-hash over the same real PPM decode — aHash's
+    brightness-invariant companion (5-column block frame, horizontal
+    neighbor comparisons)."""
+    media = multimodal.synthetic_codec_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.image_dhash(media, grid=4)
+
+
 def _q_multimodal_image_near_dups(spark, sf_dir):
     """Banded Hamming near-dup pairs over the perceptual hashes —
     exact-complete at max_hamming < bands (pigeonhole), so the SQL
@@ -2266,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_span_fraction": _q_text_dup_spans,
         "text_pii_scrub": _q_text_pii_scrub,
         "multimodal_image_ahash": _q_multimodal_image_ahash,
+        # new r8: gradient dHash companion
+        "multimodal_image_dhash": _q_multimodal_image_dhash,
         "multimodal_image_near_dups": _q_multimodal_image_near_dups,
         "multimodal_audio_ehash": _q_multimodal_audio_ehash,
         "multimodal_audio_near_dups": _q_multimodal_audio_near_dups,
@@ -2306,6 +2316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": analytics.orders_rollup,
         # new r8: explicit GROUPING SETS + GROUPING() markers
         "orders_grouping_sets": analytics.orders_grouping_sets,
+        # new r8: percent_rank / cume_dist / ntile window breadth
+        "orders_rank_report": analytics.orders_rank_report,
         "orders_cube": analytics.orders_cube,
         "orders_pivot": analytics.orders_pivot,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
@@ -3014,6 +3026,54 @@ SELECT media_id, ahash,
        CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same_hash
 FROM hashes
 """
+    # dHash: same deterministic pixel generator, 5-column block frame,
+    # one bit per horizontal neighbor comparison; absent blocks read 0
+    # via the generated full frame + COALESCE (mirrors numpy zeros)
+    sql["multimodal_image_dhash"] = """
+WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+dims AS (
+  SELECT media_id, CAST((media_id % 16) + 1 AS BIGINT) AS w,
+         CAST((media_id % 8) + 1 AS BIGINT) AS h
+  FROM m
+),
+px AS (
+  SELECT media_id,
+         ( ((media_id*7 + (3*(y*w+x)+0)*13) % 256)
+         + ((media_id*7 + (3*(y*w+x)+1)*13) % 256)
+         + ((media_id*7 + (3*(y*w+x)+2)*13) % 256) ) // 3 AS gray,
+         (x * 5) // w AS bx, (y * 4) // h AS by
+  FROM dims,
+       UNNEST(generate_series(0, w - 1)) AS tx(x),
+       UNNEST(generate_series(0, h - 1)) AS ty(y)
+),
+blocks AS (
+  SELECT media_id, bx, by, SUM(gray) // COUNT(*) AS bv
+  FROM px GROUP BY media_id, bx, by
+),
+frame AS (
+  SELECT media_id, t2.by AS by, t1.bx AS bx
+  FROM m, UNNEST(generate_series(0, 4)) AS t1(bx),
+       UNNEST(generate_series(0, 3)) AS t2(by)
+),
+full_blocks AS (
+  SELECT f.media_id, f.by, f.bx, COALESCE(b.bv, 0) AS bv
+  FROM frame f LEFT JOIN blocks b
+    ON b.media_id = f.media_id AND b.by = f.by AND b.bx = f.bx
+),
+hashes AS (
+  SELECT l.media_id,
+         CAST(SUM(CASE WHEN l.bv > r.bv
+                       THEN CAST(1 AS BIGINT) << CAST(l.by*4 + l.bx AS INT)
+                       ELSE 0 END) AS BIGINT) AS dhash
+  FROM full_blocks l JOIN full_blocks r
+    ON l.media_id = r.media_id AND l.by = r.by AND r.bx = l.bx + 1
+  WHERE l.bx < 4
+  GROUP BY l.media_id
+)
+SELECT media_id, dhash,
+       CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash
+FROM hashes
+"""
     # banded Hamming near-dups over the same hashes CTE: 4 bands x 4
     # bits, exact-complete at hamming <= 3 (pigeonhole — one band must
     # survive untouched), so the band join + exact filter IS the answer
@@ -3379,6 +3439,19 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS {dec})) AS DOUBLE) AS sum_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+    sql["orders_rank_report"] = """
+SELECT o_orderstatus, o_orderkey, o_totalprice, pct_rank, cume, quartile
+FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS cume,
+         CAST(NTILE(4) OVER w AS INT) AS quartile,
+         ROW_NUMBER() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 5
 """
     sql["orders_grouping_sets"] = f"""
 WITH base AS (SELECT o_orderstatus, o_orderpriority,

@@ -143,6 +143,30 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-statistic window breadth: percent_rank, cume_dist, and
+    NTILE(4) over order value within each status — the §2.6 window
+    functions the TPC-H shapes don't otherwise exercise.  All three
+    share ONE (o_orderstatus)-partitioned sort; percent_rank's
+    (rank−1)/(n−1) and cume_dist's peers/n are single IEEE divisions of
+    exact integers, identical in any engine.  Top-5 rows per status by
+    the sort key keep the output bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= 5).drop("rn")
+
+
 def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with mixed, non-hierarchical sets —
     (status × priority), (status × year), grand total — plus
