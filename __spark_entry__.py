@@ -1385,6 +1385,10 @@ def _q_dedup_containment(spark, sf_dir):
     return dedup.containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_method_matrix(spark, sf_dir):
+    return dedup.method_capture_matrix(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_pmi_collocations(spark, sf_dir):
     return textops.pmi_collocations(load_table(spark, sf_dir, "documents"))
 
@@ -2340,6 +2344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tfidf_cosine": _q_dedup_tfidf_cosine,
         # new r8: asymmetric containment (sub-document duplication)
         "dedup_containment": _q_dedup_containment,
+        # new r8: cross-method planted-twin capture matrix
+        "dedup_method_matrix": _q_dedup_method_matrix,
         # new r8: Church-Hanks PMI collocation top-k
         "text_pmi_collocations": _q_text_pmi_collocations,
         # new r8: k-core peeling over the trade graph (fixed 4 rounds)
@@ -7568,4 +7574,52 @@ SELECT n_nodes, n_edges, n_triangles, n_wedges,
        ROUND(3 * CAST(n_triangles AS DOUBLE) / n_wedges, 6) AS clustering_coeff
 FROM tri, ec, nc
 """
+    # --- dedup method matrix (r8): compose the six method oracles over
+    # the planted-twin corpus.  Each method's full oracle is embedded as
+    # a WITH-bearing subquery with its `documents` refs redirected to
+    # the planted pdocs CTE — the matrix oracle therefore reuses the
+    # EXACT per-method texts already proven above, on a common planted
+    # operating point.
+    def _on_pdocs(q: str) -> str:
+        return "(" + q.replace("FROM documents", "FROM pdocs") + ")"
+
+    _exact_pairs = (
+        "(SELECT x.doc_id AS d1, y.doc_id AS d2 "
+        "FROM (SELECT doc_id, md5(text) AS dg FROM pdocs) x "
+        "JOIN (SELECT doc_id, md5(text) AS dg FROM pdocs) y "
+        "ON x.dg = y.dg AND x.doc_id < y.doc_id)"
+    )
+    _matrix_methods = [
+        ("exact", _exact_pairs),
+        ("jaccard", _on_pdocs(sql["dedup_ngram_jaccard"])),
+        ("minhash_lsh", _on_pdocs(sql["dedup_minhash_lsh"])),
+        ("simhash", _on_pdocs(sql["dedup_simhash"])),
+        ("tfidf_cosine", _on_pdocs(sql["dedup_tfidf_cosine"])),
+        ("containment", _on_pdocs(sql["dedup_containment"])),
+    ]
+    _blocks = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, (SELECT n FROM np) AS n_planted,\n"
+        f"       (SELECT CAST(COUNT(*) AS BIGINT) FROM planted p\n"
+        f"        JOIN {blk} mp ON mp.d1 = p.a AND mp.d2 = p.b) AS n_captured"
+        for m, blk in _matrix_methods
+    )
+    sql["dedup_method_matrix"] = (
+        r"""WITH pdocs AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id,
+         regexp_replace(trim(text), '\s+\S+$', '') AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+),
+planted AS (SELECT doc_id AS a, doc_id + 1000000000 AS b
+            FROM documents WHERE doc_id % 7 = 0),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM planted)
+SELECT method, n_planted, n_captured,
+       ROUND(CAST(n_captured AS DOUBLE) / n_planted, 4) AS capture
+FROM (
+"""
+        + _blocks
+        + "\n)\n"
+    )
     return sql

@@ -227,6 +227,10 @@ BENCH_QUERIES = [
     # the individually-benched v4 stage outputs + one 20-group
     # aggregate — no stage the benched curation_v2/perplexity/
     # token_budget_global members don't already time)
+    # r8 named exclusion: dedup_method_matrix (composes the six benched
+    # method plans over a 8/7-sized planted corpus — every constituent
+    # shape already timed; the matrix adds only planted-pair-sized
+    # capture joins).
     # r8 named exclusions: dedup_containment (jaccard_pairs' exact
     # posting self-join plan with a different final denominator);
     # text_stupid_backoff (the benched bigram_logprob r8 plan + a left

@@ -909,3 +909,104 @@ def containment_pairs(
         )
         .select("d1", "d2", "common", "c1_in_2", "c2_in_1")
     )
+
+
+PLANT_OFFSET = 1_000_000_000
+
+
+def method_capture_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-method planted-twin capture matrix — one synthesis row per
+    dedup method (the dedup-family analogue of the ANN label-purity
+    audit): every 7th document gets a NEAR-duplicate twin (its last
+    token dropped, id + PLANT_OFFSET), and each method's candidate/pair
+    surface is scored on how many (original, twin) pairs it captures.
+
+    What the matrix shows by construction: exact-digest capture ≈ 0
+    (the twin is a near-dup, not a byte-dup — the honest baseline),
+    the shingle/tfidf methods capture long docs (a dropped token
+    perturbs one shingle window), and the probabilistic methods
+    (MinHash-LSH bands, SimHash prefixes) land in between — their gap
+    vs exact-Jaccard IS the banding recall the per-method audits
+    measure, here on a common planted operating point.
+
+    Methods and their declared operating points: exact digest;
+    jaccard_pairs(n=5, t=0.5); minhash_lsh_candidates(8 hashes,
+    4 bands); simhash_candidates(12-bit prefix, 3 rotations);
+    tfidf_cosine_pairs(default); containment_pairs(default).
+
+    Scale: each method keeps its own documented bounds; the planted
+    relation is ≤ 8/7 of the corpus, and the capture join is
+    planted-pair-sized.  The id-space guard raises if any real doc_id
+    reaches PLANT_OFFSET.  Output: (method, n_planted, n_captured,
+    capture) — 6 rows."""
+    base = docs.select("doc_id", "text")
+    src = base.filter(F.col("doc_id") % 7 == 0)
+    twins = src.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.regexp_replace(F.trim(F.col("text")), r"\s+\S+$", "").alias("text"),
+    )
+    pdocs = base.unionAll(twins)
+    expected = src.select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("b"),
+    )
+    n_planted = (
+        base.agg(
+            F.max("doc_id").alias("_mx"),
+            F.sum((F.col("doc_id") % 7 == 0).cast("bigint")).alias("_n"),
+        )
+        .select(
+            F.when(
+                F.col("_mx") >= PLANT_OFFSET,
+                F.raise_error(
+                    F.lit(
+                        "method_capture_matrix: doc_id >= PLANT_OFFSET — "
+                        "planted ids would collide with real ids"
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("_n"))
+            .alias("n_planted")
+        )
+    )
+    dg = pdocs.select("doc_id", F.md5("text").alias("dg"))
+    exact_pairs = (
+        dg.alias("x")
+        .join(
+            dg.alias("y"),
+            (F.col("x.dg") == F.col("y.dg"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+    )
+    methods = [
+        ("exact", exact_pairs),
+        ("jaccard", jaccard_pairs(pdocs, n=5, threshold=0.5)),
+        ("minhash_lsh", minhash_lsh_candidates(pdocs, n=5, num_hashes=8, bands=4)),
+        ("simhash", simhash_candidates(pdocs, prefix_bits=12, rotations=3)),
+        ("tfidf_cosine", tfidf_cosine_pairs(pdocs)),
+        ("containment", containment_pairs(pdocs)),
+    ]
+    out = None
+    for name, pairs in methods:
+        cap = (
+            expected.join(
+                pairs.select("d1", "d2"),
+                (F.col("a") == F.col("d1")) & (F.col("b") == F.col("d2")),
+                "semi",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_captured"))
+        )
+        row = (
+            n_planted.crossJoin(F.broadcast(cap))
+            .select(
+                F.lit(name).alias("method"),
+                "n_planted",
+                "n_captured",
+                F.round(
+                    F.col("n_captured").cast("double") / F.col("n_planted"), 4
+                ).alias("capture"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
