@@ -1,0 +1,205 @@
+"""Unit pins for the round-8 operators.
+
+Parity proves engine == oracle; these prove both == the intended
+semantics on crafted inputs (the suite's standing convention — a
+mirrored mistake passes parity but not these).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+class TestZipfHapax:
+    def test_exact_zipfian_counts(self, spark):
+        from oracdc_spark.operators.textops import zipf_hapax_audit
+
+        # counts 8,4,2,1,1: hapax=2, dis=1(count-2 types: one), ttr=5/16
+        words = (
+            ["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"] + ["e"]
+        )
+        [r] = zipf_hapax_audit(_docs(spark, [" ".join(words)])).collect()
+        assert r.n_types == 5 and r.n_tokens == 16
+        assert r.hapax == 2 and r.dis == 1
+        assert r.ttr == round(5 / 16, 6)
+        # slope must be negative (frequency falls with rank)
+        assert r.zipf_slope < 0
+
+    def test_uniform_vocab_slope_zero(self, spark):
+        from oracdc_spark.operators.textops import zipf_hapax_audit
+
+        [r] = zipf_hapax_audit(_docs(spark, ["a b c d a b c d"])).collect()
+        # all counts equal -> ln(count) constant -> slope exactly 0
+        assert r.zipf_slope == 0.0
+
+
+class TestCharEntropy:
+    def test_single_char_entropy_zero(self, spark):
+        from oracdc_spark.operators.textops import char_entropy
+
+        [r] = char_entropy(_docs(spark, ["aaaa"])).collect()
+        assert r.entropy == 0.0 and r.n_distinct == 1
+
+    def test_uniform_alphabet_entropy_ln_k(self, spark):
+        from oracdc_spark.operators.textops import char_entropy
+
+        [r] = char_entropy(_docs(spark, ["abcd" * 4])).collect()
+        assert abs(r.entropy - round(math.log(4), 6)) < 1e-5
+
+
+class TestAttribution:
+    def test_last_touch_and_none_bucket(self, spark):
+        from oracdc_spark.operators.analytics import events_attribution
+
+        rows = [
+            # user 1: view -> click -> purchase(10)  => click credited
+            (1, "2024-01-01 00:00:00", 1, "view", 0.0),
+            (2, "2024-01-01 00:01:00", 1, "click", 0.0),
+            (3, "2024-01-01 00:02:00", 1, "purchase", 10.0),
+            # user 2: purchase with no prior touch => (none)
+            (4, "2024-01-01 00:00:30", 2, "purchase", 5.0),
+            # user 1 second purchase: click still the last non-purchase
+            (5, "2024-01-01 00:03:00", 1, "purchase", 2.5),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        import oracdc_spark.operators.analytics as an
+
+        orig = an.load_table
+        an.load_table = lambda s, d, t: df
+        try:
+            out = {r.touch_type: (r.n_attributed, r.credited_value)
+                   for r in an.events_attribution(spark, "x").collect()}
+        finally:
+            an.load_table = orig
+        assert out["click"] == (2, 12.5)
+        assert out["(none)"] == (1, 5.0)
+        assert "view" not in out
+
+
+class TestQuantileSketch:
+    def test_exact_quantiles_on_known_values(self, spark):
+        from oracdc_spark.operators.analytics import events_quantile_sketch
+        import oracdc_spark.operators.analytics as an
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 101)], "value double"
+        )
+        orig = an.load_table
+        an.load_table = lambda s, d, t: df
+        try:
+            out = {r.p: r for r in an.events_quantile_sketch(spark, "x").collect()}
+        finally:
+            an.load_table = orig
+        # k = ceil(p*100): p50 -> 50th smallest = 50.0, p99 -> 99.0
+        assert out[0.5].exact_q == 50.0
+        assert out[0.99].exact_q == 99.0
+        # unit-bin estimate is within half a bin of exact
+        assert all(r.abs_err <= 0.5 for r in out.values())
+
+
+class TestReconcile:
+    def test_all_four_classes(self, spark):
+        from oracdc_spark.operators.cdc import replica_reconcile
+
+        rep = spark.createDataFrame(
+            [(1, 10.0, "O"), (2, 20.0, "F"), (4, 40.0, "X")],
+            "pk bigint, totalprice double, status string",
+        )
+        src = spark.createDataFrame(
+            [(1, 10.0, "O"), (2, 99.0, "F"), (3, 30.0, "P")],
+            "pk bigint, totalprice double, status string",
+        )
+        out = {r.diff_class: r.n_keys for r in replica_reconcile(rep, src).collect()}
+        assert out == {
+            "match": 1,
+            "value_mismatch": 1,
+            "missing_in_replica": 1,
+            "extra_in_replica": 1,
+        }
+
+    def test_null_values_match_nullsafe(self, spark):
+        from oracdc_spark.operators.cdc import replica_reconcile
+
+        rep = spark.createDataFrame(
+            [(1, None, "O")], "pk bigint, totalprice double, status string"
+        )
+        src = spark.createDataFrame(
+            [(1, None, "O")], "pk bigint, totalprice double, status string"
+        )
+        [r] = replica_reconcile(rep, src).collect()
+        assert r.diff_class == "match"
+
+
+class TestContainment:
+    def test_subdocument_detected_jaccard_misses(self, spark):
+        from oracdc_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+        small = "one two three four five six"
+        big = small + " " + " ".join(f"w{i}" for i in range(40))
+        docs = _docs(spark, [small, big])
+        cont = containment_pairs(docs, n=5, threshold=0.8).collect()
+        assert len(cont) == 1 and cont[0].c1_in_2 == 1.0
+        # symmetric jaccard stays far below its 0.5 bar on the same pair
+        assert jaccard_pairs(docs, n=5, threshold=0.5).count() == 0
+
+
+class TestMethodMatrix:
+    def test_id_collision_guard_raises(self, spark):
+        from oracdc_spark.operators.dedup import PLANT_OFFSET, method_capture_matrix
+
+        bad = spark.createDataFrame(
+            [(PLANT_OFFSET + 1, "a b c")], "doc_id bigint, text string"
+        )
+        with pytest.raises(Exception, match="PLANT_OFFSET"):
+            method_capture_matrix(bad).collect()
+
+
+class TestStupidBackoff:
+    def test_backoff_positions_counted(self, spark):
+        from oracdc_spark.operators.textops import stupid_backoff_logprob
+
+        # "x y" occurs once -> pruned at min 3 -> that position backs off
+        docs = _docs(spark, ["a b a b a b x y"])
+        [r] = stupid_backoff_logprob(docs).collect()
+        # positions: ab,ba,ab,ba,ab,bx,xy -> 7 bigrams; ab kept (3),
+        # ba kept? ba occurs 2 -> pruned; bx 1 pruned; xy 1 pruned
+        assert r.n_bigrams == 7
+        assert r.n_backoff == 4  # ba x2, bx, xy
+
+
+class TestCohortLtv:
+    def test_cumulative_and_per_user(self, spark):
+        import oracdc_spark.operators.analytics as an
+
+        rows = [
+            (1, "2024-01-01 10:00:00", 1, "purchase", 10.0),
+            (2, "2024-01-02 10:00:00", 1, "purchase", 5.0),
+            (3, "2024-01-01 11:00:00", 2, "view", 99.0),  # not a purchase
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        orig = an.load_table
+        an.load_table = lambda s, d, t: df
+        try:
+            out = {(r.cohort_day, r.day_offset): r
+                   for r in an.events_cohort_ltv(spark, "x").collect()}
+        finally:
+            an.load_table = orig
+        d0 = out[("2024-01-01", 0)]
+        d1 = out[("2024-01-01", 1)]
+        assert d0.day_value == 10.0 and d0.cum_value == 10.0
+        assert d1.cum_value == 15.0
+        assert d0.cohort_size == 2  # both users first seen on day 0
+        assert d1.cum_per_user == round(15.0 / 2, 6)
