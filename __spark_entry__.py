@@ -823,6 +823,14 @@ def _q_multimodal_audio_near_dups(spark, sf_dir):
     return multimodal.audio_near_dups(media, segments=16, max_hamming=3, bands=4)
 
 
+def _q_multimodal_audio_zcr(spark, sf_dir):
+    """Zero-crossing-rate audio fingerprint over the same WAV decode —
+    energy-hash's spectral companion (sign-transition counting per
+    segment, per-mille integer rates)."""
+    media = multimodal.synthetic_codec_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_zcr_hash(media, segments=8)
+
+
 def _q_multimodal_audio_ehash(spark, sf_dir):
     """Energy-envelope audio fingerprint over REAL WAV decode; the
     arithmetic sample generator mirrors decode → segment energies →
@@ -2282,6 +2290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dhash": _q_multimodal_image_dhash,
         "multimodal_image_near_dups": _q_multimodal_image_near_dups,
         "multimodal_audio_ehash": _q_multimodal_audio_ehash,
+        # new r8: ZCR spectral companion
+        "multimodal_audio_zcr": _q_multimodal_audio_zcr,
         "multimodal_audio_near_dups": _q_multimodal_audio_near_dups,
         "registry_evolution": _q_registry_evolution,
         "promo_revenue": analytics.promo_revenue,
@@ -3120,6 +3130,40 @@ hashes AS (
 SELECT media_id, ehash,
        CAST(COUNT(*) OVER (PARTITION BY ehash) AS BIGINT) AS n_same_hash
 FROM hashes
+"""
+    # ZCR: transitions computed closed-form (s(i) and s(i+1) from the
+    # generator), per-mille integer rates over present segments, <2
+    # samples hash to 0 via the left join
+    sql["multimodal_audio_zcr"] = """
+WITH a AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+dims AS (SELECT media_id, CAST((media_id % 100) + 1 AS BIGINT) AS n FROM a),
+tr AS (
+  SELECT media_id, n, (i * 8) // n AS seg,
+         CASE WHEN (((media_id*31 + i*17) % 65536) - 32768 >= 0)
+                   <> (((media_id*31 + (i+1)*17) % 65536) - 32768 >= 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM dims, UNNEST(generate_series(0, n - 2)) AS t(i)
+  WHERE n >= 2
+),
+segs AS (
+  SELECT media_id, seg, (SUM(zc) * 1000) // COUNT(*) AS zq
+  FROM tr GROUP BY media_id, seg
+),
+means AS (SELECT media_id, SUM(zq) // COUNT(*) AS mv FROM segs GROUP BY media_id),
+hashes AS (
+  SELECT s.media_id,
+         CAST(SUM(CASE WHEN zq > mv
+                       THEN CAST(1 AS BIGINT) << CAST(seg AS INT)
+                       ELSE 0 END) AS BIGINT) AS zhash
+  FROM segs s JOIN means USING (media_id) GROUP BY s.media_id
+),
+allh AS (
+  SELECT a.media_id, COALESCE(h.zhash, 0) AS zhash
+  FROM a LEFT JOIN hashes h USING (media_id)
+)
+SELECT media_id, zhash,
+       CAST(COUNT(*) OVER (PARTITION BY zhash) AS BIGINT) AS n_same_hash
+FROM allh
 """
     # 16-segment ehash variant + the same banded Hamming join as the
     # image oracle (4 bands x 4 bits, exact-complete at hamming <= 3)
