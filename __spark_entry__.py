@@ -2376,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_sketch": analytics.events_quantile_sketch,
         # new r8: cohort LTV curve (revenue companion to retention)
         "events_cohort_ltv": analytics.events_cohort_ltv,
+        # new r8: funnel time-to-convert exact quantiles
+        "events_time_to_convert": analytics.events_time_to_convert,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_signatures": _q_dedup_minhash_signatures,
         "dedup_lsh_incremental": _q_dedup_lsh_incremental,
@@ -4421,6 +4423,28 @@ SELECT event_id, user_id,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE), 6) AS running_value
 FROM events
+"""
+    sql["events_time_to_convert"] = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p1 AS (
+  SELECT e.user_id, MIN(epoch_us(ts) - s_us) AS delay_us
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE event_type = 'purchase' AND epoch_us(ts) >= s_us
+  GROUP BY e.user_id
+),
+delays AS (SELECT delay_us // 1000000 AS d FROM p1),
+vh AS (SELECT d, COUNT(*) AS cnt FROM delays GROUP BY d),
+cum AS (SELECT d, CAST(SUM(cnt) OVER (ORDER BY d) AS BIGINT) AS cum FROM vh),
+nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vh),
+want AS (SELECT p, n, CAST(CEIL(p * n) AS BIGINT) AS k
+         FROM (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                              CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+              nt)
+SELECT p, n AS n_converted, MIN(d) AS delay_s
+FROM want JOIN cum ON cum >= k GROUP BY p, n
 """
     sql["events_quantile_sketch"] = """
 WITH e AS (SELECT CAST(round(value * 1000) AS BIGINT) AS qv FROM events),

@@ -620,6 +620,54 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-latency distribution: per user, the delay from FIRST
+    signup to the first purchase at-or-after it; report the exact
+    p25/p50/p75/p90 of the delay in whole seconds — the time-to-convert
+    companion of the step-count funnel (product analytics reads both).
+
+    Exactness without a global sort: the same value-histogram
+    decomposition as the quantile sketch — delays are floored to whole
+    seconds (a bounded, user-count-sized value domain), one (delay →
+    count) aggregate + a domain-sized cumulative window yields the
+    k-th smallest delay exactly, k = ceil(p·n).  Two min-aggregates +
+    one user-keyed join are the only corpus-sized work.
+
+    Output: (p, n_converted, delay_s)."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    p1 = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(s1, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("p_us") - F.col("s_us")).alias("delay_us"))
+    )
+    delays = p1.select(F.expr("delay_us div 1000000").alias("d"))
+    vh = delays.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vh.select("d", F.sum("cnt").over(wv).alias("cum")).crossJoin(
+        F.broadcast(vh.agg(F.sum("cnt").cast("bigint").alias("n")))
+    )
+    ps = F.explode(
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
+    ).alias("p")
+    want = cum.select("n", ps).distinct().withColumn(
+        "k", F.ceil(F.col("p") * F.col("n")).cast("bigint")
+    )
+    return (
+        want.join(cum.select("d", "cum"), F.col("cum") >= F.col("k"))
+        .groupBy("p", "n")
+        .agg(F.min("d").alias("delay_s"))
+        .select("p", F.col("n").alias("n_converted"), "delay_s")
+    )
+
+
 def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users + event counts per type; json extraction from props
     (get_json_object — the OraJson/OSON query path, SURVEY §1.2)."""
