@@ -227,6 +227,12 @@ BENCH_QUERIES = [
     # the individually-benched v4 stage outputs + one 20-group
     # aggregate — no stage the benched curation_v2/perplexity/
     # token_budget_global members don't already time)
+    # r8 named exclusions: multimodal_image_dhash / multimodal_audio_zcr
+    # (same narrow decode + mapInPandas + hash-window plan class as the
+    # benched ahash/ehash members — only the per-pixel/per-sample
+    # arithmetic differs); events_cohort_ltv (retention's exchange +
+    # metadata-sized cumulative windows); events_time_to_convert (two
+    # min-aggregates + the quantile decomposition shape).
     # r8 named exclusion: dedup_method_matrix (composes the six benched
     # method plans over a 8/7-sized planted corpus — every constituent
     # shape already timed; the matrix adds only planted-pair-sized
