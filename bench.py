@@ -369,26 +369,35 @@ def main() -> None:
     # measures the r1 set in a FRESH JVM via a child bench.py process.
     # The child runs to completion before this process builds its own
     # SparkSession, so the two JVMs never compete for the 32 cores.
+    # Best-of-2: a single fresh-JVM reading is exposed to transient host
+    # load (one observed 52 s outlier right after a 19-minute test-suite
+    # JVM teardown vs 23-26 s standalone); the min of two back-to-back
+    # runs is the standard noise-robust longitudinal statistic.  Both
+    # readings are reported so drift stays auditable.
     r1_isolated = None
+    r1_isolated_runs: list[float] = []
     if not only and not os.environ.get("SPARK_GRAFT_NO_ISOLATED"):
         import subprocess
 
         child_env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY="r1")
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=child_env, capture_output=True, text=True, timeout=600,
-            )
-            for line in reversed(proc.stdout.strip().splitlines()):
-                try:
-                    obj = json.loads(line)
-                except ValueError:
-                    continue
-                if "r1_comparable_sec" in obj:
-                    r1_isolated = obj["r1_comparable_sec"]
-                    break
-        except Exception:
-            r1_isolated = None  # never let the probe sink the suite run
+        for _ in range(2):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=child_env, capture_output=True, text=True, timeout=600,
+                )
+                for line in reversed(proc.stdout.strip().splitlines()):
+                    try:
+                        obj = json.loads(line)
+                    except ValueError:
+                        continue
+                    if "r1_comparable_sec" in obj:
+                        r1_isolated_runs.append(obj["r1_comparable_sec"])
+                        break
+            except Exception:
+                pass  # never let the probe sink the suite run
+        if r1_isolated_runs:
+            r1_isolated = min(r1_isolated_runs)
 
     import __spark_entry__ as entry_mod
     from oracdc_spark.session import get_spark
@@ -465,6 +474,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "r1_comparable_sec": r1_comparable,
                 "r1_comparable_isolated_sec": r1_isolated,
+                "r1_comparable_isolated_runs": r1_isolated_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
