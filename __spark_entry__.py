@@ -1397,6 +1397,10 @@ def _q_dedup_method_matrix(spark, sf_dir):
     return dedup.method_capture_matrix(load_table(spark, sf_dir, "documents"))
 
 
+def _q_dedup_canonical_quality(spark, sf_dir):
+    return dedup.dedup_canonical_quality(load_table(spark, sf_dir, "documents"))
+
+
 def _q_text_pmi_collocations(spark, sf_dir):
     return textops.pmi_collocations(load_table(spark, sf_dir, "documents"))
 
@@ -2356,6 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         # new r8: cross-method planted-twin capture matrix
         "dedup_method_matrix": _q_dedup_method_matrix,
+        # new r8: quality-ranked canonical (distinct-token key)
+        "dedup_canonical_quality": _q_dedup_canonical_quality,
         # new r8: Church-Hanks PMI collocation top-k
         "text_pmi_collocations": _q_text_pmi_collocations,
         # new r8: k-core peeling over the trade graph (fixed 4 rounds)
@@ -7642,6 +7648,32 @@ SELECT n_nodes, n_edges, n_triangles, n_wedges,
        ROUND(3 * CAST(n_triangles AS DOUBLE) / n_wedges, 6) AS clustering_coeff
 FROM tri, ec, nc
 """
+    # quality-ranked canonical: the recursive-CC oracle embedded as a
+    # subquery + a distinct-token stats CTE; rank = (n_distinct desc,
+    # n_chars desc, doc_id)
+    sql["dedup_canonical_quality"] = (
+        "WITH stats AS (\n"
+        "  SELECT doc_id,\n"
+        "         CAST(len(list_distinct(list_filter(\n"
+        "           regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')))\n"
+        "              AS BIGINT) AS n_distinct,\n"
+        "         CAST(strlen(text) AS BIGINT) AS n_chars\n"
+        "  FROM documents\n"
+        "),\n"
+        "clusters AS (SELECT * FROM ("
+        + sql["dedup_clusters"]
+        + ")),\n"
+        + """ranked AS (
+  SELECT c.doc_id, c.cluster_id, s.n_distinct,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.n_distinct DESC, s.n_chars DESC,
+                                     c.doc_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
+  FROM clusters c JOIN stats s ON c.doc_id = s.doc_id
+)
+SELECT doc_id, cluster_id, n_distinct, n_members FROM ranked WHERE rk = 1
+"""
+    )
     # --- dedup method matrix (r8): compose the six method oracles over
     # the planted-twin corpus.  Each method's full oracle is embedded as
     # a WITH-bearing subquery with its `documents` refs redirected to

@@ -1010,3 +1010,38 @@ def method_capture_matrix(docs: DataFrame) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def dedup_canonical_quality(
+    docs: DataFrame, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Quality-ranked canonical selection — :func:`dedup_canonical`
+    with the documented ORDER BY swap applied: keep the most lexically
+    RICH member per near-dup cluster (max distinct tokens, then max
+    chars, then lowest doc_id) instead of merely the longest.  Catches
+    the case the length heuristic gets wrong: a spam variant padded
+    with repeated boilerplate outlengths the clean original but cannot
+    out-distinct it.
+
+    Same plan as dedup_canonical: the label propagation + one metadata
+    join + one cluster-keyed window; the quality key (distinct-token
+    count) is exact integer codegen per row.
+
+    Output: (doc_id, cluster_id, n_distinct, n_members)."""
+    clusters = dedup_clusters(docs, n=n, threshold=threshold)
+    stats = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(_tokens())).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    joined = clusters.join(stats, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(
+        F.col("n_distinct").desc(), F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "cluster_id", "n_distinct", "n_members")
+    )

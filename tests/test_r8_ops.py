@@ -203,3 +203,32 @@ class TestCohortLtv:
         assert d1.cum_value == 15.0
         assert d0.cohort_size == 2  # both users first seen on day 0
         assert d1.cum_per_user == round(15.0 / 2, 6)
+
+
+class TestCanonicalQuality:
+    def test_richness_beats_length(self, spark):
+        from oracdc_spark.operators.dedup import dedup_canonical_quality
+
+        # Two near-dup docs: doc 1 is LONGER but padded with repeated
+        # boilerplate (fewer distinct tokens); doc 0 is richer.  The
+        # quality key must pick doc 0 where the length key would pick 1.
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        rich = base + "and then vanished beyond distant violet hills"
+        padded = base + "buy now buy now buy now buy now buy now buy now"
+        assert len(padded) > len(rich)
+        out = dedup_canonical_quality(
+            _docs(spark, [rich, padded]), threshold=0.3
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.doc_id == 0 and r.n_members == 2
+        assert r.n_distinct > 9  # base has 8 distinct + the rich tail
+
+    def test_singletons_survive(self, spark):
+        from oracdc_spark.operators.dedup import dedup_canonical_quality
+
+        out = dedup_canonical_quality(
+            _docs(spark, ["alpha beta gamma", "totally unrelated words here"]),
+            threshold=0.9,
+        ).collect()
+        assert len(out) == 2 and all(r.n_members == 1 for r in out)
