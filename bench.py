@@ -366,7 +366,9 @@ def main() -> None:
     # Isolated longitudinal number (r7 verdict item 4): the in-suite
     # r1_comparable_sec drifts with suite growth (~11% contention at 81
     # queries, more at 96 — SCALING.md), so the full-suite run first
-    # measures the r1 set in a FRESH JVM via a child bench.py process.
+    # measures the r1 set in a FRESH JVM via a child bench.py process
+    # (steady-state: the child runs one untimed warm pass first — see
+    # the SPARK_GRAFT_BENCH_WARM note below).
     # The child runs to completion before this process builds its own
     # SparkSession, so the two JVMs never compete for the 32 cores.
     # Best-of-2: a single fresh-JVM reading is exposed to transient host
@@ -379,7 +381,9 @@ def main() -> None:
     if not only and not os.environ.get("SPARK_GRAFT_NO_ISOLATED"):
         import subprocess
 
-        child_env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY="r1")
+        child_env = dict(
+            os.environ, SPARK_GRAFT_BENCH_ONLY="r1", SPARK_GRAFT_BENCH_WARM="1"
+        )
         for _ in range(2):
             try:
                 proc = subprocess.run(
@@ -440,6 +444,19 @@ def main() -> None:
         to_run = [q.strip() for q in only.split(",") if q.strip()]
     else:
         to_run = BENCH_QUERIES
+    # JMH-style steady-state protocol for the isolated probe: one
+    # UNTIMED pass of the same list first, then the timed pass.  A
+    # fresh JVM's first execution of the r1 set pays ~5 s of C2
+    # compilation of the codegen'd stages (measured: pass0 24.8 s,
+    # pass1 19.1 s, pass2 20.9 s on an idle host) — warm-up noise that
+    # is neither plan quality nor data work.  The longitudinal
+    # comparison target (the r6 in-suite 20.24 s) was itself measured
+    # on a JVM warmed by ~40 prior queries, so the warmed pass is the
+    # apples-to-apples statistic.  The full-suite run keeps first-run
+    # semantics (each query timed exactly once, in suite order).
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM"):
+        for name in to_run:
+            qs[name](spark, sf_dir).count()
     timings: dict[str, float] = {}
     for name in to_run:
         fn = qs[name]
