@@ -1424,11 +1424,16 @@ def _q_text_topic_clusters(spark, sf_dir):
 def _q_graph_kcore(spark, sf_dir):
     from oracdc_spark.operators import graph
 
-    return graph.kcore_members(
+    out = graph.kcore_members(
         graph.trade_edges(
             load_table(spark, sf_dir, "orders"),
             load_table(spark, sf_dir, "lineitem"),
         )
+    )
+    # peels run on trade_edges' bigint ids; the public 'C…'/'S…' label
+    # is rendered on the OUTPUT rows only (oracle emits the same form)
+    return out.select(
+        graph.node_label("node").alias("node"), "core_deg", "is_core"
     )
 
 

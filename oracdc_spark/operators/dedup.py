@@ -618,8 +618,9 @@ def dedup_clusters_fast(
     only ever decrease and always name a node of the same component,
     so the fixpoint is the component minimum — IDENTICAL output to
     dedup_clusters (asserted in tests, including a deep chain).
-    Convergence count per round is the lazy-builder gate's bounded
-    convergence-decision exception.
+    The per-round convergence aggregate (the monotone label SUM — see
+    inline note) is the lazy-builder gate's bounded convergence-decision
+    exception.
 
     Scale shape: both steps are pair-graph-sized (never corpus-sized)
     shuffles; the label table is |dup nodes| rows; singletons attach in
@@ -633,6 +634,11 @@ def dedup_clusters_fast(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # convergence statistic: labels only ever DECREASE, so the label
+    # SUM is strictly monotone — an unchanged sum ⟺ no label moved.
+    # One aggregate over the just-materialized table per round, vs the
+    # old-vs-new join the previous form paid (one fewer shuffle/round).
+    label_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(max_iters):
         # (1) hook: min over own label and neighbors' labels
         nb_min = (
@@ -669,15 +675,11 @@ def dedup_clusters_fast(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("nl")
-            .join(labels.alias("ol"), "doc_id")
-            .filter(F.col("nl.cluster_id") != F.col("ol.cluster_id"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     edges.unpersist()
     return docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")

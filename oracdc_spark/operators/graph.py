@@ -37,20 +37,37 @@ PR_BASE = 150_000  # floor(0.15 * PR_ONE)
 def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Symmetric customer↔supplier edge list from order lines.
 
-    Node ids are prefixed ('C<custkey>', 'S<suppkey>') so the two key
-    spaces cannot collide."""
+    Node ids are BIGINT — customer 2·custkey (even), supplier
+    2·suppkey+1 (odd) — so the two key spaces cannot collide and every
+    downstream shuffle/aggregate hashes an 8-byte long instead of a
+    'C<custkey>' string (r8: the string ids were ~2× the shuffle bytes
+    and slower hash compares through pagerank's 3 iterations and
+    kcore's peels).  :func:`node_label` renders the public
+    'C…'/'S…' form; graph operators apply it to their OUTPUT rows
+    only, never to an intermediate relation."""
     pairs = (
         orders.select("o_orderkey", "o_custkey")
         .join(lineitem.select("l_orderkey", "l_suppkey"),
               F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def node_label(col) -> "F.Column":
+    """Render a trade_edges BIGINT node id as its public label:
+    even → 'C<id/2>' (customer), odd → 'S<(id-1)/2>' (supplier)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c % 2 == 0, F.concat(F.lit("C"), (c / 2).cast("bigint").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("S"), ((c - 1) / 2).cast("bigint").cast("string"))
     )
 
 
@@ -104,7 +121,11 @@ def pagerank_top(
     single-partition row_number window only ever sees the k survivors."""
     from pyspark.sql import Window
 
-    ranked = pagerank(trade_edges(orders, lineitem), iters=iters)
+    ranked = pagerank(trade_edges(orders, lineitem), iters=iters).select(
+        # label BEFORE the sort: rank ties break on the public STRING
+        # form ('C10' < 'C2'), matching the declared oracle order
+        node_label("node").alias("node"), "pr"
+    )
     top = ranked.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(k)
     w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
     return (
@@ -219,8 +240,9 @@ def kcore_members(edges: DataFrame, k: int = 30, rounds: int = 4) -> DataFrame:
     the k-core has too few well-connected neighbors to be authority
     content).
 
-    Fixed-round contract: exactly ``rounds`` peels, mirrored verbatim
-    by the unrolled-CTE oracle — the same declared-iteration discipline
+    Fixed-round contract: ``rounds`` peels, mirrored verbatim by the
+    unrolled-CTE oracle (rounds after the list stops shrinking are
+    identity maps and are skipped — see the convergence check below) — the same declared-iteration discipline
     as pagerank's fixed 3 iterations (standard SQL cannot aggregate in
     a recursive term, so a faithful oracle must unroll; the engine
     therefore pins the round count rather than iterating to an
@@ -246,12 +268,30 @@ def kcore_members(edges: DataFrame, k: int = 30, rounds: int = 4) -> DataFrame:
     Output: (node, core_deg, is_core) for nodes surviving ``rounds``
     peels."""
     e = edges.localCheckpoint(eager=True)
-    for _ in range(rounds):
+    n_edges = e.count()  # counting a materialized list is one cheap job
+    for r in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
         e = e.join(keep, "src").join(
             keep.select(F.col("src").alias("dst")), "dst"
-        ).localCheckpoint(eager=True)
+        )
+        # the last round's list is consumed exactly once (the final
+        # degree aggregate), so its materialization would be pure
+        # overhead — checkpoint only the lists a NEXT round reads twice
+        if r < rounds - 1:
+            e = e.localCheckpoint(eager=True)
+            n_next = e.count()
+            # convergence early-exit, OUTPUT-IDENTICAL to the fixed
+            # round count: an unchanged edge COUNT means no edge was
+            # removed (the two keep-joins only ever delete rows), so
+            # the surviving list is literally the same relation and
+            # every remaining round is the identity map — skipping
+            # them cannot change the result the unrolled-CTE oracle
+            # computes.  At sf0.1 the peel converges after round 1,
+            # so this saves 2 full degree+filter rounds of the 4.
+            if n_next == n_edges:
+                break
+            n_edges = n_next
     final_deg = e.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("core_deg")
     )
