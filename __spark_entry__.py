@@ -1610,6 +1610,22 @@ def _q_sim_hard_negatives(spark, sf_dir):
     )
 
 
+def _q_sim_matryoshka_recall(spark, sf_dir):
+    from oracdc_spark.operators import similarity
+
+    return similarity.matryoshka_recall(
+        load_table(spark, sf_dir, "embeddings"), 100, 5, dims=(32, 16, 8)
+    )
+
+
+def _q_sim_decontamination(spark, sf_dir):
+    from oracdc_spark.operators import similarity
+
+    return similarity.decontamination_screen(
+        load_table(spark, sf_dir, "embeddings"), 100, 0.12
+    )
+
+
 def _q_sim_opq_learned_audit(spark, sf_dir):
     # rows-only by necessity (the OPQ-NP fit is an SVD — no DuckDB
     # replay): one row per alternation count pairing the fit's own
@@ -2221,6 +2237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_opq_balanced_recall": _q_sim_opq_balanced_recall,
         "similarity_opq_learned_audit": _q_sim_opq_learned_audit,
         "similarity_hard_negatives": _q_sim_hard_negatives,
+        # new r8: MRL prefix-truncation recall audit
+        "similarity_matryoshka_recall": _q_sim_matryoshka_recall,
+        # new r8: embedding-space eval-contamination screen
+        "similarity_decontamination": _q_sim_decontamination,
         "retrieval_mmr": _q_retrieval_mmr,
         "similarity_norm_outliers": _q_sim_norm_outliers,
         "similarity_hyperplane_lsh": _q_sim_hyperplane_lsh,
@@ -5338,6 +5358,107 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
                                ORDER BY score DESC, neighbor_id) AS rank
   FROM scored) t
 WHERE rank <= 5
+"""
+    )
+    # MRL truncation audit: per prefix width d, the exact top-k over
+    # components i <= d (1-based UNNEST) vs the full-width exact top-k.
+    # Truncation commutes with quantization (both per-component), so
+    # the truncated legs reuse the same qv CTE with an i-bound.
+    def _mrl_leg(d: int) -> str:
+        return f"""
+ap{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM (
+      SELECT a.query_id, b.neighbor_id,
+             (CASE WHEN SUM(a.q * b.q) < 0 THEN -1.0
+                   WHEN SUM(a.q * b.q) > 0 THEN 1.0 ELSE 0.0 END)
+             * (CAST(SUM(a.q * b.q) AS DOUBLE) * CAST(SUM(a.q * b.q) AS DOUBLE))
+             / (CAST(qnt.qn AS DOUBLE) * CAST(cnt.cn AS DOUBLE)) AS score
+      FROM q a JOIN c b USING (i)
+      JOIN (SELECT query_id, SUM(q*q) AS qn FROM q WHERE i <= {d}
+            GROUP BY query_id) qnt ON a.query_id = qnt.query_id
+      JOIN (SELECT neighbor_id, SUM(q*q) AS cn FROM c WHERE i <= {d}
+            GROUP BY neighbor_id) cnt ON b.neighbor_id = cnt.neighbor_id
+      WHERE a.query_id <> b.neighbor_id AND a.i <= {d}
+      GROUP BY a.query_id, b.neighbor_id, qnt.qn, cnt.cn
+    )
+  ) WHERE rank <= 5
+),
+hit{d} AS (
+  SELECT query_id, COUNT(*) AS n FROM ap{d} JOIN ex USING (query_id, neighbor_id)
+  GROUP BY query_id
+),
+leg{d} AS (
+  SELECT CAST({d} AS BIGINT) AS dims, query_id,
+         CAST(COALESCE(n, 0) AS BIGINT) AS n_matches,
+         ROUND(CAST(COALESCE(n, 0) AS DOUBLE) / 5, 6) AS recall
+  FROM qids LEFT JOIN hit{d} USING (query_id)
+)"""
+
+    sql["similarity_matryoshka_recall"] = (
+        "WITH "
+        + _QUANT
+        + """,
+q AS (SELECT vec_id AS query_id, i, q FROM qv WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, i, q FROM qv),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM (
+      SELECT a.query_id, b.neighbor_id,
+             (CASE WHEN SUM(a.q * b.q) < 0 THEN -1.0
+                   WHEN SUM(a.q * b.q) > 0 THEN 1.0 ELSE 0.0 END)
+             * (CAST(SUM(a.q * b.q) AS DOUBLE) * CAST(SUM(a.q * b.q) AS DOUBLE))
+             / (CAST(qnt.qn AS DOUBLE) * CAST(cnt.cn AS DOUBLE)) AS score
+      FROM q a JOIN c b USING (i)
+      JOIN (SELECT query_id, SUM(q*q) AS qn FROM q GROUP BY query_id) qnt
+           ON a.query_id = qnt.query_id
+      JOIN (SELECT neighbor_id, SUM(q*q) AS cn FROM c GROUP BY neighbor_id) cnt
+           ON b.neighbor_id = cnt.neighbor_id
+      WHERE a.query_id <> b.neighbor_id
+      GROUP BY a.query_id, b.neighbor_id, qnt.qn, cnt.cn
+    )
+  ) WHERE rank <= 5
+),
+qids AS (SELECT DISTINCT query_id FROM ex)"""
+        + "".join(f",{_mrl_leg(d)}" for d in (32, 16, 8))
+        + """
+SELECT * FROM leg32 UNION ALL SELECT * FROM leg16 UNION ALL SELECT * FROM leg8
+"""
+    )
+    # embedding decontamination: per TRAIN vector, its nearest EVAL
+    # item (row_number ties on eval_id) kept when the quantized-cosine
+    # score clears the threshold
+    sql["similarity_decontamination"] = (
+        "WITH "
+        + _QUANT
+        + """,
+q AS (SELECT vec_id AS eval_id, i, q FROM qv WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id, i, q FROM qv WHERE vec_id % 100 <> 0),
+dots AS (
+  SELECT eval_id, vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM q a JOIN c b USING (i)
+  GROUP BY eval_id, vec_id
+),
+qn AS (SELECT eval_id, CAST(SUM(q*q) AS BIGINT) AS qn FROM q GROUP BY eval_id),
+cn AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS cn FROM c GROUP BY vec_id),
+scored AS (
+  SELECT vec_id, eval_id,
+         (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+         * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+         / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS score
+  FROM dots JOIN qn USING (eval_id) JOIN cn USING (vec_id)
+)
+SELECT vec_id, eval_id, ROUND(score, 6) AS score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY score DESC, eval_id) AS rn
+  FROM scored) t
+WHERE rn = 1 AND score >= 0.12
 """
     )
     # embedding-norm QC: rank-based 1% trim, oracle = the literal

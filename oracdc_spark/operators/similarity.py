@@ -612,3 +612,97 @@ def norm_outliers(
             F.when(low, F.lit("low")).otherwise(F.lit("high")).alias("side"),
         )
     )
+
+
+def matryoshka_recall(
+    vecs: DataFrame,
+    query_mod: int = 100,
+    k: int = 5,
+    dims: tuple = (32, 16, 8),
+) -> DataFrame:
+    """Matryoshka prefix-truncation recall audit (Kusupati et al.,
+    "Matryoshka Representation Learning", NeurIPS 2022): recall@k of
+    the exact search restricted to the FIRST ``d`` vector components
+    against the full-dimension exact top-k, one row per (dims, query).
+    The production question it answers: how far can stored vectors be
+    truncated for the cheap first-stage scan before recall collapses —
+    MRL's adaptive-retrieval deployment nominates with a d/4 prefix and
+    re-ranks survivors at full width (ivfpq_refine_topk's recipe with
+    truncation playing PQ's role).
+
+    Honest scale note: F.slice on an array column cuts COMPUTE per
+    comparison but not parquet bytes (array elements are not
+    column-pruned); a real MRL deployment stores the prefix as its own
+    column so the narrow scan also reads d/dim of the bytes.  The
+    ranking contract — quantize, integer dots, one IEEE division — is
+    unchanged, so truncated and full scores share the oracle
+    convention, and truncating commutes with quantizing (both are
+    per-component).
+
+    Output: (dims, query_id, n_matches, recall)."""
+    exact = brute_force_topk(vecs, query_mod, k, cache=True)
+    qids = exact.select("query_id").distinct()
+    out = None
+    for d in dims:
+        trunc = vecs.select(
+            "vec_id", F.slice("embedding", 1, int(d)).alias("embedding")
+        )
+        approx = brute_force_topk(trunc, query_mod, k)
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+        )
+        row = qids.join(hits, "query_id", "left").select(
+            F.lit(int(d)).cast("bigint").alias("dims"),
+            "query_id",
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+            F.round(
+                F.coalesce("n_matches", F.lit(0)).cast("double") / k, 6
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def decontamination_screen(
+    vecs: DataFrame, eval_mod: int = 100, threshold_score: float = 0.16
+) -> DataFrame:
+    """Embedding-space eval-contamination screen: every TRAIN vector
+    whose quantized-cosine score against its nearest EVAL vector clears
+    the threshold is reported with that eval item — the semantic
+    complement of the n-gram ``text_contamination`` gate (n-gram
+    overlap after Brown et al. 2020 catches verbatim leakage; the
+    embedding screen catches paraphrased leakage the lexical gate
+    misses).  The ``vec_id % eval_mod == 0`` subset stands in for the
+    held-out benchmark batch, same bounded-batch contract as
+    brute_force_topk's query set.
+
+    Scale shape: identical to the brute-force serving path — the
+    bounded eval batch broadcasts, the train corpus streams through ONE
+    component join and one per-train-vector aggregate; no corpus×corpus
+    work.  At 100 TB with a large benchmark suite, swap the exact scan
+    for IVF/PQ candidates exactly as ivfpq_refine_topk does.
+
+    Output: (vec_id, eval_id, score) — one row per contaminated train
+    vector, its nearest eval item (ties break on lower eval_id), score
+    rounded to 6."""
+    evalset = vecs.filter(F.col("vec_id") % eval_mod == 0)
+    train = vecs.filter(F.col("vec_id") % eval_mod != 0)
+    scores = cosine_scores(evalset, train)
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("score").desc(), F.col("query_id")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("score") >= threshold_score))
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("query_id").alias("eval_id"),
+            F.round(F.col("score"), 6).alias("score"),
+        )
+    )

@@ -232,3 +232,79 @@ class TestCanonicalQuality:
             threshold=0.9,
         ).collect()
         assert len(out) == 2 and all(r.n_members == 1 for r in out)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+class TestMatryoshkaRecall:
+    def test_full_width_is_identity(self, spark):
+        from oracdc_spark.operators.similarity import matryoshka_recall
+
+        rows = [
+            (i, [float(i == j) for j in range(4)], 0) for i in range(4)
+        ] + [(4, [1.0, 0.1, 0.0, 0.0], 0)]
+        out = matryoshka_recall(
+            _vecs(spark, rows), query_mod=4, k=2, dims=(4,)
+        ).collect()
+        # truncating at the full width IS the exact search
+        assert out and all(r.recall == 1.0 for r in out)
+
+    def test_misleading_prefix_drops_recall(self, spark):
+        from oracdc_spark.operators.similarity import matryoshka_recall
+
+        # query 0 = [1,0,0,0]; neighbor 1 shares ONLY the tail dims,
+        # neighbor 2 shares only dim 0.  Full-width top-1 is 2 (dot 1 >
+        # 0); the 1-dim prefix sees neighbor 1 as orthogonal junk but
+        # still ranks 2 first — craft so the prefix INVERTS the order:
+        # q=[1,2], a=[2,1] (dot 4), b=[1,-2] (dot -3) at full width ->
+        # top1 = a; prefix d=1: a dot 2, b dot 1 -> still a.  Use sign:
+        # q=[1,2], a=[-1,2] (dot 3), b=[2,-0.5] (dot 1) full -> a;
+        # d=1: a dot -1 (score<0), b dot 2 -> b.  recall@1 = 0.
+        rows = [
+            (0, [1.0, 2.0], 0),
+            (1, [-1.0, 2.0], 0),
+            (2, [2.0, -0.5], 0),
+        ]
+        out = {
+            r.dims: r.recall
+            for r in matryoshka_recall(
+                _vecs(spark, rows), query_mod=3, k=1, dims=(2, 1)
+            ).collect()
+        }
+        assert out[2] == 1.0 and out[1] == 0.0
+
+
+class TestDecontamination:
+    def test_duplicate_flagged_orthogonal_not(self, spark):
+        from oracdc_spark.operators.similarity import decontamination_screen
+
+        rows = [
+            (0, [1.0, 0.0], 0),   # eval (0 % 100 == 0)
+            (1, [1.0, 0.0], 0),   # train, identical -> flagged
+            (2, [0.0, 1.0], 0),   # train, orthogonal -> clean
+        ]
+        out = decontamination_screen(
+            _vecs(spark, rows), eval_mod=100, threshold_score=0.5
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.vec_id == 1 and r.eval_id == 0 and r.score == 1.0
+
+    def test_nearest_eval_tie_breaks_low_id(self, spark):
+        from oracdc_spark.operators.similarity import decontamination_screen
+
+        # two eval items equally similar to the train vector: the
+        # reported eval_id must be the LOWER one (window tie contract)
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (100, [1.0, 0.0], 0),
+            (7, [1.0, 0.0], 0),
+        ]
+        [r] = decontamination_screen(
+            _vecs(spark, rows), eval_mod=100, threshold_score=0.5
+        ).collect()
+        assert r.vec_id == 7 and r.eval_id == 0
