@@ -259,6 +259,20 @@ BENCH_QUERIES = [
     # r8 named exclusion: cdc_scd2_asof (the benched cdc_scd2_history
     # window + a codegen interval filter; the replay alternative is the
     # benched cdc_replica_asof — nothing new to time)
+    # r8 named exclusions (late batch): text_topic_clusters (the benched
+    # bigram scans + vocab-bounded CC rounds); text_char_entropy (one
+    # codegen scan, sub-second class); cdc_net_effect (the benched
+    # cdc_batch_dedup pk exchange with extra window expressions);
+    # orders_rank_report (one partitioned sort shared by three rank
+    # functions — the benched customer_order_rank exchange);
+    # dedup_canonical_quality (the benched dedup_clusters_fast
+    # propagation + the same metadata join/window as the excluded
+    # dedup_canonical, with a distinct-token quality key);
+    # similarity_matryoshka_recall (3 prefix-truncated legs of the
+    # benched bruteforce scan plus the shared cached exact — nothing
+    # but that shape at decreasing d); similarity_decontamination (the
+    # benched bruteforce component-join scan with a per-train window
+    # instead of per-query top-k).
     # SymSpell deletion-neighborhood typo pairing (new blocking shape:
     # vocab x word-length variant explode + variant-keyed self-join +
     # exact levenshtein on candidates)
