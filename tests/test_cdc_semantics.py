@@ -366,3 +366,22 @@ class TestScd2:
         )
         assert all(r.n_cur <= 1 for r in per_pk)
         assert any(r.n_cur == 1 for r in per_pk)
+
+
+def test_net_effect_upsert_equals_full_replay(spark):
+    """Replica equivalence on the REAL sf0.001 feed: upserting the
+    net-effect collapse onto an empty target (net_op != DELETE → final
+    image present, DELETE/vanished → absent) must reconstruct exactly
+    the replica the full last-write-wins replay builds — the invariant
+    that makes event reduction safe to enable on a sink."""
+    from oracdc_spark.feed import change_feed
+
+    feed = change_feed(spark, "/root/testdata/sf0.001")
+    cols = ("owner", "table_name", "pk", "totalprice", "status")
+    full = {tuple(r) for r in cdc.apply_changes(feed).collect()}
+    net = {
+        tuple(getattr(r, c) for c in cols)
+        for r in cdc.batch_net_effect(cdc.commit_stamped(feed)).collect()
+        if r.net_op != cdc.OP_DELETE
+    }
+    assert net == full and len(full) > 0

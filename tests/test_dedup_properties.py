@@ -1,0 +1,86 @@
+"""Property-based invariants for the dedup family: whatever corpus
+hypothesis constructs (repeats, empty docs, shared prefixes), the
+structural relationships between the operators must hold — the
+cross-operator theorems the fixed-corpus oracles cannot exercise."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# small alphabet + short docs force collisions: duplicate shingles,
+# whole-doc repeats, sub-document containment
+DOC = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=14
+).map(" ".join)
+CORPUS = st.lists(DOC, min_size=1, max_size=14)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_clusters_fast_equals_plain_propagation(spark, docs):
+    """Pointer-jumping min-label CC must be output-identical to the
+    plain O(diameter) propagation on every graph the pair stage can
+    produce (the equality the bench-slot swap in r8 relies on)."""
+    from oracdc_spark.operators.dedup import dedup_clusters, dedup_clusters_fast
+
+    df = _df(spark, docs)
+    plain = {(r.doc_id, r.cluster_id)
+             for r in dedup_clusters(df, n=2, threshold=0.3).collect()}
+    fast = {(r.doc_id, r.cluster_id)
+            for r in dedup_clusters_fast(df, n=2, threshold=0.3).collect()}
+    assert fast == plain
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_containment_dominates_jaccard(spark, docs):
+    """For every pair, max-containment ≥ Jaccard (|A∩B|/min ≥ |A∩B|/|A∪B|):
+    any pair the symmetric operator surfaces at threshold t must appear
+    in the containment relation at the same t (sub-document detection
+    is strictly more permissive)."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    df = _df(spark, docs)
+    jac = {(r.d1, r.d2) for r in jaccard_pairs(df, n=2, threshold=0.5).collect()}
+    cont = {
+        (min(r.d1, r.d2), max(r.d1, r.d2))
+        for r in containment_pairs(df, n=2, threshold=0.5).collect()
+    }
+    assert jac <= cont
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_canonical_quality_partitions_the_corpus(spark, docs):
+    """Canonical selection is a partition: every doc belongs to exactly
+    one cluster, exactly one canonical row per cluster, member counts
+    sum to the corpus size, and the winner has the cluster-max distinct
+    count."""
+    from oracdc_spark.operators.dedup import dedup_canonical_quality, dedup_clusters
+
+    df = _df(spark, docs)
+    rows = dedup_canonical_quality(df, n=2, threshold=0.3).collect()
+    assert len({r.cluster_id for r in rows}) == len(rows)
+    assert sum(r.n_members for r in rows) == len(docs)
+    members = {}
+    for r in dedup_clusters(df, n=2, threshold=0.3).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    singles = set(range(len(docs))) - {
+        d for v in members.values() for d in v
+    }
+    assert {r.cluster_id for r in rows} == set(members) | singles
