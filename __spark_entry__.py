@@ -1727,6 +1727,17 @@ def _q_quota_sample(spark, sf_dir):
     return sampling.quota_sample(load_table(spark, sf_dir, "documents"))
 
 
+def _q_ab_assign(spark, sf_dir):
+    from oracdc_spark.operators import sampling
+
+    return sampling.ab_assign(
+        load_table(spark, sf_dir, "documents"),
+        arms=("control", "treatment", "holdout"),
+        weights=(2, 2, 1),
+        salt="exp1",
+    )
+
+
 def _q_temperature_mix(spark, sf_dir):
     from oracdc_spark.operators import sampling
 
@@ -2417,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _q_dedup_canonical,
         "pipeline_sample": _q_pipeline_sample,
         "pipeline_quota_sample": _q_quota_sample,
+        # new r8: deterministic A/B bucketing + SRM chi-square audit
+        "pipeline_ab_assign": _q_ab_assign,
         "pipeline_temperature_mix": _q_temperature_mix,
         "pipeline_split": _q_pipeline_split,
         "pipeline_split_leakage": _q_pipeline_split_leakage,
@@ -5010,6 +5023,29 @@ SELECT doc_id, cluster_id, n_chars, n_members FROM (
         "SELECT * FROM documents WHERE "
         "substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 2) < '1a'"
     )
+    # A/B bucketing + SRM: the md5 coin mod the total weight maps to an
+    # arm by cumulative-weight interval; zero-unit arms still report
+    sql["pipeline_ab_assign"] = """
+WITH arms(arm, lo, hi, w) AS (
+  VALUES ('control', 0, 2, 2), ('treatment', 2, 4, 2), ('holdout', 4, 5, 1)
+),
+assigned AS (
+  SELECT CAST('0x' || substr(md5('exp1|' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 5 AS bucket
+  FROM documents
+),
+obs AS (
+  SELECT arm, w, COUNT(bucket) AS n_docs
+  FROM arms LEFT JOIN assigned ON bucket >= lo AND bucket < hi
+  GROUP BY arm, w
+),
+tot AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT arm, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_total AS DOUBLE) * w / 5, 6) AS expected_docs,
+       ROUND(POWER(CAST(n_docs AS DOUBLE) - CAST(n_total AS DOUBLE) * w / 5, 2)
+             / (CAST(n_total AS DOUBLE) * w / 5), 6) AS chi2_component
+FROM obs, tot
+"""
     sql["pipeline_split"] = """
 SELECT doc_id,
        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

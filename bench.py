@@ -272,7 +272,9 @@ BENCH_QUERIES = [
     # benched bruteforce scan plus the shared cached exact — nothing
     # but that shape at decreasing d); similarity_decontamination (the
     # benched bruteforce component-join scan with a per-train window
-    # instead of per-query top-k).
+    # instead of per-query top-k); pipeline_ab_assign (one md5-coin
+    # scan + |arms|-row aggregate — the benched pipeline_split plan
+    # class).
     # SymSpell deletion-neighborhood typo pairing (new blocking shape:
     # vocab x word-length variant explode + variant-keyed self-join +
     # exact levenshtein on candidates)

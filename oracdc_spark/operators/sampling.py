@@ -528,3 +528,69 @@ def mixture_rebalance(
         .filter(keep)
         .select("doc_id", group_col, "n_tokens")
     )
+
+
+def ab_assign(
+    docs: DataFrame,
+    arms: tuple = ("control", "treatment"),
+    weights: tuple = (1, 1),
+    salt: str = "exp1",
+) -> DataFrame:
+    """Deterministic experiment bucketing with a sample-ratio-mismatch
+    audit — the assignment layer under every data-pipeline A/B (ablate
+    a filter on arm B, compare downstream loss): the unit's arm is a
+    pure function of (salt, doc_id), so re-runs, late arrivals, and
+    retries always land in the same arm (the md5-coin convention every
+    sampler here shares), and no coordination or state is needed
+    across 1000 executors.
+
+    The audit is the standard SRM check (Fabijan et al., "Diagnosing
+    Sample Ratio Mismatch", KDD 2019): per arm, observed count vs the
+    weight-expected count and the Pearson χ² component
+    (obs−exp)²/exp — a large Σχ² on a deterministic hash means the
+    upstream corpus itself was filtered arm-dependently (the classic
+    pipeline bug SRM exists to catch).
+
+    One corpus scan, one |arms|-row aggregate; the arm boundary table
+    is a broadcast literal.  Output: (arm, n_docs, expected_docs,
+    chi2_component), one row per arm, expected/χ² rounded to 6."""
+    if len(arms) != len(weights) or not arms:
+        raise ValueError("arms and weights must be equal-length, non-empty")
+    total_w = sum(weights)
+    spark = docs.sparkSession
+    bounds, acc = [], 0
+    for arm, w in zip(arms, weights):
+        bounds.append((arm, acc, acc + w, w))
+        acc += w
+    arm_df = spark.createDataFrame(
+        bounds, "arm string, lo long, hi long, w long"
+    )
+    coin = _hash32(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+    assigned = docs.select((coin % total_w).alias("bucket"))
+    observed = (
+        assigned.join(
+            F.broadcast(arm_df),
+            (F.col("bucket") >= F.col("lo")) & (F.col("bucket") < F.col("hi")),
+        )
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    # left join from the arm table: an arm that received ZERO units
+    # must still report (that is the most extreme SRM, not a missing row)
+    counts = arm_df.join(observed, "arm", "left").select(
+        "arm", "w", F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_docs")
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    exp = F.col("n_total").cast("double") * F.col("w") / total_w
+    chi2 = (F.col("n_docs").cast("double") - exp) * (
+        F.col("n_docs").cast("double") - exp
+    ) / exp
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "arm",
+            "n_docs",
+            F.round(exp, 6).alias("expected_docs"),
+            F.round(chi2, 6).alias("chi2_component"),
+        )
+    )

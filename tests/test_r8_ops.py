@@ -308,3 +308,45 @@ class TestDecontamination:
             _vecs(spark, rows), eval_mod=100, threshold_score=0.5
         ).collect()
         assert r.vec_id == 7 and r.eval_id == 0
+
+
+class TestAbAssign:
+    def test_deterministic_and_complete(self, spark):
+        from oracdc_spark.operators.sampling import ab_assign
+
+        df = _docs(spark, [f"doc {i}" for i in range(200)])
+        a = sorted(tuple(r) for r in ab_assign(df).collect())
+        b = sorted(tuple(r) for r in ab_assign(df).collect())
+        assert a == b  # pure function of (salt, doc_id)
+        assert sum(r[1] for r in a) == 200  # every doc in exactly one arm
+
+    def test_zero_unit_arm_still_reports(self, spark):
+        from oracdc_spark.operators.sampling import ab_assign
+
+        # a single doc cannot fill 3 arms: the empty arms must appear
+        # with n_docs=0 and chi2 = expected (the (0-e)^2/e = e identity)
+        df = _docs(spark, ["one doc"])
+        rows = {r.arm: r for r in ab_assign(
+            df, arms=("a", "b", "c"), weights=(1, 1, 1)).collect()}
+        assert set(rows) == {"a", "b", "c"}
+        empty = [r for r in rows.values() if r.n_docs == 0]
+        assert len(empty) == 2
+        for r in empty:
+            assert r.chi2_component == r.expected_docs
+
+    def test_salt_changes_assignment(self, spark):
+        from oracdc_spark.operators.sampling import ab_assign
+
+        df = _docs(spark, [f"doc {i}" for i in range(500)])
+        a = {r.arm: r.n_docs for r in ab_assign(df, salt="exp1").collect()}
+        b = {r.arm: r.n_docs for r in ab_assign(df, salt="exp2").collect()}
+        assert a != b  # different experiment, different coin
+
+    def test_bad_args_raise(self, spark):
+        import pytest as _pt
+
+        from oracdc_spark.operators.sampling import ab_assign
+
+        df = _docs(spark, ["x"])
+        with _pt.raises(ValueError):
+            ab_assign(df, arms=("a",), weights=(1, 2))
