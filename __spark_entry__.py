@@ -1610,6 +1610,14 @@ def _q_sim_hard_negatives(spark, sf_dir):
     )
 
 
+def _q_sim_nprobe_curve(spark, sf_dir):
+    from oracdc_spark.operators import similarity
+
+    return similarity.ivf_nprobe_curve(
+        load_table(spark, sf_dir, "embeddings"), 100, 5, n_probes=(1, 2, 3, 4)
+    )
+
+
 def _q_sim_matryoshka_recall(spark, sf_dir):
     from oracdc_spark.operators import similarity
 
@@ -1719,6 +1727,14 @@ def _q_text_cms(spark, sf_dir):
 
 def _q_text_repetition(spark, sf_dir):
     return textops.repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _q_text_ngram_novelty(spark, sf_dir):
+    return textops.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_rate_by_source(spark, sf_dir):
+    return textops.dedup_rate_by_source(load_table(spark, sf_dir, "documents"))
 
 
 def _q_quota_sample(spark, sf_dir):
@@ -2250,6 +2266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hard_negatives": _q_sim_hard_negatives,
         # new r8: MRL prefix-truncation recall audit
         "similarity_matryoshka_recall": _q_sim_matryoshka_recall,
+        # new r8: IVF nprobe sweep (recall-vs-cost tuning curve)
+        "similarity_nprobe_curve": _q_sim_nprobe_curve,
         # new r8: embedding-space eval-contamination screen
         "similarity_decontamination": _q_sim_decontamination,
         "retrieval_mmr": _q_retrieval_mmr,
@@ -2400,6 +2418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_quality": _q_dedup_canonical_quality,
         # new r8: Church-Hanks PMI collocation top-k
         "text_pmi_collocations": _q_text_pmi_collocations,
+        # new r8: per-doc novel-ngram fraction (memorization axis)
+        "text_ngram_novelty": _q_text_ngram_novelty,
+        # new r8: per-source exact/fingerprint duplication dashboard
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         # new r8: k-core peeling over the trade graph (fixed 4 rounds)
         "graph_kcore": _q_graph_kcore,
         # new r8: last-touch attribution (single-exchange carry-forward)
@@ -5396,6 +5418,92 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 WHERE rank <= 5
 """
     )
+    # IVF nprobe sweep: the multiprobe oracle parameterized over the
+    # probe count, each leg's top-5 intersected with the shared exact
+    # top-5 and reduced to one (n_probe, n_queries, n_matches, recall)
+    def _nprobe_leg(p: int) -> str:
+        return f"""
+probe{p} AS (
+  SELECT query_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cell) AS rk
+    FROM dist) z
+  WHERE rk <= {p}
+),
+agg{p} AS (
+  SELECT a.query_id, b.neighbor_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot,
+         CAST(SUM(a.q * a.q) AS BIGINT) AS qn,
+         CAST(SUM(b.q * b.q) AS BIGINT) AS cn
+  FROM qd a
+  JOIN probe{p} p ON a.query_id = p.query_id
+  JOIN cc b ON b.cell = p.cell AND b.i = a.i
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY a.query_id, b.neighbor_id
+),
+ap{p} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+             * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+             / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+             neighbor_id) AS rank
+    FROM agg{p}) t
+  WHERE rank <= 5
+),
+leg{p} AS (
+  SELECT CAST({p} AS BIGINT) AS n_probe,
+         (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM ex) AS n_queries,
+         CAST((SELECT COUNT(*) FROM ap{p} JOIN ex USING (query_id, neighbor_id))
+              AS BIGINT) AS n_matches,
+         ROUND(CAST((SELECT COUNT(*) FROM ap{p} JOIN ex
+                     USING (query_id, neighbor_id)) AS DOUBLE)
+               / (5 * CAST((SELECT COUNT(DISTINCT query_id) FROM ex) AS DOUBLE)),
+               6) AS recall
+)"""
+
+    sql["similarity_nprobe_curve"] = (
+        "WITH "
+        + _QUANT
+        + """,
+cents AS (
+  SELECT label AS cell, i,
+         CAST(round(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM qv GROUP BY label, i
+),
+qd AS (SELECT vec_id AS query_id, i, q FROM qv WHERE vec_id % 100 = 0),
+cc AS (SELECT vec_id AS neighbor_id, label AS cell, i, q FROM qv),
+dist AS (
+  SELECT query_id, cell, SUM((q - cq) * (q - cq)) AS d2
+  FROM qd JOIN cents ON qd.i = cents.i
+  GROUP BY query_id, cell
+),
+exdots AS (
+  SELECT a.query_id, b.neighbor_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot,
+         CAST(SUM(a.q * a.q) AS BIGINT) AS qn,
+         CAST(SUM(b.q * b.q) AS BIGINT) AS cn
+  FROM qd a JOIN cc b USING (i)
+  WHERE a.query_id <> b.neighbor_id
+  GROUP BY a.query_id, b.neighbor_id
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+             (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+             * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+             / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+             neighbor_id) AS rank
+    FROM exdots) t
+  WHERE rank <= 5
+)"""
+        + "".join(f",{_nprobe_leg(p)}" for p in (1, 2, 3, 4))
+        + """
+SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+UNION ALL SELECT * FROM leg3 UNION ALL SELECT * FROM leg4
+"""
+    )
     # MRL truncation audit: per prefix width d, the exact top-k over
     # components i <= d (1-based UNNEST) vs the full-width exact top-k.
     # Truncation commutes with quantization (both per-component), so
@@ -6676,6 +6784,58 @@ SELECT pct, CAST(MIN(len) AS BIGINT) AS n_tokens,
 FROM ranked, n, (SELECT UNNEST([50, 90, 99]) AS pct) p
 WHERE cum * 100 >= n_docs * pct
 GROUP BY pct
+"""
+    )
+    # per-doc novel-ngram fraction: distinct (doc, 3-gram) explode, df
+    # aggregate, join back; <3-word docs have no grams -> novelty NULL
+    sql["text_ngram_novelty"] = (
+        "WITH "
+        + _TOKS
+        + """,
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+  WHERE len(w) >= 3
+),
+dfreq AS (SELECT g, COUNT(*) AS df FROM dg GROUP BY g),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM dg JOIN dfreq USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN n_ngrams IS NOT NULL
+            THEN ROUND(CAST(n_novel AS DOUBLE) / n_ngrams, 6) END AS novelty
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+    )
+    # per-source duplication dashboard: corpus-wide digest df counts,
+    # dup flags rolled up by source (cross-source dups charge both)
+    sql["dedup_rate_by_source"] = (
+        "WITH "
+        + _TOKS
+        + """,
+digests AS (
+  SELECT doc_id, source, md5(text) AS h_exact,
+         md5(lower(array_to_string(list_sort(list_distinct(w)), ' '))) AS h_fp
+  FROM toks
+),
+ex AS (SELECT h_exact, COUNT(*) AS n_ex FROM digests GROUP BY h_exact),
+fp AS (SELECT h_fp, COUNT(*) AS n_fp FROM digests GROUP BY h_fp),
+marked AS (
+  SELECT source,
+         CASE WHEN n_ex > 1 THEN 1 ELSE 0 END AS is_ex,
+         CASE WHEN n_fp > 1 THEN 1 ELSE 0 END AS is_fp
+  FROM digests JOIN ex USING (h_exact) JOIN fp USING (h_fp)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_ex) AS BIGINT) AS n_exact_dup,
+       CAST(SUM(is_fp) AS BIGINT) AS n_fp_dup,
+       ROUND(CAST(SUM(is_ex) AS DOUBLE) / COUNT(*), 6) AS exact_rate,
+       ROUND(CAST(SUM(is_fp) AS DOUBLE) / COUNT(*), 6) AS fp_rate
+FROM marked GROUP BY source
 """
     )
     sql["text_fingerprint"] = (

@@ -274,7 +274,12 @@ BENCH_QUERIES = [
     # benched bruteforce component-join scan with a per-train window
     # instead of per-query top-k); pipeline_ab_assign (one md5-coin
     # scan + |arms|-row aggregate — the benched pipeline_split plan
-    # class).
+    # class); similarity_nprobe_curve (4 legs of the benched
+    # ivf_multiprobe plan + the shared cached exact — a sweep of an
+    # already-timed shape); text_ngram_novelty (the benched winnow/
+    # shingle explode + one vocab df aggregate and a doc rollup);
+    # dedup_rate_by_source (two digest aggregates + a source rollup —
+    # the benched fingerprint scan class).
     # SymSpell deletion-neighborhood typo pairing (new blocking shape:
     # vocab x word-length variant explode + variant-keyed self-join +
     # exact levenshtein on candidates)

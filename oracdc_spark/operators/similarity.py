@@ -706,3 +706,49 @@ def decontamination_screen(
             F.round(F.col("score"), 6).alias("score"),
         )
     )
+
+
+def ivf_nprobe_curve(
+    vecs: DataFrame,
+    query_mod: int = 100,
+    k: int = 5,
+    n_probes: tuple = (1, 2, 3, 4),
+) -> DataFrame:
+    """The IVF tuning curve: recall@k of :func:`ivf_multiprobe_topk`
+    against the exact top-k for each ``n_probe`` value — the FAISS
+    nprobe sweep every deployment runs before pinning its serving
+    config (candidate work scales with n_probe/C while recall
+    saturates; the knee of this curve IS the operating point).  Same
+    audit-the-approximation discipline as sq8/pq/hyperplane recall,
+    following the family convention that structures with a tunable
+    capture knob ship the CURVE, not one point.
+
+    Output: (n_probe, n_queries, n_matches, recall) — one row per
+    sweep value; recall = n_matches / (k · n_queries), rounded 6."""
+    exact = brute_force_topk(vecs, query_mod, k, cache=True)
+    nq = exact.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries")
+    )
+    out = None
+    for p in n_probes:
+        approx = ivf_multiprobe_topk(vecs, query_mod, k, n_probe=int(p))
+        m = (
+            approx.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+        )
+        row = m.crossJoin(F.broadcast(nq)).select(
+            F.lit(int(p)).cast("bigint").alias("n_probe"),
+            "n_queries",
+            "n_matches",
+            F.round(
+                F.col("n_matches").cast("double")
+                / (k * F.col("n_queries").cast("double")),
+                6,
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -2123,3 +2123,100 @@ def pmi_topic_clusters(
             .localCheckpoint(eager=True)
         )
     return labels.select("word", "cluster_id")
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that occur in NO other document (corpus
+    df = 1) — the memorization/derivativeness axis of web-corpus QC
+    (RefinedWeb and the memorization literature report "novel n-gram"
+    fractions; a low-novelty doc is assembled from text that exists
+    elsewhere even when no single pair crosses a dedup threshold).
+    Complements dup_span_fraction (which localizes WHICH spans repeat)
+    with a corpus-wide scalar per doc.
+
+    Scale shape: one distinct (doc, ngram) explode, one vocab-keyed df
+    aggregate, one join back keyed the same, one doc aggregate — the
+    winnow/shingle pipeline's exact plan class, nothing pairwise.
+    Docs with fewer than n words have no n-grams: novelty NULL.
+
+    Output: (doc_id, n_ngrams, n_novel, novelty) rounded 6."""
+    w = _tokens()
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        _parallel(docs)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    dfreq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        dg.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum((F.col("df") == 1).cast("bigint")).cast("bigint").alias("n_novel"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.when(
+            F.col("n_ngrams").isNotNull(),
+            F.round(F.col("n_novel").cast("double") / F.col("n_ngrams"), 6),
+        ).alias("novelty"),
+    )
+
+
+def dedup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source duplication dashboard: how much of each provenance
+    bucket is exact-duplicated (md5 of the raw text seen on >1 doc
+    CORPUS-WIDE) or token-set-duplicated (the order-insensitive
+    fingerprint) — the per-source companion every curation report
+    pairs with corpus_datasheet when deciding which source to
+    re-crawl or down-weight (cross-source duplication charges BOTH
+    sources: a doc is a duplicate wherever its content also lives).
+
+    One digest projection, two vocab-of-digests aggregates, one
+    source-keyed rollup — no pair joins.  Output: (source, n_docs,
+    n_exact_dup, n_fp_dup, exact_rate, fp_rate), rates rounded 6."""
+    toks = F.array_sort(F.array_distinct(_tokens()))
+    digests = _parallel(docs).select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h_exact"),
+        F.md5(F.lower(F.array_join(toks, " "))).alias("h_fp"),
+    )
+    ex = digests.groupBy("h_exact").agg(F.count(F.lit(1)).alias("n_ex"))
+    fp = digests.groupBy("h_fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    marked = (
+        digests.join(ex, "h_exact")
+        .join(fp, "h_fp")
+        .select(
+            "source",
+            (F.col("n_ex") > 1).cast("bigint").alias("is_ex"),
+            (F.col("n_fp") > 1).cast("bigint").alias("is_fp"),
+        )
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_ex").cast("bigint").alias("n_exact_dup"),
+            F.sum("is_fp").cast("bigint").alias("n_fp_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            "n_fp_dup",
+            F.round(F.col("n_exact_dup").cast("double") / F.col("n_docs"), 6).alias("exact_rate"),
+            F.round(F.col("n_fp_dup").cast("double") / F.col("n_docs"), 6).alias("fp_rate"),
+        )
+    )

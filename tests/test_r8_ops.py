@@ -350,3 +350,69 @@ class TestAbAssign:
         df = _docs(spark, ["x"])
         with _pt.raises(ValueError):
             ab_assign(df, arms=("a",), weights=(1, 2))
+
+
+class TestNprobeCurve:
+    def test_full_probe_is_exact(self, spark):
+        from oracdc_spark.operators.similarity import ivf_nprobe_curve
+
+        # 2 cells; probing both IS the exact scan -> recall 1.0; the
+        # 1-probe leg misses cross-cell neighbors and must not exceed it
+        rows = [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 1),   # nearest to 0 but in the OTHER cell
+            (2, [0.0, 1.0, 0.0], 0),
+            (3, [0.0, 0.0, 1.0], 1),
+        ]
+        out = {
+            r.n_probe: r.recall
+            for r in ivf_nprobe_curve(
+                _vecs(spark, rows), query_mod=4, k=2, n_probes=(1, 2)
+            ).collect()
+        }
+        assert out[2] == 1.0
+        assert out[1] <= out[2]
+
+
+class TestNgramNovelty:
+    def test_unique_vs_copied(self, spark):
+        from oracdc_spark.operators.textops import ngram_novelty
+
+        # doc0 and doc1 are identical -> every 3-gram has df=2, novelty 0;
+        # doc2 is unique -> novelty 1; doc3 too short -> NULL
+        out = {r.doc_id: r for r in ngram_novelty(_docs(spark, [
+            "a b c d e", "a b c d e", "x y z w", "q r",
+        ])).collect()}
+        assert out[0].novelty == 0.0 and out[1].novelty == 0.0
+        assert out[2].novelty == 1.0 and out[2].n_ngrams == 2
+        assert out[3].n_ngrams == 0 and out[3].novelty is None
+
+    def test_partial_overlap_counts(self, spark):
+        from oracdc_spark.operators.textops import ngram_novelty
+
+        # doc1 shares the "a b c" gram with doc0 but adds a novel tail
+        out = {r.doc_id: r for r in ngram_novelty(_docs(spark, [
+            "a b c", "a b c z",
+        ])).collect()}
+        assert out[0].novelty == 0.0
+        assert out[1].n_ngrams == 2 and out[1].n_novel == 1
+        assert out[1].novelty == 0.5
+
+
+class TestDedupRateBySource:
+    def test_cross_source_dup_charges_both(self, spark):
+        from oracdc_spark.operators.textops import dedup_rate_by_source
+
+        rows = [
+            (0, "same text here", "en", "web", 14),
+            (1, "same text here", "en", "books", 14),   # exact dup of 0
+            (2, "here text same", "en", "books", 14),   # fp dup of both
+            (3, "completely different", "en", "web", 20),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        out = {r.source: r for r in dedup_rate_by_source(df).collect()}
+        assert out["web"].n_exact_dup == 1 and out["web"].n_fp_dup == 1
+        assert out["books"].n_exact_dup == 1 and out["books"].n_fp_dup == 2
+        assert out["books"].fp_rate == 1.0
