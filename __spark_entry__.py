@@ -2436,6 +2436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topic_clusters": _q_text_topic_clusters,
         # new r8: per-type z-score outlier QC gate
         "events_zscore_outliers": analytics.events_zscore_outliers,
+        # new r8: robust MAD outliers (masking-resistant companion)
+        "events_mad_outliers": analytics.events_mad_outliers,
         # new r8: mergeable-histogram quantile sketch + exact-rank audit
         "events_quantile_sketch": analytics.events_quantile_sketch,
         # new r8: cohort LTV curve (revenue companion to retention)
@@ -4556,6 +4558,54 @@ SELECT event_id, event_type, value, z FROM (
         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
 )
 WHERE ABS(z) >= 3.0
+"""
+    # robust MAD outliers: exact per-type lower medians via the
+    # histogram decomposition, run twice (values, then |value-median|)
+    sql["events_mad_outliers"] = """
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 1000) AS BIGINT) AS qv
+  FROM events
+),
+vh AS (SELECT event_type, qv, COUNT(*) AS cnt FROM e GROUP BY event_type, qv),
+vcum AS (
+  SELECT event_type, qv,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY qv
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vh
+),
+nt AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY event_type),
+med AS (
+  SELECT event_type, MIN(qv) AS med_qv
+  FROM vcum JOIN nt USING (event_type)
+  WHERE cum >= CAST(ceil(CAST(n AS DOUBLE) / 2) AS BIGINT)
+  GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(qv - med_qv) AS ad
+  FROM e JOIN med USING (event_type)
+),
+ah AS (SELECT event_type, ad, COUNT(*) AS cnt FROM dev GROUP BY event_type, ad),
+acum AS (
+  SELECT event_type, ad,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY ad
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ah
+),
+mad AS (
+  SELECT event_type, MIN(ad) AS mad
+  FROM acum JOIN nt USING (event_type)
+  WHERE cum >= CAST(ceil(CAST(n AS DOUBLE) / 2) AS BIGINT)
+  GROUP BY event_type
+)
+SELECT event_id, event_type, value, robust_z FROM (
+  SELECT event_id, e.event_type, value,
+         ROUND(0.6745 * CAST(qv - med_qv AS DOUBLE) / CAST(mad AS DOUBLE), 4)
+           AS robust_z
+  FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+  WHERE mad > 0
+)
+WHERE ABS(robust_z) >= 3.5
 """
     sql["events_attribution"] = """
 WITH touched AS (

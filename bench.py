@@ -279,7 +279,9 @@ BENCH_QUERIES = [
     # already-timed shape); text_ngram_novelty (the benched winnow/
     # shingle explode + one vocab df aggregate and a doc rollup);
     # dedup_rate_by_source (two digest aggregates + a source rollup —
-    # the benched fingerprint scan class).
+    # the benched fingerprint scan class); events_mad_outliers (the
+    # benched quantile-sketch histogram decomposition run twice per
+    # type + a broadcast stats join).
     # SymSpell deletion-neighborhood typo pairing (new blocking shape:
     # vocab x word-length variant explode + variant-keyed self-join +
     # exact levenshtein on candidates)

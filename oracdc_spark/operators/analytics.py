@@ -1965,3 +1965,69 @@ def events_user_similarity(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def events_mad_outliers(
+    spark: SparkSession, sf_dir: str, threshold: float = 3.5
+) -> DataFrame:
+    """Per-type ROBUST outlier detection via the modified z-score
+    0.6745·(x − median)/MAD (Iglewicz & Hoaglin 1993) — the companion
+    to events_zscore_outliers for the regime where the mean/stddev gate
+    fails: a handful of extreme values inflate the stddev enough to
+    mask themselves (masking), while median and MAD have a 50%
+    breakdown point and flag them anyway.
+
+    Exact medians WITHOUT a global sort: milli-quantized values have a
+    bounded domain, so a per-type (qv → count) histogram plus a
+    domain-sized per-type cumulative window yields the k-th smallest
+    exactly (k = ceil(n/2), the lower median — mirrored in the oracle);
+    the same decomposition runs a second time over |qv − median| for
+    the MAD.  Two corpus aggregates, two metadata-sized windows, one
+    broadcast stats join back — the events_quantile_sketch machinery
+    applied per group.  Types with MAD = 0 are excluded (the score is
+    undefined; >half the type's values are identical).
+
+    Output: (event_id, event_type, value, robust_z) for
+    |robust_z| ≥ threshold, robust_z rounded to 4."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 1000).cast("bigint").alias("qv"),
+    )
+
+    def _median_of(df: DataFrame, col: str) -> DataFrame:
+        vh = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("cnt"))
+        wv = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = vh.select("event_type", col, F.sum("cnt").over(wv).alias("cum"))
+        n = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        k = F.ceil(F.col("n").cast("double") / 2).cast("bigint")
+        return (
+            cum.join(F.broadcast(n.select("event_type", k.alias("k"))), "event_type")
+            .filter(F.col("cum") >= F.col("k"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias("med_" + col))
+        )
+    med = _median_of(e, "qv")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("qv") - F.col("med_qv")).alias("ad")
+    )
+    mad = _median_of(dev, "ad").withColumnRenamed("med_ad", "mad")
+    rz = F.round(
+        F.lit(0.6745)
+        * (F.col("qv") - F.col("med_qv")).cast("double")
+        / F.col("mad").cast("double"),
+        4,
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) >= threshold)
+        .select("event_id", "event_type", "value", "robust_z")
+    )

