@@ -293,6 +293,62 @@ OPQ_R_SCALE = 1024  # learned-rotation quantization: R_int = round(R * 2^10).
                     # magnitude contract as the WHT path's d* scaling.
 
 
+def _collect_raw(vecs: DataFrame, sample_mod: int):
+    """Collect the bounded ``vec_id % sample_mod == 0`` training sample
+    as RAW ARRAY rows and quantize driver-side — the same (vec_id, i,
+    q) dicts ``quantized(...).collect()`` produced, at 1/d the rows
+    over the wire (r8: the exploded collect was 2.8 s of the 3.5 s
+    training cost at sf0.1 — 64k Row objects for 1k vectors; arrays
+    collect in ~0.2 s and expand in one numpy op).  Bit-identity with
+    the executor-side ``quantized()``: float32 → float64 cast, ×
+    SCALE in float64, then round half away from zero
+    (:func:`_round_half_away` — Spark's F.round semantics)."""
+    import numpy as np
+
+    rows = (
+        vecs.filter(F.col("vec_id") % sample_mod == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        if r["embedding"] is None:
+            continue
+        q = _round_half_away(
+            np.asarray(r["embedding"], dtype=np.float64) * 1000.0
+        ).astype("int64")
+        vid = r["vec_id"]
+        out.extend(
+            {"vec_id": vid, "i": i, "q": int(q[i])} for i in range(len(q))
+        )
+    return out
+
+
+def _wht_rows(raw_rows, m: int, d: int):
+    """Driver-side mirror of :func:`opq_components` for the collected
+    sample: the ±1 Walsh-Hadamard matvec in exact int64, then the
+    o % m subspace tag — bit-identical to the executor path (H entries
+    are integers; numpy int64 matmul is exact)."""
+    import numpy as np
+
+    ids, X, d_in = _sample_matrix(raw_rows)
+    if d_in > d:
+        raise ValueError(f"rotation width d={d} < vector length {d_in}")
+    Xi = np.zeros((len(ids), d), dtype=np.int64)
+    Xi[:, :d_in] = X.astype(np.int64)
+    o = np.arange(d)
+    H = np.empty((d, d), dtype=np.int64)
+    for j in range(d):
+        # H[j, o] = (-1)^popcount(o & j)
+        H[j] = 1 - 2 * (np.vectorize(lambda v: bin(v).count("1"))(o & j) % 2)
+    Y = Xi @ H
+    return [
+        {"vec_id": v, "i": oo, "q": int(Y[n, oo]), "sub": oo % m}
+        for n, v in enumerate(ids)
+        for oo in range(d)
+    ]
+
+
 def _sample_matrix(raw_rows):
     """Dense (ids, X, d) view of collected component rows — zero-filled
     for missing components (the module's ragged contract)."""
@@ -510,7 +566,7 @@ def _train_encode(
         return _TRAIN_CACHE[key]
     spark = vecs.sparkSession
     if mode == "balanced":
-        raw = quantized(vecs.filter(F.col("vec_id") % sample_mod == 0)).collect()
+        raw = _collect_raw(vecs, sample_mod)
         alloc = _balanced_alloc(raw, m)
         sample_rows = [
             {"vec_id": r["vec_id"], "i": r["i"], "q": r["q"], "sub": alloc[r["i"]]}
@@ -528,7 +584,7 @@ def _train_encode(
             )
 
     elif mode == "learned":
-        raw = quantized(vecs.filter(F.col("vec_id") % sample_mod == 0)).collect()
+        raw = _collect_raw(vecs, sample_mod)
         R_int, d, _ = _opq_learn_rotation(raw, m, k, iters, sample_mod, opq_iters)
         ids, X, _ = _sample_matrix(raw)
         Y = X.astype("int64") @ R_int  # exact: both operands integral
@@ -564,9 +620,11 @@ def _train_encode(
 
     else:
         comp_fn = opq_components if mode == "wht" else pq_components
-        sample_rows = comp_fn(
-            vecs.filter(F.col("vec_id") % sample_mod == 0), m
-        ).collect()
+        raw = _collect_raw(vecs, sample_mod)
+        if mode == "wht":
+            sample_rows = _wht_rows(raw, m, OPQ_D)
+        else:
+            sample_rows = [dict(r, sub=r["i"] % m) for r in raw]
     cb_rows = _lloyd_train(sample_rows, k, iters, sample_mod)
     cb_arr, cc2_arr = _literal_assign_tables(spark, cb_rows, k)
     codes = _assigned(comp_fn(vecs, m), cb_arr, cc2_arr, k)
