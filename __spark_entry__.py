@@ -2442,6 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_sketch": analytics.events_quantile_sketch,
         # new r8: cohort LTV curve (revenue companion to retention)
         "events_cohort_ltv": analytics.events_cohort_ltv,
+        # new r8: revenue concentration (top-p% shares + exact Gini)
+        "orders_pareto": analytics.orders_pareto,
         # new r8: funnel time-to-convert exact quantiles
         "events_time_to_convert": analytics.events_time_to_convert,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
@@ -4558,6 +4560,37 @@ SELECT event_id, event_type, value, z FROM (
         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
 )
 WHERE ABS(z) >= 3.0
+"""
+    # revenue concentration: rank window over the customer-sized
+    # aggregate; Gini closed form over exact decimal sums
+    sql["orders_pareto"] = """
+WITH totals AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY t ASC, o_custkey ASC) AS i FROM totals
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(t) AS total_t,
+         SUM(i * t) AS iwt
+  FROM ranked
+),
+s1 AS (SELECT SUM(t) AS v1 FROM ranked, stats
+       WHERE i > n - CAST(ceil(n * 1 / 100) AS BIGINT)),
+s10 AS (SELECT SUM(t) AS v10 FROM ranked, stats
+        WHERE i > n - CAST(ceil(n * 10 / 100) AS BIGINT)),
+s20 AS (SELECT SUM(t) AS v20 FROM ranked, stats
+        WHERE i > n - CAST(ceil(n * 20 / 100) AS BIGINT))
+SELECT n AS n_customers,
+       CAST(total_t AS DOUBLE) AS total_revenue,
+       ROUND(CAST(v1 AS DOUBLE) / CAST(total_t AS DOUBLE), 6) AS top1_share,
+       ROUND(CAST(v10 AS DOUBLE) / CAST(total_t AS DOUBLE), 6) AS top10_share,
+       ROUND(CAST(v20 AS DOUBLE) / CAST(total_t AS DOUBLE), 6) AS top20_share,
+       ROUND(2.0 * CAST(iwt AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(total_t AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+FROM stats, s1, s10, s20
 """
     # robust MAD outliers: exact per-type lower medians via the
     # histogram decomposition, run twice (values, then |value-median|)

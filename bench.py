@@ -281,7 +281,9 @@ BENCH_QUERIES = [
     # dedup_rate_by_source (two digest aggregates + a source rollup —
     # the benched fingerprint scan class); events_mad_outliers (the
     # benched quantile-sketch histogram decomposition run twice per
-    # type + a broadcast stats join).
+    # type + a broadcast stats join); orders_pareto (one custkey
+    # aggregate + a customer-sized rank window — the benched
+    # customer_order_rank / q13 plan classes).
     # SymSpell deletion-neighborhood typo pairing (new blocking shape:
     # vocab x word-length variant explode + variant-keyed self-join +
     # exact levenshtein on candidates)

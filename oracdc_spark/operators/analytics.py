@@ -2031,3 +2031,64 @@ def events_mad_outliers(
         .filter(F.abs(F.col("robust_z")) >= threshold)
         .select("event_id", "event_type", "value", "robust_z")
     )
+
+
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: how much of total order revenue the
+    top 1% / 10% / 20% of customers carry, plus the exact Gini
+    coefficient — the whale-analysis companion to the RFM segments
+    (concentration decides whether per-customer or per-segment
+    treatments matter; on a training corpus the same statistic over
+    per-source token counts measures mixture skew).
+
+    Exactness: per-customer totals are DECIMAL sums (order-independent);
+    the Gini uses the closed form over ascending-sorted totals,
+    G = 2·Σ i·x_i / (n·Σx) − (n+1)/n, with Σ i·x_i an exact decimal
+    aggregate and the two divisions the only IEEE steps (rounded 6).
+    Ties sort by (total, custkey) — pinned in the oracle too.
+
+    Scale note: the rank window sorts the per-CUSTOMER aggregate, not
+    the orders table — customer-sized, 100-1000× smaller than the fact
+    table.  At truly extreme customer counts the rank decomposes over
+    a quantized-total histogram exactly like text_perplexity_buckets;
+    the closed form is unchanged.
+
+    Output: one row — (n_customers, total_revenue, top1_share,
+    top10_share, top20_share, gini)."""
+    o = load_table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("t")
+    )
+    w = Window.orderBy(F.col("t").asc(), F.col("o_custkey").asc())
+    ranked = totals.withColumn("i", F.row_number().over(w))
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("t").alias("total_t"),
+        F.sum(F.col("i") * F.col("t")).alias("iwt"),
+    )
+    shares = None
+    for pct, name in ((1, "top1_share"), (10, "top10_share"), (20, "top20_share")):
+        leg = (
+            ranked.crossJoin(F.broadcast(stats.select("n_customers")))
+            .filter(
+                F.col("i")
+                > F.col("n_customers")
+                - F.ceil(F.col("n_customers") * pct / 100).cast("bigint")
+            )
+            .agg(F.sum("t").alias(name))
+        )
+        shares = leg if shares is None else shares.crossJoin(F.broadcast(leg))
+    gini = F.round(
+        F.lit(2.0) * F.col("iwt").cast("double")
+        / (F.col("n_customers").cast("double") * F.col("total_t").cast("double"))
+        - (F.col("n_customers") + 1).cast("double") / F.col("n_customers").cast("double"),
+        6,
+    )
+    return stats.crossJoin(F.broadcast(shares)).select(
+        "n_customers",
+        F.col("total_t").cast("double").alias("total_revenue"),
+        F.round(F.col("top1_share").cast("double") / F.col("total_t").cast("double"), 6).alias("top1_share"),
+        F.round(F.col("top10_share").cast("double") / F.col("total_t").cast("double"), 6).alias("top10_share"),
+        F.round(F.col("top20_share").cast("double") / F.col("total_t").cast("double"), 6).alias("top20_share"),
+        gini.alias("gini"),
+    )

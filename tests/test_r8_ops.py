@@ -467,3 +467,43 @@ class TestMadOutliers:
             an.load_table = orig
         assert len(out) == 1 and out[0].event_id == 9
         assert out[0].robust_z > 100
+
+
+class TestOrdersPareto:
+    def test_uniform_and_extreme(self, spark):
+        import oracdc_spark.operators.analytics as an
+
+        # 10 customers, one order each: 9 customers at 1.0, one at 91.0
+        # -> total 100; top-10% (1 whale) share 0.91; Gini is high
+        rows = [(i, i, 1.0) for i in range(9)] + [(9, 9, 91.0)]
+        df = spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+        )
+        orig = an.load_table
+        an.load_table = lambda s, d, t: df
+        try:
+            [r] = an.orders_pareto(spark, "x").collect()
+        finally:
+            an.load_table = orig
+        assert r.n_customers == 10 and r.total_revenue == 100.0
+        assert r.top1_share == 0.91  # ceil(10*1/100)=1 customer
+        assert r.top10_share == 0.91
+        assert r.top20_share == 0.92
+        # closed form: 2*(sum i*x)/(n*sum x) - (n+1)/n with x asc
+        # x = [1]*9 + [91]; sum i*x = 45 + 10*91 = 955
+        assert r.gini == round(2 * 955 / (10 * 100) - 11 / 10, 6)
+
+    def test_perfect_equality_gini_zero(self, spark):
+        import oracdc_spark.operators.analytics as an
+
+        rows = [(i, i, 5.0) for i in range(8)]
+        df = spark.createDataFrame(
+            rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+        )
+        orig = an.load_table
+        an.load_table = lambda s, d, t: df
+        try:
+            [r] = an.orders_pareto(spark, "x").collect()
+        finally:
+            an.load_table = orig
+        assert r.gini == 0.0 and r.top20_share == round(2 / 8, 6)
