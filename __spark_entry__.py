@@ -2522,6 +2522,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # text_zipf_audit, events_attribution, events_zscore_outliers,
 # orders_grouping_sets — all parity-green at sf0.001 AND sf0.01
 # locally).
+# Late-r8 additions/changes also queued for first/re-check rows in r9
+# (each parity-green at sf0.001 AND sf0.01 locally):
+# dedup_canonical_quality, similarity_matryoshka_recall,
+# similarity_decontamination, similarity_nprobe_curve,
+# pipeline_ab_assign, text_ngram_novelty, dedup_rate_by_source,
+# events_mad_outliers, orders_pareto (new); graph_pagerank (bigint
+# node ids — label rendered on output only), the PQ family's
+# training-sample collect (arrays + driver-side quantize/WHT,
+# bit-identity pinned by unchanged oracles + test_pq.py), and
+# dedup_clusters_fast's convergence statistic (in-window already).
 _R8_WINDOW = [
     # (a) first driver rows — late-r7 declarations
     "text_langid_confusion",
