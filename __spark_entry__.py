@@ -689,6 +689,63 @@ def _q_pipeline_curation_v4(spark, sf_dir):
     )
 
 
+def _q_pipeline_curation_v5(spark, sf_dir):
+    """r8 curation composition — v4's chain (badwords ∧ perplexity
+    head+middle ∧ exact-dedup keeper) extended with the round's three
+    QC gates before the same global token-budget cut:
+
+    * char-entropy floor (≥ 2.6): compression-junk pages out;
+    * n-gram novelty floor (drop novelty < 0.05, NULL passes — short
+      docs carry no signal): assembled-from-elsewhere pages out even
+      when no single pair crosses a dedup threshold;
+    * semantic decontamination: train docs whose embedding sits within
+      cosine 0.12-score of any eval item out (docs without an
+      embedding pass — no screen signal, the honest contract).
+
+    Every stage is an individually-audited operator; the composition
+    adds one semi and two anti joins to v4's plan."""
+    from oracdc_spark.operators import sampling, similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bw_keep = (
+        textops.c4_badwords_filter(_badword_injected(spark, sf_dir), _BADWORD_HASHES)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    pb_keep = (
+        textops.perplexity_buckets(docs)
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id")
+    )
+    ex_keep = dedup.exact_dedup_keep(docs).select("doc_id")
+    ent_keep = (
+        textops.char_entropy(docs)
+        .filter(F.col("entropy") >= 2.6)
+        .select("doc_id")
+    )
+    nov_drop = (
+        textops.ngram_novelty(docs)
+        .filter(F.col("novelty") < 0.05)
+        .select("doc_id")
+    )
+    dec_drop = similarity.decontamination_screen(emb, 100, 0.12).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    survivors = (
+        docs.join(bw_keep, "doc_id", "semi")
+        .join(pb_keep, "doc_id", "semi")
+        .join(ex_keep, "doc_id", "semi")
+        .join(ent_keep, "doc_id", "semi")
+        .join(nov_drop, "doc_id", "anti")
+        .join(dec_drop, "doc_id", "anti")
+    )
+    sel = sampling.token_budget_global(survivors, budget=8000)
+    return sel.join(docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens", "score", "cum_tokens"
+    )
+
+
 def _q_pipeline_curation_funnel(spark, sf_dir):
     """Per-source survivor funnel over the v4 curation stages — the
     run-report a data-engineering dashboard shows: how many documents
@@ -2236,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_token_budget": _q_token_budget,
         "pipeline_token_budget_global": _q_token_budget_global,
         "pipeline_curation_v4": _q_pipeline_curation_v4,
+        # new r8: v4 + entropy floor + novelty floor + semantic decontam
+        "pipeline_curation_v5": _q_pipeline_curation_v5,
         "similarity_ivfpq_refine": _q_sim_ivfpq_refine,
         "dedup_simhash_recall": _q_dedup_simhash_recall,
         "archived_log_discovery": _q_archived_log_discovery,
@@ -7605,6 +7664,78 @@ branked AS (
         + """
 SELECT doc_id, lang, source, n_tokens, score, cum_tokens
 FROM branked WHERE cum_tokens <= 8000
+"""
+    )
+    # v5 = the v4 chain + the three r8 QC gates applied BEFORE the
+    # budget cut (fresh CTE names — `counts`/`toks` are taken by v4)
+    sql["pipeline_curation_v5"] = (
+        _v4_ctes
+        + """,
+ch5 AS (
+  SELECT doc_id, t.c AS c
+  FROM documents, UNNEST(regexp_split_to_array(text, '')) AS t(c)
+),
+ccnt5 AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM ch5 GROUP BY doc_id, c),
+eagg5 AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+         CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT))
+              AS BIGINT) AS s
+  FROM ccnt5 GROUP BY doc_id
+),
+ent_keep AS (
+  SELECT doc_id FROM eagg5
+  WHERE ROUND(ln(CAST(n_chars AS DOUBLE)) - (CAST(s AS DOUBLE) / n_chars) / 1000000,
+              6) >= 2.6
+),
+dg5 AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+  WHERE len(w) >= 3
+),
+dfq5 AS (SELECT g, COUNT(*) AS df FROM dg5 GROUP BY g),
+nov_drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM dg5 JOIN dfq5 USING (g) GROUP BY doc_id
+  ) WHERE ROUND(CAST(n_novel AS DOUBLE) / n_ngrams, 6) < 0.05
+),
+qv5 AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+dq5 AS (SELECT vec_id AS eval_id, i, q FROM qv5 WHERE vec_id % 100 = 0),
+dc5 AS (SELECT vec_id, i, q FROM qv5 WHERE vec_id % 100 <> 0),
+ddot5 AS (
+  SELECT eval_id, vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM dq5 a JOIN dc5 b USING (i) GROUP BY eval_id, vec_id
+),
+dqn5 AS (SELECT eval_id, CAST(SUM(q*q) AS BIGINT) AS qn FROM dq5 GROUP BY eval_id),
+dcn5 AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS cn FROM dc5 GROUP BY vec_id),
+dec_drop AS (
+  SELECT DISTINCT vec_id AS doc_id
+  FROM ddot5 JOIN dqn5 USING (eval_id) JOIN dcn5 USING (vec_id)
+  WHERE (CASE WHEN dot < 0 THEN -1.0 WHEN dot > 0 THEN 1.0 ELSE 0.0 END)
+        * (CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE))
+        / (CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) >= 0.12
+),
+surv5 AS (
+  SELECT s.* FROM surv s
+  JOIN ent_keep USING (doc_id)
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM nov_drop)
+    AND s.doc_id NOT IN (SELECT doc_id FROM dec_drop)
+),
+branked5 AS (
+  SELECT doc_id, lang, source, n_tokens, score,
+         CAST(SUM(n_tokens) OVER
+              (ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM surv5
+)
+SELECT doc_id, lang, source, n_tokens, score, cum_tokens
+FROM branked5 WHERE cum_tokens <= 8000
 """
     )
     # per-source survivor funnel over the SAME v4 stage CTEs — the

@@ -283,7 +283,10 @@ BENCH_QUERIES = [
     # benched quantile-sketch histogram decomposition run twice per
     # type + a broadcast stats join); orders_pareto (one custkey
     # aggregate + a customer-sized rank window — the benched
-    # customer_order_rank / q13 plan classes).
+    # customer_order_rank / q13 plan classes); pipeline_curation_v5
+    # (the benched v4 chain + three individually-audited gate shapes
+    # as semi/anti joins — entropy scan, novelty df aggregate, and the
+    # decontamination component join).
     # SymSpell deletion-neighborhood typo pairing (new blocking shape:
     # vocab x word-length variant explode + variant-keyed self-join +
     # exact levenshtein on candidates)
