@@ -420,18 +420,20 @@ class TestDedupRateBySource:
 
 class TestMadOutliers:
     def test_masking_case_zscore_misses_mad_catches(self, spark):
-        """18 values at 0, two extremes at ±100: the extremes inflate
-        the stddev enough that plain |z| < 3 (masking), while the MAD
-        score flags both — the defining robustness case."""
+        """Five extremes among 15 small values: the extremes inflate
+        the stddev enough that every |z| < 3 (masking — the gate the
+        extremes hide from), while median/MAD ignore them and the
+        robust score flags all five.  Also: a constant type (MAD = 0)
+        is excluded entirely, never divided by zero."""
         import oracdc_spark.operators.analytics as an
 
         rows = (
-            [(i, "2024-01-01 10:00:00", 1, "view", 0.0) for i in range(18)]
-            + [(18, "2024-01-01 10:00:00", 1, "view", 100.0),
-               (19, "2024-01-01 10:00:00", 1, "view", -100.0)]
-            # second type with nonzero MAD so the gate has contrast
-            + [(20 + i, "2024-01-01 10:00:00", 1, "click", float(i % 3))
-               for i in range(9)]
+            [(i, "2024-01-01 10:00:00", 1, "view", float(i + 1))
+             for i in range(15)]                      # 1..15
+            + [(15 + i, "2024-01-01 10:00:00", 1, "view", 10000.0)
+               for i in range(5)]                     # five wild values
+            + [(30 + i, "2024-01-01 10:00:00", 1, "click", 7.0)
+               for i in range(6)]                     # constant -> MAD 0
         )
         df = spark.createDataFrame(
             rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
@@ -443,10 +445,12 @@ class TestMadOutliers:
             z = an.events_zscore_outliers(spark, "x").collect()
         finally:
             an.load_table = orig
-        # view-type MAD is 0 (18 of 20 identical) -> excluded; the test
-        # lives in the click type?  No: craft so view MAD > 0 instead.
-        assert all(r.event_type != "view" for r in mad)  # MAD=0 excluded
-        assert all(abs(r.z) < 100 for r in z)
+        # stddev gate: masked — nothing in the view type crosses |z|>=3
+        assert not [r for r in z if r.event_type == "view"]
+        # robust gate: exactly the five extremes
+        flagged = sorted(r.event_id for r in mad if r.event_type == "view")
+        assert flagged == [15, 16, 17, 18, 19]
+        assert all(r.event_type != "click" for r in mad)  # MAD=0 excluded
 
     def test_extremes_flagged_when_mad_positive(self, spark):
         import oracdc_spark.operators.analytics as an
