@@ -2586,7 +2586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # dedup_canonical_quality, similarity_matryoshka_recall,
 # similarity_decontamination, similarity_nprobe_curve,
 # pipeline_ab_assign, text_ngram_novelty, dedup_rate_by_source,
-# events_mad_outliers, orders_pareto (new); graph_pagerank (bigint
+# events_mad_outliers, orders_pareto, pipeline_curation_v5 (new);
+# graph_pagerank (bigint
 # node ids — label rendered on output only), the PQ family's
 # training-sample collect (arrays + driver-side quantize/WHT,
 # bit-identity pinned by unchanged oracles + test_pq.py), and
