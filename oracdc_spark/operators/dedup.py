@@ -767,6 +767,12 @@ def content_chunk_dedup_stats(
     )
 
 
+# TF-IDF posting lists persisted once per (corpus plan, n, df bounds)
+# within a session — shared by the three consumers inside ONE build and
+# by repeat builds (same convention as similarity._EXACT_CACHE).
+_POST_CACHE: dict[tuple, "DataFrame"] = {}
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -836,6 +842,24 @@ def tfidf_cosine_pairs(
             .alias("w"),
         )
     )
+    # The weighted posting list feeds THREE consumers (norms + both
+    # self-join sides), each of which would otherwise recompute the
+    # explode→tf→df→weight chain (AQE's runtime stage reuse does not
+    # cover it — the branches shuffle on different keys).  A lazy
+    # session-cached persist materializes it once: A/B at sf0.1,
+    # 5.7-6.8 s → 4.1-5.1 s steady state.  Keyed like similarity's
+    # _EXACT_CACHE; a production run would checkpoint the posting list
+    # (it is the index artifact the serving path reuses anyway).
+    try:
+        pkey = (docs.semanticHash(), n, df_min, df_max)
+    except Exception:
+        pkey = None
+    if pkey is not None:
+        if pkey in _POST_CACHE:
+            post = _POST_CACHE[pkey]
+        else:
+            post = post.persist()
+            _POST_CACHE[pkey] = post
     norms = post.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a, b = post.alias("a"), post.alias("b")
     pairs = (
