@@ -1424,6 +1424,79 @@ def _q_streaming_dedup_gate(spark, sf_dir):
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def _q_streaming_interval_join(spark, sf_dir):
+    # Batch-equivalence mirror of the stream-stream interval join (r8
+    # verdict item 4, the streaming_dedup_gate promotion pattern):
+    # events arrive as three micro-batches (event_id % 3), each folded
+    # through windows.interval_join_fold_batch against buffered
+    # purchase/click state; a pair is emitted exactly once, at the
+    # batch where its LATER side arrives (append-mode inner-join
+    # contract), so the union of emissions equals the batch interval
+    # join — the oracle's plain equality-plus-range join.  horizon=None:
+    # the bounded equivalence fold evicts nothing; the eviction path is
+    # exercised by tests/test_streaming_windows.py with a tight horizon.
+    import shutil
+    import tempfile
+
+    from oracdc_spark.streaming import windows as sw
+
+    ev = load_table(spark, sf_dir, "events")
+    state_dir = tempfile.mkdtemp(prefix="oracdc_ij_state_")
+    emitted = []
+    try:
+        for b in range(3):
+            batch = ev.filter(F.col("event_id") % 3 == b)
+            emitted.append(
+                sw.interval_join_fold_batch(
+                    spark,
+                    batch.filter(F.col("event_type") == "purchase"),
+                    batch.filter(F.col("event_type") == "click"),
+                    state_dir,
+                    window="2 hours",
+                )
+            )
+        out = emitted[0]
+        for e in emitted[1:]:
+            out = out.unionAll(e)
+        # emissions are localCheckpoint-severed from the state files,
+        # so collecting after the tmpdir vanishes is safe
+        return out.select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            "click_id",
+            F.unix_micros("click_ts").alias("click_us"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def _q_streaming_session_fold(spark, sf_dir):
+    # Batch-equivalence mirror of gap-based sessionization: three
+    # event_id%3 micro-batches folded through windows.session_fold_batch
+    # (sessionize the batch, merge touch-or-overlap fragments into the
+    # stored state — exact because a fragment's [start, end] interval is
+    # the contiguous union of its member events' [ts, ts+gap] intervals).
+    # The final state must equal session_windows over ALL events — the
+    # oracle's lag-gap island SQL.
+    import shutil
+    import tempfile
+
+    from oracdc_spark.streaming import windows as sw
+
+    ev = load_table(spark, sf_dir, "events")
+    state_dir = tempfile.mkdtemp(prefix="oracdc_sess_state_")
+    state_path = state_dir + "/sessions"
+    try:
+        for b in range(3):
+            merged = sw.session_fold_batch(
+                spark, ev.filter(F.col("event_id") % 3 == b), state_path
+            )
+        return merged  # localCheckpoint-severed by session_fold_batch
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def _q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), n=5, threshold=0.5)
 
@@ -2467,6 +2540,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": _q_dedup_exact_keep,
         # r8: batch-equivalence driver row for the streaming dedup gate
         "streaming_dedup_gate": _q_streaming_dedup_gate,
+        # new r9 (r8 verdict item 4): the remaining batch-parity
+        # streaming surfaces promoted the same way — stream-stream
+        # interval join and gap-session fold as 3-batch folds
+        "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_session_fold": _q_streaming_session_fold,
         # new r8: sparse TF-IDF cosine pairing (df-bounded inverted index)
         "dedup_tfidf_cosine": _q_dedup_tfidf_cosine,
         # new r8: asymmetric containment (sub-document duplication)
@@ -2553,98 +2631,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
-    rest = [k for k in q if k not in set(_R8_WINDOW)]
-    return {k: q[k] for k in list(_R8_WINDOW) + rest}
+    rest = [k for k in q if k not in set(_R9_WINDOW)]
+    return {k: q[k] for k in list(_R9_WINDOW) + rest}
 
 
-# ROUND-8 window (the 50 entries the driver's gate checks this round):
-# (a) ALL 43 queries that have never had a driver CORRECTNESS row — the
-# late-r7 declarations behind the r7 window (verdict item 3; one of
-# them, similarity_opq_learned_audit, is rows-only by design: SVD fit,
-# its tabular evidence is the MSE-vs-recall curve); (b) the 2 queries
-# r8 changed — events_range_frame (oracle window SUM now CAST to
-# BIGINT; DuckDB widened the bare SUM to HUGEINT, the judge-confirmed
-# cause of the r6/r7 red rows — engine values verified identical),
-# text_bigram_logprob (plan rework: distinct-pair scoring, one wide
-# join), streaming_dedup_gate (the streaming gate's batch-equivalence
-# mirror, r7 verdict item 8), ora_interval_decode (P5 promoted from
-# pytest-only to a golden-vector driver row), dedup_tfidf_cosine
-# (df-bounded inverted-index sparse cosine), graph_kcore (fixed-round
-# peel vs the unrolled-CTE oracle), and cdc_scd2_asof (interval time
-# travel vs the independent log-replay oracle).  First rows for all 43
-# backlog queries take precedence over stale re-checks, so the r3
-# re-check block rolls entirely to r9 (ora_binary_fp_decode,
-# ora_charset_decode, ora_vector_decode, ora_tstz_decode,
-# ora_datetime_decode, ora_charset_id_decode, oson_decode,
-# ora_rowid_decode, then the r4 block per CORRECTNESS_r0*.json), as do
-# the remaining 5 new-in-r8 declarations (text_pmi_collocations,
-# text_zipf_audit, events_attribution, events_zscore_outliers,
-# orders_grouping_sets — all parity-green at sf0.001 AND sf0.01
-# locally).
-# Late-r8 additions/changes also queued for first/re-check rows in r9
-# (each parity-green at sf0.001 AND sf0.01 locally):
-# dedup_canonical_quality, similarity_matryoshka_recall,
-# similarity_decontamination, similarity_nprobe_curve,
-# pipeline_ab_assign, text_ngram_novelty, dedup_rate_by_source,
-# events_mad_outliers, orders_pareto, pipeline_curation_v5 (new);
-# graph_pagerank (bigint
-# node ids — label rendered on output only), the PQ family's
-# training-sample collect (arrays + driver-side quantize/WHT,
-# bit-identity pinned by unchanged oracles + test_pq.py), and
-# dedup_clusters_fast's convergence statistic (in-window already).
-_R8_WINDOW = [
-    # (a) first driver rows — late-r7 declarations
-    "text_langid_confusion",
-    "text_split_divergence",
-    "text_length_quantiles",
-    "dedup_minhash_estimate",
-    "dedup_clusters_fast",
-    "events_asof_tolerance",
-    "events_asof_nearest",
-    "events_user_similarity",
-    "events_sax_candidates",
-    "events_sax_recall",
-    "events_sax_topk",
-    "events_sax_planted",
-    "pipeline_domain_quota",
-    "similarity_opq_balanced_recall",
-    "similarity_opq_learned_audit",
-    "similarity_hard_negatives",
-    "retrieval_mmr",
-    "similarity_norm_outliers",
-    "similarity_hyperplane_planted",
-    "events_retention_cohorts",
-    "events_active_users",
-    "events_transitions",
-    "events_funnel_windowed",
-    "orders_rfm_segments",
-    "lineitem_copurchase_lift",
-    "text_corpus_datasheet",
-    "text_boilerplate_strip",
-    "text_bpe_merges",
-    "text_bpe_compression",
-    "dedup_content_chunks",
-    "events_wau_hll",
-    "orders_bloom_revenue",
-    "text_stem_reduction",
-    "pipeline_curation_funnel",
-    "text_typo_pairs",
-    "graph_triangles",
-    "pipeline_weighted_sample",
-    "events_zorder_key",
-    "multimodal_image_near_dups",
-    "multimodal_audio_near_dups",
-    "dedup_canonical",
-    "pipeline_split_leakage",
-    "pipeline_mixture_rebalance",
-    # (b) changed/new in r8
-    "events_range_frame",
-    "text_bigram_logprob",
-    "streaming_dedup_gate",
-    "ora_interval_decode",
-    "dedup_tfidf_cosine",
-    "graph_kcore",
-    "cdc_scd2_asof",
+# ROUND-9 window (the 50 entries the driver's gate checks this round).
+# r8 verdict items 1+2: re-checks first, new declarations paused, and the
+# rows-only similarity_opq_learned_audit is OUT of rotation permanently
+# (an SVD fit has no DuckDB replay; its recall leg is already the
+# oracle-checked similarity_opq_balanced_recall, green r8, and the MSE
+# curve stays pytest-only — COVERAGE.md records the disposition).
+# Composition:
+#   (a) all 28 never-driver-checked queries (late-r8 declarations,
+#       parity-green locally at sf0.001 + sf0.01);
+#   (b) the full r3-stale block, 5 rounds old (the 8 Oracle decode rows
+#       plus multimodal_features / multimodal_frame_plan);
+#   (c) the 2 r9 streaming promotions (r8 verdict item 4):
+#       streaming_interval_join + streaming_session_fold, the interval
+#       join / gap-session micro-batch folds mirroring the (green r8)
+#       streaming_dedup_gate pattern — the only new declarations this
+#       round, mandated by the verdict;
+#   (d) 10 picks from the r4-stale block: graph_pagerank FIRST (r8
+#       changed it — bigint node ids; its driver row is 5 rounds old),
+#       dedup_clusters (the plain-propagation cross-check of the now-
+#       benched dedup_clusters_fast), the flagship TPC-H rows
+#       (q1/q6), the bench drifter text_contamination, and breadth
+#       re-checks over distinct plan families (LSH join, range join,
+#       cube/pivot Expand, per-type top-k window).
+# Residual after this window (documented r10 queue): 32 r4 rows + the
+# 37 r5 rows — r10's window = those 50, CDC-core first (cdc_replay_filter,
+# cdc_txn_stats, cdc_wrapped_*, registry_*), no new declarations needed.
+_R9_WINDOW = [
+    # (a) first driver rows — the 28 never-checked late-r8 declarations
+    "pipeline_curation_v5",
+    "similarity_matryoshka_recall",
+    "similarity_nprobe_curve",
+    "similarity_decontamination",
+    "multimodal_image_dhash",
+    "multimodal_audio_zcr",
+    "cdc_replica_reconcile",
+    "cdc_net_effect",
+    "orders_grouping_sets",
+    "orders_rank_report",
+    "dedup_containment",
+    "dedup_method_matrix",
+    "dedup_canonical_quality",
+    "text_pmi_collocations",
+    "text_ngram_novelty",
+    "dedup_rate_by_source",
+    "events_attribution",
+    "text_zipf_audit",
+    "text_stupid_backoff",
+    "text_char_entropy",
+    "text_topic_clusters",
+    "events_zscore_outliers",
+    "events_mad_outliers",
+    "events_quantile_sketch",
+    "events_cohort_ltv",
+    "orders_pareto",
+    "events_time_to_convert",
+    "pipeline_ab_assign",
+    # (b) the r3-stale block (last driver check: round 3)
+    "ora_binary_fp_decode",
+    "ora_charset_decode",
+    "ora_charset_id_decode",
+    "ora_datetime_decode",
+    "ora_rowid_decode",
+    "ora_tstz_decode",
+    "ora_vector_decode",
+    "oson_decode",
+    "multimodal_features",
+    "multimodal_frame_plan",
+    # (c) r9 streaming promotions (r8 verdict item 4)
+    "streaming_interval_join",
+    "streaming_session_fold",
+    # (d) r4-stale picks
+    "graph_pagerank",
+    "dedup_clusters",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "text_contamination",
+    "dedup_minhash_lsh",
+    "events_range_join",
+    "orders_cube",
+    "orders_pivot",
+    "events_topk_per_type",
 ]
 
 
@@ -4969,6 +5040,41 @@ FROM (SELECT doc_id, md5(text) AS digest,
                                 ORDER BY doc_id % 3, doc_id) AS rn
       FROM documents)
 WHERE rn = 1
+"""
+    # union of per-batch emissions of the interval-join fold = the plain
+    # batch interval join (each pair emitted once, at its later side's
+    # arrival batch — arrival partition cancels out of the union)
+    sql["streaming_interval_join"] = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       c.event_id AS click_id, epoch_us(c.ts) AS click_us
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
+"""
+    # final state of the session fold = gap-sessionization of ALL events:
+    # lag-gap break detection (STRICT >: an event exactly `gap` after the
+    # previous one merges — F.session_window's semantics) + island
+    # prefix-sum; end = last event + gap
+    sql["streaming_session_fold"] = """
+WITH m AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid
+  FROM m
+)
+SELECT user_id, MIN(us) AS start_us,
+       MAX(us) + 1800000000 AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
 """
     sql["dedup_ngram_jaccard"] = (
         "WITH "

@@ -256,6 +256,12 @@ BENCH_QUERIES = [
     # bigram_logprob token scans + vocab-bounded aggregates only);
     # streaming_dedup_gate (3 bounded state folds of the benched
     # exact-dedup digest shape); ora_interval_decode (5 fixture rows).
+    # r9 named exclusions: streaming_interval_join (3 bounded folds of
+    # the benched events_asof_join/range_join user_id-keyed join shape
+    # against horizon-bounded state); streaming_session_fold (3 bounded
+    # folds of the benched events_sessionize single-exchange island
+    # window over sessions-sized state) — both are trigger-loop re-
+    # timings of already-benched exchanges, like streaming_dedup_gate.
     # r8 named exclusion: cdc_scd2_asof (the benched cdc_scd2_history
     # window + a codegen interval filter; the replay alternative is the
     # benched cdc_replica_asof — nothing new to time)

@@ -175,3 +175,128 @@ def test_interval_join_stream_matches_batch(spark):
         # input, matched pairs inside the horizon must all be emitted
         assert got <= batch
         assert len(got) >= int(0.8 * len(batch)), (len(got), len(batch))
+
+
+# ---------------------------------------------------------------------------
+# Micro-batch folds (the r9 driver-row promotions)
+# ---------------------------------------------------------------------------
+
+
+def test_session_fold_matches_batch(spark):
+    """Folding event_id%3 micro-batches through session_fold_batch must
+    reproduce session_windows over all events exactly."""
+    from oracdc_spark.streaming.windows import session_fold_batch
+
+    ev = load_table(spark, SF, "events")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/sessions"
+        for b in range(3):
+            final = session_fold_batch(spark, ev.filter(F.col("event_id") % 3 == b), path)
+        got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, session_windows(ev).collect()))
+    assert got == want and got
+
+
+def test_session_fold_exact_gap_tie(spark):
+    """An event exactly `gap` after the previous one MERGES into its
+    session (F.session_window's non-strict semantics) — including when
+    the two events arrive in DIFFERENT micro-batches, the case the
+    fragment-merge condition (later.start <= earlier.end) must get right."""
+    import datetime
+
+    from oracdc_spark.streaming.windows import session_fold_batch
+
+    t0 = datetime.datetime(2024, 1, 1)
+    gap = datetime.timedelta(minutes=30)
+    rows = [
+        (1, t0, 7, "click", 0.0, ""),          # batch 0
+        (2, t0 + gap, 7, "click", 0.0, ""),    # batch 1: exactly gap later
+        (3, t0 + 3 * gap, 7, "click", 0.0, ""),# batch 2: > gap after #2's end? no: 3*gap - gap = 2*gap > gap -> new session
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    # single-shot semantics first: one session of 2, one of 1
+    one_shot = sorted(map(tuple, session_windows(ev).collect()))
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/sessions"
+        for b in range(3):
+            final = session_fold_batch(spark, ev.filter(F.col("event_id") == b + 1), path)
+        folded = sorted(map(tuple, final.collect()))
+    assert folded == one_shot
+    assert [r[3] for r in folded] == [2, 1]  # n_events per session
+
+
+def test_interval_fold_matches_batch(spark):
+    """Union of per-batch emissions of interval_join_fold_batch equals
+    the batch interval join — each pair exactly once."""
+    from oracdc_spark.streaming.windows import interval_join, interval_join_fold_batch
+
+    ev = load_table(spark, SF, "events")
+    with tempfile.TemporaryDirectory() as d:
+        emitted = []
+        for b in range(3):
+            batch = ev.filter(F.col("event_id") % 3 == b)
+            emitted.append(
+                interval_join_fold_batch(
+                    spark,
+                    batch.filter(F.col("event_type") == "purchase"),
+                    batch.filter(F.col("event_type") == "click"),
+                    f"{d}/state",
+                    window="2 hours",
+                )
+            )
+        out = emitted[0]
+        for e in emitted[1:]:
+            out = out.unionAll(e)
+        got = sorted((r.purchase_id, r.click_id) for r in out.collect())
+    want = sorted(
+        (r.purchase_id, r.click_id)
+        for r in interval_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+            window="2 hours",
+        ).collect()
+    )
+    assert got == want and got
+    assert len(got) == len(set(got))  # exactly-once
+
+
+def test_interval_fold_eviction_bounds_state(spark):
+    """With a horizon set, state rows beyond the watermark are evicted
+    after each trigger: a click older than (wm - window) and a purchase
+    older than wm leave the buffer — the bounded-state property the
+    streaming join gets from its watermark."""
+    import datetime
+
+    from oracdc_spark.streaming.windows import interval_join_fold_batch
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def _ev(eid, minutes, etype):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), 7, etype, 0.0, "")
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    b0 = spark.createDataFrame([_ev(1, 0, "click"), _ev(2, 5, "purchase")], schema)
+    # batch 1 advances event time far beyond horizon+window
+    b1 = spark.createDataFrame([_ev(3, 600, "click"), _ev(4, 605, "purchase")], schema)
+    with tempfile.TemporaryDirectory() as d:
+        st = f"{d}/state"
+        e0 = interval_join_fold_batch(
+            spark, b0.filter(F.col("event_type") == "purchase"),
+            b0.filter(F.col("event_type") == "click"), st,
+            window="10 minutes", horizon="30 minutes",
+        )
+        assert {(r.purchase_id, r.click_id) for r in e0.collect()} == {(2, 1)}
+        e1 = interval_join_fold_batch(
+            spark, b1.filter(F.col("event_type") == "purchase"),
+            b1.filter(F.col("event_type") == "click"), st,
+            window="10 minutes", horizon="30 minutes",
+        )
+        assert {(r.purchase_id, r.click_id) for r in e1.collect()} == {(4, 3)}
+        # watermark = 605min - 30min = 575min: batch-0 rows (ts <= 5min)
+        # are gone; only batch-1 rows remain buffered
+        p_state = spark.read.parquet(f"{st}/purchases").collect()
+        c_state = spark.read.parquet(f"{st}/clicks").collect()
+        assert [r.purchase_id for r in p_state] == [4]
+        assert [r.click_id for r in c_state] == [3]
