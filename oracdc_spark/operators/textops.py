@@ -2058,6 +2058,7 @@ def pmi_topic_clusters(
     min_count: int = 5,
     q_pmi_min: int = 300_000,
     rounds: int = 10,
+    int_labels: bool = False,
 ) -> DataFrame:
     """Topic word-clusters: connected components of the strong-PMI
     co-occurrence graph — words joined when their association clears
@@ -2076,7 +2077,17 @@ def pmi_topic_clusters(
     match proves the fixed-round propagation converged.
 
     Output: (word, cluster_id) for every word on a strong edge,
-    cluster_id = the component's lexicographically-least word."""
+    cluster_id = the component's lexicographically-least word.
+
+    ``int_labels=True`` runs the hook+shortcut rounds over dense
+    ORDER-PRESERVING integer word ids (row_number over the sorted
+    vocab-bounded node set — a single-partition window, acceptable
+    because the node table is metadata-scale by construction) and maps
+    labels back to words once at the end: the graph_kcore/pagerank
+    bigint-key treatment (8-byte shuffle keys instead of strings).
+    Order preservation makes min-int ≡ min-lex-word, so the output is
+    IDENTICAL (asserted in tests).  r9 A/B at sf0.1 in SCALING.md
+    decides the default."""
     scored = _pmi_scored(docs, min_count)
     e1 = scored.filter(
         (F.col("q_pmi") >= q_pmi_min) & (F.col("w1") != F.col("w2"))
@@ -2086,6 +2097,72 @@ def pmi_topic_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if int_labels:
+        from pyspark.sql import Window as W
+
+        word_ids = (
+            edges.select(F.col("w1").alias("word"))
+            .distinct()
+            .withColumn(
+                "wid", F.row_number().over(W.orderBy("word")).cast("bigint")
+            )
+            .localCheckpoint(eager=True)
+        )
+        iedges = (
+            edges.join(word_ids.withColumnRenamed("w1", "word"), edges["w1"] == F.col("word"))
+            .select(F.col("wid").alias("u"), "w2")
+            .join(
+                word_ids.select(F.col("word").alias("_w2"), F.col("wid").alias("v")),
+                F.col("w2") == F.col("_w2"),
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        labels = (
+            iedges.select(F.col("u").alias("node")).distinct()
+            .withColumn("cluster", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            nb_min = (
+                iedges.join(labels, iedges["v"] == labels["node"])
+                .groupBy("u")
+                .agg(F.min("cluster").alias("nb_min"))
+            )
+            hooked = labels.join(
+                nb_min, labels["node"] == nb_min["u"], "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+            parent = hooked.select(
+                F.col("node").alias("p_node"), F.col("cluster").alias("p_label")
+            )
+            labels = (
+                hooked.join(parent, hooked["cluster"] == parent["p_node"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster"),
+                        F.coalesce(F.col("p_label"), F.col("cluster")),
+                    ).alias("cluster"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return (
+            labels.join(word_ids, labels["node"] == word_ids["wid"])
+            .select("word", "cluster")
+            .join(
+                word_ids.select(
+                    F.col("wid").alias("cluster"), F.col("word").alias("cluster_id")
+                ),
+                "cluster",
+            )
+            .select("word", "cluster_id")
+        )
     labels = (
         edges.select(F.col("w1").alias("word"))
         .distinct()

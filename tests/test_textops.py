@@ -918,3 +918,30 @@ class TestPmiCollocations:
         docs = _docs(spark, ["rare pair " + "x y " * 10])
         out = pmi_collocations(docs, min_count=5, k=10).collect()
         assert not any(r.w1 == "rare" for r in out)
+
+
+class TestTopicClusterIntLabels:
+    def test_int_labels_identical_output(self, spark):
+        """The bigint-key CC rounds (order-preserving word ids) must
+        produce byte-identical (word, cluster_id) rows to the string
+        rounds — min-int ≡ min-lex-word under the sorted-rank mapping."""
+        from oracdc_spark.catalog import load_table
+        from oracdc_spark.operators.textops import pmi_topic_clusters
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = sorted(map(tuple, pmi_topic_clusters(docs).collect()))
+        b = sorted(map(tuple, pmi_topic_clusters(docs, int_labels=True).collect()))
+        assert a == b and a
+
+    def test_int_labels_chain_component(self, spark):
+        """A chain a-b-c-d (diameter 3) must collapse to one cluster
+        labeled by the lexicographic minimum under both label kinds."""
+        from oracdc_spark.operators.textops import pmi_topic_clusters
+
+        # 6 docs pairing consecutive words tightly so PMI clears the bar
+        texts = ["alpha bravo"] * 6 + ["bravo charlie"] * 6 + ["charlie delta"] * 6
+        docs = _docs(spark, texts)
+        for kw in ({}, {"int_labels": True}):
+            got = {r.word: r.cluster_id for r in
+                   pmi_topic_clusters(docs, min_count=3, **kw).collect()}
+            assert got == {w: "alpha" for w in ("alpha", "bravo", "charlie", "delta")}
