@@ -2651,16 +2651,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       join / gap-session micro-batch folds mirroring the (green r8)
 #       streaming_dedup_gate pattern — the only new declarations this
 #       round, mandated by the verdict;
-#   (d) 10 picks from the r4-stale block: graph_pagerank FIRST (r8
-#       changed it — bigint node ids; its driver row is 5 rounds old),
-#       dedup_clusters (the plain-propagation cross-check of the now-
-#       benched dedup_clusters_fast), the flagship TPC-H rows
-#       (q1/q6), the bench drifter text_contamination, and breadth
-#       re-checks over distinct plan families (LSH join, range join,
-#       cube/pivot Expand, per-type top-k window).
-# Residual after this window (documented r10 queue): 32 r4 rows + the
-# 37 r5 rows — r10's window = those 50, CDC-core first (cdc_replay_filter,
-# cdc_txn_stats, cdc_wrapped_*, registry_*), no new declarations needed.
+#   (d) 10 stale re-check picks: graph_pagerank FIRST (r8 changed it —
+#       bigint node ids; its driver row is 5 rounds old), dedup_clusters
+#       (the plain-propagation cross-check of the now-benched
+#       dedup_clusters_fast), the flagship TPC-H rows (q1/q6), the
+#       bench drifter text_contamination, LSH-join breadth
+#       (dedup_minhash_lsh), and the verdict-named CDC-core rows
+#       (cdc_replay_filter F5, cdc_txn_stats G11, cdc_wrapped_apply K5,
+#       registry_key_guard S10/F8 — the reference's core semantics).
+# Residual after this window (documented r10 queue): 36 r4 rows + the
+# 33 remaining r5 rows — r10's window = those, oldest first
+# (events_range_join, orders_cube/pivot, events_topk_per_type, the
+# sampling block, then the r5 CDC/registry/text remainder), no new
+# declarations needed.
 _R9_WINDOW = [
     # (a) first driver rows — the 28 never-checked late-r8 declarations
     "pipeline_curation_v5",
@@ -2712,10 +2715,10 @@ _R9_WINDOW = [
     "q6_forecast_revenue",
     "text_contamination",
     "dedup_minhash_lsh",
-    "events_range_join",
-    "orders_cube",
-    "orders_pivot",
-    "events_topk_per_type",
+    "cdc_replay_filter",
+    "cdc_txn_stats",
+    "cdc_wrapped_apply",
+    "registry_key_guard",
 ]
 
 
