@@ -300,3 +300,94 @@ def test_interval_fold_eviction_bounds_state(spark):
         c_state = spark.read.parquet(f"{st}/clicks").collect()
         assert [r.purchase_id for r in p_state] == [4]
         assert [r.click_id for r in c_state] == [3]
+
+
+# ---------------------------------------------------------------------------
+# Property tests: fold == batch under ARBITRARY batch assignment
+# ---------------------------------------------------------------------------
+# The driver rows fold event_id%3 batches; these check the theorem the
+# fold relies on — the result is independent of HOW events are split
+# into micro-batches (any partition of the input, any arrival order).
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# minutes offsets spanning multiple gap widths (gap=30min) with ties and
+# exact-gap spacings possible; batch = arbitrary assignment 0..2
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user_id (collisions)
+        st.integers(min_value=0, max_value=240),    # ts offset, minutes
+        st.integers(min_value=0, max_value=2),      # batch assignment
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _evdf(spark, rows, types=("click",)):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(minutes=mins), u, types[i % len(types)], 0.0, str(b))
+        for i, (u, mins, b) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+
+
+@given(rows=_EVENTS)
+@settings(**_PROP_SETTINGS)
+def test_session_fold_any_split(spark, rows):
+    from oracdc_spark.streaming.windows import session_fold_batch, session_windows
+    import tempfile
+
+    ev = _evdf(spark, rows)
+    with tempfile.TemporaryDirectory() as d:
+        final = None
+        for b in range(3):
+            batch = ev.filter(F.col("props") == str(b))
+            if batch.take(1):
+                final = session_fold_batch(spark, batch, f"{d}/st")
+        got = sorted(map(tuple, final.collect()))
+    assert got == sorted(map(tuple, session_windows(ev).collect()))
+
+
+@given(rows=_EVENTS)
+@settings(**_PROP_SETTINGS)
+def test_interval_fold_any_split(spark, rows):
+    from oracdc_spark.streaming.windows import interval_join, interval_join_fold_batch
+    import tempfile
+
+    ev = _evdf(spark, rows, types=("purchase", "click"))
+    with tempfile.TemporaryDirectory() as d:
+        pairs = []
+        for b in range(3):
+            batch = ev.filter(F.col("props") == str(b))
+            out = interval_join_fold_batch(
+                spark,
+                batch.filter(F.col("event_type") == "purchase"),
+                batch.filter(F.col("event_type") == "click"),
+                f"{d}/st",
+                window="45 minutes",
+            )
+            pairs += [(r.purchase_id, r.click_id) for r in out.collect()]
+    want = sorted(
+        (r.purchase_id, r.click_id)
+        for r in interval_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+            window="45 minutes",
+        ).collect()
+    )
+    assert sorted(pairs) == want
+    assert len(pairs) == len(set(pairs))  # exactly-once across batches
