@@ -74,6 +74,11 @@ ALLOWED_BUILD_JOBS = {
     # each a bounded localCheckpoint + state swap write (the trigger
     # loop of the streaming operator, not a corpus-sized driver action)
     "streaming_dedup_gate": 30,
+    # r9 fold promotions, same trigger-loop class as the dedup gate:
+    # per batch a state read + emission localCheckpoint + state swap
+    # write(s) — bounded by batch COUNT (3), never by data size
+    "streaming_interval_join": 30,
+    "streaming_session_fold": 24,
 }
 
 
