@@ -185,7 +185,12 @@ def interval_join_fold_batch(
 
     Scale shape: every join/union here is keyed on user_id and sized by
     the batch × the horizon-bounded state — never the full stream; the
-    two state aggregates (max ts) are 1-row.
+    watermark is a 1-row aggregate.  The single-file `_swap_write` state
+    is the sandbox stand-in: at 100 TB the buffers live in a table
+    bucketed by hash(user_id) so the per-trigger joins co-partition with
+    stored state, eviction is a partition-predicate delete, and the swap
+    is a transactional commit (Delta/Iceberg) — the layout Spark's own
+    stream-stream join state store uses per key-group.
 
     Returns the emitted pairs (localCheckpoint-severed from the state,
     which this call rewrites)."""
@@ -284,6 +289,10 @@ def session_fold_batch(
     EMIT fragments whose end precedes the watermark (closed sessions,
     append mode) and keep only open ones — the returned state is the
     open+closed union so the equivalence fold can be oracle-checked.
+    At 100 TB the state table is bucketed by hash(user_id) (the merge
+    window re-uses the bucketing, closed-session emission is a
+    partition-predicate split), so per-trigger cost is O(batch + open
+    sessions of touched users), never O(history).
 
     Returns the merged state (localCheckpoint-severed; also written to
     ``state_path``)."""
