@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     LongType,
     ShortType,
     StringType,
+    StructField,
     StructType,
     TimestampNTZType,
     TimestampType,
@@ -121,6 +122,35 @@ class SinkTable:
     def all_cols(self) -> tuple[str, ...]:
         return tuple(f.name for f in self.schema.fields)
 
+    @classmethod
+    def from_wrapped(
+        cls, name: str, key_schema: StructType, value_schema: StructType
+    ) -> "SinkTable":
+        """Build the sink table from a WRAPPED-envelope record: every
+        value field of type ``struct<V: T, ...>`` (the
+        envelope.wrapped_tristate / reference WRAPPED_*_SCHEMA shape)
+        unwraps to a plain column of its V type; unwrapped fields (the
+        reference's LAST_UPDATE_DATE Timestamp) pass through; key
+        fields (e.g. the ORA_ROW_ID pseudo-key) become the PK.  Mirrors
+        WrappedDataJdbcSinkCreateTableTest.java:60-136 — the created
+        DDL must type DEPTNO from the wrapped INT8's V, not as a
+        struct (NUMBER(3) / smallint / tinyint per dialect)."""
+        fields = list(key_schema.fields)
+        for f in value_schema.fields:
+            if f.name in {k.name for k in key_schema.fields}:
+                continue
+            dt = f.dataType
+            if isinstance(dt, StructType) and "V" in dt.fieldNames():
+                inner = dt["V"]
+                fields.append(
+                    StructField(f.name, inner.dataType, inner.nullable)
+                )
+            else:
+                fields.append(f)
+        return cls(
+            name, StructType(fields), tuple(k.name for k in key_schema.fields)
+        )
+
 
 def _leaf_fields(schema: StructType):
     """Struct-typed value fields (a transformed LOB column, e.g.
@@ -162,8 +192,24 @@ def create_table_sql(t: SinkTable, dialect: str) -> str:
     return f"CREATE TABLE {t.name} (\n{body}\n)"
 
 
+def insert_sql(t: SinkTable, dialect: str) -> str:
+    """Plain parameterized INSERT — the ONLY DML the reference
+    generates for a keyless (value-only / view-object) table or in
+    audit-trail mode (TargetDbSqlUtils.java:379-405: the
+    ``pkColumns.size() == 0 || auditTrail`` branch emits INSERT and
+    neither UPSERT nor DELETE; JdbcSinkVOSqlInsertTest asserts the
+    SALGRADE form).  Dialect-independent by construction."""
+    cols = ", ".join(t.all_cols)
+    qs = ", ".join("?" for _ in t.all_cols)
+    return f"INSERT INTO {t.name} ({cols}) VALUES ({qs})"
+
+
 def upsert_sql(t: SinkTable, dialect: str) -> str:
-    """K2 — idempotent upsert, ?-parameterized in column order."""
+    """K2 — idempotent upsert, ?-parameterized in column order.
+    A keyless table degrades to the reference's value-only mode:
+    plain INSERT (see :func:`insert_sql`)."""
+    if not t.pk_cols:
+        return insert_sql(t, dialect)
     cols = ", ".join(t.all_cols)
     qs = ", ".join("?" for _ in t.all_cols)
     if dialect == POSTGRESQL:
@@ -199,7 +245,15 @@ def upsert_sql(t: SinkTable, dialect: str) -> str:
 
 
 def delete_sql(t: SinkTable, dialect: str) -> str:
-    """K3 — delete-by-PK (tombstone / op='d' handling)."""
+    """K3 — delete-by-PK (tombstone / op='d' handling).  A keyless
+    table has no delete path — the reference's value-only branch
+    (TargetDbSqlUtils.java:379-405) generates no DELETE statement, so
+    asking for one is a caller error, not silently-broken SQL."""
+    if not t.pk_cols:
+        raise ValueError(
+            f"{t.name}: value-only (keyless) sink table is insert-only; "
+            "no DELETE can be generated without a primary key"
+        )
     where = " AND ".join(f"{c} = ?" for c in t.pk_cols)
     if dialect == CLICKHOUSE:
         return f"ALTER TABLE {t.name} DELETE WHERE {where}"
@@ -211,6 +265,11 @@ def partial_update_sql(t: SinkTable, dialect: str, present_cols: tuple[str, ...]
     columns present in this change (WrappedDataTable.java:72-90; the
     reference caches these per column-bitmap — callers should memoize on
     ``present_cols``)."""
+    if not t.pk_cols:
+        raise ValueError(
+            f"{t.name}: partial update requires a primary key "
+            "(keyless sinks are insert-only)"
+        )
     sets = ", ".join(f"{c} = ?" for c in present_cols if c not in t.pk_cols)
     where = " AND ".join(f"{c} = ?" for c in t.pk_cols)
     return f"UPDATE {t.name} SET {sets} WHERE {where}"

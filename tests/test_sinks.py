@@ -414,3 +414,96 @@ class TestNestedAndKeylessCreate:
         assert "GRADE double" in create_table_sql(t, "mysql")
         assert "GRADE float" in create_table_sql(t, "mssql")
         assert "ORDER BY tuple()" in create_table_sql(t, "clickhouse")
+
+
+# ---------------------------------------------------------------------------
+# Value-only (keyless) tables and wrapped-envelope DDL (r9)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import ByteType, TimestampType  # noqa: E402
+
+from oracdc_spark.sinks.jdbc_sql import insert_sql  # noqa: E402
+
+# the reference's SALGRADE fixture: three FLOAT64 value fields, NO key
+# (JdbcSinkVOSqlInsertTest.java:50-107)
+SALGRADE = SinkTable(
+    name="SALGRADE",
+    schema=StructType(
+        [
+            StructField("GRADE", DoubleType(), True),
+            StructField("LOSAL", DoubleType(), True),
+            StructField("HISAL", DoubleType(), True),
+        ]
+    ),
+    pk_cols=(),
+)
+
+
+def test_value_only_insert_all_dialects():
+    """TargetDbSqlUtils' pkColumns==0 branch emits a plain INSERT for
+    every dialect — the upsert degrades to it, byte-identical."""
+    for dialect in DIALECTS:
+        sql = insert_sql(SALGRADE, dialect)
+        assert sql == "INSERT INTO SALGRADE (GRADE, LOSAL, HISAL) VALUES (?, ?, ?)"
+        assert upsert_sql(SALGRADE, dialect) == sql
+
+
+def test_value_only_no_delete_or_partial_update():
+    """The reference's value-only branch generates NO delete; asking for
+    one must fail loudly rather than emit `DELETE ... WHERE ` (empty)."""
+    for dialect in DIALECTS:
+        with pytest.raises(ValueError, match="insert-only"):
+            delete_sql(SALGRADE, dialect)
+    with pytest.raises(ValueError, match="insert-only"):
+        partial_update_sql(SALGRADE, POSTGRESQL, ("GRADE",))
+
+
+def test_value_only_create_table_has_no_pk_clause():
+    for dialect in DIALECTS:
+        ddl = create_table_sql(SALGRADE, dialect)
+        assert "PRIMARY KEY" not in ddl.upper() or "tuple()" in ddl
+    # ClickHouse keyless ReplacingMergeTree orders by tuple()
+    assert "tuple()" in create_table_sql(SALGRADE, CLICKHOUSE)
+
+
+def test_wrapped_envelope_create_table_types():
+    """WrappedDataJdbcSinkCreateTableTest.java:60-136: DDL generated
+    from the WRAPPED value schema must type each column from the
+    envelope's V field (INT8 -> NUMBER(3)/smallint/tinyint/tinyint) and
+    key the table on the ORA_ROW_ID pseudo-key."""
+    key_schema = StructType([StructField("ORA_ROW_ID", StringType(), False)])
+    value_schema = StructType(
+        [
+            StructField(
+                "DEPTNO",
+                StructType([StructField("V", ByteType(), False)]),
+                False,
+            ),
+            StructField(
+                "DNAME",
+                StructType([StructField("V", StringType(), True)]),
+                True,
+            ),
+            StructField(
+                "LOC",
+                StructType([StructField("V", StringType(), True)]),
+                True,
+            ),
+            StructField("LAST_UPDATE_DATE", TimestampType(), False),
+        ]
+    )
+    t = SinkTable.from_wrapped("DEPT", key_schema, value_schema)
+    assert t.pk_cols == ("ORA_ROW_ID",)
+    assert [f.name for f in t.schema.fields] == [
+        "ORA_ROW_ID", "DEPTNO", "DNAME", "LOC", "LAST_UPDATE_DATE",
+    ]
+    assert "DEPTNO NUMBER(3)" in create_table_sql(t, ORACLE)
+    assert "DEPTNO smallint" in create_table_sql(t, POSTGRESQL)
+    assert "DEPTNO tinyint" in create_table_sql(t, MYSQL)
+    assert "DEPTNO tinyint" in create_table_sql(t, MSSQL)
+    # the key came from the key schema, sized-string typed, PK clause present
+    ddl = create_table_sql(t, ORACLE)
+    assert "ORA_ROW_ID VARCHAR2(255)" in ddl and "PRIMARY KEY (ORA_ROW_ID)" in ddl
+    # and the wrapped table upserts/deletes normally (it HAS a key)
+    assert "MERGE INTO DEPT" in upsert_sql(t, ORACLE)
+    assert delete_sql(t, POSTGRESQL) == "DELETE FROM DEPT WHERE ORA_ROW_ID = ?"
