@@ -1,0 +1,158 @@
+"""Property-based invariants for the CDC core (G2/G3/G4/K2 semantics).
+
+The reference pins these with ~2k LoC of hand-written scenarios
+(PartialRollback_Test.java, OraCdcRollback*Test); here hypothesis
+generates arbitrary transaction interleavings and the THEOREMS the
+scenarios instantiate are asserted directly:
+
+* at-least-once redelivery is absorbed by the idempotent apply
+  (re-emitting any subset of the feed cannot change the replica);
+* a partial-rollback pair (original + its marker) annihilates —
+  injecting one anywhere leaves the committed stream unchanged
+  (OraCdcTransactionArrayList.java:82-107 backward pairing);
+* an unpaired marker — including marker-before-original — cancels
+  NOTHING (OraCdcTransaction.java:598-608);
+* commit_ordered is commit_stamped totally ordered by
+  (commit_scn, scn, ssn), same multiset.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oracdc_spark.operators import cdc
+
+SCHEMA = (
+    "scn bigint, ssn bigint, rba string, xid string, op int, rollback boolean, "
+    "owner string, table_name string, row_id string, pk bigint, "
+    "totalprice double, status string, before_totalprice double, before_status string"
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# a transaction: (events, control) — events are (op, pk) pairs;
+# control: 7=commit, 36=rollback, None=still open
+_TXN = st.tuples(
+    st.lists(
+        st.tuples(st.sampled_from([1, 2, 3]), st.integers(min_value=1, max_value=3)),
+        min_size=0,
+        max_size=5,
+    ),
+    st.sampled_from([7, 36, None]),
+)
+_FEED = st.lists(_TXN, min_size=1, max_size=3)
+
+
+def _rows(txns):
+    """Materialize a feed: one global scn counter, per-event unique scn,
+    controls stamped after every DML (commit SCN > change SCNs)."""
+    rows, scn = [], 100
+    for t, (events, control) in enumerate(txns):
+        xid = chr(ord("A") + t)
+        for op, pk in events:
+            rows.append(
+                (scn, 0, f"1.{scn}.0", xid, op, False, "SCOTT", "ORDERS",
+                 f"R{pk}", pk, float(scn), "S", None, None)
+            )
+            scn += 1
+    for t, (events, control) in enumerate(txns):
+        if control is not None:
+            rows.append(
+                (scn, 0, f"1.{scn}.0", chr(ord("A") + t), control, False,
+                 "SCOTT", "ORDERS", None, None, None, None, None, None)
+            )
+            scn += 1
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _replica(spark, rows):
+    return sorted(map(tuple, cdc.apply_changes(_df(spark, rows)).collect()))
+
+
+def _committed(spark, rows):
+    return sorted(
+        map(tuple, cdc.committed_changes(_df(spark, rows)).collect())
+    )
+
+
+@given(txns=_FEED, redeliver=st.data())
+@settings(**_SETTINGS)
+def test_redelivery_idempotent_apply(spark, txns, redeliver):
+    """Re-emitting ANY subset of the feed (a restarted miner re-reading
+    from the restart SCN, G9's at-least-once contract) must leave the
+    materialized replica unchanged — the K2 apply is idempotent."""
+    rows = _rows(txns)
+    subset = redeliver.draw(st.lists(st.sampled_from(rows), max_size=len(rows))) if rows else []
+    assert _replica(spark, rows + subset) == _replica(spark, rows)
+
+
+@given(txns=_FEED)
+@settings(**_SETTINGS)
+def test_partial_rollback_pair_annihilates(spark, txns):
+    """Appending an original + its rollback marker (same pair key,
+    marker after original) to any transaction leaves committed_changes
+    unchanged: the backward scan pairs them and drops both."""
+    rows = _rows(txns)
+    base = _committed(spark, rows)
+    xid = "A"  # always exists (min_size=1)
+    scn = 10_000
+    injected = rows + [
+        (scn, 0, f"1.{scn}.0", xid, 3, False, "SCOTT", "ORDERS",
+         "R9", 9, 999.0, "S", None, None),
+        (scn, 1, f"1.{scn}.1", xid, 3, True, "SCOTT", "ORDERS",
+         "R9", 9, None, None, None, None),
+    ]
+    assert _committed(spark, injected) == base
+
+
+@given(txns=_FEED)
+@settings(**_SETTINGS)
+def test_unpaired_marker_cancels_nothing(spark, txns):
+    """A marker with no preceding original in its pair key — including
+    marker-BEFORE-original within the key — drops itself and nothing
+    else (the reference only flags the transaction suspicious)."""
+    rows = _rows(txns)
+    base = _committed(spark, rows)
+    scn = 20_000
+    lone = rows + [
+        (scn, 0, f"1.{scn}.0", "A", 3, True, "SCOTT", "ORDERS",
+         "R8", 8, None, None, None, None),
+    ]
+    assert _committed(spark, lone) == base
+    # marker first, original after: original SURVIVES, marker drops
+    pair_scn = 30_000
+    reversed_pair = rows + [
+        (pair_scn, 0, f"1.{pair_scn}.0", "A", 3, True, "SCOTT", "ORDERS",
+         "R7", 7, None, None, None, None),
+        (pair_scn, 1, f"1.{pair_scn}.1", "A", 1, False, "SCOTT", "ORDERS",
+         "R7", 7, 777.0, "S", None, None),
+    ]
+    out = cdc.committed_changes(_df(spark, reversed_pair))
+    survivors_r7 = out.filter("row_id = 'R7'").collect()
+    others = sorted(map(tuple, out.filter(
+        "row_id IS NULL OR row_id <> 'R7'").collect()))
+    if txns[0][1] == 7:  # txn A committed: the original survives alone
+        assert len(survivors_r7) == 1 and not survivors_r7[0].rollback
+    else:  # A rolled back / open: nothing from the injected key emits
+        assert survivors_r7 == []
+    assert others == base
+
+
+@given(txns=_FEED)
+@settings(**_SETTINGS)
+def test_commit_ordered_is_sorted_same_multiset(spark, txns):
+    rows = _rows(txns)
+    ordered = cdc.commit_ordered(_df(spark, rows)).collect()
+    keys = [(r.commit_scn, r.scn, r.ssn) for r in ordered]
+    assert keys == sorted(keys)
+    stamped = cdc.commit_stamped(_df(spark, rows)).collect()
+    assert sorted(map(tuple, ordered)) == sorted(map(tuple, stamped))
