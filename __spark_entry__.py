@@ -2714,7 +2714,12 @@ _R9_WINDOW = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "text_contamination",
-    "dedup_minhash_lsh",
+    # r9 touched graph.py (triangle_census factored out of
+    # copurchase_triangles for the property suite — verbatim
+    # extraction, but the changed-this-round rule puts the row back
+    # in the window; its LSH-slot predecessor dedup_minhash_lsh
+    # rolls to r10 with two green r8 family rows standing in)
+    "graph_triangles",
     "cdc_replay_filter",
     "cdc_txn_stats",
     "cdc_wrapped_apply",

@@ -175,6 +175,16 @@ def copurchase_triangles(spark, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
     )
+    return triangle_census(edges)
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """The degree-oriented triangle/wedge census over an undirected
+    simple graph given as UNIQUE (u, v) pairs (u ≠ v, one row per
+    edge) — the counting core of :func:`copurchase_triangles`,
+    factored out so arbitrary graphs (property tests, other edge
+    builders) run the identical plan.  See copurchase_triangles for
+    the algorithm and the once-only proof."""
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
