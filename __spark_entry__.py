@@ -2713,7 +2713,11 @@ _R9_WINDOW = [
     "dedup_clusters",
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "text_contamination",
+    # r9 fixed _parse_predicates (quote-aware AND split, found by the
+    # roundtrip property suite) — sql_redo_parse re-enters under the
+    # changed-this-round rule; text_contamination (no code change,
+    # steady-state number pinned in SCALING.md r9) rolls to r10
+    "sql_redo_parse",
     # r9 touched graph.py (triangle_census factored out of
     # copurchase_triangles for the property suite — verbatim
     # extraction, but the changed-this-round rule puts the row back

@@ -82,9 +82,52 @@ def _norm_value(v: str) -> str | None:
     return v
 
 
+def _split_conditions(where: str) -> list[str]:
+    """Split a where-clause on AND *outside quotes/parens* — a value
+    like ``'rock and roll'`` must not split (the reference parser walks
+    the text char-wise and never splits inside a literal,
+    OraCdcLogMinerTable.java:155-400; found by the r9 roundtrip
+    property test)."""
+    parts, depth, in_q, cur, i = [], 0, False, [], 0
+    n = len(where)
+    while i < n:
+        ch = where[i]
+        if in_q:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < n and where[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_q = False
+        elif ch == "'":
+            in_q = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif (
+            depth == 0
+            and ch in " \t\n"
+            and where[i + 1 : i + 4].lower() == "and"
+            and (i + 4 >= n or where[i + 4] in " \t\n")
+        ):
+            parts.append("".join(cur))
+            cur = []
+            i += 4
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
 def _parse_predicates(where: str) -> dict[str, str | None]:
     out: dict[str, str | None] = {}
-    for cond in re.split(r"\s+and\s+", where, flags=re.IGNORECASE):
+    for cond in _split_conditions(where):
         cond = cond.strip()
         m = re.match(rf"{_IDENT}\s+IS\s+NULL\s*$", cond, re.IGNORECASE)
         if m:
