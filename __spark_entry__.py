@@ -2712,7 +2712,10 @@ _R9_WINDOW = [
     "graph_pagerank",
     "dedup_clusters",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
+    # r9 changed registry.apply_ddl (ORA-00957 duplicate-rename guard +
+    # compound-statement atomicity, found by the DDL-fold property) —
+    # registry_evolution re-enters; q6 (unchanged since r4) rolls to r10
+    "registry_evolution",
     # r9 fixed _parse_predicates (quote-aware AND split, found by the
     # roundtrip property suite) — sql_redo_parse re-enters under the
     # changed-this-round rule; text_contamination (no code change,

@@ -365,9 +365,17 @@ class SchemaRegistry:
         body = _ALTER_PREFIX_RE.sub("", ddl.strip())
         fields = list(td.schema.fields)
         changed = False
-        for clause in _split_clauses(body):
-            fields, clause_changed = self._apply_clause(td, clause, fields)
-            changed |= clause_changed
+        # defaults mutate clause-by-clause; a rejected later clause of a
+        # compound statement must leave the def untouched (Oracle rejects
+        # the whole statement) — snapshot and restore on raise
+        defaults_before = dict(td.defaults)
+        try:
+            for clause in _split_clauses(body):
+                fields, clause_changed = self._apply_clause(td, clause, fields)
+                changed |= clause_changed
+        except ValueError:
+            td.defaults = defaults_before
+            raise
         if changed:
             td.schema = StructType(fields)
             td.version += 1
@@ -452,6 +460,14 @@ class SchemaRegistry:
             old, new = _unquote(m.group(1)), _unquote(m.group(2))
             if old.upper() in (k.upper() for k in td.key_cols):
                 raise ValueError(f"cannot rename key column {old} of {td.fqn}")
+            if any(f.name.upper() == new.upper() for f in fields):
+                # includes old == new: Oracle rejects both with
+                # ORA-00957 (duplicate column name); silently renaming
+                # onto an existing name would corrupt the schema with a
+                # duplicate field (found by the r9 DDL-fold property)
+                raise ValueError(
+                    f"duplicate column name {new} renaming {old} of {td.fqn}"
+                )
             for i, f in enumerate(fields):
                 if f.name.upper() == old.upper():
                     fields[i] = StructField(new, f.dataType, f.nullable)
