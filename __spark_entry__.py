@@ -2659,11 +2659,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       (dedup_minhash_lsh), and the verdict-named CDC-core rows
 #       (cdc_replay_filter F5, cdc_txn_stats G11, cdc_wrapped_apply K5,
 #       registry_key_guard S10/F8 — the reference's core semantics).
-# Residual after this window (documented r10 queue): 36 r4 rows + the
-# 33 remaining r5 rows — r10's window = those, oldest first
-# (events_range_join, orders_cube/pivot, events_topk_per_type, the
-# sampling block, then the r5 CDC/registry/text remainder), no new
-# declarations needed.
+# Residual after this window (documented r10 queue): the r4/r5 stale
+# remainder, oldest first (events_range_join, orders_cube/pivot,
+# events_topk_per_type, q6_forecast_revenue, dedup_minhash_lsh,
+# text_contamination, the sampling block, then the r5
+# CDC/registry/text remainder), no new declarations needed.  ALSO
+# queued r10: cdc_table_include — r9 changed filters._parse_entry's
+# DOT-LESS branch only (plain names now match any schema, the
+# reference's OraSqlUtils.java:124-130 semantics); the driver fixture
+# list is all dotted entries, so the row's plan is bit-identical, and
+# it re-verified green locally at sf0.001 AND sf0.01 post-change (the
+# r8 graph_pagerank queue-not-swap precedent).
 _R9_WINDOW = [
     # (a) first driver rows — the 28 never-checked late-r8 declarations
     "pipeline_curation_v5",

@@ -16,14 +16,23 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 
-def _parse_entry(entry: str) -> tuple[str, str]:
+def _parse_entry(entry: str) -> tuple[str | None, str]:
+    """One list entry → (owner | None, table-pattern).
+
+    A dot-less entry is a PLAIN TABLE NAME matched in ANY schema —
+    the reference's third branch (OraSqlUtils.java:124-130 appends
+    ``OBJECT_NAME='<entry>'`` with no owner predicate and, faithfully
+    mirrored, no upper-casing); owner=None encodes it.  Wildcard scope
+    is a documented superset: the reference LIKEs only TRAILING %/*
+    (:107-121), this port LIKEs any pattern containing % after */%
+    normalization — identical on every reference-legal input, and a
+    mid-pattern % additionally works instead of being an exact literal."""
     entry = entry.strip()
     if not entry:
         raise ValueError("empty table-list entry")
-    if "." in entry:
-        owner, table = entry.split(".", 1)
-    else:
-        owner, table = entry, "%"
+    if "." not in entry:
+        return None, entry
+    owner, table = entry.split(".", 1)
     owner = owner.strip().strip('"')
     table = table.strip().strip('"')
     if not table:
@@ -43,13 +52,16 @@ def table_list_column(
     """Spark predicate for an include list; negate for exclude."""
     pred: Column | None = None
     for owner, table in parse_table_list(list_str):
-        c = F.col(owner_col) == owner
-        if table != "%":
-            c = c & (
-                F.col(table_col).like(table)
-                if "%" in table
-                else (F.col(table_col) == table)
-            )
+        if owner is None:  # plain table name, any schema
+            c = F.col(table_col) == table
+        else:
+            c = F.col(owner_col) == owner
+            if table != "%":
+                c = c & (
+                    F.col(table_col).like(table)
+                    if "%" in table
+                    else (F.col(table_col) == table)
+                )
         pred = c if pred is None else (pred | c)
     if pred is None:
         raise ValueError("empty table list")
@@ -63,7 +75,9 @@ def table_list_sql(
     same shape the reference generates for its dictionary queries."""
     parts = []
     for owner, table in parse_table_list(list_str):
-        if table == "%":
+        if owner is None:
+            parts.append(f"{table_col} = '{table}'")
+        elif table == "%":
             parts.append(f"{owner_col} = '{owner}'")
         elif "%" in table:
             parts.append(f"({owner_col} = '{owner}' AND {table_col} LIKE '{table}')")

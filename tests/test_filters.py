@@ -71,3 +71,18 @@ class TestCompleteness:
         )
         _, rejects = completeness_check(feed)
         assert_complete(rejects)  # no raise
+
+
+def test_plain_table_name_matches_any_schema():
+    """A dot-less entry is a table name in ANY schema, verbatim case —
+    the reference's third branch (OraSqlUtils.java:124-130 emits
+    OBJECT_NAME='<entry>' with no owner predicate and no upper-casing).
+    Fixed r9: previously mis-parsed as a whole-schema include."""
+    assert parse_table_list("EMP") == [(None, "EMP")]
+    assert table_list_sql("EMP") == "table_name = 'EMP'"
+    # faithful to the reference: no upper-casing on this branch
+    assert parse_table_list("emp") == [(None, "emp")]
+    # mixes with dotted entries
+    assert table_list_sql("SCOTT.DEPT, EMP") == (
+        "(owner = 'SCOTT' AND table_name = 'DEPT') OR table_name = 'EMP'"
+    )
