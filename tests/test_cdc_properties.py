@@ -156,3 +156,38 @@ def test_commit_ordered_is_sorted_same_multiset(spark, txns):
     assert keys == sorted(keys)
     stamped = cdc.commit_stamped(_df(spark, rows)).collect()
     assert sorted(map(tuple, ordered)) == sorted(map(tuple, stamped))
+
+
+@given(
+    seq=st.lists(st.booleans(), min_size=0, max_size=10),  # True = marker
+)
+@settings(**_SETTINGS)
+def test_partial_rollback_closed_form_equals_backward_scan(spark, seq):
+    """The window-function closed form of G4 must equal the reference's
+    literal algorithm (OraCdcTransactionArrayList.java:82-107) on EVERY
+    original/marker interleaving: for each marker in order, scan
+    backwards for the latest not-yet-paired preceding original; pair
+    and drop both; unpaired markers drop alone."""
+    # one pair key (xid=A, row_id=R1, scn=500); ssn = position
+    rows = [
+        (500, i, f"1.500.{i}", "A", 3, is_marker, "SCOTT", "ORDERS",
+         "R1", 1, float(i), "S", None, None)
+        for i, is_marker in enumerate(seq)
+    ]
+    # literal backward scan over positions
+    paired = set()
+    for i, is_marker in enumerate(seq):
+        if not is_marker:
+            continue
+        for j in range(i - 1, -1, -1):
+            if not seq[j] and j not in paired:
+                paired.add(j)
+                break
+    survivors = {
+        i for i, is_marker in enumerate(seq) if not is_marker and i not in paired
+    }
+    got = {
+        r.ssn
+        for r in cdc.partial_rollback_filter(_df(spark, rows)).collect()
+    }
+    assert got == survivors
