@@ -234,8 +234,15 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             "n_edges",
             "n_triangles",
             "n_wedges",
-            F.round(
-                3 * F.col("n_triangles").cast("double") / F.col("n_wedges"), 6
+            # wedge-free graph (every degree ≤ 1): the coefficient is
+            # undefined — NULL, not a divide-by-zero under ANSI mode
+            # (found by the r9 random-graph property test; the trade
+            # graph always has wedges so the driver row never hit it)
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    3 * F.col("n_triangles").cast("double") / F.col("n_wedges"), 6
+                ),
             ).alias("clustering_coeff"),
         )
     )

@@ -84,6 +84,18 @@ def test_triangle_free_graph_counts_zero(spark, tmp_path):
     assert r.clustering_coeff == 0.0
 
 
+def test_wedge_free_graph_null_coefficient(spark):
+    """A perfect matching (every degree 1) has zero wedges: the global
+    clustering coefficient 3T/W is undefined — NULL, never a
+    divide-by-zero error under ANSI mode."""
+    from oracdc_spark.operators.graph import triangle_census
+
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "u bigint, v bigint")
+    [r] = triangle_census(edges).collect()
+    assert r.n_wedges == 0 and r.n_triangles == 0
+    assert r.clustering_coeff is None
+
+
 def _sym_edges(spark, pairs):
     df = spark.createDataFrame(pairs, "src string, dst string")
     return df.unionAll(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
