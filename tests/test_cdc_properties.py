@@ -191,3 +191,36 @@ def test_partial_rollback_closed_form_equals_backward_scan(spark, seq):
         for r in cdc.partial_rollback_filter(_df(spark, rows)).collect()
     }
     assert got == survivors
+
+
+@given(txns=_FEED)
+@settings(**_SETTINGS)
+def test_replica_equals_sequential_replay(spark, txns):
+    """End-to-end theorem for the replica path (G2 commit resolution +
+    G3 commit order + K6 last-write-wins dedup + K2/K3 apply): the
+    batch shortcut — latest committed change per PK, deletes dropped —
+    must equal a LITERAL one-event-at-a-time replay of the committed
+    transactions in commit order against a Python dict, for every
+    interleaving of inserts/updates/deletes across overlapping keys
+    and commit/rollback/open outcomes."""
+    state = {}
+    scn = 100  # mirrors _rows' counter so values line up exactly
+    staged = []
+    for events, control in txns:
+        evs = []
+        for op, pk in events:
+            evs.append((op, pk, float(scn)))
+            scn += 1
+        staged.append((evs, control))
+    # controls are stamped after all DML in txn index order, so commit
+    # order among committed txns IS txn index order
+    for evs, control in staged:
+        if control != 7:
+            continue  # rolled back or still open: contributes nothing
+        for op, pk, price in evs:
+            if op == 3:
+                state.pop(pk, None)
+            else:
+                state[pk] = price
+    want = sorted(("SCOTT", "ORDERS", pk, price, "S") for pk, price in state.items())
+    assert _replica(spark, _rows(txns)) == want
