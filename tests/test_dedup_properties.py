@@ -84,3 +84,64 @@ def test_canonical_quality_partitions_the_corpus(spark, docs):
         d for v in members.values() for d in v
     }
     assert {r.cluster_id for r in rows} == set(members) | singles
+
+
+def _model_shingles(doc, n=2):
+    toks = doc.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_jaccard_pairs_match_bruteforce(spark, docs):
+    """The shingle-self-join Jaccard must equal a literal all-pairs
+    set computation (the quadratic form the distributed plan exists to
+    avoid) on every random corpus — values included, not just pair
+    membership."""
+    from oracdc_spark.operators.dedup import jaccard_pairs
+
+    got = {
+        (r.d1, r.d2): (r.common, r.jac)
+        for r in jaccard_pairs(_df(spark, docs), n=2, threshold=0.3).collect()
+    }
+    sets = [_model_shingles(d) for d in docs]
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            common = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if not common:
+                continue
+            jac = round(common / union, 4)
+            if jac >= 0.3:
+                want[(i, j)] = (common, jac)
+    assert set(got) == set(want)
+    for k, (common, jac) in want.items():
+        assert got[k][0] == common and abs(got[k][1] - jac) < 1e-9
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_minhash_signature_matches_hashlib_model(spark, docs):
+    """The one-shuffle wide-aggregate MinHash signature equals an
+    independent hashlib computation: mh_i = min over the doc's distinct
+    shingles of md5('<i>|<shingle>') hex — validating tokenization,
+    shingling, seed framing and the string-min in one theorem.  A doc
+    with fewer than n tokens has no shingles and no signature row."""
+    import hashlib
+
+    from oracdc_spark.operators.dedup import minhash_signatures
+
+    k = 4
+    rows = minhash_signatures(_df(spark, docs), n=2, num_hashes=k).collect()
+    got = {r.doc_id: tuple(r[f"mh{i}"] for i in range(k)) for r in rows}
+    want = {}
+    for d, doc in enumerate(docs):
+        sh = _model_shingles(doc)
+        if not sh:
+            continue
+        want[d] = tuple(
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+            for i in range(k)
+        )
+    assert got == want
