@@ -171,3 +171,41 @@ def test_sq8_code_bounds_and_error(xs):
         dec = mn + c * (mx - mn) / 255 if mx > mn else mn
         step = (mx - mn) / 255 if mx > mn else 0.0
         assert abs(dec - x) <= step / 2 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ROWID: the JVM-side instr/substring decode inverts the Python encoder
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck  # noqa: E402
+
+_ROWID_FIELDS = st.tuples(
+    st.integers(min_value=0, max_value=(1 << 36) - 1),  # data_object_id
+    st.integers(min_value=0, max_value=(1 << 18) - 1),  # file_no
+    st.integers(min_value=0, max_value=(1 << 36) - 1),  # block_no
+    st.integers(min_value=0, max_value=(1 << 18) - 1),  # row_no
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_ROWID_FIELDS, min_size=1, max_size=40))
+def test_rowid_components_invert_encoder(spark, rows):
+    """rowid_components (pure column arithmetic — the orderable /
+    partitionable key form of a2.use.rowid.as.key) recovers exactly the
+    fields rowid_encode_py packed, over the full 6/3/6/3-digit domain."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.functions.decoders import rowid_components, rowid_encode_py
+
+    df = spark.createDataFrame(
+        [(i, rowid_encode_py(*t)) for i, t in enumerate(rows)], "i long, rid string"
+    )
+    got = {
+        r.i: (r.data_object_id, r.file_no, r.block_no, r.row_no)
+        for r in df.select("i", *rowid_components(F.col("rid"))).collect()
+    }
+    assert got == {i: t for i, t in enumerate(rows)}
