@@ -2669,7 +2669,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # reference's OraSqlUtils.java:124-130 semantics); the driver fixture
 # list is all dotted entries, so the row's plan is bit-identical, and
 # it re-verified green locally at sf0.001 AND sf0.01 post-change (the
-# r8 graph_pagerank queue-not-swap precedent).
+# r8 graph_pagerank queue-not-swap precedent).  Same precedent, same
+# round: jdbc_sql.upsert_sql/partial_update_sql gained the reference's
+# onlyPkColumns degradation (all-PK tables -> plain INSERT,
+# TargetDbSqlUtils.java:376 ff; found by the live DuckDB execution
+# property) — every driver fixture table has non-key columns, so
+# cdc_apply_changes / jdbc_autocreate plans are bit-identical; both
+# re-verified green locally at sf0.001 AND sf0.01 post-change, row
+# re-checks queued r10.
 _R9_WINDOW = [
     # (a) first driver rows — the 28 never-checked late-r8 declarations
     "pipeline_curation_v5",

@@ -207,8 +207,17 @@ def insert_sql(t: SinkTable, dialect: str) -> str:
 def upsert_sql(t: SinkTable, dialect: str) -> str:
     """K2 — idempotent upsert, ?-parameterized in column order.
     A keyless table degrades to the reference's value-only mode:
-    plain INSERT (see :func:`insert_sql`)."""
-    if not t.pk_cols:
+    plain INSERT (see :func:`insert_sql`).
+
+    An ALL-PK table (a pure link/association table — every column in
+    the key, nothing to update) also degrades to plain INSERT: the
+    reference's ``onlyPkColumns`` branch omits the on-conflict / merge
+    clause entirely in every dialect (TargetDbSqlUtils.java:376,
+    452-455, 516-518, 599-610 — without this branch the generated
+    ``DO UPDATE SET``/``WHEN MATCHED THEN UPDATE SET`` would carry an
+    empty assignment list and be a syntax error, the defect the live
+    DuckDB execution property caught here)."""
+    if not t.pk_cols or not t.non_pk_cols:
         return insert_sql(t, dialect)
     cols = ", ".join(t.all_cols)
     qs = ", ".join("?" for _ in t.all_cols)
@@ -271,5 +280,13 @@ def partial_update_sql(t: SinkTable, dialect: str, present_cols: tuple[str, ...]
             "(keyless sinks are insert-only)"
         )
     sets = ", ".join(f"{c} = ?" for c in present_cols if c not in t.pk_cols)
+    if not sets:
+        # every present column is in the key: an empty SET list is a
+        # syntax error in every dialect — caller error, like delete_sql
+        # on a keyless table
+        raise ValueError(
+            f"{t.name}: partial update with no non-key columns present "
+            "has nothing to update"
+        )
     where = " AND ".join(f"{c} = ?" for c in t.pk_cols)
     return f"UPDATE {t.name} SET {sets} WHERE {where}"
