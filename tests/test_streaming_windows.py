@@ -391,3 +391,33 @@ def test_interval_fold_any_split(spark, rows):
     )
     assert sorted(pairs) == want
     assert len(pairs) == len(set(pairs))  # exactly-once across batches
+
+
+@given(rows=_EVENTS)
+@settings(**_PROP_SETTINGS)
+def test_interval_join_matches_bruteforce(spark, rows):
+    """Third leg of the interval-join triangle (fold==batch is above;
+    this pins batch==model): the equality-plus-range join equals a
+    literal quadratic scan — same user, click in [purchase-45min,
+    purchase], both endpoints INCLUSIVE — so a shared misreading of the
+    boundary in the Spark plan and the DuckDB oracle cannot survive."""
+    from oracdc_spark.streaming.windows import interval_join
+
+    ev = _evdf(spark, rows, types=("purchase", "click"))
+    got = sorted(
+        (r.purchase_id, r.click_id)
+        for r in interval_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+            window="45 minutes",
+        ).collect()
+    )
+    purchases = [(i, u, mins) for i, (u, mins, _b) in enumerate(rows) if i % 2 == 0]
+    clicks = [(i, u, mins) for i, (u, mins, _b) in enumerate(rows) if i % 2 == 1]
+    want = sorted(
+        (pid, cid)
+        for pid, pu, pm in purchases
+        for cid, cu, cm in clicks
+        if pu == cu and pm - 45 <= cm <= pm
+    )
+    assert got == want
