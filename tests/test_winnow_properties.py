@@ -65,3 +65,63 @@ def test_whole_doc_duplicate_wipes_both_copies(spark, doc):
     for r in out:
         assert r.n_removed == r.n_tokens
         assert (r.cleaned_text or "") == ""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+import hashlib  # noqa: E402
+
+from oracdc_spark.operators.winnow import (  # noqa: E402
+    WINNOW_K,
+    WINNOW_W,
+    winnow_fingerprints,
+)
+
+
+def _model_fps(doc, k=WINNOW_K, w=WINNOW_W):
+    toks = doc.split()
+    grams = [
+        " ".join(toks[i : i + k]).lower() for i in range(len(toks) - k + 1)
+    ]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    return {min(hs[p : p + w]) for p in range(len(hs) - w + 1)}
+
+
+@given(docs=_CORPUS)
+@settings(**_SETTINGS)
+def test_winnow_fingerprints_match_model(spark, docs):
+    """The window-min selection equals a literal Python winnow (same
+    md5-prefix hash) on every corpus: full windows only, paper window
+    count m-k-w+2, short docs select nothing."""
+    rows = winnow_fingerprints(_df(spark, docs)).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    want = {d: _model_fps(doc) for d, doc in enumerate(docs) if _model_fps(doc)}
+    assert got == want
+
+
+@given(
+    pre=st.lists(st.sampled_from(["x", "y"]), max_size=4).map(" ".join),
+    run=st.lists(
+        st.sampled_from(["a", "b", "c", "dd"]),
+        min_size=WINNOW_W + WINNOW_K - 1,
+        max_size=WINNOW_W + WINNOW_K + 3,
+    ).map(" ".join),
+    suf=st.lists(st.sampled_from(["z", "w"]), max_size=4).map(" ".join),
+)
+@settings(**_SETTINGS)
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark, pre, run, suf):
+    """The winnowing GUARANTEE: two documents sharing a token run of at
+    least w+k-1 tokens share at least one selected fingerprint — the
+    property that makes the candidate join complete at the configured
+    match length."""
+    doc_a = run
+    doc_b = " ".join(x for x in (pre, run, suf) if x)
+    rows = winnow_fingerprints(_df(spark, [doc_a, doc_b])).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps.get(0) and fps.get(1) and fps[0] & fps[1]
