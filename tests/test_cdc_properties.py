@@ -224,3 +224,48 @@ def test_replica_equals_sequential_replay(spark, txns):
                 state[pk] = price
     want = sorted(("SCOTT", "ORDERS", pk, price, "S") for pk, price in state.items())
     assert _replica(spark, _rows(txns)) == want
+
+
+@given(txns=_FEED)
+@settings(**_SETTINGS)
+def test_scd2_history_chains_correctly(spark, txns):
+    """SCD2 structural theorem on every committed stream: per key the
+    versions are numbered 1..n contiguously in commit order, each
+    version's valid_to equals the next version's valid_from (half-open
+    intervals tile with no gap or overlap), only the last version is
+    open-ended, and is_current marks exactly the open non-delete
+    version."""
+    rows = _rows(txns)
+    hist = {}
+    for r in cdc.scd2_history(_df(spark, rows)).collect():
+        hist.setdefault((r.owner, r.table_name, r.pk), []).append(r)
+    for key, versions in hist.items():
+        versions.sort(key=lambda r: r.version)
+        assert [r.version for r in versions] == list(range(1, len(versions) + 1))
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev.valid_to_scn == nxt.valid_from_scn
+        *closed, last = versions
+        assert all(r.valid_to_scn is not None for r in closed)
+        assert last.valid_to_scn is None
+        currents = [r for r in versions if r.is_current == 1]
+        if last.is_deleted:
+            assert currents == []
+        else:
+            assert currents == [last]
+
+
+@given(txns=_FEED, fraction=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+@settings(**_SETTINGS)
+def test_scd2_as_of_equals_log_replay_at_any_cut(spark, txns, fraction):
+    """Serving a point-in-time snapshot FROM the SCD2 interval table
+    must equal re-replaying the log to the same cut — at every cut
+    fraction, not just the driver row's 0.5 (empty intervals from
+    same-commit rewrites collapse, deletes hide the key)."""
+    df = _df(spark, _rows(txns))
+    via_intervals = sorted(
+        map(tuple, cdc.scd2_as_of_relative(df, fraction).collect())
+    )
+    via_replay = sorted(
+        map(tuple, cdc.replica_as_of_relative(df, fraction).collect())
+    )
+    assert via_intervals == via_replay
