@@ -218,7 +218,12 @@ def test_replica_equals_sequential_replay(spark, txns):
         if control != 7:
             continue  # rolled back or still open: contributes nothing
         for op, pk, price in evs:
-            if op == 3:
+            # LogMiner opcodes: 1=INSERT, 2=DELETE, 3=UPDATE (feed.py;
+            # the first draft of this model had 2/3 swapped and the
+            # property immediately caught it against the real plan —
+            # an UPDATE with no prior INSERT upserts, per the MERGE's
+            # unconditional WHEN NOT MATCHED THEN INSERT)
+            if op == cdc.OP_DELETE:
                 state.pop(pk, None)
             else:
                 state[pk] = price
