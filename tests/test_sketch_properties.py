@@ -1,0 +1,129 @@
+"""Property-based theorems for the sketch family (CMS / HLL / Bloom).
+
+At 100 TB these structures are only useful because of three theorems —
+each asserted here on arbitrary random corpora, not fixtures:
+
+* CMS is ONE-SIDED (estimate >= true count for EVERY n-gram, not just
+  the audited top-k) and MERGEABLE (sketch of a union = cellwise sum of
+  the parts — the per-partition/per-day combine the operator's 100 TB
+  story depends on);
+* HLL registers are MERGEABLE by per-bucket max (union sketch = max of
+  part sketches) — the property that lets daily sketches roll up into
+  monthly cardinalities without re-reading data;
+* Bloom has NO FALSE NEGATIVES (every inserted item probes positive),
+  is mergeable by bitwise OR, and therefore `bloom_prune` is LOSSLESS:
+  pruning a probe side against a build side never drops a row that
+  would have joined.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+from oracdc_spark.operators.textops import (
+    bloom_build,
+    bloom_prune,
+    cms_estimate_topk,
+    cms_sketch,
+    hll_registers,
+    _gram_hash,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_DOC = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=12
+).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=10)
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+
+
+def _bigram_counts(docs):
+    c = Counter()
+    for doc in docs:
+        toks = doc.split()
+        for i in range(len(toks) - 1):
+            c[" ".join(toks[i : i + 2]).lower()] += 1
+    return c
+
+
+@given(docs=_CORPUS)
+@settings(**_SETTINGS)
+def test_cms_one_sided_for_every_ngram(spark, docs):
+    exact = _bigram_counts(docs)
+    if not exact:
+        return
+    rows = cms_estimate_topk(_df(spark, docs), n=2, k=10_000).collect()
+    got = {r.ngram: (r.exact_n, r.est_n) for r in rows}
+    assert set(got) == set(exact)  # k >> distinct: the audit covers all
+    for ngram, true_n in exact.items():
+        ex, est = got[ngram]
+        assert ex == true_n  # the exact leg equals the Python count
+        assert est >= true_n  # the one-sided CMS guarantee
+
+
+@given(docs_a=_CORPUS, docs_b=_CORPUS)
+@settings(**_SETTINGS)
+def test_cms_merges_by_cellwise_sum(spark, docs_a, docs_b):
+    def cells(docs):
+        return {
+            (r.d, r.bucket): r.cnt
+            for r in cms_sketch(_df(spark, docs), n=2).collect()
+        }
+
+    a, b = cells(docs_a), cells(docs_b)
+    merged = Counter()
+    for part in (a, b):
+        for k, v in part.items():
+            merged[k] += v
+    assert cells(docs_a + docs_b) == {k: v for k, v in merged.items() if v}
+
+
+@given(docs_a=_CORPUS, docs_b=_CORPUS)
+@settings(**_SETTINGS)
+def test_hll_merges_by_bucket_max(spark, docs_a, docs_b):
+    def regs(docs):
+        toks = (
+            _df(spark, docs)
+            .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .select(_gram_hash(F.lower("tok")).alias("h"))
+        )
+        return {r.bucket: r.m_j for r in hll_registers(toks).collect()}
+
+    a, b = regs(docs_a), regs(docs_b)
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert regs(docs_a + docs_b) == merged
+
+
+@given(docs=_CORPUS, probes=_CORPUS)
+@settings(**_SETTINGS)
+def test_bloom_no_false_negatives_and_lossless_prune(spark, docs, probes):
+    toks = (
+        _df(spark, docs)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    filt = bloom_build(toks)
+    inserted = {t for d in docs for t in d.split()}
+    probe = spark.createDataFrame(
+        [(i, t) for i, d in enumerate(probes) for t in d.split()]
+        or [(0, "__none__")],
+        "row_id long, tok string",
+    )
+    kept = {(r.row_id, r.tok) for r in bloom_prune(probe, "tok", filt).collect()}
+    for r in probe.collect():
+        if r.tok in inserted:  # no false negative, row identity intact
+            assert (r.row_id, r.tok) in kept
