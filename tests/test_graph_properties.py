@@ -102,3 +102,27 @@ def test_triangle_census_matches_bruteforce(spark, pairs):
         deg[u] = deg.get(u, 0) + 1
         deg[v] = deg.get(v, 0) + 1
     assert row.n_wedges == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+@given(pairs=_EDGES, iters=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_pagerank_matches_integer_model(spark, pairs, iters):
+    """Value-exact equivalence (stronger than the mass bound above):
+    the distributed iteration equals a literal Python power iteration
+    in the same integer micro-units — pr/deg and the 85% damping both
+    floor-divide, contributions flow along every edge row, nodes are
+    the out-degree key set."""
+    out = {r.node: r.pr for r in graph.pagerank(_sym_df(spark, pairs), iters=iters).collect()}
+    edges = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    deg = {}
+    for s, _d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {n: graph.PR_ONE for n in deg}
+    for _ in range(iters):
+        inbound = {}
+        for s, d in edges:
+            inbound[d] = inbound.get(d, 0) + pr[s] // deg[s]
+        pr = {
+            n: graph.PR_BASE + 85 * inbound.get(n, 0) // 100 for n in deg
+        }
+    assert out == pr
