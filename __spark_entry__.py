@@ -4245,8 +4245,10 @@ s3 AS (
 SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
        CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click_after,
        CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after,
-       ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
-             / (SELECT COUNT(*) FROM s1) * 100, 4) AS conversion_pct
+       CASE WHEN (SELECT COUNT(*) FROM s1) > 0 THEN
+         ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+               / (SELECT COUNT(*) FROM s1) * 100, 4)
+       END AS conversion_pct
 """
     sql["lineitem_copurchase_lift"] = """
 WITH citems AS (
@@ -4319,8 +4321,10 @@ w3 AS (
 SELECT CAST((SELECT COUNT(*) FROM w1) AS BIGINT) AS n_signup,
        CAST((SELECT COUNT(*) FROM w2) AS BIGINT) AS n_click_24h,
        CAST((SELECT COUNT(*) FROM w3) AS BIGINT) AS n_purchase_24h,
-       ROUND(CAST((SELECT COUNT(*) FROM w3) AS DOUBLE)
-             / (SELECT COUNT(*) FROM w1) * 100, 4) AS conversion_pct
+       CASE WHEN (SELECT COUNT(*) FROM w1) > 0 THEN
+         ROUND(CAST((SELECT COUNT(*) FROM w3) AS DOUBLE)
+               / (SELECT COUNT(*) FROM w1) * 100, 4)
+       END AS conversion_pct
 """
     sql["events_asof_join"] = """
 WITH l AS (

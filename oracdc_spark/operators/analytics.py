@@ -802,8 +802,17 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_signup").cast("bigint").alias("n_signup"),
             F.col("n_click_after").cast("bigint").alias("n_click_after"),
             F.col("n_purchase_after").cast("bigint").alias("n_purchase_after"),
-            F.round(
-                F.col("n_purchase_after").cast("double") / F.col("n_signup") * 100, 4
+            # zero signups: conversion is undefined — NULL, not an ANSI
+            # divide-by-zero (found by the r9 funnel replay property;
+            # the fixture stream always has signups so no driver row
+            # could hit it — same class as the wedge-free census)
+            F.when(
+                F.col("n_signup") > 0,
+                F.round(
+                    F.col("n_purchase_after").cast("double")
+                    / F.col("n_signup") * 100,
+                    4,
+                ),
             ).alias("conversion_pct"),
         )
     )
@@ -1249,8 +1258,15 @@ def events_funnel_windowed(
             F.col("n_signup").cast("bigint").alias("n_signup"),
             F.col("n_click_24h").cast("bigint").alias("n_click_24h"),
             F.col("n_purchase_24h").cast("bigint").alias("n_purchase_24h"),
-            F.round(
-                F.col("n_purchase_24h").cast("double") / F.col("n_signup") * 100, 4
+            # zero signups: NULL, not an ANSI divide-by-zero (same
+            # class and fix as events_funnel)
+            F.when(
+                F.col("n_signup") > 0,
+                F.round(
+                    F.col("n_purchase_24h").cast("double")
+                    / F.col("n_signup") * 100,
+                    4,
+                ),
             ).alias("conversion_pct"),
         )
     )
