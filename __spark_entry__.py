@@ -5355,8 +5355,10 @@ obs AS (
 tot AS (SELECT COUNT(*) AS n_total FROM documents)
 SELECT arm, CAST(n_docs AS BIGINT) AS n_docs,
        ROUND(CAST(n_total AS DOUBLE) * w / 5, 6) AS expected_docs,
-       ROUND(POWER(CAST(n_docs AS DOUBLE) - CAST(n_total AS DOUBLE) * w / 5, 2)
-             / (CAST(n_total AS DOUBLE) * w / 5), 6) AS chi2_component
+       CASE WHEN n_total > 0 THEN
+         ROUND(POWER(CAST(n_docs AS DOUBLE) - CAST(n_total AS DOUBLE) * w / 5, 2)
+               / (CAST(n_total AS DOUBLE) * w / 5), 6)
+       END AS chi2_component
 FROM obs, tot
 """
     sql["pipeline_split"] = """
@@ -8240,8 +8242,10 @@ st AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_raw,
        CAST(COUNT(DISTINCT stem) AS BIGINT) AS vocab_stemmed,
-       ROUND(CAST(COUNT(DISTINCT tok) - COUNT(DISTINCT stem) AS DOUBLE)
-             / COUNT(DISTINCT tok), 6) AS reduction_frac
+       CASE WHEN COUNT(DISTINCT tok) > 0 THEN
+         ROUND(CAST(COUNT(DISTINCT tok) - COUNT(DISTINCT stem) AS DOUBLE)
+               / COUNT(DISTINCT tok), 6)
+       END AS reduction_frac
 FROM st
 """
     )

@@ -591,6 +591,8 @@ def ab_assign(
             "arm",
             "n_docs",
             F.round(exp, 6).alias("expected_docs"),
-            F.round(chi2, 6).alias("chi2_component"),
+            # χ² is undefined when the expected count is 0 (an EMPTY
+            # corpus): NULL, not an ANSI divide-by-zero (r9 funnel class)
+            F.when(exp > 0, F.round(chi2, 6)).alias("chi2_component"),
         )
     )

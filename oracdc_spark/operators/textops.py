@@ -1734,10 +1734,15 @@ def stem_vocab_reduction(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.count_distinct("tok").cast("bigint").alias("vocab_raw"),
         F.count_distinct("stem").cast("bigint").alias("vocab_stemmed"),
-        F.round(
-            (F.count_distinct("tok") - F.count_distinct("stem")).cast("double")
-            / F.count_distinct("tok"),
-            6,
+        # empty corpus: no vocabulary, reduction undefined — NULL, not
+        # an ANSI divide-by-zero (r9 funnel class)
+        F.when(
+            F.count_distinct("tok") > 0,
+            F.round(
+                (F.count_distinct("tok") - F.count_distinct("stem")).cast("double")
+                / F.count_distinct("tok"),
+                6,
+            ),
         ).alias("reduction_frac"),
     )
 

@@ -511,3 +511,28 @@ class TestOrdersPareto:
         finally:
             an.load_table = orig
         assert r.gini == 0.0 and r.top20_share == round(2 / 8, 6)
+
+
+class TestEmptyCorpusDefinedness:
+    """r9 empty-corpus probe class: summary-row operators over a
+    VALID-but-empty corpus return their counts with NULL for the
+    undefined ratio components — never an ANSI divide-by-zero (the
+    funnel/census defect class)."""
+
+    def test_ab_assign_empty_corpus_null_chi2(self, spark):
+        from oracdc_spark.operators.sampling import ab_assign
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        rows = {r.arm: r for r in ab_assign(df).collect()}
+        assert set(rows) == {"control", "treatment"}
+        for r in rows.values():
+            assert r.n_docs == 0 and r.expected_docs == 0.0
+            assert r.chi2_component is None
+
+    def test_stem_reduction_empty_corpus_null_fraction(self, spark):
+        from oracdc_spark.operators.textops import stem_vocab_reduction
+
+        df = spark.createDataFrame([], "doc_id long, text string")
+        [r] = stem_vocab_reduction(df).collect()
+        assert (r.n_tokens, r.vocab_raw, r.vocab_stemmed) == (0, 0, 0)
+        assert r.reduction_frac is None
