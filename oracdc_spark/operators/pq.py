@@ -354,6 +354,14 @@ def _sample_matrix(raw_rows):
     for missing components (the module's ragged contract)."""
     import numpy as np
 
+    if not raw_rows:
+        # precondition, stated plainly instead of a bare max()-on-empty:
+        # codebooks cannot train on zero sampled vectors (empty corpus
+        # or a sample_mod coarser than the corpus)
+        raise ValueError(
+            "PQ training sample is empty — the embeddings table has no "
+            "rows matching the sample filter; cannot train codebooks"
+        )
     ids = sorted({r["vec_id"] for r in raw_rows})
     d = 1 + max(r["i"] for r in raw_rows)
     idx = {v: n for n, v in enumerate(ids)}

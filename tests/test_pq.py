@@ -480,3 +480,15 @@ def test_norm_outliers_rank_trim_exact(spark):
     assert max((r.rn for r in lows), default=0) <= min(
         (r.rn for r in highs), default=n + 1
     )
+
+
+def test_empty_training_sample_raises_plainly():
+    """Training on an empty corpus is a PRECONDITION violation — a
+    stated ValueError, not a bare max()-on-empty-sequence (r9
+    empty-corpus probe)."""
+    import pytest as _pytest
+
+    from oracdc_spark.operators.pq import _sample_matrix
+
+    with _pytest.raises(ValueError, match="training sample is empty"):
+        _sample_matrix([])
