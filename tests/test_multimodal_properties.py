@@ -141,3 +141,99 @@ def test_ahash_matches_scalar_model(spark, imgs):
     got = {r.media_id: r.ahash for r in _image_hashes(df).collect()}
     want = {i: _model_ahash(bytes(content)) for i, _k, content in rows}
     assert got == want
+
+
+def _model_dhash(payload, grid=4):
+    """Scalar literal of the documented dHash definition — no numpy:
+    (grid+1)*grid block frame, floor-mean block grays (empty blocks 0),
+    one bit per horizontal neighbor comparison."""
+    w, h, raster = ppm_raster(payload)
+    gw = grid + 1
+    blocks: dict[int, list[int]] = {}
+    for y in range(h):
+        for x in range(w):
+            p = y * w + x
+            gray = (raster[3 * p] + raster[3 * p + 1] + raster[3 * p + 2]) // 3
+            b = (y * grid // h) * gw + (x * gw // w)
+            blocks.setdefault(b, []).append(gray)
+    bv = [0] * (grid * gw)
+    for b, vals in blocks.items():
+        bv[b] = sum(vals) // len(vals)
+    out = 0
+    for by in range(grid):
+        for bx in range(grid):
+            if bv[by * gw + bx] > bv[by * gw + bx + 1]:
+                out += 1 << (by * grid + bx)
+    return out
+
+
+@given(imgs=st.lists(_IMG, min_size=1, max_size=6))
+@settings(**_SPARK)
+def test_dhash_matches_scalar_model(spark, imgs):
+    from oracdc_spark.operators.multimodal import image_dhash
+
+    rows = [
+        (i, "image", b"P6\n%d %d\n255\n" % (w, h) + _raster(w, h, seed))
+        for i, (w, h, seed) in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    got = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    want = {i: _model_dhash(bytes(content)) for i, _k, content in rows}
+    assert got == want
+
+
+_SAMPLES = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=40
+)
+
+
+def _wav(samples):
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _model_ehash(samples, segments=8):
+    """Scalar literal of the documented energy-hash definition: seg(i)
+    = i*S//n, floor-mean s² per nonempty segment, threshold at the
+    floor mean of present-segment energies."""
+    n = len(samples)
+    segs: dict[int, list[int]] = {}
+    for i, s in enumerate(samples):
+        segs.setdefault(i * segments // n, []).append(s * s)
+    evs = {k: sum(v) // len(v) for k, v in segs.items()}
+    mean = sum(evs.values()) // len(evs)
+    return sum((1 << k) for k, e in evs.items() if e > mean)
+
+
+def _model_zcr(samples, segments=8):
+    """Scalar literal of the documented ZCR definition over sample
+    transitions: crossing at i when sign(s_i)!=sign(s_{i+1}) (>=0 rule),
+    segment = i*S//n, rate = crossings*1000 // transitions, threshold
+    at the floor mean of present-segment rates; <2 samples hash 0."""
+    n = len(samples)
+    if n < 2:
+        return 0
+    segs: dict[int, list[int]] = {}
+    for i in range(n - 1):
+        cross = (samples[i] >= 0) != (samples[i + 1] >= 0)
+        segs.setdefault(i * segments // n, []).append(1 if cross else 0)
+    zq = {k: (sum(v) * 1000) // len(v) for k, v in segs.items()}
+    mv = sum(zq.values()) // len(zq)
+    return sum((1 << k) for k, r in zq.items() if r > mv)
+
+
+@given(clips=st.lists(_SAMPLES, min_size=1, max_size=5))
+@settings(**_SPARK)
+def test_ehash_and_zcr_match_scalar_models(spark, clips):
+    from oracdc_spark.operators.multimodal import _audio_hashes, audio_zcr_hash
+
+    rows = [(i, "audio", _wav(s)) for i, s in enumerate(clips)]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    got_e = {r.media_id: r.ehash for r in _audio_hashes(df).collect()}
+    got_z = {r.media_id: r.zhash for r in audio_zcr_hash(df).collect()}
+    assert got_e == {i: _model_ehash(s) for i, s in enumerate(clips)}
+    assert got_z == {i: _model_zcr(s) for i, s in enumerate(clips)}
