@@ -1,0 +1,228 @@
+"""Property-based theorems for the cohort/attribution analytics family.
+
+These operators are single-exchange distributed rewrites of inherently
+per-user sequential definitions — exactly the shape where a plan and an
+intuition can diverge silently (window frames, tie order, quantile rank
+conventions, first-day cohort identities).  Each is pinned against a
+literal per-user Python replay on random event streams with heavy
+user/timestamp collisions:
+
+* `events_attribution`: every purchase credits the user's most recent
+  strictly-preceding non-purchase touch in (ts, event_id) order, else
+  '(none)' — replayed with a backward scan;
+* `events_retention_cohorts`: the (cohort x offset) triangle over
+  distinct user-days with the offset-0 row as the cohort size;
+* `events_cohort_ltv`: milli-quantized purchase sums, cumulative per
+  cohort, divided by the offset-0 active count;
+* `events_time_to_convert`: min purchase-minus-first-signup delay per
+  user (at-or-after, floored to whole seconds), then the exact
+  k = ceil(p*n) rank quantiles.
+
+All roundings replay Spark's F.round-on-double semantics
+(BigDecimal(Double.toString) HALF_UP = Decimal(repr(x)) HALF_UP).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oracdc_spark.operators.analytics import (
+    events_attribution,
+    events_cohort_ltv,
+    events_retention_cohorts,
+    events_time_to_convert,
+)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_T0 = datetime.datetime(2024, 1, 1)
+_TYPES = ("signup", "click", "purchase", "view")
+_VALS = (0.0, 0.125, 0.25, 0.5, 1.0)  # exact in float; qv = v*1000 exact
+
+# (user 0-2, type idx, day 0-3, minute 0-2, value idx): tiny domains
+# force same-user same-timestamp and same-day collisions
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=4),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _r(x, places):
+    return float(Decimal(repr(x)).quantize(Decimal(places), rounding=ROUND_HALF_UP))
+
+
+def _write(spark, tmp, rows):
+    data = [
+        (
+            i,
+            _T0 + datetime.timedelta(days=d, minutes=m),
+            u,
+            _TYPES[ti],
+            _VALS[vi],
+            "",
+        )
+        for i, (u, ti, d, m, vi) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+
+def _by_user(rows):
+    out = {}
+    for i, (u, ti, d, m, vi) in enumerate(rows):
+        out.setdefault(u, []).append((d * 1440 + m, i, _TYPES[ti], _VALS[vi], d))
+    for evs in out.values():
+        evs.sort(key=lambda e: (e[0], e[1]))
+    return out
+
+
+@given(rows=_EVENTS)
+@settings(**_SETTINGS)
+def test_attribution_matches_backward_scan_replay(spark, rows, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("attr"))
+    _write(spark, sf, rows)
+    got = {
+        (r.touch_type, r.n_attributed, r.credited_value)
+        for r in events_attribution(spark, sf).collect()
+    }
+    credit: dict[str, list[int]] = {}
+    for evs in _by_user(rows).values():
+        for j, (_t, _i, typ, val, _d) in enumerate(evs):
+            if typ != "purchase":
+                continue
+            touch = "(none)"
+            for k in range(j - 1, -1, -1):
+                if evs[k][2] != "purchase":
+                    touch = evs[k][2]
+                    break
+            credit.setdefault(touch, []).append(int(round(val * 1000)))
+    expect = {
+        (t, len(qs), _r(sum(qs) / 1000, "0.001")) for t, qs in credit.items()
+    }
+    assert got == expect
+
+
+@given(rows=_EVENTS)
+@settings(**_SETTINGS)
+def test_retention_cohorts_match_distinct_user_day_replay(
+    spark, rows, tmp_path_factory
+):
+    sf = str(tmp_path_factory.mktemp("ret"))
+    _write(spark, sf, rows)
+    got = {
+        (r.cohort_day, r.day_offset, r.n_active, r.cohort_size, r.retention_pct)
+        for r in events_retention_cohorts(spark, sf).collect()
+    }
+    user_days = {(u, d) for (u, _ti, d, _m, _vi) in rows}
+    cohort = {}
+    for u, d in user_days:
+        cohort[u] = min(cohort.get(u, d), d)
+    cell: dict[tuple, int] = {}
+    for u, d in user_days:
+        cell[(cohort[u], d - cohort[u])] = cell.get((cohort[u], d - cohort[u]), 0) + 1
+    expect = set()
+    for (c, off), n in cell.items():
+        size = cell[(c, 0)]
+        day = (_T0 + datetime.timedelta(days=c)).strftime("%Y-%m-%d")
+        expect.add((day, off, n, size, _r(n / size * 100, "0.0001")))
+    assert got == expect
+
+
+@given(rows=_EVENTS)
+@settings(**_SETTINGS)
+def test_cohort_ltv_matches_per_user_replay(spark, rows, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("ltv"))
+    _write(spark, sf, rows)
+    got = {
+        (
+            r.cohort_day,
+            r.day_offset,
+            r.day_value,
+            r.cum_value,
+            r.cohort_size,
+            r.cum_per_user,
+        )
+        for r in events_cohort_ltv(spark, sf).collect()
+    }
+    cohort = {}
+    for u, _ti, d, _m, _vi in rows:
+        cohort[u] = min(cohort.get(u, d), d)
+    qsum: dict[tuple, int] = {}
+    active: dict[tuple, set] = {}
+    for u, ti, d, _m, vi in rows:
+        key = (cohort[u], d - cohort[u])
+        qv = int(round(_VALS[vi] * 1000)) if _TYPES[ti] == "purchase" else 0
+        qsum[key] = qsum.get(key, 0) + qv
+        active.setdefault(key, set()).add(u)
+    expect = set()
+    for c in {c for c, _ in qsum}:
+        offs = sorted(off for cc, off in qsum if cc == c)
+        size = len(active[(c, 0)])
+        cum = 0
+        day = (_T0 + datetime.timedelta(days=c)).strftime("%Y-%m-%d")
+        for off in offs:
+            cum += qsum[(c, off)]
+            expect.add(
+                (
+                    day,
+                    off,
+                    _r(qsum[(c, off)] / 1000, "0.001"),
+                    _r(cum / 1000, "0.001"),
+                    size,
+                    _r((cum / 1000) / size, "0.000001"),
+                )
+            )
+    assert got == expect
+
+
+@given(rows=_EVENTS)
+@settings(**_SETTINGS)
+def test_time_to_convert_matches_rank_quantile_replay(
+    spark, rows, tmp_path_factory
+):
+    sf = str(tmp_path_factory.mktemp("ttc"))
+    _write(spark, sf, rows)
+    got = {
+        (r.p, r.n_converted, r.delay_s)
+        for r in events_time_to_convert(spark, sf).collect()
+    }
+    delays = []
+    for evs in _by_user(rows).values():
+        signups = [t for t, _i, typ, _v, _d in evs if typ == "signup"]
+        if not signups:
+            continue
+        s = min(signups) * 60  # whole seconds
+        cand = [
+            t * 60 - s
+            for t, _i, typ, _v, _d in evs
+            if typ == "purchase" and t * 60 >= s
+        ]
+        if cand:
+            delays.append(min(cand))
+    delays.sort()
+    n = len(delays)
+    expect = set()
+    if n:
+        for p in (0.25, 0.5, 0.75, 0.9):
+            k = math.ceil(p * n)
+            expect.add((p, n, delays[k - 1]))
+    assert got == expect
