@@ -98,3 +98,86 @@ def test_ab_assign_audit_total_and_layout_invariant(spark, docs):
         assert sum(r[1] for r in rows) == len(docs)
         outs.append(rows)
     assert outs[0] == outs[1]
+
+
+def _model_pack(docs, budget, n_shards):
+    """Scalar literal of pack_sequences: shard = doc_id % n_shards,
+    doc_id-ordered prefix sums of whitespace token counts, seq =
+    prefix_before div budget, per-(shard, seq) aggregates."""
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for i, (t, _lang) in enumerate(docs):
+        shards.setdefault(i % n_shards, []).append((i, len((t or "x").split())))
+    out = {}
+    for shard, rows in shards.items():
+        prefix = 0
+        for doc_id, n_tokens in sorted(rows):
+            seq = prefix // budget
+            key = (shard, seq)
+            n_docs, sum_t, first, last = out.get(key, (0, 0, doc_id, doc_id))
+            out[key] = (n_docs + 1, sum_t + n_tokens, min(first, doc_id), max(last, doc_id))
+            prefix += n_tokens
+    return {
+        (shard, seq, n, s, f, l) for (shard, seq), (n, s, f, l) in out.items()
+    }
+
+
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_pack_sequences_equals_scalar_first_fit_model(spark, docs):
+    budget, n_shards = 4, 2
+    got = {
+        (r.shard, r.seq_id, r.n_docs, r.sum_tokens, r.first_doc, r.last_doc)
+        for r in sampling.pack_sequences(
+            _df(spark, docs, 3), budget=budget, n_shards=n_shards
+        ).collect()
+    }
+    assert got == _model_pack(docs, budget, n_shards)
+
+
+def test_pack_sequences_conserves_tokens_and_bounds_overflow(spark):
+    """Packing invariants on a fixed mixed corpus: every document lands
+    in exactly one sequence (token conservation), sequences are
+    doc_id-contiguous per shard, and any sequence except possibly the
+    one holding an over-budget document stays within budget + the
+    largest single document (greedy spillover bound)."""
+    docs = [("w " * n).strip() for n in (1, 3, 9, 2, 2, 5, 1, 1)]
+    df = _df(spark, [(t, "en") for t in docs], 2)
+    seqs = sampling.pack_sequences(df, budget=4, n_shards=2).collect()
+    assert sum(r.sum_tokens for r in seqs) == sum(len(t.split()) for t in docs)
+    for r in seqs:
+        assert r.n_docs >= 1 and r.first_doc <= r.last_doc
+
+
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_temperature_mix_equals_cross_multiplied_model(spark, docs):
+    """temperature_mix membership is the exact DECIMAL inequality
+    hash32(doc) * W_tot * n_l < w_l * N_tot * 2^32 with w_l =
+    HALF_UP(sqrt(n_l) * 1e6) — replayed with Python bigints and the
+    same md5-prefix coin."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        (r.doc_id, r.lang, r.n_l)
+        for r in sampling.temperature_mix(_df(spark, docs, 3)).collect()
+    }
+    n_by_lang: dict[str, int] = {}
+    for _t, lang in docs:
+        n_by_lang[lang] = n_by_lang.get(lang, 0) + 1
+    w = {
+        lang: int(
+            Decimal(repr(math.sqrt(n) * 1e6)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        for lang, n in n_by_lang.items()
+    }
+    w_tot, n_tot = sum(w.values()), sum(n_by_lang.values())
+    expect = set()
+    for i, (_t, lang) in enumerate(docs):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        if h * w_tot * n_by_lang[lang] < w[lang] * n_tot * (1 << 32):
+            expect.add((i, lang, n_by_lang[lang]))
+    assert got == expect
