@@ -2721,9 +2721,20 @@ _R9_WINDOW = [
     # (c) r9 streaming promotions (r8 verdict item 4)
     "streaming_interval_join",
     "streaming_session_fold",
+    # r9 late fix: the Sennrich-model property falsified the padded
+    # double-replace merge application (odd runs >= 5 paired
+    # ' a a a a a ' -> ' aa a aa ', not greedy-left 'aa aa a');
+    # _bpe_chain and its oracle now use the doubled-space single-pass
+    # greedy-left form.  Changed semantics -> both rows re-enter this
+    # window; dedup_clusters (unchanged, oracle shared with the green-r8
+    # dedup_clusters_fast) and cdc_txn_stats (unchanged since r5, its
+    # CDC-core siblings cdc_replay_filter/cdc_wrapped_apply/
+    # registry_key_guard stay below) roll to the r10 queue in their
+    # place.
+    "text_bpe_merges",
+    "text_bpe_compression",
     # (d) r4-stale picks
     "graph_pagerank",
-    "dedup_clusters",
     "q1_pricing_summary",
     # r9 changed registry.apply_ddl (ORA-00957 duplicate-rename guard +
     # compound-statement atomicity, found by the DDL-fold property) —
@@ -2741,7 +2752,6 @@ _R9_WINDOW = [
     # rolls to r10 with two green r8 family rows standing in)
     "graph_triangles",
     "cdc_replay_filter",
-    "cdc_txn_stats",
     "cdc_wrapped_apply",
     "registry_key_guard",
 ]
@@ -8082,9 +8092,13 @@ p{k} AS (
 ),
 b{k} AS (SELECT pair, freq FROM p{k} ORDER BY freq DESC, pair LIMIT 1),
 s{k} AS (
+  -- greedy-left merge via the doubled-space encoding (see
+  -- textops._bpe_chain): double spaces, one replace pass, collapse
   SELECT wcount,
-         replace(replace(seq, ' ' || b{k}.pair || ' ', ' ' || replace(b{k}.pair, ' ', '') || ' '),
-                 ' ' || b{k}.pair || ' ', ' ' || replace(b{k}.pair, ' ', '') || ' ') AS seq
+         replace(replace(replace(seq, ' ', '  '),
+                         ' ' || replace(b{k}.pair, ' ', '  ') || ' ',
+                         ' ' || replace(b{k}.pair, ' ', '') || ' '),
+                 '  ', ' ') AS seq
   FROM s{j} CROSS JOIN b{k}
 )"""
     _bpe_chain_sql = (

@@ -1580,15 +1580,21 @@ def bpe_merges(docs: DataFrame, steps: int = 3) -> DataFrame:
     would persist the word table between steps (metadata-sized) — here
     the lineage recomputes it, keeping the builder pure.
 
-    Merge application is the padded double-replace identity: with
-    sequences stored ' a b c ' (space-padded), one left-to-right
-    non-overlapping pass of replace(' a b ', ' ab ') can miss an
-    occurrence only when the preceding occurrence consumed its leading
-    space; every such miss is flanked by already-merged output after
-    pass one, so a second identical pass is complete.  Greedy-left BPE
-    semantics ('a a a' -> 'aa a') fall out of left-to-right
-    non-overlap.  Ties break on the lexicographically smallest pair —
-    ASCII-only symbols, so Spark and DuckDB collate identically.
+    Merge application is greedy LEFT-TO-RIGHT non-overlapping (the
+    learn_bpe semantics: 'a a a a a' -> 'aa aa a'), implemented as one
+    plain-replace pass over a doubled-space encoding: double every
+    space (boundaries and edges become exactly 2 spaces), replace
+    ' a  b ' -> ' ab ' (the pattern consumes ONE space from each side,
+    so the leftover space both restores the 2-space invariant and lets
+    the scan chain into an immediately adjacent occurrence — exactly
+    the greedy skip-by-two), then collapse '  ' -> ' '.  The earlier
+    padded double-replace was NOT greedy-left on odd runs >= 5
+    (' a a a a a ' -> ' aa a aa '): found by the Sennrich-model
+    property test, which pins this form.  Plain replace is
+    left-to-right non-overlapping in both Spark and DuckDB, so the
+    oracle replays it verbatim.  Ties break on the lexicographically
+    smallest pair — ASCII-only symbols, so Spark and DuckDB collate
+    identically.
 
     Output: one row per merge step — (step, pair, merged, freq), freq
     the exact integer occurrence count of the winning pair at that
@@ -1642,11 +1648,23 @@ def _bpe_chain(docs: DataFrame, steps: int):
                 "freq",
             )
         )
-        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        # greedy-left merge: double spaces, one replace pass (consumes
+        # one space per side, chaining adjacent occurrences), collapse
+        pat = F.concat(
+            F.lit(" "),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
         rep = F.concat(F.lit(" "), merged_of(F.col("pair")), F.lit(" "))
         seqs = seqs.crossJoin(F.broadcast(best)).select(
             "wcount",
-            F.replace(F.replace(F.col("seq"), pat, rep), pat, rep).alias("seq"),
+            F.replace(
+                F.replace(
+                    F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), pat, rep
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            ).alias("seq"),
         )
     return seqs, best_rows
 
