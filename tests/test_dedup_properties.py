@@ -145,3 +145,102 @@ def test_minhash_signature_matches_hashlib_model(spark, docs):
             for i in range(k)
         )
     assert got == want
+
+
+def _r4(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_containment_pairs_match_bruteforce(spark, docs):
+    """containment_pairs equals the literal Broder containment on
+    brute-force shingle sets: common = |A∩B|, c(A→B) = common/|A|
+    rounded HALF_UP to 4, pair emitted iff either direction clears the
+    threshold (zero-intersection pairs never appear)."""
+    from oracdc_spark.operators.dedup import containment_pairs
+
+    n, thr = 2, 0.5
+    got = {
+        (r.d1, r.d2, r.common, r.c1_in_2, r.c2_in_1)
+        for r in containment_pairs(_df(spark, docs), n=n, threshold=thr).collect()
+    }
+    sets = {i: _model_shingles(t, n) for i, t in enumerate(docs)}
+    expect = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            common = len(sets[i] & sets[j])
+            if not common:
+                continue
+            c12, c21 = _r4(common / len(sets[i])), _r4(common / len(sets[j]))
+            if c12 >= thr or c21 >= thr:
+                expect.add((i, j, common, c12, c21))
+    assert got == expect
+
+
+def _model_simhash(text, bits=60):
+    import hashlib
+
+    toks = text.split()
+    if not toks:
+        return None
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    out = 0
+    for b in range(bits):
+        ones = sum((h >> b) & 1 for h in hs)
+        if ones * 2 > len(hs):
+            out |= 1 << b
+    return out
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_simhash_matches_scalar_majority_model(spark, docs):
+    """simhash equals the scalar per-bit token-majority model (token
+    multiplicity counted, strict majority, md5 15-hex-char hashes);
+    tokenless documents emit no fingerprint row."""
+    from oracdc_spark.operators.dedup import simhash
+
+    got = {r.doc_id: r.simhash for r in simhash(_df(spark, docs)).collect()}
+    expect = {
+        i: _model_simhash(t) for i, t in enumerate(docs) if _model_simhash(t) is not None
+    }
+    assert got == expect
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_simhash_candidates_match_rotation_model(spark, docs):
+    """simhash_candidates equals the scalar rotate-and-prefix model:
+    d1 < d2 pairs sharing the top prefix_bits of the 60-bit fingerprint
+    under ANY of the per-rotation left-rotates by (r*60)//rotations."""
+    from oracdc_spark.operators.dedup import simhash_candidates
+
+    prefix_bits, rotations = 4, 3
+    got = {
+        (r.d1, r.d2)
+        for r in simhash_candidates(
+            _df(spark, docs), prefix_bits=prefix_bits, rotations=rotations
+        ).collect()
+    }
+    sigs = {
+        i: _model_simhash(t)
+        for i, t in enumerate(docs)
+        if _model_simhash(t) is not None
+    }
+    expect = set()
+    ids = sorted(sigs)
+    for r in range(rotations):
+        s = (r * 60) // rotations
+        rot = {
+            i: ((v << s) & ((1 << 60) - 1)) | (v >> (60 - s)) if s else v
+            for i, v in sigs.items()
+        }
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                i, j = ids[ai], ids[bi]
+                if rot[i] >> (60 - prefix_bits) == rot[j] >> (60 - prefix_bits):
+                    expect.add((i, j))
+    assert got == expect
