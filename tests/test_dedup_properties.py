@@ -244,3 +244,71 @@ def test_simhash_candidates_match_rotation_model(spark, docs):
                 if rot[i] >> (60 - prefix_bits) == rot[j] >> (60 - prefix_bits):
                     expect.add((i, j))
     assert got == expect
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_tfidf_cosine_pairs_match_bruteforce(spark, docs):
+    """tfidf_cosine_pairs equals the literal sparse model: n-gram terms
+    WITH multiplicity, df-window [df_min, df_max] keeps the term, weight
+    = HALF_UP(tf * ln(1 + N/df) * 1000) as an exact int, score =
+    round(dot^2/(n1*n2), 6) over kept terms only — including the df_max
+    boilerplate cut dropping terms from the dot AND the norms."""
+    import math
+
+    from oracdc_spark.operators.dedup import tfidf_cosine_pairs
+
+    n, df_min, df_max, thr = 2, 2, 3, 0.01
+    got = {
+        (r.d1, r.d2, r.n_shared_terms, r.score)
+        for r in tfidf_cosine_pairs(
+            _df(spark, docs), n=n, df_min=df_min, df_max=df_max, threshold=thr
+        ).collect()
+    }
+    N = len(docs)
+    tf: dict[int, dict[str, int]] = {}
+    for i, t in enumerate(docs):
+        toks = t.split()
+        terms: dict[str, int] = {}
+        for j in range(len(toks) - n + 1):
+            g = " ".join(toks[j : j + n])
+            terms[g] = terms.get(g, 0) + 1
+        tf[i] = terms
+    df_of: dict[str, int] = {}
+    for terms in tf.values():
+        for g in terms:
+            df_of[g] = df_of.get(g, 0) + 1
+    kept = {g for g, d in df_of.items() if df_min <= d <= df_max}
+    w = {
+        (i, g): int(
+            __import__("decimal").Decimal(
+                repr(c * math.log(1.0 + N / df_of[g]) * 1000)
+            ).quantize(
+                __import__("decimal").Decimal("1"),
+                rounding=__import__("decimal").ROUND_HALF_UP,
+            )
+        )
+        for i, terms in tf.items()
+        for g, c in terms.items()
+        if g in kept
+    }
+    n2 = {}
+    for (i, _g), wv in w.items():
+        n2[i] = n2.get(i, 0) + wv * wv
+    expect = set()
+    for i in range(N):
+        for j in range(i + 1, N):
+            shared = [g for g in kept if (i, g) in w and (j, g) in w]
+            if not shared:
+                continue
+            dot = sum(w[(i, g)] * w[(j, g)] for g in shared)
+            score = _r6(float(dot) * float(dot) / (float(n2[i]) * float(n2[j])))
+            if score >= thr:
+                expect.add((i, j, len(shared), score))
+    assert got == expect
+
+
+def _r6(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
