@@ -1,0 +1,128 @@
+"""Property: the exact cosine serving path equals scalar models.
+
+`cosine_scores` / `brute_force_topk` are the GROUND TRUTH every ANN
+recall/purity audit in the engine measures against (pq/opq/sq8/ivf/
+hyperplane/matryoshka/nprobe) — an error here would silently re-grade
+every approximate structure.  Scalar replays on random corpora pin:
+
+* the quantized-cosine contract itself — q = HALF_UP(x*1000), exact
+  integer dots/norms, sign(dot)*dot^2/(qn*cn) in one IEEE division,
+  bit-for-bit;
+* the (score desc, neighbor_id asc) top-k tie-break;
+* `decontamination_screen`'s per-train argmax over the eval batch
+  (ties to the LOWER eval id) and its raw-score threshold applied
+  before the 6-place display rounding.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oracdc_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_scores,
+    decontamination_screen,
+)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_GRID = [-1.0, -0.5, -0.25, 0.0, 0.25, 0.5, 1.0]
+_NONZERO = [-0.5, -0.25, 0.25, 1.0]
+_D = 3
+
+_VEC = st.tuples(
+    st.sampled_from(_NONZERO), *(st.sampled_from(_GRID) for _ in range(_D - 1))
+).map(list)
+_CORPUS = st.lists(_VEC, min_size=2, max_size=8)
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _q(v):
+    return [int(round(x * 1000)) for x in v]
+
+
+def _score(a, b):
+    qa, qb = _q(a), _q(b)
+    dot = sum(x * y for x, y in zip(qa, qb))
+    if dot == 0:
+        return 0.0
+    qn = sum(x * x for x in qa)
+    cn = sum(x * x for x in qb)
+    s = float(dot) * float(dot) / (float(qn) * float(cn))
+    return s if dot > 0 else -s
+
+
+@given(vecs=_CORPUS)
+@settings(**_SETTINGS)
+def test_cosine_scores_match_scalar_model(spark, vecs):
+    df = _df(spark, vecs)
+    queries = df.filter("vec_id % 2 = 0")
+    got = {
+        (r.query_id, r.neighbor_id, r.score)
+        for r in cosine_scores(queries, df).collect()
+    }
+    expect = {
+        (i, j, _score(vecs[i], vecs[j]))
+        for i in range(0, len(vecs), 2)
+        for j in range(len(vecs))
+        if i != j
+    }
+    assert got == expect
+
+
+@given(vecs=_CORPUS)
+@settings(**_SETTINGS)
+def test_brute_force_topk_matches_ranked_model(spark, vecs):
+    k = 3
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(_df(spark, vecs), query_mod=2, k=k).collect()
+    }
+    expect = set()
+    for i in range(0, len(vecs), 2):
+        scored = sorted(
+            ((-_score(vecs[i], vecs[j]), j) for j in range(len(vecs)) if j != i)
+        )
+        for rank, (_, j) in enumerate(scored[:k], start=1):
+            expect.add((i, j, rank))
+    assert got == expect
+
+
+@given(vecs=_CORPUS)
+@settings(**_SETTINGS)
+def test_decontamination_screen_matches_argmax_model(spark, vecs):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    thr = 0.16
+    got = {
+        (r.vec_id, r.eval_id, r.score)
+        for r in decontamination_screen(
+            _df(spark, vecs), eval_mod=2, threshold_score=thr
+        ).collect()
+    }
+    evals = [i for i in range(len(vecs)) if i % 2 == 0]
+    expect = set()
+    for t in range(len(vecs)):
+        if t % 2 == 0:
+            continue
+        best = min(((-_score(vecs[e], vecs[t]), e) for e in evals))
+        score = -best[0]
+        if score >= thr:
+            r6 = float(
+                Decimal(repr(score)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            expect.add((t, best[1], r6))
+    assert got == expect
