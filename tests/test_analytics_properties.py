@@ -226,3 +226,66 @@ def test_time_to_convert_matches_rank_quantile_replay(
             k = math.ceil(p * n)
             expect.add((p, n, delays[k - 1]))
     assert got == expect
+
+
+_QVALS = (-2.5, -0.5, 0.0, 0.125, 1.0, 2.5, 7.0)
+_QEVENTS = st.lists(
+    st.integers(min_value=0, max_value=6), min_size=1, max_size=20
+)
+
+
+@given(vis=_QEVENTS)
+@settings(**_SETTINGS)
+def test_quantile_sketch_matches_rank_and_bin_replay(
+    spark, vis, tmp_path_factory
+):
+    """events_quantile_sketch equals a scalar replay of BOTH leaves:
+    exact_q from the k = ceil(p*n) value rank, est_q from the unit-bin
+    histogram (bin_lo = trunc-toward-zero kilobinning — negative values
+    pin Spark's dividend-sign %), midpoint estimate and 3-place
+    HALF_UP roundings; |est - exact| is bounded by half a bin by
+    construction and the replay checks the exact emitted numbers."""
+    from oracdc_spark.operators.analytics import events_quantile_sketch
+
+    sf = str(tmp_path_factory.mktemp("qsk"))
+    data = [
+        (i, _T0 + datetime.timedelta(minutes=m), u, _TYPES[ti], _QVALS[vi], "")
+        for i, (u, ti, d, m, vi) in enumerate(
+            (0, 0, 0, i % 3, vi) for i, vi in enumerate(vis)
+        )
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        (r.p, r.n, r.exact_q, r.est_q, r.abs_err)
+        for r in events_quantile_sketch(spark, sf).collect()
+    }
+    qvs = sorted(int(round(_QVALS[vi] * 1000)) for vi in vis)
+    n = len(qvs)
+
+    def bin_lo(qv):
+        sign = 1 if qv >= 0 else -1
+        return qv - sign * (abs(qv) % 1000)
+
+    bins = sorted({bin_lo(q) for q in qvs})
+    expect = set()
+    for p in (0.5, 0.9, 0.99):
+        k = math.ceil(p * n)
+        exact = qvs[k - 1]
+        est_lo = min(
+            b for b in bins if sum(1 for q in qvs if bin_lo(q) <= b) >= k
+        )
+        expect.add(
+            (
+                p,
+                n,
+                _r(exact / 1000, "0.001"),
+                _r((est_lo + 500) / 1000, "0.001"),
+                _r(abs((est_lo + 500) - exact) / 1000, "0.001"),
+            )
+        )
+    assert got == expect
