@@ -1,0 +1,175 @@
+"""Property: the per-document filter gates equal scalar models.
+
+quality_scores / gopher_quality / c4_line_filter / language_id are
+pure per-row expression maps — but each packs a half-dozen interacting
+sub-rules (line splits vs whitespace tokenization, trimmed vs exact
+empty-line filters, search-anchored regexes, integer-cleared ratio
+gates, marker argmax ties) that a fixed corpus exercises only at one
+operating point.  Scalar replays on generated multi-line documents pin
+every sub-rule, including the deliberately different line conventions
+(gopher keeps whitespace-only lines, C4 trims them) and the exact
+cross-multiplied gate inequalities.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oracdc_spark.operators.textops import (
+    GOPHER_STOPWORDS,
+    LANG_MARKERS,
+    STOPWORDS,
+    c4_line_filter,
+    gopher_quality,
+    language_id,
+    quality_scores,
+)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_WORDS = [
+    "the", "and", "der", "und", "le", "aaaa", "b#", "…", "x{",
+    "javascript", "lorem", "ipsum", "Abc", "123",
+]
+_ENDINGS = ["", ".", "!", '?"', "...", "…"]
+_LINE = st.tuples(
+    st.sampled_from(["", "• ", "- ", " "]),
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6),
+    st.sampled_from(_ENDINGS),
+).map(lambda t: t[0] + " ".join(t[1]) + t[2])
+_DOC = st.lists(_LINE, min_size=1, max_size=5).map("\n".join).filter(
+    lambda t: t.split()  # keep >= 1 token: ratio denominators stay defined
+)
+_CORPUS = st.lists(st.tuples(_DOC, st.sampled_from(sorted(LANG_MARKERS))),
+                   min_size=1, max_size=8)
+
+
+def _df(spark, corpus):
+    return spark.createDataFrame(
+        [(i, t, lang) for i, (t, lang) in enumerate(corpus)],
+        "doc_id long, text string, lang string",
+    )
+
+
+def _r6(x):
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+@given(corpus=_CORPUS)
+@settings(**_SETTINGS)
+def test_quality_scores_match_scalar_model(spark, corpus):
+    got = {
+        (
+            r.doc_id, r.n_chars_calc, r.n_tokens, r.stopword_ratio,
+            r.distinct_ratio, r.mean_token_len, r.keep,
+        )
+        for r in quality_scores(_df(spark, corpus), min_tokens=3).collect()
+    }
+    expect = set()
+    for i, (t, _lang) in enumerate(corpus):
+        toks = t.split()
+        n = len(toks)
+        n_stop = sum(1 for w in toks if w in STOPWORDS)
+        nonws = len(re.sub(r"\s", "", t))
+        expect.add(
+            (
+                i, len(t), n, _r6(n_stop / n), _r6(len(set(toks)) / n),
+                _r6(nonws / n), n >= 3 and n_stop / n <= 0.6,
+            )
+        )
+    assert got == expect
+
+
+@given(corpus=_CORPUS)
+@settings(**_SETTINGS)
+def test_gopher_quality_matches_scalar_model(spark, corpus):
+    min_w, max_w = 2, 100
+    got = {
+        (
+            r.doc_id, r.n_words, r.mean_word_len, r.n_symbols,
+            r.alpha_words, r.stop_hits, r.keep,
+        )
+        for r in gopher_quality(
+            _df(spark, corpus), min_words=min_w, max_words=max_w
+        ).collect()
+    }
+    expect = set()
+    for i, (t, _lang) in enumerate(corpus):
+        toks = t.split()
+        wc = len(toks)
+        chars = len(re.sub(r"\s", "", t))
+        sym = t.count("#") + t.count("…")
+        alpha = sum(1 for w in toks if re.search("[A-Za-z]", w))
+        stop_hits = len(set(toks) & set(GOPHER_STOPWORDS))
+        lines = [l for l in t.split("\n") if l != ""]  # gopher keeps " "
+        bullets = sum(1 for l in lines if l.startswith("•") or l.startswith("- "))
+        ellipses = sum(1 for l in lines if l.endswith("...") or l.endswith("…"))
+        keep = (
+            min_w <= wc <= max_w
+            and 3 * wc <= chars <= 10 * wc
+            and 10 * sym <= wc
+            and 5 * alpha >= 4 * wc
+            and stop_hits >= 2
+            and 10 * bullets <= 9 * len(lines)
+            and 10 * ellipses <= 3 * len(lines)
+        )
+        expect.add((i, wc, _r6(chars / wc), sym, alpha, stop_hits, keep))
+    assert got == expect
+
+
+@given(corpus=_CORPUS)
+@settings(**_SETTINGS)
+def test_c4_line_filter_matches_scalar_model(spark, corpus):
+    min_kept, min_words = 1, 2
+    got = {
+        (r.doc_id, r.n_lines, r.n_kept, r.kept_chars, r.keep)
+        for r in c4_line_filter(
+            _df(spark, corpus), min_kept_lines=min_kept, min_line_words=min_words
+        ).collect()
+    }
+    expect = set()
+    for i, (t, _lang) in enumerate(corpus):
+        lines = [l for l in t.split("\n") if l.strip() != ""]  # C4 trims
+        kept = [
+            l
+            for l in lines
+            if re.search(r'[.!?"]$', l)
+            and len([w for w in l.split(" ") if w]) >= min_words
+            and "javascript" not in l.lower()
+        ]
+        keep = (
+            len(kept) >= min_kept
+            and "lorem ipsum" not in t.lower()
+            and "{" not in t
+        )
+        expect.add((i, len(lines), len(kept), len("\n".join(kept)), keep))
+    assert got == expect
+
+
+@given(corpus=_CORPUS)
+@settings(**_SETTINGS)
+def test_language_id_matches_argmax_model(spark, corpus):
+    got = {
+        (r.doc_id, r.lang, r.pred_lang, r.match)
+        for r in language_id(_df(spark, corpus)).collect()
+    }
+    expect = set()
+    for i, (t, lang) in enumerate(corpus):
+        toks = t.split()
+        hits = {
+            lg: sum(1 for w in toks if w in markers)
+            for lg, markers in LANG_MARKERS.items()
+        }
+        pred = min(sorted(hits), key=lambda lg: (-hits[lg], lg))
+        expect.add((i, lang, pred, lang == pred))
+    assert got == expect
