@@ -289,3 +289,32 @@ def test_quantile_sketch_matches_rank_and_bin_replay(
             )
         )
     assert got == expect
+
+
+@given(rows=_EVENTS)
+@settings(**_SETTINGS)
+def test_transitions_match_per_user_replay(spark, rows, tmp_path_factory):
+    """events_transitions equals a per-user lag replay in (ts, event_id)
+    order: first events excluded, (prev -> next) counts and the
+    row-normalized probabilities over exact integer sums."""
+    from oracdc_spark.operators.analytics import events_transitions
+
+    sf = str(tmp_path_factory.mktemp("trans"))
+    _write(spark, sf, rows)
+    got = {
+        (r.prev_type, r.event_type, r.n_steps, r.p)
+        for r in events_transitions(spark, sf).collect()
+    }
+    steps: dict[tuple, int] = {}
+    for evs in _by_user(rows).values():
+        for prev, cur in zip(evs, evs[1:]):
+            key = (prev[2], cur[2])
+            steps[key] = steps.get(key, 0) + 1
+    row_tot: dict[str, int] = {}
+    for (p0, _p1), n in steps.items():
+        row_tot[p0] = row_tot.get(p0, 0) + n
+    expect = {
+        (p0, p1, n, _r(n / row_tot[p0], "0.000001"))
+        for (p0, p1), n in steps.items()
+    }
+    assert got == expect
