@@ -2663,7 +2663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # remainder, oldest first (events_range_join, orders_cube/pivot,
 # events_topk_per_type, q6_forecast_revenue, dedup_minhash_lsh,
 # text_contamination, the sampling block, then the r5
-# CDC/registry/text remainder), no new declarations needed.  ALSO
+# CDC/registry/text remainder), no new declarations needed.  Added to
+# that queue late-r9: dedup_clusters and cdc_txn_stats — swapped out
+# of this window to make room for the two changed-this-round BPE rows
+# (see the in-list note below); both unchanged and family-covered by
+# green r8 rows.  ALSO
 # queued r10: cdc_table_include — r9 changed filters._parse_entry's
 # DOT-LESS branch only (plain names now match any schema, the
 # reference's OraSqlUtils.java:124-130 semantics); the driver fixture
