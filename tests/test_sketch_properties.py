@@ -127,3 +127,76 @@ def test_bloom_no_false_negatives_and_lossless_prune(spark, docs, probes):
     for r in probe.collect():
         if r.tok in inserted:  # no false negative, row identity intact
             assert (r.row_id, r.tok) in kept
+
+
+def _h60(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(docs=_CORPUS)
+@settings(**_SETTINGS)
+def test_cms_cells_match_exact_sketch_replay(spark, docs):
+    """Beyond one-sidedness: the CMS cell table IS a pure function of
+    the corpus — every (d, bucket, cnt) cell equals a scalar replay of
+    the md5-prefix hash and the mod-P pairwise-independent bucket
+    family (reduce-before-multiply order included)."""
+    from oracdc_spark.operators.textops import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _CMS_A,
+        _CMS_B,
+        _CMS_P,
+        cms_sketch,
+    )
+
+    got = {(r.d, r.bucket, r.cnt) for r in cms_sketch(_df(spark, docs), n=2).collect()}
+    cells: dict[tuple, int] = {}
+    for ngram, times in _bigram_counts(docs).items():
+        h = _h60(ngram)
+        for d in range(CMS_DEPTH):
+            b = ((_CMS_A[d] * (h % _CMS_P) + _CMS_B[d]) % _CMS_P) % CMS_WIDTH
+            cells[(d, b)] = cells.get((d, b), 0) + times
+    assert got == {(d, b, c) for (d, b), c in cells.items()}
+
+
+@given(docs=_CORPUS)
+@settings(**_SETTINGS)
+def test_hll_registers_match_exact_sketch_replay(spark, docs):
+    """The HLL register table equals a scalar replay: bucket = top 10
+    hash bits, register = max rho over DISTINCT lowercase tokens with
+    rho = leading zeros of the low 50 bits + 1 (all-zero rest = 51)."""
+    from oracdc_spark.operators.textops import (
+        _HLL_REST_BITS,
+        _gram_hash,
+        hll_registers,
+    )
+    import pyspark.sql.functions as F
+
+    toks = (
+        _df(spark, docs)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter("tok <> ''")
+        .select(F.lower("tok").alias("tok"))
+    )
+    got = {
+        (r.bucket, r.m_j)
+        for r in hll_registers(
+            toks.select(_gram_hash(F.col("tok")).alias("h"))
+        ).collect()
+    }
+    regs: dict[int, int] = {}
+    for tok in {w.lower() for doc in docs for w in doc.split()}:
+        h = _h60(tok)
+        bucket = h >> _HLL_REST_BITS
+        rest = h % (1 << _HLL_REST_BITS)
+        rho = (
+            _HLL_REST_BITS + 1
+            if rest == 0
+            else _HLL_REST_BITS - rest.bit_length() + 1
+        )
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    # the engine hashes tokens WITH multiplicity; registers are maxes,
+    # so multiplicity is immaterial — the distinct replay must match
+    assert got == set(regs.items())
