@@ -125,3 +125,73 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark, pre, run, suf):
     for r in rows:
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps.get(0) and fps.get(1) and fps[0] & fps[1]
+
+
+def _span_model(docs, span=SPAN):
+    """Scalar gram/coverage model shared by the full-replay theorems:
+    per doc, the 1-based positions of its span-grams, each gram's
+    distinct-doc count, and the covered-position union of cross-doc
+    duplicated windows."""
+    grams_of = {}
+    for i, t in enumerate(docs):
+        toks = [w.lower() for w in t.split()]
+        grams_of[i] = [
+            " ".join(toks[p : p + span]) for p in range(len(toks) - span + 1)
+        ]
+    df = {}
+    for i, gs in grams_of.items():
+        for g in set(gs):
+            df[g] = df.get(g, 0) + 1
+    covered = {}
+    for i, gs in grams_of.items():
+        cov = set()
+        for p0, g in enumerate(gs):
+            if df[g] >= 2:
+                cov.update(range(p0 + 1, p0 + span + 1))
+        covered[i] = cov
+    return grams_of, df, covered
+
+
+@given(docs=_CORPUS)
+@settings(**_SETTINGS)
+def test_dup_span_fraction_matches_full_replay(spark, docs):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oracdc_spark.operators.winnow import dup_span_fraction
+
+    got = {
+        (r.doc_id, r.n_spans, r.n_dup_spans, r.dup_fraction)
+        for r in dup_span_fraction(_df(spark, docs), span=SPAN).collect()
+    }
+    grams_of, df, _cov = _span_model(docs)
+    expect = set()
+    for i, gs in grams_of.items():
+        if not gs:
+            continue  # short docs have no span row
+        n_dup = sum(1 for g in gs if df[g] >= 2)
+        frac = float(
+            Decimal(repr(n_dup / len(gs))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        expect.add((i, len(gs), n_dup, frac))
+    assert got == expect
+
+
+@given(docs=_CORPUS)
+@settings(**_SETTINGS)
+def test_exact_substr_trim_matches_full_replay(spark, docs):
+    got = {
+        (r.doc_id, r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in exact_substr_trim(_df(spark, docs), span=SPAN).collect()
+    }
+    _grams, _df_, covered = _span_model(docs)
+    expect = set()
+    for i, t in enumerate(docs):
+        toks = t.split()
+        cov = covered[i]
+        cleaned = " ".join(
+            w for p, w in enumerate(toks, start=1) if p not in cov
+        )
+        expect.add((i, len(toks), len(cov), cleaned))
+    assert got == expect
