@@ -318,3 +318,74 @@ def test_transitions_match_per_user_replay(spark, rows, tmp_path_factory):
         for (p0, p1), n in steps.items()
     }
     assert got == expect
+
+
+@given(rows=_EVENTS)
+@settings(**_SETTINGS)
+def test_zscore_outliers_match_moment_replay(spark, rows, tmp_path_factory):
+    """events_zscore_outliers equals the scalar moment replay: per-type
+    exact integer (n, sum, sumsq), z = (qv - S/n)/sqrt(Q/n - (S/n)^2) in
+    the fixed IEEE order, zero-variance types excluded, 4-place HALF_UP."""
+    from oracdc_spark.operators.analytics import events_zscore_outliers
+
+    sf = str(tmp_path_factory.mktemp("zsc"))
+    _write(spark, sf, rows)
+    thr = 0.5
+    got = {
+        (r.event_id, r.event_type, r.value, r.z)
+        for r in events_zscore_outliers(spark, sf, z_threshold=thr).collect()
+    }
+    by_type: dict[str, list[tuple[int, int, float]]] = {}
+    for i, (u, ti, d, m, vi) in enumerate(rows):
+        qv = int(round(_VALS[vi] * 1000))
+        by_type.setdefault(_TYPES[ti], []).append((i, qv, _VALS[vi]))
+    expect = set()
+    for typ, evs in by_type.items():
+        n = len(evs)
+        s = sum(q for _i, q, _v in evs)
+        q2 = sum(q * q for _i, q, _v in evs)
+        mean = s / n
+        var = q2 / n - mean * mean
+        if not var > 0:
+            continue
+        for i, qv, v in evs:
+            z = _r((qv - mean) / math.sqrt(var), "0.0001")
+            if abs(z) >= thr:
+                expect.add((i, typ, v, z))
+    assert got == expect
+
+
+@given(rows=_EVENTS)
+@settings(**_SETTINGS)
+def test_mad_outliers_match_median_replay(spark, rows, tmp_path_factory):
+    """events_mad_outliers equals the scalar Iglewicz-Hoaglin replay:
+    lower medians via k = ceil(n/2) ranks for both the value and the
+    absolute-deviation pass, MAD = 0 types excluded, robust_z =
+    0.6745*(qv - med)/MAD at 4-place HALF_UP."""
+    from oracdc_spark.operators.analytics import events_mad_outliers
+
+    sf = str(tmp_path_factory.mktemp("mad"))
+    _write(spark, sf, rows)
+    thr = 0.1
+    got = {
+        (r.event_id, r.event_type, r.value, r.robust_z)
+        for r in events_mad_outliers(spark, sf, threshold=thr).collect()
+    }
+    by_type: dict[str, list[tuple[int, int, float]]] = {}
+    for i, (u, ti, d, m, vi) in enumerate(rows):
+        qv = int(round(_VALS[vi] * 1000))
+        by_type.setdefault(_TYPES[ti], []).append((i, qv, _VALS[vi]))
+    expect = set()
+    for typ, evs in by_type.items():
+        qvs = sorted(q for _i, q, _v in evs)
+        n = len(qvs)
+        med = qvs[math.ceil(n / 2) - 1]
+        ads = sorted(abs(q - med) for q in qvs)
+        mad = ads[math.ceil(n / 2) - 1]
+        if mad == 0:
+            continue
+        for i, qv, v in evs:
+            rz = _r(0.6745 * float(qv - med) / float(mad), "0.0001")
+            if abs(rz) >= thr:
+                expect.add((i, typ, v, rz))
+    assert got == expect

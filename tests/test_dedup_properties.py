@@ -312,3 +312,42 @@ def _r6(x):
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_lsh_candidates_match_banding_model(spark, docs):
+    """minhash_lsh_candidates equals the scalar banding model on top of
+    the (already theorem-pinned) hashlib signatures: band_sig is the
+    '|'-joined run of rows_per_band mins, a pair is a candidate iff ANY
+    band matches, n_shared_bands counts the matching bands."""
+    import hashlib
+
+    from oracdc_spark.operators.dedup import minhash_lsh_candidates
+
+    k, bands = 4, 2
+    got = {
+        (r.d1, r.d2, r.n_shared_bands)
+        for r in minhash_lsh_candidates(
+            _df(spark, docs), n=2, num_hashes=k, bands=bands
+        ).collect()
+    }
+    sigs = {}
+    for d, doc in enumerate(docs):
+        sh = _model_shingles(doc)
+        if not sh:
+            continue
+        mhs = [
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+            for i in range(k)
+        ]
+        rpb = k // bands
+        sigs[d] = ["|".join(mhs[b * rpb : (b + 1) * rpb]) for b in range(bands)]
+    expect = set()
+    ids = sorted(sigs)
+    for ai, i in enumerate(ids):
+        for j in ids[ai + 1 :]:
+            shared = sum(1 for b in range(bands) if sigs[i][b] == sigs[j][b])
+            if shared:
+                expect.add((i, j, shared))
+    assert got == expect
