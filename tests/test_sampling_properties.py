@@ -181,3 +181,68 @@ def test_temperature_mix_equals_cross_multiplied_model(spark, docs):
         if h * w_tot * n_by_lang[lang] < w[lang] * n_tot * (1 << 32):
             expect.add((i, lang, n_by_lang[lang]))
     assert got == expect
+
+
+def _h32(x):
+    import hashlib
+
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_quota_sample_equals_md5_rank_model(spark, docs):
+    """Beyond layout-invariance/within-quota: the kept set and in-group
+    ranks equal the scalar (hash32(doc_id), doc_id) order replay."""
+    quota = 2
+    got = {
+        (r.doc_id, r.lang, r.rk)
+        for r in sampling.quota_sample(_df(spark, docs, 3), quota=quota).collect()
+    }
+    groups: dict[str, list[int]] = {}
+    for i, (_t, lang) in enumerate(docs):
+        groups.setdefault(lang, []).append(i)
+    expect = set()
+    for lang, ids in groups.items():
+        for rk, i in enumerate(
+            sorted(ids, key=lambda i: (_h32(i), i))[:quota], start=1
+        ):
+            expect.add((i, lang, rk))
+    assert got == expect
+
+
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_train_split_equals_integer_threshold_model(spark, docs):
+    got = {
+        (r.doc_id, r.split)
+        for r in sampling.train_split(_df(spark, docs, 3)).collect()
+    }
+    test_lt = (2**32) * 5 // 100
+    val_lt = (2**32) * 10 // 100
+    expect = set()
+    for i in range(len(docs)):
+        h = _h32(i)
+        split = "test" if h < test_lt else ("val" if h < val_lt else "train")
+        expect.add((i, split))
+    assert got == expect
+
+
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_weighted_sample_equals_priority_key_model(spark, docs):
+    """weighted_sample equals the scalar priority-sampling replay: key
+    = (hash32 << 20) div max(n_chars, 1) in exact ints, k smallest by
+    (key, doc_id)."""
+    k = 3
+    got = [
+        (r.doc_id, r.weight, r.skey)
+        for r in sampling.weighted_sample(_df(spark, docs, 3), k=k).collect()
+    ]
+    keyed = []
+    for i, (t, _lang) in enumerate(docs):
+        w = max(len(t), 1)  # _df writes n_chars = len(text)
+        keyed.append(((_h32(i) << 20) // w, i, w))
+    keyed.sort()
+    expect = [(i, w, key) for key, i, w in keyed[:k]]
+    assert sorted(got) == sorted(expect)
