@@ -460,11 +460,20 @@ class SchemaRegistry:
             old, new = _unquote(m.group(1)), _unquote(m.group(2))
             if old.upper() in (k.upper() for k in td.key_cols):
                 raise ValueError(f"cannot rename key column {old} of {td.fqn}")
-            if any(f.name.upper() == new.upper() for f in fields):
+            if any(f.name.upper() == old.upper() for f in fields) and any(
+                f.name.upper() == new.upper() for f in fields
+            ):
                 # includes old == new: Oracle rejects both with
                 # ORA-00957 (duplicate column name); silently renaming
                 # onto an existing name would corrupt the schema with a
-                # duplicate field (found by the r9 DDL-fold property)
+                # duplicate field (found by the r9 DDL-fold property).
+                # Guarded on OLD existing: a rename whose source column
+                # is unknown is the same lenient no-op as MODIFY/DROP of
+                # a missing column (Oracle would raise ORA-00904 on the
+                # source before ever checking the target; a log-mining
+                # dictionary treats missing-column clauses as no-ops) —
+                # the deeper DDL-fold example [add X0, rename X0->X0R,
+                # rename X0->X0R] falsified the unguarded form.
                 raise ValueError(
                     f"duplicate column name {new} renaming {old} of {td.fqn}"
                 )
