@@ -237,3 +237,32 @@ def test_ehash_and_zcr_match_scalar_models(spark, clips):
     got_z = {r.media_id: r.zhash for r in audio_zcr_hash(df).collect()}
     assert got_e == {i: _model_ehash(s) for i, s in enumerate(clips)}
     assert got_z == {i: _model_zcr(s) for i, s in enumerate(clips)}
+
+
+@given(
+    hashes=st.lists(st.integers(min_value=0, max_value=(1 << 16) - 1),
+                    min_size=2, max_size=10),
+    max_h=st.integers(min_value=0, max_value=3),
+)
+@settings(**_SPARK)
+def test_banded_hamming_pairing_is_pigeonhole_complete(spark, hashes, max_h):
+    """_hamming_near_dups with max_hamming < bands equals brute force:
+    <= max_h differing bits cannot touch all bands (pigeonhole), so the
+    banded self-join loses NO qualifying pair — the exact-completeness
+    claim the image/audio near-dup operators rest on."""
+    from oracdc_spark.operators.multimodal import _hamming_near_dups
+
+    df = spark.createDataFrame(
+        list(enumerate(hashes)), "media_id bigint, hsh bigint"
+    )
+    got = {
+        (r.m1, r.m2, r.hamming)
+        for r in _hamming_near_dups(df, "hsh", 16, max_h, 4).collect()
+    }
+    expect = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            ham = bin(hashes[i] ^ hashes[j]).count("1")
+            if ham <= max_h:
+                expect.add((i, j, ham))
+    assert got == expect

@@ -126,3 +126,56 @@ def test_decontamination_screen_matches_argmax_model(spark, vecs):
             )
             expect.add((t, best[1], r6))
     assert got == expect
+
+
+@given(vecs=_CORPUS, labels=st.lists(st.integers(0, 2), min_size=8, max_size=8))
+@settings(**_SETTINGS)
+def test_hard_negatives_match_label_filtered_ranking(spark, vecs, labels):
+    from oracdc_spark.operators.similarity import hard_negatives
+
+    k = 3
+    lab = {i: labels[i % len(labels)] for i in range(len(vecs))}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab[i]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.query_id, r.negative_id, r.rank)
+        for r in hard_negatives(df, query_mod=2, k=k).collect()
+    }
+    expect = set()
+    for q in range(0, len(vecs), 2):
+        scored = sorted(
+            (-_score(vecs[q], vecs[j]), j)
+            for j in range(len(vecs))
+            if j != q and lab[j] != lab[q]
+        )
+        for rank, (_, j) in enumerate(scored[:k], start=1):
+            expect.add((q, j, rank))
+    assert got == expect
+
+
+@given(vecs=_CORPUS)
+@settings(**_SETTINGS)
+def test_norm_outliers_match_global_rank_model(spark, vecs):
+    """norm_outliers' bin-decomposed global rank equals a literal
+    (norm2, vec_id) sort: low iff 100*rn <= pct*n, high iff
+    100*rn > (100-pct)*n — integer-cleared, no value thresholds."""
+    from oracdc_spark.operators.similarity import norm_outliers
+
+    pct = 30
+    got = {
+        (r.vec_id, r.norm2, r.rn, r.side)
+        for r in norm_outliers(_df(spark, vecs), pct=pct).collect()
+    }
+    norms = sorted(
+        (sum(x * x for x in _q(v)), i) for i, v in enumerate(vecs)
+    )
+    n = len(norms)
+    expect = set()
+    for rn, (n2, i) in enumerate(norms, start=1):
+        if 100 * rn <= pct * n:
+            expect.add((i, n2, rn, "low"))
+        elif 100 * rn > (100 - pct) * n:
+            expect.add((i, n2, rn, "high"))
+    assert got == expect
