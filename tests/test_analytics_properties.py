@@ -389,3 +389,121 @@ def test_mad_outliers_match_median_replay(spark, rows, tmp_path_factory):
             if abs(rz) >= thr:
                 expect.add((i, typ, v, rz))
     assert got == expect
+
+
+_SIM_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=5),   # hour
+        st.integers(min_value=0, max_value=4),   # value idx
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@given(rows=_SIM_EVENTS)
+@settings(**_SETTINGS)
+def test_user_similarity_matches_profile_cosine_model(
+    spark, rows, tmp_path_factory
+):
+    """events_user_similarity equals the scalar profile-cosine replay:
+    hour-of-day milli-quantized profiles, dots over SHARED hours only
+    (pairs with no common hour are absent, not zero-scored), qcos with
+    the (score desc, neighbor asc) top-k."""
+    from oracdc_spark.operators.analytics import events_user_similarity
+
+    sf = str(tmp_path_factory.mktemp("usim"))
+    data = [
+        (i, _T0 + datetime.timedelta(hours=h), u, "click", _VALS[vi], "")
+        for i, (u, h, vi) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    k = 2
+    got = {
+        (r.query_user, r.neighbor_user, r.rank)
+        for r in events_user_similarity(
+            spark, sf, query_mod=2, k_neighbors=k
+        ).collect()
+    }
+    prof: dict[int, dict[int, int]] = {}
+    for u, h, vi in rows:
+        prof.setdefault(u, {})
+        prof[u][h] = prof[u].get(h, 0) + int(round(_VALS[vi] * 1000))
+    expect = set()
+    for q, qp in prof.items():
+        if q % 2 != 0:
+            continue
+        scored = []
+        for nb, np_ in prof.items():
+            if nb == q:
+                continue
+            shared = set(qp) & set(np_)
+            if not shared:
+                continue  # inner join on hour: no row at all
+            dot = sum(qp[h] * np_[h] for h in shared)
+            qn = sum(v * v for v in qp.values())
+            cn = sum(v * v for v in np_.values())
+            if dot == 0:
+                score = 0.0
+            else:
+                s = float(dot) * float(dot) / (float(qn) * float(cn))
+                score = s if dot > 0 else -s
+            scored.append((-score, nb))
+        scored.sort()
+        for rank, (_, nb) in enumerate(scored[:k], start=1):
+            expect.add((q, nb, rank))
+    assert got == expect
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # order
+            st.integers(min_value=0, max_value=5),  # part
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_copurchase_lift_matches_basket_replay(spark, baskets, tmp_path_factory):
+    """copurchase_lift equals the scalar association replay: distinct
+    (order, brand) baskets, per-order pair counts, lift =
+    round(n_ab*N/(n_a*n_b), 6) over exact integers."""
+    from oracdc_spark.operators.analytics import copurchase_lift
+
+    sf = str(tmp_path_factory.mktemp("lift"))
+    brands = ["B1", "B2", "B3"]
+    spark.createDataFrame(
+        [(o, p) for o, p in baskets], "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(p, brands[p % 3]) for p in range(6)], "p_partkey bigint, p_brand string"
+    ).write.mode("overwrite").parquet(f"{sf}/part.parquet")
+
+    got = {
+        (r.brand_a, r.brand_b, r.n_ab, r.lift)
+        for r in copurchase_lift(spark, sf, min_pairs=1).collect()
+    }
+    items = {(o, brands[p % 3]) for o, p in baskets}
+    n_orders = len({o for o, _b in items})
+    marg: dict[str, int] = {}
+    for _o, b in items:
+        marg[b] = marg.get(b, 0) + 1
+    pair_n: dict[tuple, int] = {}
+    for o in {o for o, _b in items}:
+        bs = sorted(b for oo, b in items if oo == o)
+        for x in range(len(bs)):
+            for y in range(x + 1, len(bs)):
+                pair_n[(bs[x], bs[y])] = pair_n.get((bs[x], bs[y]), 0) + 1
+    expect = {
+        (a, b, n, _r(n * n_orders / (marg[a] * marg[b]), "0.000001"))
+        for (a, b), n in pair_n.items()
+    }
+    assert got == expect
