@@ -83,3 +83,48 @@ def test_zbucket_predicate_prunes_files(spark, tmp_path):
     assert "PartitionFilters: [zb" in plan or "zb#" in plan
     n_total_parts = zo.select("zb").distinct().count()
     assert 0 < len(buckets) < n_total_parts
+
+
+def test_morton_key_matches_model_and_is_bijective(spark):
+    """Property: zorder_key equals the scalar bit-interleave model over
+    random coordinate pairs, and the packing is bijective (the model
+    inverts it back to (a, b)) — the guarantee the 2-D skipping rests
+    on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a long, b long"
+        )
+        got = {
+            r.i: r.z
+            for r in df.select(
+                "i", zorder_key(F.col("a"), F.col("b"), 16).alias("z")
+            ).collect()
+        }
+        for i, (a, b) in enumerate(pairs):
+            z = sum(((a >> k) & 1) << (2 * k) for k in range(16)) + sum(
+                ((b >> k) & 1) << (2 * k + 1) for k in range(16)
+            )
+            assert got[i] == z
+            # bijectivity: the model inverts the packing
+            ra = sum(((z >> (2 * k)) & 1) << k for k in range(16))
+            rb = sum(((z >> (2 * k + 1)) & 1) << k for k in range(16))
+            assert (ra, rb) == (a, b)
+
+    check()
