@@ -599,18 +599,45 @@ class TestCompoundAlterProperty:
                 else:
                     clauses.append(f"SET UNUSED ({col})")
 
+            # A clause may legitimately error (e.g. ORA-00957 when a
+            # rename's target exists — hypothesis found [add X0,
+            # rename X0->X0R, add X0, rename X0->X0R]).  The theorem
+            # then is: both paths raise the SAME first error; the
+            # compound statement is ATOMIC (schema untouched); and the
+            # no-error case folds identically.
             compound = fresh()
-            compound.apply_ddl(
-                "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT " + " ".join(clauses)
-            )
+            comp_err = None
+            try:
+                compound.apply_ddl(
+                    "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT " + " ".join(clauses)
+                )
+            except ValueError as e:
+                comp_err = str(e)
             sequential = fresh()
+            seq_err = None
             for cl in clauses:
-                sequential.apply_ddl("SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT " + cl)
+                try:
+                    sequential.apply_ddl(
+                        "SCOTT", "DEPT", "ALTER TABLE SCOTT.DEPT " + cl
+                    )
+                except ValueError as e:
+                    seq_err = str(e)
+                    break
 
-            a, b = compound.get("SCOTT", "DEPT"), sequential.get("SCOTT", "DEPT")
-            assert [
-                (f.name, f.dataType, f.nullable) for f in a.schema.fields
-            ] == [(f.name, f.dataType, f.nullable) for f in b.schema.fields]
-            assert a.defaults == b.defaults
+            def shape(reg):
+                td = reg.get("SCOTT", "DEPT")
+                return (
+                    [(f.name, f.dataType, f.nullable) for f in td.schema.fields],
+                    td.defaults,
+                )
+
+            assert (comp_err is None) == (seq_err is None)
+            if comp_err is None:
+                assert shape(compound) == shape(sequential)
+            else:
+                # identical prefix state => identical first failure
+                assert comp_err == seq_err
+                # compound atomicity: the failed statement changed nothing
+                assert shape(compound) == shape(fresh())
 
         check()
