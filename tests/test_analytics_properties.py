@@ -507,3 +507,93 @@ def test_copurchase_lift_matches_basket_replay(spark, baskets, tmp_path_factory)
         for (a, b), n in pair_n.items()
     }
     assert got == expect
+
+
+def _ntile4_model(rn, n):
+    q, r = divmod(n, 4)
+    b = r * (q + 1)
+    if rn <= b:
+        return (rn - 1) // (q + 1) + 1
+    return r + (rn - 1 - b) // q + 1
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # custkey
+            st.integers(min_value=0, max_value=9),   # order day
+            st.sampled_from([1.25, 2.5, 10.0, 33.75]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_rfm_segments_match_ntile_rank_replay(spark, orders, tmp_path_factory):
+    """rfm_segments equals the scalar replay: per-customer recency/
+    frequency/exact-cents monetary, global ranks over (metric asc-or-
+    desc, custkey) and the closed-form NTILE(4) — pinning that the
+    histogram-decomposed rank IS the literal window."""
+    from decimal import Decimal
+
+    from oracdc_spark.operators.analytics import rfm_segments
+
+    sf = str(tmp_path_factory.mktemp("rfm"))
+    spark.createDataFrame(
+        [
+            (i, c, _T0.date() + datetime.timedelta(days=d), v)
+            for i, (c, d, v) in enumerate(orders)
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+    got = {
+        (r.custkey, r.recency_days, r.frequency, r.monetary, r.r, r.f, r.m, r.segment)
+        for r in rfm_segments(spark, sf).collect()
+    }
+    per = {}
+    for c, d, v in orders:
+        last, freq, mon = per.get(c, (-1, 0, Decimal(0)))
+        per[c] = (max(last, d), freq + 1, mon + Decimal(str(v)))
+    ref = max(d for _c, d, _v in orders)
+    n = len(per)
+    custs = sorted(per)
+    rr = {
+        c: rn
+        for rn, c in enumerate(
+            sorted(custs, key=lambda c: (ref - per[c][0], c)), start=1
+        )
+    }
+    rf = {
+        c: rn
+        for rn, c in enumerate(
+            sorted(custs, key=lambda c: (-per[c][1], c)), start=1
+        )
+    }
+    rm = {
+        c: rn
+        for rn, c in enumerate(
+            sorted(custs, key=lambda c: (-per[c][2], c)), start=1
+        )
+    }
+    expect = set()
+    for c in custs:
+        last, freq, mon = per[c]
+        r_, f_, m_ = (
+            _ntile4_model(rr[c], n),
+            _ntile4_model(rf[c], n),
+            _ntile4_model(rm[c], n),
+        )
+        expect.add(
+            (
+                c,
+                ref - last,
+                freq,
+                float(mon),
+                r_,
+                f_,
+                m_,
+                f"{r_}-{f_}-{m_}",
+            )
+        )
+    assert got == expect
