@@ -597,3 +597,31 @@ def test_rfm_segments_match_ntile_rank_replay(spark, orders, tmp_path_factory):
             )
         )
     assert got == expect
+
+
+@given(rows=_EVENTS)
+@settings(**_SETTINGS)
+def test_value_histogram_matches_clamped_bin_replay(
+    spark, rows, tmp_path_factory
+):
+    """events_value_histogram equals the scalar equi-width replay:
+    floor((v - lo)/width) clamped to the edge bins, exact counts per
+    (type, bin)."""
+    from oracdc_spark.operators.analytics import events_value_histogram
+
+    sf = str(tmp_path_factory.mktemp("vhist"))
+    _write(spark, sf, rows)
+    n_bins, lo, hi = 4, 0.0, 1.0
+    got = {
+        (r.event_type, r.bin, r.n)
+        for r in events_value_histogram(
+            spark, sf, n_bins=n_bins, lo=lo, hi=hi
+        ).collect()
+    }
+    width = (hi - lo) / n_bins
+    cells: dict[tuple, int] = {}
+    for _u, ti, _d, _m, vi in rows:
+        b = math.floor((_VALS[vi] - lo) / width)
+        b = min(max(b, 0), n_bins - 1)
+        cells[(_TYPES[ti], b)] = cells.get((_TYPES[ti], b), 0) + 1
+    assert got == {(t, b, n) for (t, b), n in cells.items()}

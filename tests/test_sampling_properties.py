@@ -246,3 +246,26 @@ def test_weighted_sample_equals_priority_key_model(spark, docs):
     keyed.sort()
     expect = [(i, w, key) for key, i, w in keyed[:k]]
     assert sorted(got) == sorted(expect)
+
+
+@given(docs=_DOCS)
+@settings(**_SETTINGS)
+def test_chunk_documents_equals_sliding_window_model(spark, docs):
+    """chunk_documents equals the literal sliding-window replay: starts
+    at 0, stride, ... while < n_tokens; final chunk may be short;
+    tokenless docs produce no chunks."""
+    size, stride = 3, 2
+    got = {
+        (r.doc_id, r.chunk_id, r.start_tok, r.n_chunk_tokens, r.chunk_text)
+        for r in sampling.chunk_documents(
+            _df(spark, docs, 3), size=size, stride=stride
+        ).collect()
+    }
+    expect = set()
+    for i, (t, _lang) in enumerate(docs):
+        toks = (t or "x").split()
+        n = len(toks)
+        for cid, start in enumerate(range(0, n, stride)):
+            chunk = toks[start : start + size]
+            expect.add((i, cid, start, len(chunk), " ".join(chunk)))
+    assert got == expect
