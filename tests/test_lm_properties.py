@@ -117,3 +117,86 @@ def test_stupid_backoff_matches_scalar_model(spark, docs):
             qsum += q * cnt
         expect.add((d, n, n_bo, _r6((qsum / n) / 1_000_000)))
     assert got == expect
+
+
+def _unigram_counts(docs):
+    toks = [[t.lower() for t in d.split()] for d in docs]
+    uni = Counter(t for ts in toks for t in ts)
+    return toks, uni, sum(uni.values())
+
+
+@given(docs=_CORPUS)
+@settings(**_SETTINGS)
+def test_unigram_logprob_matches_scalar_model(spark, docs):
+    from oracdc_spark.operators.textops import unigram_logprob
+
+    got = {
+        (r.doc_id, r.n_tokens, r.mean_logprob)
+        for r in unigram_logprob(_df(spark, docs)).collect()
+    }
+    toks, uni, n_total = _unigram_counts(docs)
+    expect = set()
+    for d, ts in enumerate(toks):
+        if not ts:
+            continue
+        qsum = sum(_qi(math.log(uni[t] / n_total) * 1_000_000) for t in ts)
+        expect.add((d, len(ts), _r6((qsum / len(ts)) / 1_000_000)))
+    assert got == expect
+
+
+@given(docs=_CORPUS)
+@settings(**_SETTINGS)
+def test_perplexity_buckets_match_global_sort_replay(spark, docs):
+    """The histogram-decomposed CCNet tertile split equals the literal
+    global sort: floor-mean quantized scores, (score desc, doc_id)
+    ranks, integer-cleared head/middle/tail edges."""
+    from oracdc_spark.operators.textops import perplexity_buckets
+
+    got = {
+        (r.doc_id, r.q_mean_lp, r.rn, r.bucket)
+        for r in perplexity_buckets(_df(spark, docs)).collect()
+    }
+    toks, uni, n_total = _unigram_counts(docs)
+    scores = {}
+    for d, ts in enumerate(toks):
+        if not ts:
+            continue
+        qsum = sum(_qi(math.log(uni[t] / n_total) * 1_000_000) for t in ts)
+        scores[d] = math.floor(qsum / len(ts))
+    n = len(scores)
+    expect = set()
+    for rn, d in enumerate(
+        sorted(scores, key=lambda d: (-scores[d], d)), start=1
+    ):
+        bucket = (
+            "head" if 3 * rn <= n else ("middle" if 3 * rn <= 2 * n else "tail")
+        )
+        expect.add((d, scores[d], rn, bucket))
+    assert got == expect
+
+
+@given(docs=_CORPUS)
+@settings(**_SETTINGS)
+def test_vocab_coverage_matches_literal_cumsum(spark, docs):
+    """The count-histogram closed form equals the literal rank/cumsum:
+    smallest most-frequent-first vocabulary whose mass reaches
+    ceil(total*pct/100)."""
+    from oracdc_spark.operators.textops import vocab_coverage
+
+    _toks, uni, n_total = _unigram_counts(docs)
+    if n_total == 0:
+        return  # no tokens: no coverage rows to compare
+    got = {
+        (r.pct, r.vocab_size, r.n_total)
+        for r in vocab_coverage(_df(spark, docs)).collect()
+    }
+    ordered = sorted(uni.values(), reverse=True)
+    expect = set()
+    for pct in (50, 90, 99):
+        thr = (n_total * pct + 99) // 100
+        cum = k = 0
+        while cum < thr:
+            cum += ordered[k]
+            k += 1
+        expect.add((pct, k, n_total))
+    assert got == expect
