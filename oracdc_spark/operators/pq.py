@@ -66,7 +66,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from oracdc_spark.operators.similarity import brute_force_topk, quantized
+from oracdc_spark.operators.similarity import brute_force_topk, qcos_score, quantized
 
 PQ_M = 16       # subspaces (interleaved by i % m): 4-dim sub-vectors at
                 # d=64 — 16 one-byte codes = 16x compression vs float32.
@@ -732,11 +732,7 @@ def pq_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pdot").alias("dot"), F.sum("nn").alias("cn"))
     )
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    score = qcos_score()
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         agg.join(F.broadcast(qn), "query_id")
@@ -819,11 +815,7 @@ def ivfpq_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pdot").alias("dot"), F.sum("nn").alias("cn"))
     )
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    score = qcos_score()
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         agg.join(F.broadcast(qn), "query_id")
@@ -923,11 +915,7 @@ def ivfpq_refine_topk(
         .groupBy("neighbor_id")
         .agg(F.sum(F.col("qb") * F.col("qb")).alias("cn"))
     )
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    score = qcos_score()
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
     return (
         dots.join(F.broadcast(qn), "query_id")

@@ -56,11 +56,24 @@ def qcos_score(dot: str = "dot", qn: str = "qn", cn: str = "cn"):
     """The engine's quantized-cosine score expression —
     sign(dot)·dot²/(qn·cn) over exact-integer columns, one IEEE
     division — shared so every consumer (similarity, PQ, time-series
-    profiles) computes the bit-identical contract the oracles mirror."""
-    return (
+    profiles) computes the bit-identical contract the oracles mirror.
+
+    Zero-norm inputs (an all-zero vector/profile has no direction)
+    score NULL, not an error: under Spark 4's ANSI mode even a DOUBLE
+    division by zero raises DIVIDE_BY_ZERO, while DuckDB — and
+    therefore every oracle, which computes this same expression —
+    returns NULL there.  The conditional makes both engines agree:
+    NULL scores sort last under the family's (score DESC, id) windows
+    in BOTH engines (each defaults to NULLS LAST on DESC) and drop out
+    of >= threshold filters.  Found by the user-similarity replay
+    property on a two-user all-zero-value corpus (a crash the sf
+    corpora, which have no zero-norm rows, could never surface)."""
+    denom = F.col(qn).cast("double") * F.col(cn).cast("double")
+    return F.when(
+        denom != 0,
         F.signum(F.col(dot).cast("double"))
         * (F.col(dot).cast("double") * F.col(dot).cast("double"))
-        / (F.col(qn).cast("double") * F.col(cn).cast("double"))
+        / denom,
     )
 
 
@@ -84,11 +97,7 @@ def cosine_scores(
     )
     qn = _norms(qq, "query_id").withColumnRenamed("norm2", "qn")
     cn = _norms(cq, "neighbor_id").withColumnRenamed("norm2", "cn")
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    score = qcos_score()
     return (
         dots.join(F.broadcast(qn), "query_id")
         .join(cn, "neighbor_id")
@@ -177,11 +186,7 @@ def ivf_topk(vecs: DataFrame, query_mod: int = 100, k: int = 3) -> DataFrame:
         F.sum(F.col("qa") * F.col("qa")).alias("qn"),
         F.sum(F.col("qb") * F.col("qb")).alias("cn"),
     )
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    score = qcos_score()
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         agg.select("query_id", "neighbor_id", score.alias("score"))
@@ -263,11 +268,7 @@ def ivf_multiprobe_topk(
         F.sum(F.col("qa") * F.col("qa")).alias("qn"),
         F.sum(F.col("qb") * F.col("qb")).alias("cn"),
     )
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    score = qcos_score()
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         agg.select("query_id", "neighbor_id", score.alias("score"))
@@ -390,11 +391,7 @@ def embedding_near_dups(vecs: DataFrame, threshold_score: float = 0.16) -> DataF
         F.sum(F.col("qa") * F.col("qa")).alias("n1"),
         F.sum(F.col("qb") * F.col("qb")).alias("n2"),
     )
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
-    )
+    score = qcos_score(qn="n1", cn="n2")
     return agg.select("v1", "v2", score.alias("score")).filter(
         F.col("score") >= threshold_score
     )
@@ -475,11 +472,7 @@ def sq8_topk(vecs: DataFrame, query_mod: int = 100, k: int = 5) -> DataFrame:
     )
     qn = _norms(qq, "query_id").withColumnRenamed("norm2", "qn")
     cn = _norms(corpus_q, "neighbor_id").withColumnRenamed("norm2", "cn")
-    score = (
-        F.signum(F.col("dot").cast("double"))
-        * (F.col("dot").cast("double") * F.col("dot").cast("double"))
-        / (F.col("qn").cast("double") * F.col("cn").cast("double"))
-    )
+    score = qcos_score()
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         dots.join(F.broadcast(qn), "query_id")

@@ -449,7 +449,9 @@ def test_user_similarity_matches_profile_cosine_model(
             dot = sum(qp[h] * np_[h] for h in shared)
             qn = sum(v * v for v in qp.values())
             cn = sum(v * v for v in np_.values())
-            if dot == 0:
+            if qn == 0 or cn == 0:
+                score = -float("inf")  # qcos NULL: sorts last
+            elif dot == 0:
                 score = 0.0
             else:
                 s = float(dot) * float(dot) / (float(qn) * float(cn))

@@ -148,13 +148,13 @@ def test_pq_topk_equals_scalar_adc_model(spark, vecs):
                 cn += sum(cq * cq for cq in cc.values())
             denom = float(qn) * float(cn)
             if denom == 0.0:
-                score = math.nan
+                # zero-norm: qcos_score yields NULL, which sorts LAST
+                # under the (score desc, id) window in both engines
+                key = -math.inf
             else:
-                score = math.copysign(1.0, dot) * (float(dot) * float(dot)) / denom
+                key = math.copysign(1.0, dot) * (float(dot) * float(dot)) / denom
                 if dot == 0:
-                    score = 0.0
-            # Spark sorts NaN greatest; replay that with +inf keys.
-            key = math.inf if math.isnan(score) else score
+                    key = 0.0
             scored.append((-key, nid))
         scored.sort()
         for rank, (_, nid) in enumerate(scored[:k_nb], start=1):

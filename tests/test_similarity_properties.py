@@ -35,9 +35,14 @@ _GRID = [-1.0, -0.5, -0.25, 0.0, 0.25, 0.5, 1.0]
 _NONZERO = [-0.5, -0.25, 0.25, 1.0]
 _D = 3
 
-_VEC = st.tuples(
-    st.sampled_from(_NONZERO), *(st.sampled_from(_GRID) for _ in range(_D - 1))
-).map(list)
+# all-zero vectors INCLUDED: zero-norm rows must score NULL (sort last,
+# fail thresholds) rather than crash — the ANSI divide-by-zero defect
+_VEC = st.one_of(
+    st.just([0.0] * _D),
+    st.tuples(
+        st.sampled_from(_NONZERO), *(st.sampled_from(_GRID) for _ in range(_D - 1))
+    ).map(list),
+)
 _CORPUS = st.lists(_VEC, min_size=2, max_size=8)
 
 
@@ -54,13 +59,19 @@ def _q(v):
 
 def _score(a, b):
     qa, qb = _q(a), _q(b)
+    qn = sum(x * x for x in qa)
+    cn = sum(x * x for x in qb)
+    if qn == 0 or cn == 0:
+        return None  # qcos_score: NULL on zero norms
     dot = sum(x * y for x, y in zip(qa, qb))
     if dot == 0:
         return 0.0
-    qn = sum(x * x for x in qa)
-    cn = sum(x * x for x in qb)
     s = float(dot) * float(dot) / (float(qn) * float(cn))
     return s if dot > 0 else -s
+
+
+def _key(score):
+    return -float("inf") if score is None else score
 
 
 @given(vecs=_CORPUS)
@@ -92,7 +103,7 @@ def test_brute_force_topk_matches_ranked_model(spark, vecs):
     expect = set()
     for i in range(0, len(vecs), 2):
         scored = sorted(
-            ((-_score(vecs[i], vecs[j]), j) for j in range(len(vecs)) if j != i)
+            ((-_key(_score(vecs[i], vecs[j])), j) for j in range(len(vecs)) if j != i)
         )
         for rank, (_, j) in enumerate(scored[:k], start=1):
             expect.add((i, j, rank))
@@ -116,9 +127,9 @@ def test_decontamination_screen_matches_argmax_model(spark, vecs):
     for t in range(len(vecs)):
         if t % 2 == 0:
             continue
-        best = min(((-_score(vecs[e], vecs[t]), e) for e in evals))
+        best = min(((-_key(_score(vecs[e], vecs[t])), e) for e in evals))
         score = -best[0]
-        if score >= thr:
+        if score != -float("inf") and score >= thr:
             r6 = float(
                 Decimal(repr(score)).quantize(
                     Decimal("0.000001"), rounding=ROUND_HALF_UP
@@ -146,7 +157,7 @@ def test_hard_negatives_match_label_filtered_ranking(spark, vecs, labels):
     expect = set()
     for q in range(0, len(vecs), 2):
         scored = sorted(
-            (-_score(vecs[q], vecs[j]), j)
+            (-_key(_score(vecs[q], vecs[j])), j)
             for j in range(len(vecs))
             if j != q and lab[j] != lab[q]
         )
