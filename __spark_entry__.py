@@ -2290,7 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver's correctness gate checks a
     # 50-query window from the FRONT of this dict.  Since r7 the dict
     # literal below is a CATALOG in historical/narrative order; the
-    # actual front-of-dict window is assembled from _R8_WINDOW at the
+    # actual front-of-dict window is assembled from _R10_WINDOW at the
     # end of this function — edit that list (not the literal's order)
     # to rotate.  After r6 every declared query has ≥1 driver row, so
     # each round's window = new queries + everything the round changed
@@ -2631,133 +2631,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
-    rest = [k for k in q if k not in set(_R9_WINDOW)]
-    return {k: q[k] for k in list(_R9_WINDOW) + rest}
+    rest = [k for k in q if k not in set(_R10_WINDOW)]
+    return {k: q[k] for k in list(_R10_WINDOW) + rest}
 
 
-# ROUND-9 window (the 50 entries the driver's gate checks this round).
-# r8 verdict items 1+2: re-checks first, new declarations paused, and the
-# rows-only similarity_opq_learned_audit is OUT of rotation permanently
-# (an SVD fit has no DuckDB replay; its recall leg is already the
-# oracle-checked similarity_opq_balanced_recall, green r8, and the MSE
-# curve stays pytest-only — COVERAGE.md records the disposition).
+# ROUND-10 window (the 50 entries the driver's gate checks this round).
+# r9 verdict item 1 verbatim: the ENTIRE window is the stale re-check
+# queue, oldest first, with NO new declarations.  After the r9 window
+# the catalog's staleness profile was 40 rows last-checked r4 and 33
+# rows last-checked r5 (computed from the CORRECTNESS_r0{1..9}.json
+# history); this window clears ALL 40 r4 rows and the 6 oldest r5 rows.
 # Composition:
-#   (a) all 28 never-driver-checked queries (late-r8 declarations,
-#       parity-green locally at sf0.001 + sf0.01);
-#   (b) the full r3-stale block, 5 rounds old (the 8 Oracle decode rows
-#       plus multimodal_features / multimodal_frame_plan);
-#   (c) the 2 r9 streaming promotions (r8 verdict item 4):
-#       streaming_interval_join + streaming_session_fold, the interval
-#       join / gap-session micro-batch folds mirroring the (green r8)
-#       streaming_dedup_gate pattern — the only new declarations this
-#       round, mandated by the verdict;
-#   (d) 10 stale re-check picks: graph_pagerank FIRST (r8 changed it —
-#       bigint node ids; its driver row is 5 rounds old), dedup_clusters
-#       (the plain-propagation cross-check of the now-benched
-#       dedup_clusters_fast), the flagship TPC-H rows (q1/q6), the
-#       bench drifter text_contamination, LSH-join breadth
-#       (dedup_minhash_lsh), and the verdict-named CDC-core rows
-#       (cdc_replay_filter F5, cdc_txn_stats G11, cdc_wrapped_apply K5,
-#       registry_key_guard S10/F8 — the reference's core semantics).
-# Residual after this window (documented r10 queue): the r4/r5 stale
-# remainder, oldest first (events_range_join, orders_cube/pivot,
-# events_topk_per_type, q6_forecast_revenue, dedup_minhash_lsh,
-# text_contamination, the sampling block, then the r5
-# CDC/registry/text remainder), no new declarations needed.  Added to
-# that queue late-r9: dedup_clusters and cdc_txn_stats — swapped out
-# of this window to make room for the two changed-this-round BPE rows
-# (see the in-list note below); both unchanged and family-covered by
-# green r8 rows.  ALSO
-# queued r10: cdc_table_include — r9 changed filters._parse_entry's
-# DOT-LESS branch only (plain names now match any schema, the
-# reference's OraSqlUtils.java:124-130 semantics); the driver fixture
-# list is all dotted entries, so the row's plan is bit-identical, and
-# it re-verified green locally at sf0.001 AND sf0.01 post-change (the
-# r8 graph_pagerank queue-not-swap precedent).  Same precedent, same
-# round: jdbc_sql.upsert_sql/partial_update_sql gained the reference's
-# onlyPkColumns degradation (all-PK tables -> plain INSERT,
-# TargetDbSqlUtils.java:376 ff; found by the live DuckDB execution
-# property) — every driver fixture table has non-key columns, so
-# cdc_apply_changes / jdbc_autocreate plans are bit-identical; both
-# re-verified green locally at sf0.001 AND sf0.01 post-change, row
-# re-checks queued r10.
-_R9_WINDOW = [
-    # (a) first driver rows — the 28 never-checked late-r8 declarations
-    "pipeline_curation_v5",
-    "similarity_matryoshka_recall",
-    "similarity_nprobe_curve",
-    "similarity_decontamination",
-    "multimodal_image_dhash",
-    "multimodal_audio_zcr",
-    "cdc_replica_reconcile",
-    "cdc_net_effect",
-    "orders_grouping_sets",
-    "orders_rank_report",
-    "dedup_containment",
-    "dedup_method_matrix",
-    "dedup_canonical_quality",
-    "text_pmi_collocations",
-    "text_ngram_novelty",
-    "dedup_rate_by_source",
-    "events_attribution",
-    "text_zipf_audit",
-    "text_stupid_backoff",
-    "text_char_entropy",
-    "text_topic_clusters",
-    "events_zscore_outliers",
-    "events_mad_outliers",
-    "events_quantile_sketch",
-    "events_cohort_ltv",
-    "orders_pareto",
-    "events_time_to_convert",
-    "pipeline_ab_assign",
-    # (b) the r3-stale block (last driver check: round 3)
-    "ora_binary_fp_decode",
-    "ora_charset_decode",
-    "ora_charset_id_decode",
-    "ora_datetime_decode",
-    "ora_rowid_decode",
-    "ora_tstz_decode",
-    "ora_vector_decode",
-    "oson_decode",
-    "multimodal_features",
-    "multimodal_frame_plan",
-    # (c) r9 streaming promotions (r8 verdict item 4)
-    "streaming_interval_join",
-    "streaming_session_fold",
-    # r9 late fix: the Sennrich-model property falsified the padded
-    # double-replace merge application (odd runs >= 5 paired
-    # ' a a a a a ' -> ' aa a aa ', not greedy-left 'aa aa a');
-    # _bpe_chain and its oracle now use the doubled-space single-pass
-    # greedy-left form.  Changed semantics -> both rows re-enter this
-    # window; dedup_clusters (unchanged, oracle shared with the green-r8
-    # dedup_clusters_fast) and cdc_txn_stats (unchanged since r5, its
-    # CDC-core siblings cdc_replay_filter/cdc_wrapped_apply/
-    # registry_key_guard stay below) roll to the r10 queue in their
-    # place.
+#   (a) the five changed-or-swapped-in-r9 rows the verdict names as
+#       queue jumpers: cdc_table_include (F1 dot-less include entries),
+#       cdc_apply_changes + jdbc_autocreate (K2/K4 keyless-sink
+#       degradation), dedup_clusters and cdc_txn_stats (swapped out of
+#       the r9 window for the BPE re-entries);
+#   (b) all 39 remaining r4-stale rows (TPC-H/window/set-op breadth,
+#       the dedup signature/LSH/decision block, the sampling block,
+#       text vocab/ngram/contamination, similarity centroids/kmeans,
+#       events_range_join and the events analytics block);
+#   (c) the single oldest r5 row that still fits: cdc_feed;
+#   (d) the two BPE rows AGAIN — r10's pairless-corpus fix (ADVICE.md
+#       item 1) changed textops._bpe_chain's per-step join from
+#       crossJoin(best) to a left-join-on-TRUE with a NULL-pair guard
+#       (and the oracle chain identically), so both rows' plans
+#       changed and the changed-this-round rule forces re-entry (the
+#       r9 BPE precedent) even though they were checked green in r9
+#       and every driver fixture has pairs (results bit-identical,
+#       re-verified locally at sf0.001 + sf0.01 post-change);
+#   (e) the three lazy planted/training audits the r9 verdict's item 3
+#       named: similarity_nprobe_curve, events_sax_planted and
+#       similarity_hyperplane_planted now raise an explicit in-plan
+#       empty-corpus precondition (F.raise_error folded into the
+#       recall/capture expression — pq.train's ValueError precedent
+#       translated to lazy builders, the PLANT_OFFSET guard shape)
+#       instead of a deep ANSI DIVIDE_BY_ZERO.  The guard branch can
+#       never fire on a non-empty corpus and all three re-verified
+#       green at sf0.01 post-change, but the projection changed, so
+#       the changed-this-round rule forces re-entry.
+# Displaced to the FRONT of the r11 queue by (d)+(e):
+# similarity_bruteforce_topk, similarity_ivf_topk,
+# q3_shipping_priority, q5_region_revenue, text_quality.
+# Residual after this window (documented r11 queue, all pre-verified
+# green at sf0.01 in this round's full-catalog run_parity sweep —
+# COVERAGE.md): the 30 remaining r5 rows, oldest-first —
+# similarity_bruteforce_topk, similarity_ivf_topk, q3_shipping_priority,
+# q5_region_revenue and text_quality first (displaced by this round's
+# re-entries), then similarity_ivf_multiprobe, similarity_sq8_recall,
+# similarity_near_dups, the r5 text block (token_stats, gopher_quality,
+# language_id, fingerprint, fingerprint_groups, repetition,
+# unigram_logprob, cms_topk, bloom_membership, winnow_candidates,
+# dup_span_fraction, pii_scrub), multimodal_image_ahash,
+# multimodal_audio_ehash, promo_revenue, pipeline_pack_sequences,
+# cdc_wrapped_flat, cdc_replica_asof, dedup_semantic, registry_defaults,
+# ora_tde_decrypt, smt_sanitize — then the r6 cohort.  A 50-slot window
+# cannot clear 73 stale rows + 2 jumpers in one round; the oldest (r4)
+# generation is fully cleared here and the r5 generation completes in
+# r11.  Besides the BPE fix in (d), no r10 code change alters any
+# declared query's plan or semantics (the remaining fixes are an
+# empty-corpus precondition error in four planted/training audits that
+# only fires on empty input, plus docs/tests) — so nothing else
+# re-enters under the changed-this-round rule.
+_R10_WINDOW = [
+    # (a) the five verdict-named queue jumpers
+    "cdc_table_include",
+    "cdc_apply_changes",
+    "jdbc_autocreate",
+    "dedup_clusters",
+    "cdc_txn_stats",
+    # (b) all 39 remaining r4-stale rows, catalog order
+    "events_range_join",
+    "events_value_profile",
+    "events_moving_avg",
+    "events_funnel",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "top_orders",
+    "customer_order_rank",
+    "customers_set_ops",
+    "orders_rollup",
+    "orders_cube",
+    "orders_pivot",
+    "q6_forecast_revenue",
+    "orders_by_year",
+    "lineitem_distinct_stats",
+    "supplier_min_acctbal",
+    "events_topk_per_type",
+    "big_orders_having",
+    "conditional_agg",
+    "customers_without_orders",
+    "orders_above_cust_avg",
+    "events_value_histogram",
+    "customers_with_orders_semi",
+    "events_running_total",
+    "events_type_stats",
+    "dedup_exact_keep",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_lsh_incremental",
+    "dedup_decisions",
+    "pipeline_sample",
+    "pipeline_quota_sample",
+    "pipeline_temperature_mix",
+    "pipeline_split",
+    "text_vocab_coverage",
+    "text_top_ngrams",
+    "text_contamination",
+    "similarity_cell_centroids",
+    "similarity_kmeans_cells",
+    # (c) the oldest r5 row that still fits
+    "cdc_feed",
+    # (d) changed-this-round re-entries (the BPE pairless-corpus guard)
     "text_bpe_merges",
     "text_bpe_compression",
-    # (d) r4-stale picks
-    "graph_pagerank",
-    "q1_pricing_summary",
-    # r9 changed registry.apply_ddl (ORA-00957 duplicate-rename guard +
-    # compound-statement atomicity, found by the DDL-fold property) —
-    # registry_evolution re-enters; q6 (unchanged since r4) rolls to r10
-    "registry_evolution",
-    # r9 fixed _parse_predicates (quote-aware AND split, found by the
-    # roundtrip property suite) — sql_redo_parse re-enters under the
-    # changed-this-round rule; text_contamination (no code change,
-    # steady-state number pinned in SCALING.md r9) rolls to r10
-    "sql_redo_parse",
-    # r9 touched graph.py (triangle_census factored out of
-    # copurchase_triangles for the property suite — verbatim
-    # extraction, but the changed-this-round rule puts the row back
-    # in the window; its LSH-slot predecessor dedup_minhash_lsh
-    # rolls to r10 with two green r8 family rows standing in)
-    "graph_triangles",
-    "cdc_replay_filter",
-    "cdc_wrapped_apply",
-    "registry_key_guard",
+    # (e) changed-this-round re-entries (the empty-corpus preconditions)
+    "similarity_nprobe_curve",
+    "events_sax_planted",
+    "similarity_hyperplane_planted",
 ]
 
 
@@ -8097,13 +8088,17 @@ p{k} AS (
 b{k} AS (SELECT pair, freq FROM p{k} ORDER BY freq DESC, pair LIMIT 1),
 s{k} AS (
   -- greedy-left merge via the doubled-space encoding (see
-  -- textops._bpe_chain): double spaces, one replace pass, collapse
+  -- textops._bpe_chain): double spaces, one replace pass, collapse.
+  -- LEFT JOIN ON TRUE mirrors the engine: a pairless step leaves
+  -- every seq unchanged instead of emptying the word table.
   SELECT wcount,
-         replace(replace(replace(seq, ' ', '  '),
-                         ' ' || replace(b{k}.pair, ' ', '  ') || ' ',
-                         ' ' || replace(b{k}.pair, ' ', '') || ' '),
-                 '  ', ' ') AS seq
-  FROM s{j} CROSS JOIN b{k}
+         CASE WHEN b{k}.pair IS NULL THEN seq
+              ELSE replace(replace(replace(seq, ' ', '  '),
+                                   ' ' || replace(b{k}.pair, ' ', '  ') || ' ',
+                                   ' ' || replace(b{k}.pair, ' ', '') || ' '),
+                           '  ', ' ')
+         END AS seq
+  FROM s{j} LEFT JOIN b{k} ON TRUE
 )"""
     _bpe_chain_sql = (
         r"""WITH tk AS (

@@ -1255,10 +1255,27 @@ def hyperplane_planted_audit(
         )
     )
     n_hits = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    # empty-corpus PRECONDITION, stated plainly in-plan (the uniform
+    # r10 rule for the planted/training audits, pq.train's ValueError
+    # precedent translated to lazy builders — same raise_error shape
+    # as the PLANT_OFFSET guard above)
     return n_planted.crossJoin(n_hits).select(
         "n_planted",
         "n_hits",
-        F.round(
-            F.col("n_hits").cast("double") / F.col("n_planted").cast("double"), 6
-        ).alias("capture"),
+        F.when(
+            F.col("n_planted") == 0,
+            F.raise_error(
+                F.lit(
+                    "hyperplane_planted_audit: embeddings table is empty — "
+                    "cannot plant twins into zero rows (audit precondition)"
+                )
+            ).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_planted").cast("double"),
+                6,
+            )
+        )
+        .alias("capture"),
     )

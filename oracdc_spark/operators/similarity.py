@@ -67,7 +67,20 @@ def qcos_score(dot: str = "dot", qn: str = "qn", cn: str = "cn"):
     in BOTH engines (each defaults to NULLS LAST on DESC) and drop out
     of >= threshold filters.  Found by the user-similarity replay
     property on a two-user all-zero-value corpus (a crash the sf
-    corpora, which have no zero-norm rows, could never surface)."""
+    corpora, which have no zero-norm rows, could never surface).
+
+    Contract note (r10, ADVICE item 2): sorting last does NOT exclude
+    NULL-scored neighbors from top-k consumers — when a query has
+    fewer than k non-NULL candidates, row_number still assigns the
+    trailing ranks to zero-norm rows, so they MAY appear as trailing
+    top-k entries.  This is deliberate: every DuckDB oracle replays the
+    same (score DESC, id) ROW_NUMBER window and serves the identical
+    trailing rows, so filtering them on one side only would break
+    parity, and filtering on both would change k's meaning from
+    "k window slots" to "k scoreable neighbors" for every consumer.
+    tests/test_similarity_properties.py::test_null_score_topk_parity
+    pins the cross-engine agreement on exactly this edge (no sf corpus
+    has zero-norm rows, so only a synthetic corpus exercises it)."""
     denom = F.col(qn).cast("double") * F.col(cn).cast("double")
     return F.when(
         denom != 0,
@@ -733,15 +746,32 @@ def ivf_nprobe_curve(
             )
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
         )
+        # empty-corpus PRECONDITION, stated plainly in-plan (the uniform
+        # r10 rule for the planted/training audits, pq.train's
+        # ValueError precedent translated to lazy builders: recall of
+        # zero queries is undefined, and the unguarded division would
+        # surface as a deep ANSI DIVIDE_BY_ZERO instead of the cause)
         row = m.crossJoin(F.broadcast(nq)).select(
             F.lit(int(p)).cast("bigint").alias("n_probe"),
             "n_queries",
             "n_matches",
-            F.round(
-                F.col("n_matches").cast("double")
-                / (k * F.col("n_queries").cast("double")),
-                6,
-            ).alias("recall"),
+            F.when(
+                F.col("n_queries") == 0,
+                F.raise_error(
+                    F.lit(
+                        "ivf_nprobe_curve: embeddings table is empty — "
+                        "zero query vectors to audit (audit precondition)"
+                    )
+                ).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.col("n_matches").cast("double")
+                    / (k * F.col("n_queries").cast("double")),
+                    6,
+                )
+            )
+            .alias("recall"),
         )
         out = row if out is None else out.unionAll(row)
     return out

@@ -1649,22 +1649,39 @@ def _bpe_chain(docs: DataFrame, steps: int):
             )
         )
         # greedy-left merge: double spaces, one replace pass (consumes
-        # one space per side, chaining adjacent occurrences), collapse
+        # one space per side, chaining adjacent occurrences), collapse.
+        # LEFT join on TRUE, not crossJoin: when a step finds no pairs
+        # at all (a corpus of only single-letter word types) `best` is
+        # empty and a cross join would EMPTY seqs — making
+        # bpe_compression report n_word_types=0 / NULL symbols instead
+        # of the intended before==after no-op.  With the 1-row
+        # broadcast non-empty the two forms are identical; with it
+        # empty the NULL-pair guard keeps every seq unchanged.
+        # (bpe_merges is unaffected either way: an empty step-k argmax
+        # means the corpus has no pairs, so steps k+1.. find none
+        # regardless of whether seqs survived — the termination
+        # property in tests/test_bpe_properties.py pins that.)
         pat = F.concat(
             F.lit(" "),
             F.replace(F.col("pair"), F.lit(" "), F.lit("  ")),
             F.lit(" "),
         )
         rep = F.concat(F.lit(" "), merged_of(F.col("pair")), F.lit(" "))
-        seqs = seqs.crossJoin(F.broadcast(best)).select(
+        seqs = seqs.join(F.broadcast(best), F.lit(True), "left").select(
             "wcount",
-            F.replace(
+            F.when(F.col("pair").isNull(), F.col("seq"))
+            .otherwise(
                 F.replace(
-                    F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), pat, rep
-                ),
-                F.lit("  "),
-                F.lit(" "),
-            ).alias("seq"),
+                    F.replace(
+                        F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                        pat,
+                        rep,
+                    ),
+                    F.lit("  "),
+                    F.lit(" "),
+                )
+            )
+            .alias("seq"),
         )
     return seqs, best_rows
 

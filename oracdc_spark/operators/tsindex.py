@@ -372,10 +372,28 @@ def sax_planted_audit(events: DataFrame) -> DataFrame:
         )
     )
     nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    # empty-corpus PRECONDITION, stated plainly in-plan (the uniform
+    # r10 rule for the planted/training audits, pq.train's ValueError
+    # precedent translated to lazy builders: you cannot plant twins
+    # into zero rows, and an unguarded capture division would surface
+    # as a deep ANSI DIVIDE_BY_ZERO instead of naming the cause)
     return np_.crossJoin(nh).select(
         "n_planted",
         "n_hits",
-        F.round(
-            F.col("n_hits").cast("double") / F.col("n_planted").cast("double"), 6
-        ).alias("capture"),
+        F.when(
+            F.col("n_planted") == 0,
+            F.raise_error(
+                F.lit(
+                    "sax_planted_audit: events table is empty — cannot "
+                    "plant twins into zero rows (audit precondition)"
+                )
+            ).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_planted").cast("double"),
+                6,
+            )
+        )
+        .alias("capture"),
     )

@@ -351,3 +351,214 @@ def test_lsh_candidates_match_banding_model(spark, docs):
             if shared:
                 expect.add((i, j, shared))
     assert got == expect
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_clusters_match_union_find_model(spark, docs):
+    """r10 (oracle-authorship audit): `dedup_clusters`' min-label
+    propagation — and, via test_clusters_fast_equals_plain_propagation,
+    the pointer-jumping variant — equals an INDEPENDENT scalar
+    union-find over the literal pair relation.  The driver oracle and
+    the fast==plain property both compare implementations that share
+    the propagation idea; this is the from-first-principles leg
+    (disjoint-set forest, nothing iterative in common with the plan):
+    components of the jaccard>=t graph, cluster_id = component min,
+    singletons as their own cluster, every doc exactly once."""
+    from oracdc_spark.operators.dedup import dedup_clusters
+
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(_df(spark, docs), n=2, threshold=0.3).collect()
+    }
+    sets = [_model_shingles(d) for d in docs]
+    parent = list(range(len(docs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            common = len(sets[i] & sets[j])
+            if not common:
+                continue
+            union = len(sets[i] | sets[j])
+            if round(common / union, 4) >= 0.3:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp_min = {}
+    for i in range(len(docs)):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expect = {(i, comp_min[find(i)]) for i in range(len(docs))}
+    assert got == expect
+
+
+@given(docs=CORPUS, bench=st.lists(DOC, min_size=0, max_size=5))
+@settings(**_SETTINGS)
+def test_contamination_check_matches_scalar_set_model(spark, docs, bench):
+    """r10 (oracle-authorship audit): `textops.contamination_check`'s
+    broadcast shingle screen equals the literal per-document set
+    computation — fraction of a doc's DISTINCT n-gram shingles present
+    anywhere in the benchmark's shingle set; docs with <n tokens emit
+    no row.  The DuckDB oracle replays the same join shape, so this
+    scalar model is the family's independent leg."""
+    from oracdc_spark.operators.textops import contamination_check
+
+    df = _df(spark, docs)
+    bdf = spark.createDataFrame(
+        [(1000 + i, b) for i, b in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_ratio)
+        for r in contamination_check(df, bdf, n=2).collect()
+    }
+    bset = set().union(*[_model_shingles(b) for b in bench]) if bench else set()
+    expect = {}
+    for i, d in enumerate(docs):
+        sh = _model_shingles(d)
+        if not sh:
+            continue
+        hit = len(sh & bset)
+        expect[i] = (len(sh), hit, round(hit / len(sh), 6))
+    assert got == expect
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_content_chunks_match_scalar_cdc_model(spark, docs):
+    """r10 (oracle-authorship audit): `content_chunk_dedup_stats`'
+    window-function chunking equals a literal scalar replay of the
+    content-defined rule — cut AFTER token i iff md5-hash(gram-token
+    window ending at i) % modulus == 0 (only for i >= gram-1), chunk =
+    running count of prior cuts, a chunk is duplicated iff its token
+    text occurs in >= 2 distinct documents.  The DuckDB oracle replays
+    the same prefix-sum form; this is the independent per-document
+    loop."""
+    import hashlib
+
+    from oracdc_spark.operators.dedup import content_chunk_dedup_stats
+
+    gram, modulus = 3, 4  # modulus 4 cuts often enough on short docs
+
+    def gh(text):
+        return int(hashlib.md5(text.encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    chunk_docs = {}  # chunk text -> set of doc ids
+    chunks_of = {}
+    for i, d in enumerate(docs):
+        toks = d.split()
+        if not toks:
+            continue
+        cuts = [
+            pos >= gram - 1 and gh(" ".join(toks[pos - gram + 1 : pos + 1])) % modulus == 0
+            for pos in range(len(toks))
+        ]
+        chunks, cur = [], []
+        for pos, t in enumerate(toks):
+            cur.append(t)
+            if cuts[pos]:
+                chunks.append(" ".join(cur))
+                cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        chunks_of[i] = chunks
+        for c in chunks:
+            chunk_docs.setdefault(c, set()).add(i)
+    for i, chunks in chunks_of.items():
+        dup = sum(1 for c in chunks if len(chunk_docs[c]) >= 2)
+        expect[i] = (len(chunks), dup, round(dup / len(chunks), 6))
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_chunk_frac)
+        for r in content_chunk_dedup_stats(
+            _df(spark, docs), gram=gram, modulus=modulus
+        ).collect()
+    }
+    assert got == expect
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_doc_fingerprint_matches_hashlib_model(spark, docs):
+    """r10 (oracle-authorship audit): `textops.fingerprint`'s token-set
+    digest equals a literal hashlib replay — md5 over the
+    space-joined, sorted, distinct, lowercased token set — and the dup
+    groups are exactly the >1-sized fingerprint classes with min-id
+    keeper.  The DuckDB oracle replays the same md5 expression; this is
+    the independent scalar leg."""
+    import hashlib
+
+    from oracdc_spark.operators.textops import fingerprint, fingerprint_dup_groups
+
+    def fp(doc):
+        return hashlib.md5(
+            " ".join(sorted(set(doc.split()))).lower().encode()
+        ).hexdigest()
+
+    df = _df(spark, docs)
+    got = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert got == {i: fp(d) for i, d in enumerate(docs)}
+
+    groups = {}
+    for i, d in enumerate(docs):
+        groups.setdefault(fp(d), []).append(i)
+    expect = {
+        f: (len(ids), min(ids)) for f, ids in groups.items() if len(ids) > 1
+    }
+    got_g = {
+        r.fingerprint: (r.n_docs, r.keeper_doc_id)
+        for r in fingerprint_dup_groups(df).collect()
+    }
+    assert got_g == expect
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_ngram_novelty_matches_scalar_model(spark, docs):
+    """r10 (oracle-authorship audit): `textops.ngram_novelty` equals
+    the literal per-document set computation — fraction of a doc's
+    DISTINCT n-grams with corpus document-frequency exactly 1; docs
+    with <n tokens keep their row with (0, 0, NULL novelty)."""
+    from oracdc_spark.operators.textops import ngram_novelty
+
+    n = 2
+    sets = [_model_shingles(d, n) for d in docs]
+    expect = {}
+    for i, sh in enumerate(sets):
+        if not sh:
+            expect[i] = (0, 0, None)
+            continue
+        novel = sum(
+            1 for g in sh if not any(g in s for j, s in enumerate(sets) if j != i)
+        )
+        expect[i] = (len(sh), novel, round(novel / len(sh), 6))
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_novel, r.novelty)
+        for r in ngram_novelty(_df(spark, docs), n=n).collect()
+    }
+    assert got == expect
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_sample_by_hash_matches_hashlib_coin(spark, docs):
+    """r10 (oracle-authorship audit): `dedup.sample_by_hash`'s
+    deterministic md5 coin equals the literal hashlib replay — keep iff
+    md5(f"{doc_id}|{text}") hex prefix < '1a'."""
+    import hashlib
+
+    from oracdc_spark.operators.dedup import sample_by_hash
+
+    got = {r.doc_id for r in sample_by_hash(_df(spark, docs)).collect()}
+    expect = {
+        i
+        for i, d in enumerate(docs)
+        if hashlib.md5(f"{i}|{d}".encode()).hexdigest()[:2] < "1a"
+    }
+    assert got == expect

@@ -536,3 +536,52 @@ class TestEmptyCorpusDefinedness:
         [r] = stem_vocab_reduction(df).collect()
         assert (r.n_tokens, r.vocab_raw, r.vocab_stemmed) == (0, 0, 0)
         assert r.reduction_frac is None
+
+
+class TestEmptyCorpusPreconditions:
+    """r10 (r9 verdict item 3): the planted/training audits cannot run
+    on zero rows — that is a PRECONDITION, not a definedness gap — and
+    each now states it explicitly instead of deep-crashing.  The eager
+    trainer (pq.train, via every pq/opq consumer) raises a plain
+    ValueError at build; the three lazy audits raise the same message
+    shape in-plan via F.raise_error folded into the recall/capture
+    expression (zero extra jobs at build, nothing for the lazy-builder
+    gate to see, and the guard branch is dead code on any non-empty
+    corpus).  similarity_opq_recall / similarity_opq_learned_audit
+    inherit pq.train's ValueError (pinned in test_pq.py)."""
+
+    def _empty_embeddings(self, spark):
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_nprobe_curve_empty_corpus_precondition(self, spark):
+        import pytest as _pytest
+
+        from oracdc_spark.operators.similarity import ivf_nprobe_curve
+
+        with _pytest.raises(Exception, match="audit precondition"):
+            ivf_nprobe_curve(
+                self._empty_embeddings(spark), 100, 5, n_probes=(1, 2)
+            ).collect()
+
+    def test_hyperplane_planted_empty_corpus_precondition(self, spark):
+        import pytest as _pytest
+
+        from oracdc_spark.operators.pq import hyperplane_planted_audit
+
+        with _pytest.raises(Exception, match="audit precondition"):
+            hyperplane_planted_audit(self._empty_embeddings(spark)).collect()
+
+    def test_sax_planted_empty_corpus_precondition(self, spark):
+        import pytest as _pytest
+
+        from oracdc_spark.operators.tsindex import sax_planted_audit
+
+        ev = spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        with _pytest.raises(Exception, match="audit precondition"):
+            sax_planted_audit(ev).collect()

@@ -190,3 +190,73 @@ def test_norm_outliers_match_global_rank_model(spark, vecs):
         elif 100 * rn > (100 - pct) * n:
             expect.add((i, n2, rn, "high"))
     assert got == expect
+
+
+def test_null_score_topk_parity(spark):
+    """r10 (ADVICE item 2): NULL-scored (zero-norm) neighbors MAY occupy
+    trailing top-k slots when a query has fewer than k non-NULL
+    candidates — deliberately, because every DuckDB oracle replays the
+    same (score DESC, neighbor_id) ROW_NUMBER window.  This pins the
+    cross-engine agreement on exactly that edge: a 1-query corpus with
+    2 scoreable neighbors, 2 zero-norm neighbors, and k=5 must serve
+    the zero-norm rows in the SAME trailing rank order in both engines
+    (no sf corpus has zero-norm rows, so only this synthetic corpus
+    exercises the contract)."""
+    import duckdb
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # the query (vec_id % 100 == 0)
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero-norm
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero-norm
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(df, query_mod=100, k=5).collect()
+    )
+    # zero-norm neighbors (2, 4) trail the scoreable ones (1, 3) in the
+    # rank order; `got` is sorted by neighbor_id for the comparison
+    assert got == [(0, 1, 1), (0, 2, 3), (0, 3, 2), (0, 4, 4)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v!r}::DOUBLE[])" for i, v in vecs)
+        + ") t(vec_id, embedding)"
+    )
+    duck = con.execute(
+        """
+        WITH q AS (
+          SELECT vec_id, CAST(u.i AS BIGINT) AS i,
+                 CAST(round(embedding[u.i + 1] * 1000, 0) AS BIGINT) AS qv
+          FROM v, UNNEST(range(0, len(embedding))) u(i)
+        ),
+        n AS (SELECT vec_id, SUM(qv * qv) AS norm2 FROM q GROUP BY vec_id),
+        d AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 SUM(a.qv * b.qv) AS dot
+          FROM q a JOIN q b USING (i)
+          WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT query_id, neighbor_id,
+                 CASE WHEN qn.norm2 * cn.norm2 <> 0
+                      THEN sign(dot) * (CAST(dot AS DOUBLE) * dot)
+                           / (CAST(qn.norm2 AS DOUBLE) * cn.norm2)
+                 END AS score
+          FROM d JOIN n qn ON qn.vec_id = d.query_id
+                 JOIN n cn ON cn.vec_id = d.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM s QUALIFY rank <= 5 ORDER BY 1, 3
+        """
+    ).fetchall()
+    assert sorted(duck) == got
