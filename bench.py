@@ -462,6 +462,21 @@ def main() -> None:
     _noop = _pudf(lambda s: s, returnType="long")
     spark.range(64).repartition(32).select(_noop("id")).count()
 
+    # pre-warm the shared brute-force ground-truth cache (r9 verdict
+    # item 4): every ANN recall audit (sq8/pq/matryoshka/nprobe/purity)
+    # measures against the SAME cached exact top-k; whichever audit the
+    # suite order happened to run first absorbed the one-off
+    # O(|Q|·|C|·d) first-touch — the single cause the r9 interleaved
+    # A/B traced most historical "drift" to (sq8_recall 2.42 s cold vs
+    # 0.72 s steady).  The ground truth is audit FIXTURE, like the
+    # materialized feed below, so computing it once untimed makes the
+    # recall rows measure their own work.  (query_mod=100, k=5 is the
+    # shared default of every consumer; the cache keys on the same
+    # load_table plan.)
+    from oracdc_spark.operators.similarity import brute_force_topk as _bft
+
+    _bft(_lt(spark, sf_dir, "embeddings"), 100, 5, cache=True).count()
+
     # materialize the synthetic change feed once (it is test *fixture*
     # generation, not engine work): CDC query timings then measure the
     # operators, not the per-query feed rebuild (r4 verdict item 4)
@@ -526,6 +541,19 @@ def main() -> None:
                 "r1_comparable_sec": r1_comparable,
                 "r1_comparable_isolated_sec": r1_isolated,
                 "r1_comparable_isolated_runs": r1_isolated_runs,
+                # spread of the isolated readings (r9 verdict item 4:
+                # carry the noise explicitly — ±30% host variance was
+                # repeatedly misread as regression)
+                "r1_isolated_spread_pct": (
+                    round(
+                        100.0
+                        * (max(r1_isolated_runs) - min(r1_isolated_runs))
+                        / min(r1_isolated_runs),
+                        1,
+                    )
+                    if len(r1_isolated_runs) >= 2
+                    else None
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

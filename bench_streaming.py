@@ -46,27 +46,60 @@ def main() -> None:
                 shutil.move(part, f"{feed_dir}/c{i:02d}_{j}.parquet")
             shutil.rmtree(tmp)
 
-        listener = CdcQueryListener()
-        spark.streams.addListener(listener)
-        t0 = time.time()
-        q = run_pipeline(spark, feed_dir, f"{d}/replica", f"{d}/ckpt", max_files_per_trigger=4)
-        q.processAllAvailable()
-        q.stop()
-        elapsed = time.time() - t0
+        # Steady-state protocol (r9 verdict item 7 — the ab_drift
+        # treatment for the streaming number): the single-run reading
+        # spanned a 22-31k rows/s band across rounds, too wide to gate
+        # regressions.  One UNTIMED warm run absorbs the fresh JVM's C2
+        # compilation of the stateful assembly + MERGE stages (exactly
+        # bench.py's isolated-probe warm pass), then `repeats` timed
+        # runs against fresh replica/checkpoint dirs; the MEDIAN is the
+        # longitudinal number and the run list + spread stay in the
+        # output so host noise is auditable instead of misread as
+        # regression.
+        repeats = int(os.environ.get("SPARK_GRAFT_STREAM_REPEATS", "3"))
         from oracdc_spark.sinks.merge import replica_state
 
-        replica_rows = replica_state(spark, f"{d}/replica").count()
+        def _one_run(tag: str) -> tuple[float, int, int]:
+            listener = CdcQueryListener()
+            spark.streams.addListener(listener)
+            t0 = time.time()
+            q = run_pipeline(
+                spark,
+                feed_dir,
+                f"{d}/replica_{tag}",
+                f"{d}/ckpt_{tag}",
+                max_files_per_trigger=4,
+            )
+            q.processAllAvailable()
+            q.stop()
+            elapsed = time.time() - t0
+            spark.streams.removeListener(listener)
+            rows = replica_state(spark, f"{d}/replica_{tag}").count()
+            return elapsed, rows, listener.batches
 
+        _one_run("warm")  # untimed
+        runs = [_one_run(f"t{i}") for i in range(repeats)]
+        elapsed_runs = sorted(r[0] for r in runs)
+        median = elapsed_runs[len(elapsed_runs) // 2]
+        replica_rows = runs[0][1]
+        assert all(r[1] == replica_rows for r in runs), "nondeterministic replica"
+
+    rates = [round(n_rows / e, 1) for e, _, _ in runs]
     print(
         json.dumps(
             {
                 "metric": "streaming CDC end-to-end (assembly+merge) throughput",
-                "value": round(n_rows / elapsed, 1),
+                "value": round(n_rows / median, 1),
                 "unit": "rows/sec",
+                "protocol": "median of %d steady-state runs after 1 warm run" % repeats,
+                "run_rows_per_sec": rates,
+                "spread_pct": round(
+                    100.0 * (max(rates) - min(rates)) / min(rates), 1
+                ),
                 "feed_rows": n_rows,
                 "replica_rows": replica_rows,
-                "elapsed_sec": round(elapsed, 2),
-                "micro_batches": listener.batches,
+                "elapsed_sec_median": round(median, 2),
+                "micro_batches": runs[0][2],
                 "sf_dir": sf_dir,
             }
         )

@@ -204,7 +204,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "text_gopher_quality": (REPLAY, "tests/test_filtergate_properties.py::test_gopher_quality_matches_scalar_model"),
     "text_c4_lines": (REPLAY, "tests/test_filtergate_properties.py::test_c4_line_filter_matches_scalar_model"),
     "text_c4_badwords": (REPLAY, "tests/test_textops.py::TestC4Badwords::test_hash_gate (md5-coin mechanism modeled by tests/test_dedup_properties.py::test_sample_by_hash_matches_hashlib_coin)"),
-    "text_boilerplate_strip": (REPLAY, "tests/test_textops.py::TestBoilerplateStrip::test_cross_doc_lines_stripped_in_order"),
+    "text_boilerplate_strip": (REPLAY, "tests/test_filtergate_properties.py::test_boilerplate_strip_matches_scalar_model"),
     "text_token_stats": (INDEPENDENT, "whitespace tokenization + counting is definitional"),
     "text_corpus_datasheet": (REPLAY, "tests/test_textops.py::TestCorpusDatasheet::test_rollups_consistent_and_null_marked (rollup of audited stats)"),
     "text_stem_reduction": (
@@ -318,10 +318,10 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "cdc_committed": (REPLAY, "tests/test_cdc_properties.py::test_partial_rollback_closed_form_equals_backward_scan"),
     "cdc_partial_rollback": (REPLAY, "tests/test_cdc_properties.py::test_partial_rollback_closed_form_equals_backward_scan"),
     "cdc_commit_order": (REPLAY, "tests/test_cdc_properties.py::test_commit_ordered_is_sorted_same_multiset"),
-    "cdc_replay_filter": (REPLAY, "tests/test_cdc_semantics.py::test_replay_filter_intra_txn_rewind"),
+    "cdc_replay_filter": (REPLAY, "tests/test_cdc_properties.py::test_replay_filter_is_exact_lexicographic_cut (scalar tuple-comparison model; directed unit test_replay_filter_intra_txn_rewind)"),
     "cdc_txn_stats": (INDEPENDENT, "per-XID counting aggregates are definitional"),
-    "cdc_apply_changes": (REPLAY, "tests/test_cdc_semantics.py::test_apply_changes_last_write_wins"),
-    "cdc_batch_dedup": (REPLAY, "tests/test_cdc_semantics.py::test_batch_pk_dedup_keeps_newest"),
+    "cdc_apply_changes": (REPLAY, "tests/test_cdc_properties.py::test_replica_equals_sequential_replay (one-event-at-a-time dict replay of the commit+dedup+apply path; directed unit test_apply_changes_last_write_wins)"),
+    "cdc_batch_dedup": (REPLAY, "tests/test_cdc_properties.py::test_replica_equals_sequential_replay (K6 leg of the sequential-replay theorem; directed unit test_batch_pk_dedup_keeps_newest)"),
     "cdc_suppress_unchanged": (REPLAY, "tests/test_cdc_semantics.py::test_suppress_unchanged_updates"),
     "cdc_restart_scn": (REPLAY, "tests/test_cdc_semantics.py::test_restart_scn_is_min_open"),
     "cdc_completeness_rejects": (REPLAY, "tests/test_filters.py::TestCompleteness::test_partial_updates_rejected"),

@@ -274,3 +274,32 @@ def test_scd2_as_of_equals_log_replay_at_any_cut(spark, txns, fraction):
         map(tuple, cdc.replica_as_of_relative(df, fraction).collect())
     )
     assert via_intervals == via_replay
+
+
+_TRIPLE = st.tuples(
+    st.integers(0, 3), st.integers(0, 3), st.integers(0, 3)
+)
+
+
+@given(
+    rows=st.lists(_TRIPLE, min_size=0, max_size=20),
+    offset=_TRIPLE,
+)
+@settings(**_SETTINGS)
+def test_replay_filter_is_exact_lexicographic_cut(spark, rows, offset):
+    """F5's exactly-once restart (r10 oracle-authorship audit upgrade):
+    the three-clause SQL predicate must equal the scalar lexicographic
+    comparison (commit_scn, scn, ssn) > offset on every triple — in
+    particular no event is both replayed and skipped at any offset, and
+    the cut rewinds INSIDE a partially-emitted transaction (equal
+    commit_scn and scn, ssn deciding) exactly as
+    KafkaSourceTaskBase.java:267-281 documents.  The tiny 0..3 domain
+    forces every equality/inequality interaction of the three keys."""
+    df = spark.createDataFrame(
+        [(i, c, s, n) for i, (c, s, n) in enumerate(rows)],
+        "i long, commit_scn long, scn long, ssn long",
+    )
+    lc, ls, ln = offset
+    got = {r.i for r in cdc.replay_filter(df, lc, ls, ln).collect()}
+    expect = {i for i, t in enumerate(rows) if t > offset}
+    assert got == expect

@@ -173,3 +173,49 @@ def test_language_id_matches_argmax_model(spark, corpus):
         pred = min(sorted(hits), key=lambda lg: (-hits[lg], lg))
         expect.add((i, lang, pred, lang == pred))
     assert got == expect
+
+
+# --- cross-document boilerplate strip (r10 oracle-authorship audit:
+# upgrade the directed-unit evidence to a scalar-model property) -------
+
+_BP_LINE = st.sampled_from(
+    ["cookie banner", "nav", "real content", "more text", "", "  ", "footer 2024"]
+)
+_BP_DOC = st.lists(_BP_LINE, min_size=0, max_size=6).map("\n".join)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(_BP_DOC, st.sampled_from(["siteA", "siteB"])),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_boilerplate_strip_matches_scalar_model(spark, docs):
+    """`boilerplate_strip` equals the literal two-pass scalar model: a
+    byte-exact line occurring in >= min_docs DISTINCT documents of the
+    SAME source is stripped from every document of that source; docs
+    rebuild as the newline-join of surviving lines in original order
+    (reduced-to-nothing docs emit '')."""
+    from oracdc_spark.operators.textops import boilerplate_strip
+
+    min_docs = 2
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines_removed)
+        for r in boilerplate_strip(df, min_docs=min_docs).collect()
+    }
+    seen: dict[tuple, set] = {}
+    for i, (t, s) in enumerate(docs):
+        for line in t.split("\n"):
+            seen.setdefault((s, line), set()).add(i)
+    expect = {}
+    for i, (t, s) in enumerate(docs):
+        kept = [ln for ln in t.split("\n") if len(seen[(s, ln)]) < min_docs]
+        removed = sum(1 for ln in t.split("\n") if len(seen[(s, ln)]) >= min_docs)
+        expect[i] = ("\n".join(kept), removed)
+    assert got == expect

@@ -83,3 +83,70 @@ def test_q6_scan_prunes_columns_and_pushes_filters(spark):
         "l_returnflag", "l_linestatus", "l_shipdate",
     }
     assert "isnotnull(l_shipdate" in scan1
+
+
+@pytest.mark.slow
+def test_scn_window_pushes_to_parquet_scan(spark, tmp_path):
+    """F4's 100 TB claim (r9 verdict item 5): when the change feed is a
+    materialized parquet table with a real `scn` column — the
+    production layout; the sandbox feed only derives scn from the TPC-H
+    keys — `cdc.scn_window` must reach the parquet reader as
+    PushedFilters on scn (and prunes SCN-partitioned files).  A
+    refactor that casts or wraps scn before filtering would silently
+    demote the prune to a post-scan filter; this pins it."""
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.operators import cdc
+
+    path = str(tmp_path / "feed")
+    spark.range(0, 1000).select(
+        F.col("id").alias("scn"), (F.col("id") % 7).alias("op")
+    ).write.mode("overwrite").parquet(path)
+    df = cdc.scn_window(spark.read.parquet(path), 100, 200)
+    [scan] = [
+        ln
+        for ln in df._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan parquet" in ln
+    ]
+    assert "GreaterThanOrEqual(scn,100)" in scan
+    assert "LessThanOrEqual(scn,200)" in scan
+
+
+@pytest.mark.slow
+def test_cdc_feed_scans_carry_window_constraints(spark):
+    """The sandbox form of the same claim: `cdc_scn_window`'s
+    synthesized feed derives scn from the TPC-H keys, and Catalyst must
+    still fold the window into scan-node DataFilters on those keys
+    (evaluated in the reader, before anything downstream).  If the
+    derivation ever becomes opaque to the optimizer (a UDF, a
+    non-deterministic wrapper), these constraints vanish from the scan
+    lines and this fails."""
+    import __spark_entry__ as e
+
+    df = e.queries()["cdc_scn_window"](spark, SF_SMOKE)
+    scans = [
+        ln
+        for ln in df._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan parquet" in ln
+    ]
+    assert scans, "no parquet scans in cdc_scn_window plan"
+    # the scn derivation's affine form must appear as a scan DataFilter
+    # on at least one base-table scan (customer keys: c_custkey*10+1e9)
+    assert any("1000000000" in ln and "DataFilters: [" in ln for ln in scans)
+
+
+@pytest.mark.slow
+def test_mvlog_scan_pushes_sequence_filter(spark):
+    """S6's scan claim: the mview-log poll (last_seq watermark) must
+    reach the parquet reader as a pushed range predicate — at 100 TB
+    this is the difference between reading the new log tail and
+    re-reading the whole log every poll."""
+    import __spark_entry__ as e
+
+    df = e.queries()["mvlog_batch"](spark, SF_SMOKE)
+    scans = [
+        ln
+        for ln in df._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan parquet" in ln
+    ]
+    assert any("GreaterThan(o_orderkey,1000)" in ln for ln in scans), scans
