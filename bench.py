@@ -462,20 +462,26 @@ def main() -> None:
     _noop = _pudf(lambda s: s, returnType="long")
     spark.range(64).repartition(32).select(_noop("id")).count()
 
-    # pre-warm the shared brute-force ground-truth cache (r9 verdict
-    # item 4): every ANN recall audit (sq8/pq/matryoshka/nprobe/purity)
-    # measures against the SAME cached exact top-k; whichever audit the
-    # suite order happened to run first absorbed the one-off
-    # O(|Q|·|C|·d) first-touch — the single cause the r9 interleaved
-    # A/B traced most historical "drift" to (sq8_recall 2.42 s cold vs
-    # 0.72 s steady).  The ground truth is audit FIXTURE, like the
-    # materialized feed below, so computing it once untimed makes the
-    # recall rows measure their own work.  (query_mod=100, k=5 is the
-    # shared default of every consumer; the cache keys on the same
-    # load_table plan.)
+    # The shared brute-force ground-truth cache (r9 verdict item 4):
+    # every ANN recall audit (sq8/pq/matryoshka/nprobe/purity) measures
+    # against the SAME persisted exact top-k; whichever audit the suite
+    # order happened to run first absorbed the one-off O(|Q|·|C|·d)
+    # first-touch — the single cause the r9 interleaved A/B traced most
+    # historical "drift" to (sq8_recall 2.42 s cold vs 0.72 s steady).
+    # The ground truth is audit FIXTURE, like the materialized feed
+    # below, so it is computed once UNTIMED — but only AFTER the
+    # serving row: persist() registers the plan with Spark's
+    # CacheManager, which substitutes the in-memory relation into ANY
+    # semantically-equal plan, so warming before the timed
+    # similarity_bruteforce_topk row would silently turn the serving
+    # measurement into a cache read (measured: 1.8 s -> 0.43 s).  The
+    # warm is emitted right after that row inside the timed loop below;
+    # this flag covers only= runs that skip the serving row.
     from oracdc_spark.operators.similarity import brute_force_topk as _bft
 
-    _bft(_lt(spark, sf_dir, "embeddings"), 100, 5, cache=True).count()
+    _gt_warm = lambda: _bft(  # noqa: E731 — shared by both call sites
+        _lt(spark, sf_dir, "embeddings"), 100, 5, cache=True
+    ).count()
 
     # materialize the synthetic change feed once (it is test *fixture*
     # generation, not engine work): CDC query timings then measure the
@@ -506,6 +512,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_WARM"):
         for name in to_run:
             qs[name](spark, sf_dir).count()
+    # ground truth warms before the first AUDIT row when the serving
+    # row is not in this run's list (only= modes)
+    if "similarity_bruteforce_topk" not in to_run:
+        _gt_warm()
     timings: dict[str, float] = {}
     for name in to_run:
         fn = qs[name]
@@ -513,6 +523,11 @@ def main() -> None:
         # count() forces full execution without driver-side materialization
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        if name == "similarity_bruteforce_topk":
+            # untimed audit-fixture warm — see the note above; the
+            # serving row just measured the real scan, the audits from
+            # here on measure their own work against steady-state truth
+            _gt_warm()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Per-query detail on its OWN line first: the external driver

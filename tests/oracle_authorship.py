@@ -322,8 +322,8 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "cdc_txn_stats": (INDEPENDENT, "per-XID counting aggregates are definitional"),
     "cdc_apply_changes": (REPLAY, "tests/test_cdc_properties.py::test_replica_equals_sequential_replay (one-event-at-a-time dict replay of the commit+dedup+apply path; directed unit test_apply_changes_last_write_wins)"),
     "cdc_batch_dedup": (REPLAY, "tests/test_cdc_properties.py::test_replica_equals_sequential_replay (K6 leg of the sequential-replay theorem; directed unit test_batch_pk_dedup_keeps_newest)"),
-    "cdc_suppress_unchanged": (REPLAY, "tests/test_cdc_semantics.py::test_suppress_unchanged_updates"),
-    "cdc_restart_scn": (REPLAY, "tests/test_cdc_semantics.py::test_restart_scn_is_min_open"),
+    "cdc_suppress_unchanged": (REPLAY, "tests/test_cdc_properties.py::test_suppress_unchanged_matches_nullsafe_scalar_model"),
+    "cdc_restart_scn": (REPLAY, "tests/test_cdc_properties.py::test_restart_scn_matches_min_open_scalar_model"),
     "cdc_completeness_rejects": (REPLAY, "tests/test_filters.py::TestCompleteness::test_partial_updates_rejected"),
     "cdc_delete_all_cols": (REPLAY, "tests/test_sink_live_properties.py::test_pg_dialect_converges_on_duckdb (live-executed sink semantics)"),
     "cdc_tombstones": (REPLAY, "tests/test_sink_live_properties.py::test_pg_dialect_converges_on_duckdb (live-executed sink semantics)"),

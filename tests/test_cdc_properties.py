@@ -303,3 +303,67 @@ def test_replay_filter_is_exact_lexicographic_cut(spark, rows, offset):
     got = {r.i for r in cdc.replay_filter(df, lc, ls, ln).collect()}
     expect = {i for i, t in enumerate(rows) if t > offset}
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),                        # op
+            st.booleans(),                            # rollback
+            st.one_of(st.none(), st.floats(0, 2, allow_nan=False)),  # totalprice
+            st.one_of(st.none(), st.floats(0, 2, allow_nan=False)),  # before_totalprice
+            st.one_of(st.none(), st.sampled_from(["O", "F"])),       # status
+            st.one_of(st.none(), st.sampled_from(["O", "F"])),       # before_status
+        ),
+        min_size=0,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_suppress_unchanged_matches_nullsafe_scalar_model(spark, rows):
+    """F9's update-without-change suppression (r10 authorship upgrade):
+    the eqNullSafe struct equality equals the scalar rule — drop iff
+    op=UPDATE, not a rollback marker, and BOTH value columns equal
+    their before-images under null-safe comparison (None==None keeps
+    suppressing; None vs value does not).  Ops other than UPDATE and
+    rollback markers always survive, whatever the images say."""
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "i long, op int, rollback boolean, totalprice double, "
+        "before_totalprice double, status string, before_status string",
+    )
+    got = {r.i for r in cdc.suppress_unchanged_updates(df).collect()}
+    expect = {
+        i
+        for i, (op, rb, tp, btp, stt, bst) in enumerate(rows)
+        if not (op == cdc.OP_UPDATE and not rb and tp == btp and stt == bst)
+    }
+    assert got == expect
+
+
+@given(
+    txns=st.lists(
+        st.tuples(
+            st.integers(0, 5),      # xid
+            st.integers(1, 3),      # dml op
+            st.integers(0, 50),     # scn
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+    controls=st.dictionaries(st.integers(0, 5), st.sampled_from([7, 36]), max_size=6),
+)
+@settings(**_SETTINGS)
+def test_restart_scn_matches_min_open_scalar_model(spark, txns, controls):
+    """G9's safe restart watermark (r10 authorship upgrade): equals the
+    scalar min(scn) over DML of transactions with NO control record —
+    the reference's sortedByFirstScn TreeMap head
+    (OraCdcLogMinerWorkerThread.java:108).  NULL when nothing is open."""
+    rows = [(x, op, s, False) for x, op, s in txns]
+    rows += [(x, c, 1_000, False) for x, c in controls.items()]
+    df = spark.createDataFrame(
+        rows, "xid long, op int, scn long, rollback boolean"
+    )
+    [r] = cdc.restart_scn(df).collect()
+    open_scns = [s for x, op, s in txns if x not in controls]
+    assert r.restart_scn == (min(open_scns) if open_scns else None)
