@@ -143,8 +143,8 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "dedup_method_matrix": (REPLAY, "tests/test_dedup_properties.py::test_containment_dominates_jaccard (plus the per-method models)"),
     "dedup_clusters": (REPLAY, "tests/test_dedup_properties.py::test_clusters_match_union_find_model"),
     "dedup_clusters_fast": (REPLAY, "tests/test_dedup_properties.py::test_clusters_match_union_find_model (via test_clusters_fast_equals_plain_propagation)"),
-    "dedup_canonical": (REPLAY, "tests/test_dedup_properties.py::test_canonical_quality_partitions_the_corpus"),
-    "dedup_canonical_quality": (REPLAY, "tests/test_dedup_properties.py::test_canonical_quality_partitions_the_corpus"),
+    "dedup_canonical": (REPLAY, "tests/test_dedup_properties.py::test_canonical_matches_argmax_model"),
+    "dedup_canonical_quality": (REPLAY, "tests/test_dedup_properties.py::test_canonical_quality_matches_argmax_model (plus the partition invariant)"),
     "dedup_semantic": (REPLAY, "tests/test_clustering_properties.py::test_kmeans_assignments_match_scalar_lloyd_model (cells) + cosine model"),
     "dedup_url_canonical": (REPLAY, "tests/test_textnorm_properties.py::test_canonical_url_matches_re_replay_and_is_idempotent"),
     "dedup_chunk_passages": (REPLAY, "tests/test_sampling_properties.py::test_chunk_documents_equals_sliding_window_model"),
@@ -324,7 +324,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "cdc_batch_dedup": (REPLAY, "tests/test_cdc_properties.py::test_replica_equals_sequential_replay (K6 leg of the sequential-replay theorem; directed unit test_batch_pk_dedup_keeps_newest)"),
     "cdc_suppress_unchanged": (REPLAY, "tests/test_cdc_properties.py::test_suppress_unchanged_matches_nullsafe_scalar_model"),
     "cdc_restart_scn": (REPLAY, "tests/test_cdc_properties.py::test_restart_scn_matches_min_open_scalar_model"),
-    "cdc_completeness_rejects": (REPLAY, "tests/test_filters.py::TestCompleteness::test_partial_updates_rejected"),
+    "cdc_completeness_rejects": (REPLAY, "tests/test_cdc_properties.py::test_completeness_split_matches_scalar_rule"),
     "cdc_delete_all_cols": (REPLAY, "tests/test_sink_live_properties.py::test_pg_dialect_converges_on_duckdb (live-executed sink semantics)"),
     "cdc_tombstones": (REPLAY, "tests/test_sink_live_properties.py::test_pg_dialect_converges_on_duckdb (live-executed sink semantics)"),
     "cdc_chained_fusion": (REPLAY, "tests/test_fusion_properties.py::test_fuse_pieces_matches_reference_model"),

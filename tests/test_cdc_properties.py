@@ -367,3 +367,40 @@ def test_restart_scn_matches_min_open_scalar_model(spark, txns, controls):
     [r] = cdc.restart_scn(df).collect()
     open_scns = [s for x, op, s in txns if x not in controls]
     assert r.restart_scn == (min(open_scns) if open_scns else None)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),    # op
+            st.booleans(),        # rollback
+            st.sets(st.sampled_from(["TOTALPRICE", "STATUS"])),  # changed cols
+        ),
+        min_size=0,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_completeness_split_matches_scalar_rule(spark, rows):
+    """F7's completeness split (r10 authorship upgrade): equals the
+    scalar rule — a row is REJECTED iff it is a non-rollback
+    INSERT/UPDATE whose changed-column list misses ANY mandatory
+    column; DELETEs and rollback markers are exempt (key suffices,
+    reference OraCdcLogMinerWorkerThread:281-287).  The two sides
+    partition the feed exactly."""
+    from oracdc_spark.operators.filters import completeness_check
+
+    df = spark.createDataFrame(
+        [(i, op, rb, ",".join(sorted(cols))) for i, (op, rb, cols) in enumerate(rows)],
+        "i long, op int, rollback boolean, changed_cols string",
+    )
+    ok, rej = completeness_check(df)
+    got_ok = {r.i for r in ok.collect()}
+    got_rej = {r.i for r in rej.collect()}
+    expect_rej = {
+        i
+        for i, (op, rb, cols) in enumerate(rows)
+        if op in (1, 3) and not rb and not {"TOTALPRICE", "STATUS"} <= cols
+    }
+    assert got_rej == expect_rej
+    assert got_ok == set(range(len(rows))) - expect_rej

@@ -562,3 +562,76 @@ def test_sample_by_hash_matches_hashlib_coin(spark, docs):
         if hashlib.md5(f"{i}|{d}".encode()).hexdigest()[:2] < "1a"
     }
     assert got == expect
+
+
+def _uf_components(docs, threshold=0.3):
+    """Scalar union-find over the jaccard>=threshold pair graph —
+    shared by the cluster/canonical model properties."""
+    sets = [_model_shingles(d) for d in docs]
+    parent = list(range(len(docs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            common = len(sets[i] & sets[j])
+            if not common:
+                continue
+            union = len(sets[i] | sets[j])
+            if round(common / union, 4) >= threshold:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comps: dict[int, list[int]] = {}
+    for i in range(len(docs)):
+        comps.setdefault(find(i), []).append(i)
+    return {min(m): sorted(m) for m in comps.values()}
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_canonical_matches_argmax_model(spark, docs):
+    """r10 (oracle-authorship audit): `dedup_canonical`'s window
+    selection equals the scalar argmax over union-find components —
+    keep the member with (max n_chars, min doc_id), n_members = the
+    component size, singletons keep themselves."""
+    from oracdc_spark.operators.dedup import dedup_canonical
+
+    df = spark.createDataFrame(
+        [(i, d, len(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        r.cluster_id: (r.doc_id, r.n_chars, r.n_members)
+        for r in dedup_canonical(df, n=2, threshold=0.3).collect()
+    }
+    expect = {}
+    for cid, members in _uf_components(docs).items():
+        best = min(members, key=lambda i: (-len(docs[i]), i))
+        expect[cid] = (best, len(docs[best]), len(members))
+    assert got == expect
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_canonical_quality_matches_argmax_model(spark, docs):
+    """Same theorem for the quality-ranked variant: argmax on
+    (distinct whitespace tokens, then chars, then lowest id)."""
+    from oracdc_spark.operators.dedup import dedup_canonical_quality
+
+    got = {
+        r.cluster_id: (r.doc_id, r.n_distinct, r.n_members)
+        for r in dedup_canonical_quality(_df(spark, docs), n=2, threshold=0.3).collect()
+    }
+    expect = {}
+    for cid, members in _uf_components(docs).items():
+        best = min(
+            members,
+            key=lambda i: (-len(set(docs[i].split())), -len(docs[i]), i),
+        )
+        expect[cid] = (best, len(set(docs[best].split())), len(members))
+    assert got == expect
