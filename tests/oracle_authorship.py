@@ -313,7 +313,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "cdc_op_filter": (INDEPENDENT, "reference predicate semantics, plain ANSI predicate; units tests/test_filters.py"),
     "cdc_scn_window": (INDEPENDENT, "reference predicate semantics, plain ANSI range predicate"),
     "cdc_container_filter": (INDEPENDENT, "reference predicate semantics, plain ANSI predicate"),
-    "cdc_table_include": (REPLAY, "tests/test_filters.py::test_plain_table_name_matches_any_schema (entry-grammar rule pins incl. the r9 dot-less branch)"),
+    "cdc_table_include": (REPLAY, "tests/test_cdc_properties.py::test_table_include_matches_scalar_grammar (plus directed units in tests/test_filters.py)"),
     "cdc_single_mode": (INDEPENDENT, "reference predicate semantics, plain ANSI predicate"),
     "cdc_committed": (REPLAY, "tests/test_cdc_properties.py::test_partial_rollback_closed_form_equals_backward_scan"),
     "cdc_partial_rollback": (REPLAY, "tests/test_cdc_properties.py::test_partial_rollback_closed_form_equals_backward_scan"),
@@ -348,7 +348,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "cdc_pseudo_named": (INDEPENDENT, "reference pseudo-column definitions, simple projections; units tests/test_transforms.py::test_pseudo_columns"),
     "cdc_pseudo_columns": (INDEPENDENT, "reference pseudo-column definitions, simple projections; units tests/test_transforms.py::test_pseudo_columns"),
     # ---- sinks / sources / connector surfaces ----
-    "kafka_records": (REPLAY, "tests/test_kafka_binding.py::test_kafka_binding_shape_and_tombstones"),
+    "kafka_records": (REPLAY, "tests/test_cdc_properties.py::test_kafka_binding_matches_scalar_model (plus directed units in tests/test_kafka_binding.py)"),
     "jdbc_autocreate": (REPLAY, "tests/test_sink_live_properties.py::test_pg_dialect_converges_on_duckdb (DDL executed live on DuckDB)"),
     "archived_log_discovery": (INDEPENDENT, "catalog-scan over fixture rows, plain SQL; units tests/test_sources.py::test_archived_log_discovery_overlap_and_order"),
     "mvlog_batch": (INDEPENDENT, "mview-log scan + broadcast master lookup, plain SQL joins; units tests/test_sources.py::TestMvlog"),

@@ -404,3 +404,142 @@ def test_completeness_split_matches_scalar_rule(spark, rows):
     }
     assert got_rej == expect_rej
     assert got_ok == set(range(len(rows))) - expect_rej
+
+
+_OWNERS = ["ap", "SCOTT", "a2"]
+_TABLES = ["test", "TEST", "test%", "t*t", "%", ""]
+_ENTRY = st.one_of(
+    st.sampled_from(["orders", "ORDERS", "nation"]),          # dot-less
+    st.tuples(st.sampled_from(_OWNERS), st.sampled_from(_TABLES)).map(
+        lambda t: f"{t[0]}.{t[1]}"
+    ),
+)
+_ROW = st.tuples(
+    st.sampled_from(["AP", "SCOTT", "A2", "OE"]),
+    st.sampled_from(["TEST", "TEST2", "ORDERS", "orders", "TXT", "NATION"]),
+)
+
+
+@given(
+    entries=st.lists(_ENTRY, min_size=1, max_size=4),
+    rows=st.lists(_ROW, min_size=0, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_table_include_matches_scalar_grammar(spark, entries, rows):
+    """F1's include-list grammar (r10 authorship upgrade; the r9
+    dot-less change's hypothesis leg): `table_list_column` equals a
+    scalar matcher implementing the documented rule — a dot-less entry
+    matches its exact table name in ANY schema with NO case folding
+    (OraSqlUtils.java:124-130); OWNER.TABLE upper-cases both sides,
+    maps * to %, treats an empty/% table as whole-schema, and LIKEs
+    only when a % remains; entries OR together."""
+    import re as _re
+
+    from oracdc_spark.operators.filters import table_list_column
+
+    list_str = " , ".join(entries)
+    df = spark.createDataFrame(
+        [(i, o, t) for i, (o, t) in enumerate(rows)],
+        "i long, owner string, table_name string",
+    )
+    got = {r.i for r in df.filter(table_list_column(list_str)).collect()}
+
+    def entry_matches(entry, owner, table):
+        if "." not in entry:
+            return table == entry
+        eo, et = entry.split(".", 1)
+        eo, et = eo.strip().upper(), (et.strip() or "%").replace("*", "%").upper()
+        if owner != eo:
+            return False
+        if et == "%":
+            return True
+        if "%" in et:
+            return _re.fullmatch(et.replace("%", ".*"), table) is not None
+        return table == et
+
+    expect = {
+        i
+        for i, (o, t) in enumerate(rows)
+        if any(entry_matches(e, o, t) for e in entries)
+    }
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),                                   # op
+            st.integers(0, 5),                                   # pk
+            st.one_of(st.none(), st.sampled_from([0.5, 2.0])),   # totalprice
+            st.one_of(st.none(), st.sampled_from(["O", "F"])),   # status
+            st.sampled_from([0.25, 4.0]),                        # before_totalprice
+            st.sampled_from(["O", "F"]),                         # before_status
+        ),
+        min_size=0,
+        max_size=16,
+    ),
+    delete_all=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_kafka_binding_matches_scalar_model(spark, rows, delete_all):
+    """K1's record binding (r10 authorship upgrade): topic/key/value/
+    headers equal the scalar rule — topic = owner_table, key = the pk
+    json, DELETE value = tombstone NULL (or the full before-image under
+    FLG_ALL_COLS_ON_DELETE), headers carry the Debezium op char and the
+    commit_scn string.  JSON via the same null-dropping, field-ordered
+    form Spark's to_json emits."""
+    import json as _json
+
+    from oracdc_spark.sinks.kafka import bind_kafka_records
+
+    df = spark.createDataFrame(
+        [
+            (i, op, "OWNER", "T1", str(pk), tp, stt, btp, bst, 100 + i, 500 + i, False)
+            for i, (op, pk, tp, stt, btp, bst) in enumerate(rows)
+        ],
+        "i long, op int, owner string, table_name string, pk string, "
+        "totalprice double, status string, before_totalprice double, "
+        "before_status string, scn long, commit_scn long, rollback boolean",
+    )
+    got = sorted(
+        [
+            (
+                r.topic,
+                bytes(r.key).decode(),
+                bytes(r.value).decode() if r.value is not None else None,
+                [(h.key, bytes(h.value).decode()) for h in r.headers],
+            )
+            for r in bind_kafka_records(df, delete_all_columns=delete_all).collect()
+        ],
+        key=repr,
+    )
+
+    def js(d):
+        return _json.dumps(
+            {k: v for k, v in d.items() if v is not None}, separators=(",", ":")
+        )
+
+    expect = []
+    for i, (op, pk, tp, stt, btp, bst) in enumerate(rows):
+        opc = {1: "c", 3: "u", 2: "d"}[op]
+        if op != 2:
+            value = js(
+                {"pk": str(pk), "totalprice": tp, "status": stt,
+                 "__scn": 100 + i, "__commit_scn": 500 + i}
+            )
+        elif delete_all:
+            value = js(
+                {"pk": str(pk), "totalprice": btp, "status": bst,
+                 "__scn": 100 + i, "__commit_scn": 500 + i}
+            )
+        else:
+            value = None
+        expect.append(
+            (
+                "OWNER_T1",
+                js({"pk": str(pk)}),
+                value,
+                [("op", opc), ("commit_scn", str(500 + i))],
+            )
+        )
+    assert got == sorted(expect, key=repr)
