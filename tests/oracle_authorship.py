@@ -375,7 +375,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     # ---- registry / SMT ----
     "registry_evolution": (REPLAY, "tests/test_registry_properties.py::test_ddl_fold_matches_dictionary_model"),
     "registry_key_guard": (REPLAY, "tests/test_registry_properties.py::test_key_column_drop_always_rejected"),
-    "registry_defaults": (REPLAY, "tests/test_registry.py::TestRegistry::test_add_column_bumps_version (default-substitution units in the same class)"),
+    "registry_defaults": (REPLAY, "tests/test_registry.py::TestDefaultValues::test_apply_default_values_binding (rule-pinning class TestDefaultValues — finite per-jdbcType literal table, KafkaConnectSchema.java:181-279)"),
     "smt_sanitize": (
         INDEPENDENT,
         "Avro name grammar (public Avro spec); units "
