@@ -255,10 +255,10 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "text_dup_span_fraction": (REPLAY, "tests/test_winnow_properties.py::test_dup_span_fraction_matches_full_replay"),
     # ---- similarity / ANN family ----
     "similarity_bruteforce_topk": (REPLAY, "tests/test_similarity_properties.py::test_brute_force_topk_matches_ranked_model"),
-    "similarity_ivf_topk": (REPLAY, "tests/test_similarity_properties.py::test_cosine_scores_match_scalar_model (rescoring) + tests/test_r8_ops.py::TestNprobeCurve::test_full_probe_is_exact"),
+    "similarity_ivf_topk": (REPLAY, "tests/test_similarity_properties.py::test_ivf_topk_matches_cell_restricted_model"),
     "similarity_ivf_multiprobe": (REPLAY, "tests/test_r8_ops.py::TestNprobeCurve::test_full_probe_is_exact"),
     "similarity_nprobe_curve": (REPLAY, "tests/test_r8_ops.py::TestNprobeCurve::test_full_probe_is_exact"),
-    "similarity_sq8_recall": (REPLAY, "tests/test_decoder_properties.py::test_sq8_code_bounds_and_error (codes) vs model-pinned exact ground truth"),
+    "similarity_sq8_recall": (REPLAY, "tests/test_similarity_properties.py::test_sq8_topk_matches_scalar_codec_model (full codec+ADC chain) vs model-pinned exact ground truth"),
     "similarity_near_dups": (REPLAY, "tests/test_similarity_properties.py::test_cosine_scores_match_scalar_model (scoring contract)"),
     "similarity_cell_centroids": (REPLAY, "tests/test_clustering_properties.py::test_kmeans_assignments_match_scalar_lloyd_model (refit-step arithmetic)"),
     "similarity_kmeans_cells": (REPLAY, "tests/test_clustering_properties.py::test_kmeans_profile_matches_model_aggregate"),

@@ -260,3 +260,95 @@ def test_null_score_topk_parity(spark):
         """
     ).fetchall()
     assert sorted(duck) == got
+
+
+def _half_up(v):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(float(v))).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+@given(vecs=_CORPUS)
+@settings(**_SETTINGS)
+def test_sq8_topk_matches_scalar_codec_model(spark, vecs):
+    """r10 (oracle-authorship audit): the full SQ8 serving chain —
+    per-dim min/max train, HALF_UP affine byte codes (flat dim -> 0),
+    decode back to the quantized-integer domain, exact-integer ADC
+    scoring, (score DESC NULLS LAST, neighbor_id) top-k excluding self —
+    equals a scalar replay in plain Python floats/Decimals.  Pins the
+    codec+scoring chain itself, not just recall against brute force."""
+    from oracdc_spark.operators.similarity import sq8_topk
+
+    k = 3
+    n, d = len(vecs), len(vecs[0])
+    xs = [[float(np_x) for np_x in v] for v in vecs]
+    mn = [min(x[i] for x in xs) for i in range(d)]
+    mx = [max(x[i] for x in xs) for i in range(d)]
+    codes = [
+        [
+            _half_up((x[i] - mn[i]) * 255 / (mx[i] - mn[i])) if mx[i] > mn[i] else 0
+            for i in range(d)
+        ]
+        for x in xs
+    ]
+    dec = [
+        [_half_up((mn[i] + c[i] * (mx[i] - mn[i]) / 255) * 1000) for i in range(d)]
+        for c in codes
+    ]
+    qv = {j: _q(xs[j]) for j in range(0, n, 2)}
+    expect = set()
+    for qid, q in qv.items():
+        scored = []
+        for nb in range(n):
+            if nb == qid:
+                continue
+            dot = sum(a * b for a, b in zip(q, dec[nb]))
+            qn = sum(a * a for a in q)
+            cn = sum(b * b for b in dec[nb])
+            s = None
+            if qn * cn != 0:
+                s = (1 if dot > 0 else -1 if dot < 0 else 0) * float(dot) * dot / (
+                    float(qn) * cn
+                )
+            scored.append((-_key(s), nb))
+        for rank, (_, nb) in enumerate(sorted(scored)[:k], start=1):
+            expect.add((qid, nb, rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sq8_topk(_df(spark, vecs), query_mod=2, k=k).collect()
+    }
+    assert got == expect
+
+
+@given(
+    vecs=_CORPUS,
+    labels=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_ivf_topk_matches_cell_restricted_model(spark, vecs, labels):
+    """r10 (oracle-authorship audit): single-cell IVF serving equals
+    the scalar model — candidates are exactly the OTHER members of the
+    query's own label cell, scored by the quantized-cosine contract,
+    (score DESC NULLS LAST, neighbor_id) top-k."""
+    from oracdc_spark.operators.similarity import ivf_topk
+
+    k = 2
+    lab = {i: labels[i % len(labels)] for i in range(len(vecs))}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab[i]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    expect = set()
+    for qid in range(0, len(vecs), 2):
+        scored = sorted(
+            (-_key(_score(vecs[qid], vecs[nb])), nb)
+            for nb in range(len(vecs))
+            if nb != qid and lab[nb] == lab[qid]
+        )
+        for rank, (_, nb) in enumerate(scored[:k], start=1):
+            expect.add((qid, nb, rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(df, query_mod=2, k=k).collect()
+    }
+    assert got == expect
