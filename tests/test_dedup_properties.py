@@ -635,3 +635,30 @@ def test_canonical_quality_matches_argmax_model(spark, docs):
         )
         expect[cid] = (best, len(set(docs[best].split())), len(members))
     assert got == expect
+
+
+@given(docs=CORPUS)
+@settings(**_SETTINGS)
+def test_decisions_match_min_keeper_model(spark, docs):
+    """r10 (oracle-authorship audit): the keep/drop delete-list equals
+    the scalar rule over the brute-force pair relation — a doc appears
+    iff it is the larger id of at least one >=threshold pair, and its
+    keeper is the smallest partner below it."""
+    from oracdc_spark.operators.dedup import dedup_decisions, jaccard_pairs
+
+    got = {
+        (r.doc_id, r.keeper_doc_id)
+        for r in dedup_decisions(
+            jaccard_pairs(_df(spark, docs), n=2, threshold=0.3)
+        ).collect()
+    }
+    sets = [_model_shingles(d) for d in docs]
+    keeper = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            common = len(sets[i] & sets[j])
+            if not common:
+                continue
+            if round(common / len(sets[i] | sets[j]), 4) >= 0.3:
+                keeper[j] = min(keeper.get(j, i), i)
+    assert got == set(keeper.items())
