@@ -139,7 +139,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "dedup_simhash_recall": (REPLAY, "tests/test_dedup_properties.py::test_simhash_candidates_match_rotation_model"),
     "dedup_tfidf_cosine": (REPLAY, "tests/test_dedup_properties.py::test_tfidf_cosine_pairs_match_bruteforce"),
     "dedup_containment": (REPLAY, "tests/test_dedup_properties.py::test_containment_pairs_match_bruteforce"),
-    "dedup_decisions": (REPLAY, "tests/test_dedup_properties.py::test_jaccard_pairs_match_bruteforce (composes the method models above)"),
+    "dedup_decisions": (REPLAY, "tests/test_dedup_properties.py::test_decisions_match_min_keeper_model"),
     "dedup_method_matrix": (REPLAY, "tests/test_dedup_properties.py::test_containment_dominates_jaccard (plus the per-method models)"),
     "dedup_clusters": (REPLAY, "tests/test_dedup_properties.py::test_clusters_match_union_find_model"),
     "dedup_clusters_fast": (REPLAY, "tests/test_dedup_properties.py::test_clusters_match_union_find_model (via test_clusters_fast_equals_plain_propagation)"),
