@@ -259,7 +259,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "similarity_ivf_multiprobe": (REPLAY, "tests/test_r8_ops.py::TestNprobeCurve::test_full_probe_is_exact"),
     "similarity_nprobe_curve": (REPLAY, "tests/test_r8_ops.py::TestNprobeCurve::test_full_probe_is_exact"),
     "similarity_sq8_recall": (REPLAY, "tests/test_similarity_properties.py::test_sq8_topk_matches_scalar_codec_model (full codec+ADC chain) vs model-pinned exact ground truth"),
-    "similarity_near_dups": (REPLAY, "tests/test_similarity_properties.py::test_cosine_scores_match_scalar_model (scoring contract)"),
+    "similarity_near_dups": (REPLAY, "tests/test_similarity_properties.py::test_near_dups_match_scalar_banded_model (fully independent hyperplane/banding/rescore replay)"),
     "similarity_cell_centroids": (REPLAY, "tests/test_clustering_properties.py::test_kmeans_assignments_match_scalar_lloyd_model (refit-step arithmetic)"),
     "similarity_kmeans_cells": (REPLAY, "tests/test_clustering_properties.py::test_kmeans_profile_matches_model_aggregate"),
     "similarity_pq_topk": (REPLAY, "tests/test_pq_properties.py::test_pq_topk_equals_scalar_adc_model"),

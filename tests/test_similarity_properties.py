@@ -352,3 +352,59 @@ def test_ivf_topk_matches_cell_restricted_model(spark, vecs, labels):
         for r in ivf_topk(df, query_mod=2, k=k).collect()
     }
     assert got == expect
+
+
+@given(
+    vecs=_CORPUS,
+    labels=st.lists(st.integers(0, 1), min_size=8, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_near_dups_match_scalar_banded_model(spark, vecs, labels):
+    """r10 (oracle-authorship audit): `embedding_near_dups` equals a
+    fully independent scalar replay — hyperplane r_b[i] =
+    ((1009·b + 9173·i) mod 2003) − 1001, bit = (Σ q_i·r_b[i] >= 0),
+    two 4-bit band values, candidate iff the pair shares (cell, band
+    value) on >= 1 band, exact quantized-cosine rescore, emit iff
+    score >= threshold with v1 < v2.  Pins the banding arithmetic, the
+    bucket-join pairing, and the rescore gate in one theorem (the LSH
+    recall trade-off is the documented contract: band-disagreeing true
+    pairs are ABSENT on both sides)."""
+    from oracdc_spark.operators.similarity import embedding_near_dups
+
+    thr = 0.16
+    lab = {i: labels[i % len(labels)] for i in range(len(vecs))}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab[i]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.v1, r.v2): r.score for r in embedding_near_dups(df, thr).collect()
+    }
+
+    def bands(v):
+        q = _q(v)
+        out = []
+        for k in range(2):
+            val = 0
+            for j in range(4):
+                b = k * 4 + j
+                s = sum(
+                    qi * (((1009 * b + 9173 * i) % 2003) - 1001)
+                    for i, qi in enumerate(q)
+                )
+                val += (1 if s >= 0 else 0) << j
+            out.append(val)
+        return out
+
+    sig = [bands(v) for v in vecs]
+    expect = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if lab[i] != lab[j]:
+                continue
+            if not any(sig[i][k] == sig[j][k] for k in range(2)):
+                continue
+            s = _score(vecs[i], vecs[j])
+            if s is not None and s >= thr:
+                expect[(i, j)] = s
+    assert got == expect
