@@ -203,7 +203,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "text_quality": (REPLAY, "tests/test_filtergate_properties.py::test_quality_scores_match_scalar_model"),
     "text_gopher_quality": (REPLAY, "tests/test_filtergate_properties.py::test_gopher_quality_matches_scalar_model"),
     "text_c4_lines": (REPLAY, "tests/test_filtergate_properties.py::test_c4_line_filter_matches_scalar_model"),
-    "text_c4_badwords": (REPLAY, "tests/test_textops.py::TestC4Badwords::test_hash_gate (md5-coin mechanism modeled by tests/test_dedup_properties.py::test_sample_by_hash_matches_hashlib_coin)"),
+    "text_c4_badwords": (REPLAY, "tests/test_filtergate_properties.py::test_c4_badwords_matches_hashlib_model"),
     "text_boilerplate_strip": (REPLAY, "tests/test_filtergate_properties.py::test_boilerplate_strip_matches_scalar_model"),
     "text_token_stats": (INDEPENDENT, "whitespace tokenization + counting is definitional"),
     "text_corpus_datasheet": (REPLAY, "tests/test_textops.py::TestCorpusDatasheet::test_rollups_consistent_and_null_marked (rollup of audited stats)"),

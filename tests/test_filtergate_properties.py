@@ -219,3 +219,40 @@ def test_boilerplate_strip_matches_scalar_model(spark, docs):
         removed = sum(1 for ln in t.split("\n") if len(seen[(s, ln)]) >= min_docs)
         expect[i] = ("\n".join(kept), removed)
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "BETA", "gamma", "x1", ""]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    badwords=st.sets(st.sampled_from(["alpha", "beta", "zzz"]), max_size=3),
+)
+@settings(**_SETTINGS)
+def test_c4_badwords_matches_hashlib_model(spark, docs, badwords):
+    """r10 (oracle-authorship audit): the C4 badwords page gate equals
+    the scalar hashlib replay — lowercase whitespace tokens, flag each
+    whose md5 is in the supplied hash set, keep iff zero hits."""
+    import hashlib
+
+    from oracdc_spark.operators.textops import c4_badwords_filter
+
+    hashes = [hashlib.md5(w.encode()).hexdigest() for w in sorted(badwords)] or [
+        hashlib.md5(b"__none__").hexdigest()
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_bad, r.keep)
+        for r in c4_badwords_filter(df, hashes).collect()
+    }
+    expect = {}
+    for i, d in enumerate(docs):
+        toks = [t for t in d.lower().split() if t]
+        nb = sum(1 for t in toks if hashlib.md5(t.encode()).hexdigest() in hashes)
+        expect[i] = (len(toks), nb, nb == 0)
+    assert got == expect
