@@ -279,7 +279,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "similarity_hyperplane_planted": (REPLAY, "tests/test_pq_properties.py::test_hyperplane_buckets_equal_sign_pattern_model"),
     "similarity_ann_purity": (REPLAY, "tests/test_pq_properties.py::test_pq_topk_equals_scalar_adc_model (composition)"),
     "similarity_hard_negatives": (REPLAY, "tests/test_similarity_properties.py::test_hard_negatives_match_label_filtered_ranking"),
-    "similarity_matryoshka_recall": (REPLAY, "tests/test_similarity_properties.py::test_brute_force_topk_matches_ranked_model (truncated-prefix legs of the same kernel; directed units tests/test_r8_ops.py::TestMatryoshkaRecall)"),
+    "similarity_matryoshka_recall": (REPLAY, "tests/test_similarity_properties.py::test_matryoshka_recall_matches_truncated_ranking_model"),
     "similarity_decontamination": (REPLAY, "tests/test_similarity_properties.py::test_decontamination_screen_matches_argmax_model"),
     "similarity_norm_outliers": (REPLAY, "tests/test_similarity_properties.py::test_norm_outliers_match_global_rank_model"),
     # ---- retrieval ----

@@ -408,3 +408,38 @@ def test_near_dups_match_scalar_banded_model(spark, vecs, labels):
             if s is not None and s >= thr:
                 expect[(i, j)] = s
     assert got == expect
+
+
+@given(vecs=_CORPUS)
+@settings(**_SETTINGS)
+def test_matryoshka_recall_matches_truncated_ranking_model(spark, vecs):
+    """r10 (oracle-authorship audit): the MRL prefix-truncation audit
+    equals the scalar model — for each prefix width d, rank neighbors
+    by the quantized cosine over the FIRST d components only, count the
+    overlap with the full-width top-k, one row per (dims, query) with
+    recall = overlap / k (queries with no truncated matches keep their
+    row at 0)."""
+    from oracdc_spark.operators.similarity import matryoshka_recall
+
+    k, dims = 2, (2, 1)
+
+    def topk(qid, width):
+        scored = sorted(
+            (-_key(_score(vecs[qid][:width], vecs[nb][:width])), nb)
+            for nb in range(len(vecs))
+            if nb != qid
+        )
+        return {nb for _, nb in scored[:k]}
+
+    expect = {}
+    full_w = len(vecs[0])
+    for qid in range(0, len(vecs), 2):
+        full = topk(qid, full_w)
+        for d in dims:
+            n = len(topk(qid, d) & full)
+            expect[(d, qid)] = (n, round(n / k, 6))
+    got = {
+        (r.dims, r.query_id): (r.n_matches, r.recall)
+        for r in matryoshka_recall(_df(spark, vecs), query_mod=2, k=k, dims=dims).collect()
+    }
+    assert got == expect
