@@ -206,7 +206,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "text_c4_badwords": (REPLAY, "tests/test_filtergate_properties.py::test_c4_badwords_matches_hashlib_model"),
     "text_boilerplate_strip": (REPLAY, "tests/test_filtergate_properties.py::test_boilerplate_strip_matches_scalar_model"),
     "text_token_stats": (INDEPENDENT, "whitespace tokenization + counting is definitional"),
-    "text_corpus_datasheet": (REPLAY, "tests/test_textops.py::TestCorpusDatasheet::test_rollups_consistent_and_null_marked (rollup of audited stats)"),
+    "text_corpus_datasheet": (REPLAY, "tests/test_filtergate_properties.py::test_corpus_datasheet_matches_scalar_cube_model"),
     "text_stem_reduction": (
         INDEPENDENT,
         "Harman (1991) weak S-stemmer published rules; "

@@ -256,3 +256,50 @@ def test_c4_badwords_matches_hashlib_model(spark, docs, badwords):
         nb = sum(1 for t in toks if hashlib.md5(t.encode()).hexdigest() in hashes)
         expect[i] = (len(toks), nb, nb == 0)
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", None]),
+            st.sampled_from(["web", "books"]),
+            st.lists(st.sampled_from(["ab", "c", "dd ee"]), max_size=4).map(" ".join),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_corpus_datasheet_matches_scalar_cube_model(spark, rows):
+    """r10 (oracle-authorship audit): the CUBE datasheet equals the
+    scalar replay of all four grouping sets — per (lang, source) cell,
+    per-lang, per-source, and grand total — with aggregated-out
+    dimensions marked '(all)' and genuine NULL values '(null)', token
+    count = whitespace tokens, bpe proxy = ceil(non-space chars / 4)."""
+    import math
+
+    from oracdc_spark.operators.textops import corpus_datasheet
+
+    df = spark.createDataFrame(
+        [(i, lg, src, t, len(t)) for i, (lg, src, t) in enumerate(rows)],
+        "doc_id long, lang string, source string, text string, n_chars long",
+    )
+    got = {
+        (r.lang, r.source): (r.n_docs, r.n_tokens, r.n_chars, r.bpe_est_tokens)
+        for r in corpus_datasheet(df).collect()
+    }
+    expect = {}
+    for keep_lang, keep_src in ((1, 1), (1, 0), (0, 1), (0, 0)):
+        cells = {}
+        for lg, src, t in rows:
+            key = (
+                (lg if lg is not None else "(null)") if keep_lang else "(all)",
+                src if keep_src else "(all)",
+            )
+            tok = len(t.split())
+            nch = len(t)
+            bpe = math.ceil(len(t.replace(" ", "")) / 4)
+            n, tk, ch, bp = cells.get(key, (0, 0, 0, 0))
+            cells[key] = (n + 1, tk + tok, ch + nch, bp + bpe)
+        expect.update(cells)
+    assert got == expect
