@@ -256,8 +256,8 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     # ---- similarity / ANN family ----
     "similarity_bruteforce_topk": (REPLAY, "tests/test_similarity_properties.py::test_brute_force_topk_matches_ranked_model"),
     "similarity_ivf_topk": (REPLAY, "tests/test_similarity_properties.py::test_ivf_topk_matches_cell_restricted_model"),
-    "similarity_ivf_multiprobe": (REPLAY, "tests/test_r8_ops.py::TestNprobeCurve::test_full_probe_is_exact"),
-    "similarity_nprobe_curve": (REPLAY, "tests/test_r8_ops.py::TestNprobeCurve::test_full_probe_is_exact"),
+    "similarity_ivf_multiprobe": (REPLAY, "tests/test_similarity_properties.py::test_ivf_multiprobe_matches_scalar_model"),
+    "similarity_nprobe_curve": (REPLAY, "tests/test_similarity_properties.py::test_ivf_multiprobe_matches_scalar_model (the swept knob) + tests/test_r8_ops.py::TestNprobeCurve::test_full_probe_is_exact"),
     "similarity_sq8_recall": (REPLAY, "tests/test_similarity_properties.py::test_sq8_topk_matches_scalar_codec_model (full codec+ADC chain) vs model-pinned exact ground truth"),
     "similarity_near_dups": (REPLAY, "tests/test_similarity_properties.py::test_near_dups_match_scalar_banded_model (fully independent hyperplane/banding/rescore replay)"),
     "similarity_cell_centroids": (REPLAY, "tests/test_clustering_properties.py::test_kmeans_assignments_match_scalar_lloyd_model (refit-step arithmetic)"),

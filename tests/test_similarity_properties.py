@@ -443,3 +443,55 @@ def test_matryoshka_recall_matches_truncated_ranking_model(spark, vecs):
         for r in matryoshka_recall(_df(spark, vecs), query_mod=2, k=k, dims=dims).collect()
     }
     assert got == expect
+
+
+@given(
+    vecs=_CORPUS,
+    labels=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_ivf_multiprobe_matches_scalar_model(spark, vecs, labels):
+    """r10 (oracle-authorship audit): multi-probe IVF equals the scalar
+    replay — integer centroids round-HALF-UP(sum/count) per occupied
+    cell, probe set = the n_probe nearest cells by exact integer
+    squared distance (ties to the lower cell id), candidates = members
+    of probed cells minus self, quantized-cosine rescore,
+    (score DESC NULLS LAST, neighbor_id) top-k.  Covers the knob the
+    nprobe-curve audit sweeps."""
+    from oracdc_spark.operators.similarity import ivf_multiprobe_topk
+
+    k, n_probe = 2, 2
+    lab = {i: labels[i % len(labels)] for i in range(len(vecs))}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab[i]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_multiprobe_topk(df, query_mod=2, k=k, n_probe=n_probe).collect()
+    }
+
+    d = len(vecs[0])
+    cells = sorted({lab[i] for i in range(len(vecs))})
+    cents = {}
+    for c in cells:
+        members = [i for i in range(len(vecs)) if lab[i] == c]
+        cents[c] = [
+            _half_up(sum(_q(vecs[i])[j] for i in members) / len(members))
+            for j in range(d)
+        ]
+    expect = set()
+    for qid in range(0, len(vecs), 2):
+        q = _q(vecs[qid])
+        dists = sorted(
+            (sum((q[j] - cents[c][j]) ** 2 for j in range(d)), c) for c in cells
+        )
+        probed = {c for _, c in dists[:n_probe]}
+        scored = sorted(
+            (-_key(_score(vecs[qid], vecs[nb])), nb)
+            for nb in range(len(vecs))
+            if nb != qid and lab[nb] in probed
+        )
+        for rank, (_, nb) in enumerate(scored[:k], start=1):
+            expect.add((qid, nb, rank))
+    assert got == expect
