@@ -2290,7 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver's correctness gate checks a
     # 50-query window from the FRONT of this dict.  Since r7 the dict
     # literal below is a CATALOG in historical/narrative order; the
-    # actual front-of-dict window is assembled from _R10_WINDOW at the
+    # actual front-of-dict window is assembled from _R11_WINDOW at the
     # end of this function — edit that list (not the literal's order)
     # to rotate.  After r6 every declared query has ≥1 driver row, so
     # each round's window = new queries + everything the round changed
@@ -2631,124 +2631,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
-    rest = [k for k in q if k not in set(_R10_WINDOW)]
-    return {k: q[k] for k in list(_R10_WINDOW) + rest}
+    rest = [k for k in q if k not in set(_R11_WINDOW)]
+    return {k: q[k] for k in list(_R11_WINDOW) + rest}
 
 
-# ROUND-10 window (the 50 entries the driver's gate checks this round).
-# r9 verdict item 1 verbatim: the ENTIRE window is the stale re-check
-# queue, oldest first, with NO new declarations.  After the r9 window
-# the catalog's staleness profile was 40 rows last-checked r4 and 33
-# rows last-checked r5 (computed from the CORRECTNESS_r0{1..9}.json
-# history); this window clears ALL 40 r4 rows and the 6 oldest r5 rows.
-# Composition:
-#   (a) the five changed-or-swapped-in-r9 rows the verdict names as
-#       queue jumpers: cdc_table_include (F1 dot-less include entries),
-#       cdc_apply_changes + jdbc_autocreate (K2/K4 keyless-sink
-#       degradation), dedup_clusters and cdc_txn_stats (swapped out of
-#       the r9 window for the BPE re-entries);
-#   (b) all 39 remaining r4-stale rows (TPC-H/window/set-op breadth,
-#       the dedup signature/LSH/decision block, the sampling block,
-#       text vocab/ngram/contamination, similarity centroids/kmeans,
-#       events_range_join and the events analytics block);
-#   (c) the single oldest r5 row that still fits: cdc_feed;
-#   (d) the two BPE rows AGAIN — r10's pairless-corpus fix (ADVICE.md
-#       item 1) changed textops._bpe_chain's per-step join from
-#       crossJoin(best) to a left-join-on-TRUE with a NULL-pair guard
-#       (and the oracle chain identically), so both rows' plans
-#       changed and the changed-this-round rule forces re-entry (the
-#       r9 BPE precedent) even though they were checked green in r9
-#       and every driver fixture has pairs (results bit-identical,
-#       re-verified locally at sf0.001 + sf0.01 post-change);
-#   (e) the three lazy planted/training audits the r9 verdict's item 3
-#       named: similarity_nprobe_curve, events_sax_planted and
-#       similarity_hyperplane_planted now raise an explicit in-plan
-#       empty-corpus precondition (F.raise_error folded into the
-#       recall/capture expression — pq.train's ValueError precedent
-#       translated to lazy builders, the PLANT_OFFSET guard shape)
-#       instead of a deep ANSI DIVIDE_BY_ZERO.  The guard branch can
-#       never fire on a non-empty corpus and all three re-verified
-#       green at sf0.01 post-change, but the projection changed, so
-#       the changed-this-round rule forces re-entry.
-# Displaced to the FRONT of the r11 queue by (d)+(e):
-# similarity_bruteforce_topk, similarity_ivf_topk,
-# q3_shipping_priority, q5_region_revenue, text_quality.
-# Residual after this window (documented r11 queue, all pre-verified
-# green at sf0.01 in this round's full-catalog run_parity sweep —
-# COVERAGE.md): the 30 remaining r5 rows, oldest-first —
-# similarity_bruteforce_topk, similarity_ivf_topk, q3_shipping_priority,
-# q5_region_revenue and text_quality first (displaced by this round's
-# re-entries), then similarity_ivf_multiprobe, similarity_sq8_recall,
-# similarity_near_dups, the r5 text block (token_stats, gopher_quality,
-# language_id, fingerprint, fingerprint_groups, repetition,
-# unigram_logprob, cms_topk, bloom_membership, winnow_candidates,
-# dup_span_fraction, pii_scrub), multimodal_image_ahash,
-# multimodal_audio_ehash, promo_revenue, pipeline_pack_sequences,
-# cdc_wrapped_flat, cdc_replica_asof, dedup_semantic, registry_defaults,
-# ora_tde_decrypt, smt_sanitize — then the r6 cohort.  A 50-slot window
-# cannot clear 73 stale rows + 2 jumpers in one round; the oldest (r4)
-# generation is fully cleared here and the r5 generation completes in
-# r11.  Besides the BPE fix in (d), no r10 code change alters any
-# declared query's plan or semantics (the remaining fixes are an
-# empty-corpus precondition error in four planted/training audits that
-# only fires on empty input, plus docs/tests) — so nothing else
-# re-enters under the changed-this-round rule.
-_R10_WINDOW = [
-    # (a) the five verdict-named queue jumpers
-    "cdc_table_include",
-    "cdc_apply_changes",
-    "jdbc_autocreate",
-    "dedup_clusters",
-    "cdc_txn_stats",
-    # (b) all 39 remaining r4-stale rows, catalog order
-    "events_range_join",
-    "events_value_profile",
-    "events_moving_avg",
-    "events_funnel",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "top_orders",
-    "customer_order_rank",
-    "customers_set_ops",
-    "orders_rollup",
-    "orders_cube",
-    "orders_pivot",
-    "q6_forecast_revenue",
-    "orders_by_year",
-    "lineitem_distinct_stats",
-    "supplier_min_acctbal",
-    "events_topk_per_type",
-    "big_orders_having",
-    "conditional_agg",
-    "customers_without_orders",
-    "orders_above_cust_avg",
-    "events_value_histogram",
-    "customers_with_orders_semi",
-    "events_running_total",
-    "events_type_stats",
-    "dedup_exact_keep",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_lsh_incremental",
-    "dedup_decisions",
-    "pipeline_sample",
-    "pipeline_quota_sample",
-    "pipeline_temperature_mix",
-    "pipeline_split",
-    "text_vocab_coverage",
-    "text_top_ngrams",
-    "text_contamination",
-    "similarity_cell_centroids",
-    "similarity_kmeans_cells",
-    # (c) the oldest r5 row that still fits
-    "cdc_feed",
-    # (d) changed-this-round re-entries (the BPE pairless-corpus guard)
-    "text_bpe_merges",
-    "text_bpe_compression",
-    # (e) changed-this-round re-entries (the empty-corpus preconditions)
+# ROUND-11 window (the 50 entries the driver's gate checks this round).
+# r10 verdict item 1 verbatim: finish the stale generation — the window
+# clears ALL 30 remaining r5-stale rows (the documented queue carried in
+# the r10 window comment, preserved in git history at f2ff313) and
+# starts the r6 generation.  NO new declarations.  Composition:
+#   (a) three changed-this-round re-entries: r10 ADVICE item 2 reworded
+#       the empty-corpus precondition messages in
+#       similarity.ivf_nprobe_curve, pq.hyperplane_planted_audit and
+#       tsindex.sax_planted_audit after the actual guarded quantity
+#       (n_queries == 0 selected-queries / n_planted == 0 distinct-ids,
+#       not "table is empty").  The message is a string literal inside
+#       the plan's projection, so the plan changed and the
+#       changed-this-round rule forces re-entry (the r10 (e) precedent)
+#       even though the guard branch cannot fire on driver fixtures;
+#       all three re-verified green at sf0.01 post-change.
+#   (b) ALL 30 r5-stale rows, documented-queue order: the five rows
+#       displaced by r10's re-entries first (similarity_bruteforce_topk,
+#       similarity_ivf_topk, q3_shipping_priority, q5_region_revenue,
+#       text_quality), then the similarity r5 block, the r5 text block,
+#       the multimodal hash rows, and the r5 remainder.
+#   (c) the 17 oldest r6 rows in catalog order, starting the r6
+#       generation (43 rows total; the remaining 26 are the documented
+#       r12 queue below).
+# Residual after this window (documented r12 queue, catalog order,
+# all green in the r10 full-catalog three-scale sweeps and re-swept
+# this round): the 26 remaining r6 rows — text_hll_distinct,
+# cdc_pseudo_named, cdc_pseudo_columns, kafka_records, ora_tde_gcm,
+# smt_header_to_field, smt_key_to_value, lob_plugin_transform,
+# pipeline_curation_v3, pipeline_doc_chunks, pipeline_pack_efficiency,
+# dedup_chunk_passages, text_c4_lines, pipeline_token_budget,
+# archived_log_discovery, cdc_committed, cdc_partial_rollback,
+# cdc_commit_order, q2_min_cost_supplier, q11_important_stock,
+# q12_shipping_lag, q16_parts_supplier_count, q20_excess_supply,
+# q21_waiting_suppliers, mvlog_consumption, hybrid_retrieval — then the
+# r7 cohort (46 rows) begins the steady ~3-round re-check cadence.
+# Besides the precondition-message wording in (a), no r11 code change
+# alters any declared query's plan or semantics (the round's other
+# changes are bench/measurement plumbing, docs and tests), so nothing
+# else re-enters under the changed-this-round rule.
+_R11_WINDOW = [
+    # (a) changed-this-round re-entries (precondition message wording)
     "similarity_nprobe_curve",
-    "events_sax_planted",
     "similarity_hyperplane_planted",
+    "events_sax_planted",
+    # (b) all 30 r5-stale rows, documented-queue order
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "text_quality",
+    "similarity_ivf_multiprobe",
+    "similarity_sq8_recall",
+    "similarity_near_dups",
+    "text_token_stats",
+    "text_gopher_quality",
+    "text_language_id",
+    "text_fingerprint",
+    "text_fingerprint_groups",
+    "text_repetition",
+    "text_unigram_logprob",
+    "text_cms_topk",
+    "text_bloom_membership",
+    "text_winnow_candidates",
+    "text_dup_span_fraction",
+    "text_pii_scrub",
+    "multimodal_image_ahash",
+    "multimodal_audio_ehash",
+    "promo_revenue",
+    "pipeline_pack_sequences",
+    "cdc_wrapped_flat",
+    "cdc_replica_asof",
+    "dedup_semantic",
+    "registry_defaults",
+    "ora_tde_decrypt",
+    "smt_sanitize",
+    # (c) the 17 oldest r6 rows, catalog order
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "orders_lag_gap",
+    "dedup_lsh_recall",
+    "pipeline_curation_v2",
+    "text_bm25",
+    "text_dsir",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -1266,8 +1266,9 @@ def hyperplane_planted_audit(
             F.col("n_planted") == 0,
             F.raise_error(
                 F.lit(
-                    "hyperplane_planted_audit: embeddings table is empty — "
-                    "cannot plant twins into zero rows (audit precondition)"
+                    "hyperplane_planted_audit: nothing planted — zero "
+                    "distinct vec_ids in the embeddings table "
+                    "(audit precondition)"
                 )
             ).cast("double"),
         )

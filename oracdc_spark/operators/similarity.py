@@ -759,8 +759,9 @@ def ivf_nprobe_curve(
                 F.col("n_queries") == 0,
                 F.raise_error(
                     F.lit(
-                        "ivf_nprobe_curve: embeddings table is empty — "
-                        "zero query vectors to audit (audit precondition)"
+                        "ivf_nprobe_curve: no query vectors selected — "
+                        "vec_id % query_mod == 0 matched zero rows (empty "
+                        "or too-sparse embeddings table; audit precondition)"
                     )
                 ).cast("double"),
             )

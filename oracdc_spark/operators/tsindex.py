@@ -384,8 +384,8 @@ def sax_planted_audit(events: DataFrame) -> DataFrame:
             F.col("n_planted") == 0,
             F.raise_error(
                 F.lit(
-                    "sax_planted_audit: events table is empty — cannot "
-                    "plant twins into zero rows (audit precondition)"
+                    "sax_planted_audit: nothing planted — zero distinct "
+                    "user_ids in the events table (audit precondition)"
                 )
             ).cast("double"),
         )
