@@ -342,8 +342,8 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "cdc_scd2_asof": (REPLAY, "tests/test_cdc_properties.py::test_scd2_as_of_equals_log_replay_at_any_cut"),
     "cdc_replica_asof": (REPLAY, "tests/test_cdc_properties.py::test_replica_equals_sequential_replay"),
     "cdc_replica_reconcile": (REPLAY, "tests/test_cdc_properties.py::test_replica_equals_sequential_replay"),
-    "cdc_net_effect": (REPLAY, "tests/test_cdc_semantics.py::test_net_effect_upsert_equals_full_replay"),
-    "cdc_wrapped_flat": (REPLAY, "tests/test_envelope_structs.py::test_wrapped_apply_matches_flat_apply"),
+    "cdc_net_effect": (REPLAY, "tests/test_authorship_upgrades.py::test_net_effect_matches_scalar_reduction_rule (hypothesis: pure-Python application of the public event-reduction truth table over random interleavings; plus the real-feed equivalence test_cdc_semantics.py::test_net_effect_upsert_equals_full_replay)"),
+    "cdc_wrapped_flat": (REPLAY, "tests/test_authorship_upgrades.py::test_wrapped_flat_presence_matches_statement_mask (hypothesis: presence bits vs the per-statement public rule) + test_wrapped_apply_matches_sequential_sink_replay (batch collapse vs one-event-at-a-time sink replay with garbage planted in absent cells; plus the real-feed test_envelope_structs.py::test_wrapped_apply_matches_flat_apply)"),
     "cdc_wrapped_apply": (REPLAY, "tests/test_sink_live_properties.py::test_partial_update_executes_on_duckdb (live-executed partial update)"),
     "cdc_pseudo_named": (INDEPENDENT, "reference pseudo-column definitions, simple projections; units tests/test_transforms.py::test_pseudo_columns"),
     "cdc_pseudo_columns": (INDEPENDENT, "reference pseudo-column definitions, simple projections; units tests/test_transforms.py::test_pseudo_columns"),
@@ -357,7 +357,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     # ---- decode / transform surfaces ----
     "lob_reassembly": (REPLAY, "tests/test_lob_properties.py::test_reassembly_invariant_under_arrival_order (plus byte-exact roundtrip units)"),
     "lob_inflate": (REPLAY, "tests/test_decoder_properties.py::test_zlib_inflate_roundtrip_any_bytes"),
-    "lob_plugin_transform": (REPLAY, "tests/test_plugins.py::test_lob_transform_registry"),
+    "lob_plugin_transform": (REPLAY, "tests/test_authorship_upgrades.py::test_lob_transform_routing_matches_scalar_map (hypothesis: registry routing vs a hashlib scalar map over arbitrary cells/registry shapes; directed unit tests/test_plugins.py::test_lob_transform_registry retained)"),
     "ora_number_decode": (REPLAY, "tests/test_decoder_properties.py::test_number_roundtrip"),
     "ora_number_roundtrip": (REPLAY, "tests/test_decoder_properties.py::test_number_roundtrip"),
     "ora_datetime_decode": (REPLAY, "tests/test_decoder_properties.py::test_date_roundtrip"),
@@ -365,9 +365,9 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "ora_interval_decode": (REPLAY, "tests/test_decoder_properties.py::test_interval_ds_positive (plus YM leg)"),
     "ora_binary_fp_decode": (REPLAY, "tests/test_decoder_properties.py::test_binary_double_roundtrip"),
     "ora_rowid_decode": (REPLAY, "tests/test_decoder_properties.py::test_rowid_components_invert_encoder"),
-    "ora_charset_decode": (REPLAY, "tests/test_oson_charsets.py::TestCharsetIds::test_decode_goldens (fixed-point goldens from public charset tables)"),
-    "ora_charset_id_decode": (REPLAY, "tests/test_oson_charsets.py::TestCharsetIds::test_id_resolution"),
-    "ora_vector_decode": (REPLAY, "tests/test_vector_sqlredo_tde.py::TestVector::test_float32_seven_elements (public VECTOR layout goldens)"),
+    "ora_charset_decode": (REPLAY, "tests/test_oson_charsets.py::TestCharsetIds::test_decode_goldens (LEGITIMATELY FINITE-TABLE: the NLS id->codec map is a finite enumeration from public charset tables with no hypothesis domain beyond it — goldens over the table's sampled points ARE the strongest available evidence; the byte->char mapping itself is Python's codec, not repo code)"),
+    "ora_charset_id_decode": (REPLAY, "tests/test_oson_charsets.py::TestCharsetIds::test_id_resolution (LEGITIMATELY FINITE-TABLE: same rationale as ora_charset_decode — a finite id->name table admits only exhaustive/golden checks)"),
+    "ora_vector_decode": (REPLAY, "tests/test_authorship_upgrades.py::test_vector_decode_roundtrip_independent_encoder (hypothesis: inversion of an independently written encoder built from the documented layout, f32/f64/int8, random prefixes; goldens tests/test_vector_sqlredo_tde.py::TestVector retained)"),
     "ora_tde_decrypt": (REPLAY, "tests/test_tde_properties.py::test_cbc_layout_roundtrip (OpenSSL-independent roundtrip)"),
     "ora_tde_gcm": (REPLAY, "tests/test_tde_properties.py::test_gcm_column_layout_roundtrip"),
     "oson_decode": (REPLAY, "tests/test_oson_properties.py::test_decode_inverts_independent_encoder"),
@@ -375,7 +375,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     # ---- registry / SMT ----
     "registry_evolution": (REPLAY, "tests/test_registry_properties.py::test_ddl_fold_matches_dictionary_model"),
     "registry_key_guard": (REPLAY, "tests/test_registry_properties.py::test_key_column_drop_always_rejected"),
-    "registry_defaults": (REPLAY, "tests/test_registry.py::TestDefaultValues::test_apply_default_values_binding (rule-pinning class TestDefaultValues — finite per-jdbcType literal table, KafkaConnectSchema.java:181-279)"),
+    "registry_defaults": (REPLAY, "tests/test_registry.py::TestDefaultValues::test_apply_default_values_binding (LEGITIMATELY FINITE-TABLE: the per-jdbcType default-literal parse is a finite case table, KafkaConnectSchema.java:181-279 — the rule-pinning class TestDefaultValues enumerates it; no hypothesis domain exists beyond the enumerated types)"),
     "smt_sanitize": (
         INDEPENDENT,
         "Avro name grammar (public Avro spec); units "
@@ -384,7 +384,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "smt_header_to_field": (INDEPENDENT, "field-motion restructure is definitional; units tests/test_transforms.py::test_header_to_field_with_value_map"),
     "smt_key_to_value": (INDEPENDENT, "field-motion restructure is definitional; units tests/test_transforms.py::test_key_to_value_prefix"),
     # ---- streaming folds (batch mirrors oracle-checked) ----
-    "streaming_dedup_gate": (REPLAY, "tests/test_streaming_windows.py::test_dedup_redelivered_batch_parity (fold==batch) + tests/test_streaming_windows.py::test_dedup_redelivered_exactly_once"),
+    "streaming_dedup_gate": (REPLAY, "tests/test_authorship_upgrades.py::test_dedup_gate_fold_matches_scalar_first_occurrence (hypothesis: micro-batch fold vs a hashlib first-occurrence model over arbitrary splits; r11 also fixed this entry's citation, which pointed at the dedup_redelivered operator's tests — a different operator) + tests/test_streaming_sketches.py::test_dedup_gate_emits_first_occurrences_only (fold==batch)"),
     "streaming_interval_join": (REPLAY, "tests/test_streaming_windows.py::test_interval_join_matches_bruteforce"),
     "streaming_session_fold": (REPLAY, "tests/test_sessionize_properties.py::test_session_window_matches_gap_fold"),
 }

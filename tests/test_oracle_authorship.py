@@ -93,3 +93,69 @@ def test_classes_are_valid_and_counts_recorded():
     # number): replay entries are the ones the gate guards.
     assert n_none == 1
     assert n_rep + n_ind + n_none == len(AUTHORSHIP)
+
+
+def _citation_grade(path: Path, parts: list[str], evidence: str) -> str:
+    """Grade a replay citation: 'hypothesis' (the cited test is @given /
+    randomized — a model property over a domain), 'finite-rationale'
+    (the entry itself documents why only a finite table exists), or
+    'unit' (neither — the grade r10's verdict named too weak to stand
+    alone)."""
+    if "FINITE-TABLE" in evidence:
+        return "finite-rationale"
+    src = path.read_text()
+    tree = ast.parse(src)
+
+    def _find_fn(name_parts):
+        for n in tree.body:
+            if isinstance(n, ast.FunctionDef) and n.name == name_parts[-1]:
+                return n
+            if (
+                isinstance(n, ast.ClassDef)
+                and len(name_parts) == 2
+                and n.name == name_parts[0]
+            ):
+                for m in n.body:
+                    if isinstance(m, ast.FunctionDef) and m.name == name_parts[1]:
+                        return m
+        return None
+
+    fn = _find_fn(parts)
+    if fn is None:
+        return "unit"
+    # ast.get_source_segment excludes decorators — inspect them directly
+    deco = ast.dump(ast.Module(body=fn.decorator_list, type_ignores=[]))
+    if "'given'" in deco or "'hypothesis'" in deco:
+        return "hypothesis"
+    seg = ast.get_source_segment(src, fn) or ""
+    if "hypothesis" in seg or "st.data" in seg:
+        return "hypothesis"
+    if re.search(r"\brandom\b|\bRandom\b|\brng\b", seg):
+        return "hypothesis"  # randomized brute-force reference = same grade
+    return "unit"
+
+
+def test_no_replay_citation_is_unit_grade():
+    """r10 verdict item 2, mechanized as a standing gate: every replay
+    entry's PRIMARY citation must be a hypothesis-grade model property
+    (a @given/randomized test) or carry an explicit FINITE-TABLE
+    rationale in the entry text.  A new replay oracle backed only by a
+    directed unit fails the build instead of waiting for the next
+    audit."""
+    bad = []
+    for q, (cls, evidence) in AUTHORSHIP.items():
+        if cls != REPLAY:
+            continue
+        m = _EVIDENCE_RE.match(evidence)
+        if not m:
+            continue  # covered by test_every_replay_entry_cites_a_real_test
+        path = REPO / m.group(1)
+        if not path.exists():
+            continue
+        grade = _citation_grade(path, m.group(2).split("::"), evidence)
+        if grade == "unit":
+            bad.append((q, evidence[:80]))
+    assert not bad, (
+        "replay entries whose primary citation is unit-grade (add a "
+        f"hypothesis model property or a FINITE-TABLE rationale): {bad}"
+    )
