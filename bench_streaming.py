@@ -87,14 +87,13 @@ def main() -> None:
         median = statistics.median(r[0] for r in runs)
         replica_rows = runs[0][1]
         assert all(r[1] == replica_rows for r in runs), "nondeterministic replica"
-        # batch counts are paced by max_files_per_trigger over an
-        # identical file list, so they should agree run-to-run exactly
-        # like row counts do; assert rather than silently reporting the
-        # first run's count as if it were common (r10 ADVICE item 4)
-        micro_batches = runs[0][2]
-        assert all(
-            r[2] == micro_batches for r in runs
-        ), "micro-batch count varies across runs: %r" % [r[2] for r in runs]
+        # batch counts are NOT asserted equal: although the file list is
+        # identical, the number of triggers depends on how many files the
+        # source discovers per poll, which races with processing speed
+        # (observed: the same protocol yields 1 or 2 batches run-to-run).
+        # Report the full per-run list instead of the first run's count
+        # dressed up as common (r10 ADVICE item 4, labeling variant).
+        micro_batches = [r[2] for r in runs]
 
     rates = [round(n_rows / e, 1) for e, _, _ in runs]
     rate = round(n_rows / median, 1)
@@ -118,7 +117,7 @@ def main() -> None:
                 "feed_rows": n_rows,
                 "replica_rows": replica_rows,
                 "elapsed_sec_median": round(median, 2),
-                "micro_batches": micro_batches,
+                "micro_batches_per_run": micro_batches,
                 "sf_dir": sf_dir,
                 "floor_rows_per_sec": floor,
                 "floor_ok": rate >= floor,
