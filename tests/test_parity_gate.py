@@ -40,3 +40,21 @@ def test_rows_only(spark, name):
     df = QUERIES[name](spark, SF)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_driver_window_composition():
+    """The 50-slot driver window (the front of the queries() dict) must
+    be exactly the declared _R11_WINDOW: 50 unique names, every one
+    declared, every one carrying an oracle (the window is the
+    hash-check queue — a rows-only entry would waste a slot on a weaker
+    check), and in the declared order.  Guards against a typo'd name in
+    a future window rotation silently shrinking the re-check queue."""
+    window = list(QUERIES)[:50]
+    import re as _re
+
+    win_names = [n for n in vars(entry_mod) if _re.fullmatch(r"_R\d+_WINDOW", n)]
+    assert len(win_names) == 1, f"expected one window constant, got {win_names}"
+    declared = getattr(entry_mod, win_names[0])
+    assert window == list(declared)
+    assert len(set(window)) == 50
+    assert set(window) <= set(ORACLES)
