@@ -1,0 +1,154 @@
+"""Supra-bench-scale stress probe: measured runtime growth vs data
+growth for the heaviest operator families.
+
+The catalog is parity-checked up to sf0.1 (the bench SF) and the 100 TB
+arguments in SCALING.md are plan-shape arguments (bounded fan-out, no
+wedge-sized shuffles, band-bucket joins).  This tool adds MEASUREMENT
+above sf0.1: replicate the sf0.1 inputs K× (disjoint id spaces, so
+graph copies/document variants don't collapse) and time the operator
+core at K ∈ {1, 2, 4} — near-linear growth is the property the
+100 TB extrapolation rests on; super-linear growth here would expose a
+hidden all-pairs or skew blowup the plan lint cannot see.
+
+Families probed (each via its composable core, inputs pre-materialized
+to parquet so construction cost stays out of the timing):
+
+* triangle_census — disjoint graph copies: triangles/wedges scale
+  exactly K×, so should the census (Suri–Vassilvitskii bound is
+  per-edge).
+* minhash_lsh_candidates — documents with per-replica text suffixes
+  (near-distinct corpus, the honest regime: banding fan-out grows with
+  rows, not with duplicate density).
+* brute_force_topk with |Q| held constant (query_mod scaled with K) —
+  the serving scan is O(|Q|·|C|·d): corpus ×K at fixed queries must be
+  ~K×.
+
+Each (family, K) runs twice in one JVM; the SECOND timing is reported
+(first-touch codegen/shuffle-service warm-up excluded, same JMH stance
+as bench.py's isolated probe).  Results land in SCALING.md.
+
+Usage: python tools/scale_stress.py [K ...]    (default 1 2 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OFFSET = 10_000_000
+
+
+def main() -> int:
+    import pyspark.sql.functions as F
+
+    from oracdc_spark.catalog import load_table
+    from oracdc_spark.operators.dedup import minhash_lsh_candidates
+    from oracdc_spark.operators.graph import triangle_census
+    from oracdc_spark.operators.similarity import brute_force_topk
+    from oracdc_spark.session import get_spark
+
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark("scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="oracdc_stress_")
+
+    def replicate(df, id_cols, k: int, text_col: str | None = None):
+        """K disjoint copies: id columns offset per replica; text gets a
+        per-replica suffix so documents stay near-distinct."""
+        parts = []
+        for i in range(k):
+            p = df
+            for c in id_cols:
+                p = p.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+            if text_col and i:
+                p = p.withColumn(
+                    text_col, F.concat(F.col(text_col), F.lit(f" r{i}"))
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def materialize(df, name: str):
+        path = f"{tmp}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    # base inputs (built once)
+    l = load_table(spark, SF_DIR, "lineitem")
+    items = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    base_edges = materialize(
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct(),
+        "edges_base",
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    vecs = load_table(spark, SF_DIR, "embeddings")
+
+    def timed(fn):
+        fn()  # warm (codegen + first-touch)
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 3)
+
+    results: dict[str, dict] = {}
+    for k in ks:
+        edges_k = materialize(replicate(base_edges, ["u", "v"], k), f"edges_{k}")
+        docs_k = materialize(
+            replicate(docs, ["doc_id"], k, text_col="text"), f"docs_{k}"
+        )
+        vecs_k = materialize(replicate(vecs, ["vec_id"], k), f"vecs_{k}")
+        row = {
+            "edges": edges_k.count(),
+            "docs": docs_k.count(),
+            "vecs": vecs_k.count(),
+            "triangle_census_sec": timed(lambda: triangle_census(edges_k).count()),
+            "minhash_lsh_sec": timed(
+                lambda: minhash_lsh_candidates(
+                    docs_k, n=5, num_hashes=8, bands=4
+                ).count()
+            ),
+            # |Q| held constant: query_mod scales with K so the scan is
+            # corpus-linear, the regime the serving path actually runs
+            "bruteforce_fixedQ_sec": timed(
+                lambda: brute_force_topk(vecs_k, 100 * k, 5).count()
+            ),
+        }
+        results[str(k)] = row
+        print(json.dumps({"k": k, **row}), flush=True)
+
+    base = results[str(ks[0])]
+    summary = {
+        fam: {
+            str(k): round(
+                results[str(k)][fam] / max(base[fam], 1e-9), 2
+            )
+            for k in ks
+        }
+        for fam in (
+            "triangle_census_sec",
+            "minhash_lsh_sec",
+            "bruteforce_fixedQ_sec",
+        )
+    }
+    print(json.dumps({"growth_vs_k1": summary, "ks": ks}))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
