@@ -50,6 +50,8 @@ def main() -> int:
     import pyspark.sql.functions as F
 
     from oracdc_spark.catalog import load_table
+    from oracdc_spark.feed import change_feed
+    from oracdc_spark.operators.cdc import apply_changes
     from oracdc_spark.operators.dedup import minhash_lsh_candidates
     from oracdc_spark.operators.graph import triangle_census
     from oracdc_spark.operators.similarity import brute_force_topk
@@ -98,6 +100,25 @@ def main() -> int:
     )
     docs = load_table(spark, SF_DIR, "documents")
     vecs = load_table(spark, SF_DIR, "embeddings")
+    base_feed = materialize(change_feed(spark, SF_DIR), "feed_base")
+
+    def replicate_feed(k: int):
+        """K disjoint CDC streams: scn/pk offset per replica keeps the
+        per-replica commit order intact; xid gets a per-replica suffix
+        so transactions never merge across replicas."""
+        parts = []
+        for i in range(k):
+            parts.append(
+                base_feed.withColumn("scn", F.col("scn") + F.lit(i * OFFSET))
+                .withColumn("pk", F.col("pk") + F.lit(i * OFFSET))
+                .withColumn(
+                    "xid", F.concat(F.col("xid"), F.lit(f"_{i}"))
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def timed(fn):
         fn()  # warm (codegen + first-touch)
@@ -112,10 +133,12 @@ def main() -> int:
             replicate(docs, ["doc_id"], k, text_col="text"), f"docs_{k}"
         )
         vecs_k = materialize(replicate(vecs, ["vec_id"], k), f"vecs_{k}")
+        feed_k = materialize(replicate_feed(k), f"feed_{k}")
         row = {
             "edges": edges_k.count(),
             "docs": docs_k.count(),
             "vecs": vecs_k.count(),
+            "feed_rows": feed_k.count(),
             "triangle_census_sec": timed(lambda: triangle_census(edges_k).count()),
             "minhash_lsh_sec": timed(
                 lambda: minhash_lsh_candidates(
@@ -127,6 +150,9 @@ def main() -> int:
             "bruteforce_fixedQ_sec": timed(
                 lambda: brute_force_topk(vecs_k, 100 * k, 5).count()
             ),
+            # the CDC core: rollback/commit resolution + partial-rollback
+            # pairing + PK dedup + delete-drop — all keyed shuffles
+            "cdc_apply_sec": timed(lambda: apply_changes(feed_k).count()),
         }
         results[str(k)] = row
         print(json.dumps({"k": k, **row}), flush=True)
@@ -143,6 +169,7 @@ def main() -> int:
             "triangle_census_sec",
             "minhash_lsh_sec",
             "bruteforce_fixedQ_sec",
+            "cdc_apply_sec",
         )
     }
     print(json.dumps({"growth_vs_k1": summary, "ks": ks}))
