@@ -16,7 +16,7 @@ import hashlib
 import math
 import struct
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from oracdc_spark.operators import cdc
@@ -29,6 +29,15 @@ from tests.test_cdc_properties import _FEED, _SETTINGS, SCHEMA, _rows
 
 
 @given(txns=_FEED)
+# the four truth-table branches EXPLICITLY (random draws at
+# max_examples=6 can miss a branch — mutation-checked: flipping the
+# insert-then-delete branch to emit a DELETE survived the random
+# examples until these were added):
+@example(txns=[([(1, 1), (2, 1)], 7)])           # I..D  -> nothing
+@example(txns=[([(1, 1), (3, 1)], 7)])           # I..U  -> INSERT
+@example(txns=[([(3, 1), (2, 1)], 7)])           # U..D  -> DELETE
+@example(txns=[([(3, 1), (3, 1)], 7)])           # U..U  -> UPDATE
+@example(txns=[([(1, 1)], 7), ([(2, 1)], 7)])    # I..D across txns
 @settings(**_SETTINGS)
 def test_net_effect_matches_scalar_reduction_rule(spark, txns):
     """batch_net_effect must equal a pure-Python application of the
@@ -164,7 +173,26 @@ def _wrapped_rows(txns):
     return rows + controls, model
 
 
+# directed coverage both wrapped properties need (random draws at
+# max_examples=6 can miss the partial-UPDATE masks entirely —
+# mutation-checked: dropping the changed_cols test from col_present
+# survived the random examples of the PRESENCE property until these
+# were added): insert → partial update of each column; insert →
+# delete → re-insert; partial updates split across two committed
+# txns; a rolled-back txn shadowed by a committed one.
+_WEXAMPLES = [
+    [([(1, 0, "TOTALPRICE"), (1, 0, "STATUS"), (1, 0, "TOTALPRICE")], 7)],
+    [([(1, 0, "TOTALPRICE,STATUS"), (1, 1, "TOTALPRICE"), (1, 0, "STATUS")], 7)],
+    [([(2, 0, "STATUS")], 7), ([(2, 0, "TOTALPRICE")], 7)],
+    [([(3, 0, "TOTALPRICE")], 36), ([(3, 0, "STATUS")], 7)],
+]
+
+
 @given(txns=_WFEED)
+@example(txns=_WEXAMPLES[0])
+@example(txns=_WEXAMPLES[1])
+@example(txns=_WEXAMPLES[2])
+@example(txns=_WEXAMPLES[3])
 @settings(**_SETTINGS)
 def test_wrapped_apply_matches_sequential_sink_replay(spark, txns):
     """The wrapped batch collapse (newest PRESENT value per column, row
@@ -186,6 +214,10 @@ def test_wrapped_apply_matches_sequential_sink_replay(spark, txns):
 
 
 @given(txns=_WFEED)
+@example(txns=_WEXAMPLES[0])
+@example(txns=_WEXAMPLES[1])
+@example(txns=_WEXAMPLES[2])
+@example(txns=_WEXAMPLES[3])
 @settings(**_SETTINGS)
 def test_wrapped_flat_presence_matches_statement_mask(spark, txns):
     """The tri-state flattening's presence bits (cdc_wrapped_flat /
