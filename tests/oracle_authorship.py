@@ -358,8 +358,8 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "lob_reassembly": (REPLAY, "tests/test_lob_properties.py::test_reassembly_invariant_under_arrival_order (plus byte-exact roundtrip units)"),
     "lob_inflate": (REPLAY, "tests/test_decoder_properties.py::test_zlib_inflate_roundtrip_any_bytes"),
     "lob_plugin_transform": (REPLAY, "tests/test_authorship_upgrades.py::test_lob_transform_routing_matches_scalar_map (hypothesis: registry routing vs a hashlib scalar map over arbitrary cells/registry shapes; directed unit tests/test_plugins.py::test_lob_transform_registry retained)"),
-    "ora_number_decode": (REPLAY, "tests/test_decoder_properties.py::test_number_roundtrip"),
-    "ora_number_roundtrip": (REPLAY, "tests/test_decoder_properties.py::test_number_roundtrip"),
+    "ora_number_decode": (REPLAY, "tests/test_decoder_properties.py::test_number_roundtrip (repo-encode<->repo-decode, bias-BLIND on its own: an r11 mutation check showed a consistent both-sides exponent-bias shift survives it; the public byte goldens in tests/test_decoders.py::TestNumber are the independent anchor that caught it — both legs required)"),
+    "ora_number_roundtrip": (REPLAY, "tests/test_decoder_properties.py::test_number_roundtrip (same two-leg anchoring as ora_number_decode: roundtrip for the digit algebra, TestNumber byte goldens for the encoding constants)"),
     "ora_datetime_decode": (REPLAY, "tests/test_decoder_properties.py::test_date_roundtrip"),
     "ora_tstz_decode": (REPLAY, "tests/test_decoder_properties.py::test_date_roundtrip (tz layout units in tests/test_decoders.py)"),
     "ora_interval_decode": (REPLAY, "tests/test_decoder_properties.py::test_interval_ds_positive (plus YM leg)"),
