@@ -5,7 +5,7 @@ cross-operator theorems the fixed-corpus oracles cannot exercise."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 # small alphabet + short docs force collisions: duplicate shingles,
@@ -546,6 +546,10 @@ def test_ngram_novelty_matches_scalar_model(spark, docs):
 
 
 @given(docs=CORPUS)
+# BOUNDARY example (r11 mutation audit: relaxing the coin to <= survived
+# the random draws — a digest prefix landing EXACTLY on '1a' is a 1/256
+# event): md5("0|w120") = 1a5e..., which '<' must EXCLUDE
+@example(docs=["w120"])
 @settings(**_SETTINGS)
 def test_sample_by_hash_matches_hashlib_coin(spark, docs):
     """r10 (oracle-authorship audit): `dedup.sample_by_hash`'s
