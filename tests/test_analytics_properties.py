@@ -613,7 +613,12 @@ def test_value_histogram_matches_clamped_bin_replay(
 
     sf = str(tmp_path_factory.mktemp("vhist"))
     _write(spark, sf, rows)
-    n_bins, lo, hi = 4, 0.0, 1.0
+    # lo/hi INSIDE the value domain (r11 mutation audit: with lo=0.0 no
+    # generated value ever fell below range, so dropping the LOWER edge
+    # clamp survived the property) — 0.0 now exercises the lower clamp
+    # and 1.0 the upper, every run; width 0.09375 stays a binary
+    # fraction so the replay is float-exact
+    n_bins, lo, hi = 4, 0.125, 0.5
     got = {
         (r.event_type, r.bin, r.n)
         for r in events_value_histogram(
