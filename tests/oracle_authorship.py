@@ -165,7 +165,7 @@ AUTHORSHIP: dict[str, tuple[str, str]] = {
     "pipeline_domain_quota": (REPLAY, "tests/test_sampling_properties.py::test_quota_sample_equals_md5_rank_model"),
     "pipeline_pack_sequences": (REPLAY, "tests/test_sampling_properties.py::test_pack_sequences_equals_scalar_first_fit_model"),
     "pipeline_pack_efficiency": (REPLAY, "tests/test_sampling_properties.py::test_pack_sequences_equals_scalar_first_fit_model"),
-    "pipeline_token_budget": (REPLAY, "tests/test_decomposition_properties.py::test_token_budget_global_equals_global_sort"),
+    "pipeline_token_budget": (REPLAY, "tests/test_decomposition_properties.py::test_token_budget_global_equals_global_sort (the shared rank-and-cut rule) + tests/test_sampling.py::TestTokenBudgetSelect::test_budget_cut_is_rank_ordered (the per-shard SELECT variant this query actually runs, incl. the exact cum==budget boundary — r11 mutation-verified: the boundary relaxation is caught here, not by the global property)"),
     "pipeline_token_budget_global": (REPLAY, "tests/test_decomposition_properties.py::test_token_budget_global_equals_global_sort"),
     "pipeline_doc_chunks": (REPLAY, "tests/test_sampling_properties.py::test_chunk_documents_equals_sliding_window_model"),
     "pipeline_mixture_rebalance": (REPLAY, "tests/test_sampling_properties.py::test_temperature_mix_equals_cross_multiplied_model"),
