@@ -17,7 +17,7 @@ from __future__ import annotations
 import datetime
 
 import pyspark.sql.functions as F  # noqa: F401  (parity with sibling files)
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from oracdc_spark.operators.analytics import events_sessionize
@@ -82,7 +82,21 @@ def _model(rows):
     return out
 
 
+# exact-gap boundary examples (r11 mutation audit: flipping the engine's
+# split rule from > gap to >= gap survived the random draws — an exact
+# 30-minute spacing is a rare draw): exact gap MERGES, gap+1 SPLITS,
+# and a chain of exact gaps is ONE session
+_GAP_EXAMPLES = (
+    [(0, 0), (0, GAP_MIN)],
+    [(0, 0), (0, GAP_MIN), (0, 2 * GAP_MIN)],
+    [(0, 0), (0, GAP_MIN + 1)],
+)
+
+
 @given(rows=_EVENTS)
+@example(rows=_GAP_EXAMPLES[0])
+@example(rows=_GAP_EXAMPLES[1])
+@example(rows=_GAP_EXAMPLES[2])
 @settings(**_SETTINGS)
 def test_batch_sessionize_matches_gap_fold(spark, rows, tmp_path_factory):
     sf = str(tmp_path_factory.mktemp("sess"))
