@@ -2290,7 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the external driver's correctness gate checks a
     # 50-query window from the FRONT of this dict.  Since r7 the dict
     # literal below is a CATALOG in historical/narrative order; the
-    # actual front-of-dict window is assembled from _R11_WINDOW at the
+    # actual front-of-dict window is assembled from _R12_WINDOW at the
     # end of this function — edit that list (not the literal's order)
     # to rotate.  After r6 every declared query has ≥1 driver row, so
     # each round's window = new queries + everything the round changed
@@ -2631,103 +2631,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
-    rest = [k for k in q if k not in set(_R11_WINDOW)]
-    return {k: q[k] for k in list(_R11_WINDOW) + rest}
+    rest = [k for k in q if k not in set(_R12_WINDOW)]
+    return {k: q[k] for k in list(_R12_WINDOW) + rest}
 
 
-# ROUND-11 window (the 50 entries the driver's gate checks this round).
-# r10 verdict item 1 verbatim: finish the stale generation — the window
-# clears ALL 30 remaining r5-stale rows (the documented queue carried in
-# the r10 window comment, preserved in git history at f2ff313) and
-# starts the r6 generation.  NO new declarations.  Composition:
-#   (a) three changed-this-round re-entries: r10 ADVICE item 2 reworded
-#       the empty-corpus precondition messages in
-#       similarity.ivf_nprobe_curve, pq.hyperplane_planted_audit and
-#       tsindex.sax_planted_audit after the actual guarded quantity
-#       (n_queries == 0 selected-queries / n_planted == 0 distinct-ids,
-#       not "table is empty").  The message is a string literal inside
-#       the plan's projection, so the plan changed and the
-#       changed-this-round rule forces re-entry (the r10 (e) precedent)
-#       even though the guard branch cannot fire on driver fixtures;
-#       all three re-verified green at sf0.01 post-change.
-#   (b) ALL 30 r5-stale rows, documented-queue order: the five rows
-#       displaced by r10's re-entries first (similarity_bruteforce_topk,
-#       similarity_ivf_topk, q3_shipping_priority, q5_region_revenue,
-#       text_quality), then the similarity r5 block, the r5 text block,
-#       the multimodal hash rows, and the r5 remainder.
-#   (c) the 17 oldest r6 rows in catalog order, starting the r6
-#       generation (43 rows total; the remaining 26 are the documented
-#       r12 queue below).
-# Residual after this window (documented r12 queue, catalog order,
-# all green in the r10 full-catalog three-scale sweeps and re-swept
-# this round): the 26 remaining r6 rows — text_hll_distinct,
-# cdc_pseudo_named, cdc_pseudo_columns, kafka_records, ora_tde_gcm,
-# smt_header_to_field, smt_key_to_value, lob_plugin_transform,
-# pipeline_curation_v3, pipeline_doc_chunks, pipeline_pack_efficiency,
-# dedup_chunk_passages, text_c4_lines, pipeline_token_budget,
-# archived_log_discovery, cdc_committed, cdc_partial_rollback,
-# cdc_commit_order, q2_min_cost_supplier, q11_important_stock,
-# q12_shipping_lag, q16_parts_supplier_count, q20_excess_supply,
-# q21_waiting_suppliers, mvlog_consumption, hybrid_retrieval — then the
-# r7 cohort (46 rows) begins the steady ~3-round re-check cadence.
-# Besides the precondition-message wording in (a), no r11 code change
-# alters any declared query's plan or semantics (the round's other
-# changes are bench/measurement plumbing, docs and tests), so nothing
-# else re-enters under the changed-this-round rule.
-_R11_WINDOW = [
-    # (a) changed-this-round re-entries (precondition message wording)
-    "similarity_nprobe_curve",
-    "similarity_hyperplane_planted",
-    "events_sax_planted",
-    # (b) all 30 r5-stale rows, documented-queue order
-    "similarity_bruteforce_topk",
-    "similarity_ivf_topk",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "text_quality",
-    "similarity_ivf_multiprobe",
-    "similarity_sq8_recall",
-    "similarity_near_dups",
-    "text_token_stats",
-    "text_gopher_quality",
-    "text_language_id",
-    "text_fingerprint",
-    "text_fingerprint_groups",
-    "text_repetition",
-    "text_unigram_logprob",
-    "text_cms_topk",
-    "text_bloom_membership",
-    "text_winnow_candidates",
-    "text_dup_span_fraction",
-    "text_pii_scrub",
-    "multimodal_image_ahash",
-    "multimodal_audio_ehash",
-    "promo_revenue",
-    "pipeline_pack_sequences",
-    "cdc_wrapped_flat",
-    "cdc_replica_asof",
-    "dedup_semantic",
-    "registry_defaults",
-    "ora_tde_decrypt",
-    "smt_sanitize",
-    # (c) the 17 oldest r6 rows, catalog order
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "orders_lag_gap",
-    "dedup_lsh_recall",
-    "pipeline_curation_v2",
-    "text_bm25",
-    "text_dsir",
-    "text_tfidf_top_terms",
+# ROUND-12 window (the 50 entries the driver's gate checks this round).
+# r11 verdict item 3 verbatim: spend the window on the documented queue
+# — the 26 remaining r6 rows (the queue listed in the r11 window comment,
+# preserved in git history at 4ce91a6) + the oldest r7 rows into the
+# remaining 24 slots, oldest first.  NO new declarations.  Composition:
+#   (a) ALL 26 remaining r6 rows, documented-queue (catalog) order —
+#       after this window ZERO driver rows are older than r7 and the r6
+#       generation is finished.
+#   (b) the 24 oldest r7 rows, catalog order (the r7 cohort is 46 rows;
+#       the remaining 22 r7 rows are the head of the documented r13
+#       queue below).
+# No code change this round alters any declared query's plan or
+# semantics — the round's product diff is measurement/gate tooling
+# (bench contention stamps, plan-fingerprint lambda normalization,
+# drift comparator), tests and docs — so no changed-this-round
+# re-entries are forced; the plan-fingerprint gate (now deterministic
+# in any build order after the x_N normalization fix) mechanically
+# verifies that claim over all 261 declared plans.
+# Residual after this window (documented r13 queue, catalog order, all
+# green in the r11 full-catalog three-scale sweeps): the 22 remaining
+# r7 rows — cdc_restart_scn, cdc_change_vector, cdc_row_fusion,
+# cdc_debezium, cdc_scd2_history, cdc_tombstones, lob_reassembly,
+# mvlog_batch, pipeline_curation, cdc_op_filter, cdc_scn_window,
+# cdc_container_filter, cdc_single_mode, cdc_completeness_rejects,
+# cdc_delete_all_cols, cdc_chained_fusion, cdc_chained_incomplete,
+# cdc_multirow_expansion, cdc_direct_load, lob_inflate,
+# ora_number_decode, ora_number_roundtrip — then the r8 cohort (44
+# rows) continues the steady ~3-round re-check cadence.
+_R12_WINDOW = [
+    # (a) all 26 remaining r6 rows, documented-queue (catalog) order
+    "text_hll_distinct",
+    "cdc_pseudo_named",
+    "cdc_pseudo_columns",
+    "kafka_records",
+    "ora_tde_gcm",
+    "smt_header_to_field",
+    "smt_key_to_value",
+    "lob_plugin_transform",
+    "pipeline_curation_v3",
+    "pipeline_doc_chunks",
+    "pipeline_pack_efficiency",
+    "dedup_chunk_passages",
+    "text_c4_lines",
+    "pipeline_token_budget",
+    "archived_log_discovery",
+    "cdc_committed",
+    "cdc_partial_rollback",
+    "cdc_commit_order",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_shipping_lag",
+    "q16_parts_supplier_count",
+    "q20_excess_supply",
+    "q21_waiting_suppliers",
+    "mvlog_consumption",
+    "hybrid_retrieval",
+    # (b) the 24 oldest r7 rows, catalog order
+    "text_perplexity_buckets",
+    "text_exact_substr_trim",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "text_url_domains",
+    "text_c4_badwords",
+    "dedup_url_canonical",
+    "pipeline_token_budget_global",
+    "pipeline_curation_v4",
+    "similarity_ivfpq_refine",
+    "dedup_simhash_recall",
+    "events_sessionize",
+    "events_asof_join",
+    "cdc_batch_dedup",
+    "events_hourly",
+    "similarity_pq_recall",
+    "similarity_opq_recall",
+    "similarity_hyperplane_lsh",
+    "similarity_hyperplane_recall",
+    "similarity_ann_purity",
+    "multimodal_decode",
+    "initial_load_union",
+    "dedup_simhash",
+    "cdc_suppress_unchanged",
 ]
 
 

@@ -44,7 +44,7 @@ def test_rows_only(spark, name):
 
 def test_driver_window_composition():
     """The 50-slot driver window (the front of the queries() dict) must
-    be exactly the declared _R11_WINDOW: 50 unique names, every one
+    be exactly the declared _R{N}_WINDOW constant: 50 unique names, every one
     declared, every one carrying an oracle (the window is the
     hash-check queue — a rows-only entry would waste a slot on a weaker
     check), and in the declared order.  Guards against a typo'd name in
