@@ -28,7 +28,7 @@ import datetime
 import math
 from decimal import ROUND_HALF_UP, Decimal
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from oracdc_spark.operators.analytics import (
@@ -602,6 +602,11 @@ def test_rfm_segments_match_ntile_rank_replay(spark, orders, tmp_path_factory):
 
 
 @given(rows=_EVENTS)
+# both clamp branches exercised DETERMINISTICALLY every run (r11 ADVICE:
+# rows are hypothesis-drawn, so a run whose draws contain no value below
+# lo only exercises the upper clamp): vi=0 → 0.0 < lo=0.125 fires the
+# lower clamp, vi=4 → 1.0 > hi=0.5 the upper
+@example(rows=[(0, 0, 0, 0, 0), (0, 1, 0, 0, 4)])
 @settings(**_SETTINGS)
 def test_value_histogram_matches_clamped_bin_replay(
     spark, rows, tmp_path_factory
@@ -615,9 +620,10 @@ def test_value_histogram_matches_clamped_bin_replay(
     _write(spark, sf, rows)
     # lo/hi INSIDE the value domain (r11 mutation audit: with lo=0.0 no
     # generated value ever fell below range, so dropping the LOWER edge
-    # clamp survived the property) — 0.0 now exercises the lower clamp
-    # and 1.0 the upper, every run; width 0.09375 stays a binary
-    # fraction so the replay is float-exact
+    # clamp survived the property) — the directed @example above pins
+    # 0.0 below lo and 1.0 above hi so BOTH clamps fire every run, not
+    # just on lucky draws; width 0.09375 stays a binary fraction so the
+    # replay is float-exact
     n_bins, lo, hi = 4, 0.125, 0.5
     got = {
         (r.event_type, r.bin, r.n)

@@ -199,7 +199,10 @@ def test_wrapped_apply_matches_sequential_sink_replay(spark, txns):
     survives iff newest change isn't DELETE — envelope.wrapped_apply)
     must equal a literal one-event-at-a-time sink replay that applies
     only each statement's changed-column set (the reference's partial
-    UPDATE contract, WrappedDataTable.java:72-90), over every valid
+    UPDATE contract: WrappedDataTable.java:473-484 dispatches each
+    record to a per-changed-column-set UpdateStatement, whose SET list
+    is built from exactly the record's present columns and applied at
+    WrappedDataTable.java:616-698), over every valid
     interleaving — with GARBAGE planted in every absent cell, so a plan
     that reads an absent column's value cannot pass."""
     from oracdc_spark.operators.envelope import wrapped_apply
