@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import datetime
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from oracdc_spark.operators.asof import asof_join_directional
@@ -78,6 +78,16 @@ def _model(lefts, rights, direction, tol):
     direction=st.sampled_from(["backward", "forward", "nearest"]),
     tol=st.sampled_from([None, 0, 2_000_000]),
 )
+# Directed boundary examples (r12 mutation audit: tightening the
+# tolerance cut from <= to < SURVIVED the 4 random examples — a match
+# at EXACTLY the tolerance gap in the deciding position is a rare
+# draw).  In order: backward gap exactly tol (2 s); forward gap exactly
+# tol; gap 0 with tol 0 (exact-ts match must survive a zero tolerance);
+# nearest with equal gaps both sides (must tie to backward, key 100).
+@example(lefts=[(0, 2)], rights=[(0, 0)], direction="backward", tol=2_000_000)
+@example(lefts=[(0, 0)], rights=[(0, 2)], direction="forward", tol=2_000_000)
+@example(lefts=[(0, 3)], rights=[(0, 3)], direction="backward", tol=0)
+@example(lefts=[(0, 2)], rights=[(0, 1), (0, 3)], direction="nearest", tol=None)
 @settings(**_SETTINGS)
 def test_directional_asof_matches_merge_asof_replay(
     spark, lefts, rights, direction, tol

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import datetime
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from oracdc_spark.operators.analytics import events_funnel
@@ -59,6 +59,14 @@ def _model(rows):
 
 
 @given(rows=_EVENTS)
+# Directed boundary examples (r12 mutation audit: relaxing either strict
+# inequality to at-or-after SURVIVED the 6 random examples — ties in a
+# DECIDING position are rare draws).  First: click at exactly the first
+# signup minute, then a purchase — strict semantics stall the funnel at
+# step 1 (n2=n3=0), the >= mutant advances it.  Second: purchase at
+# exactly the first qualifying click minute — strict stalls at step 2.
+@example(rows=[(0, 0, 2), (0, 1, 2), (0, 2, 3)])
+@example(rows=[(0, 0, 1), (0, 1, 2), (0, 2, 2)])
 @settings(**_SETTINGS)
 def test_funnel_matches_per_user_replay(spark, rows, tmp_path_factory):
     sf = str(tmp_path_factory.mktemp("funnel"))
@@ -79,6 +87,13 @@ def test_funnel_matches_per_user_replay(spark, rows, tmp_path_factory):
 
 
 @given(rows=_EVENTS)
+# same two strict-boundary examples as the unwindowed test, plus the
+# window's UPPER bound: click exactly window hours after signup is IN
+# ((t1, t1+3] is right-closed — at-3h must count), click at 4h is out
+@example(rows=[(0, 0, 2), (0, 1, 2), (0, 2, 3)])
+@example(rows=[(0, 0, 1), (0, 1, 2), (0, 2, 2)])
+@example(rows=[(0, 0, 0), (0, 1, 3), (0, 2, 4)])
+@example(rows=[(0, 0, 0), (0, 1, 4), (0, 2, 5)])
 @settings(**_SETTINGS)
 def test_windowed_funnel_matches_per_user_replay(spark, rows, tmp_path_factory):
     """Windowed variant: each step must land strictly after AND within

@@ -128,3 +128,27 @@ def test_morton_key_matches_model_and_is_bijective(spark):
             assert (ra, rb) == (a, b)
 
     check()
+
+
+def test_zbucket_count_contract(spark):
+    """zbucket must honor its n_buckets ceiling EXACTLY on a saturated
+    key domain: every value in [0, n_buckets) and, when the coordinate
+    space covers the full `bits` range, every bucket actually occupied
+    (r12 mutation audit: a one-bit shift error DOUBLES the bucket count
+    — a partition-explosion defect at scale — and no prior test pinned
+    the ceiling; the pruning tests pass either way because pruning
+    still works over 2x the directories)."""
+    from oracdc_spark.plans.zorder import zbucket
+
+    bits, n_buckets = 4, 8  # 2*bits = 8 morton bits, 16x16 grid saturates
+    grid = spark.range(16).selectExpr("id as a").crossJoin(
+        spark.range(16).selectExpr("id as b")
+    )
+    vals = sorted(
+        r.zb
+        for r in grid.select(
+            zbucket(F.col("a"), F.col("b"), bits=bits, n_buckets=n_buckets)
+            .alias("zb")
+        ).distinct().collect()
+    )
+    assert vals == list(range(n_buckets))
