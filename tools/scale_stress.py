@@ -22,12 +22,26 @@ to parquet so construction cost stays out of the timing):
 * brute_force_topk with |Q| held constant (query_mod scaled with K) —
   the serving scan is O(|Q|·|C|·d): corpus ×K at fixed queries must be
   ~K×.
+* tfidf_cosine_pairs with df_max FIXED (r11 verdict item 4) — the
+  operator's only superlinear stage is the per-term posting self-join,
+  bounded by Σ_kept-terms df²; replication inflates every term's df
+  ×K, so WITHOUT the cap the join would grow ~K².  With df_max held at
+  its default the cap drops terms as their inflated df crosses it —
+  measured wall staying ~K× (or below) IS the Bayardo lever doing its
+  job at scale, which is exactly what SCALING.md's 100 TB argument for
+  this family rests on.  (Replicas are near-identical text, the
+  worst case for df inflation — honest for this probe's purpose.)
+* pq_topk with |Q| held constant (query_mod scaled with K) — the
+  unpruned ADC serving chain (train + encode + LUT scan) is
+  corpus-linear at fixed |Q|, like brute force: corpus ×K must be ~K×.
 
 Each (family, K) runs twice in one JVM; the SECOND timing is reported
 (first-touch codegen/shuffle-service warm-up excluded, same JMH stance
 as bench.py's isolated probe).  Results land in SCALING.md.
 
 Usage: python tools/scale_stress.py [K ...]    (default 1 2 4)
+       SPARK_GRAFT_STRESS_FAMILIES=tfidf_fixed_dfmax_sec,pq_topk_fixedQ_sec \
+           python tools/scale_stress.py 1 4 16    (probe only those families)
 """
 
 from __future__ import annotations
@@ -52,7 +66,11 @@ def main() -> int:
     from oracdc_spark.catalog import load_table
     from oracdc_spark.feed import change_feed
     from oracdc_spark.operators.cdc import apply_changes
-    from oracdc_spark.operators.dedup import minhash_lsh_candidates
+    from oracdc_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        tfidf_cosine_pairs,
+    )
+    from oracdc_spark.operators.pq import pq_topk
     from oracdc_spark.operators.graph import triangle_census
     from oracdc_spark.operators.similarity import brute_force_topk
     from oracdc_spark.session import get_spark
@@ -126,34 +144,73 @@ def main() -> int:
         fn()
         return round(time.time() - t0, 3)
 
+    all_families = (
+        "triangle_census_sec",
+        "minhash_lsh_sec",
+        "bruteforce_fixedQ_sec",
+        "cdc_apply_sec",
+        "tfidf_fixed_dfmax_sec",
+        "pq_topk_fixedQ_sec",
+    )
+    sel = os.environ.get("SPARK_GRAFT_STRESS_FAMILIES", "")
+    families = [f.strip() for f in sel.split(",") if f.strip()] or list(all_families)
+    unknown = [f for f in families if f not in all_families]
+    if unknown:
+        print(f"unknown families: {unknown} (known: {list(all_families)})",
+              file=sys.stderr)
+        return 2
+
     results: dict[str, dict] = {}
     for k in ks:
-        edges_k = materialize(replicate(base_edges, ["u", "v"], k), f"edges_{k}")
-        docs_k = materialize(
-            replicate(docs, ["doc_id"], k, text_col="text"), f"docs_{k}"
+        # inputs materialized lazily — only for the selected families
+        need_edges = "triangle_census_sec" in families
+        need_docs = {"minhash_lsh_sec", "tfidf_fixed_dfmax_sec"} & set(families)
+        need_vecs = {"bruteforce_fixedQ_sec", "pq_topk_fixedQ_sec"} & set(families)
+        need_feed = "cdc_apply_sec" in families
+        edges_k = (
+            materialize(replicate(base_edges, ["u", "v"], k), f"edges_{k}")
+            if need_edges else None
         )
-        vecs_k = materialize(replicate(vecs, ["vec_id"], k), f"vecs_{k}")
-        feed_k = materialize(replicate_feed(k), f"feed_{k}")
-        row = {
-            "edges": edges_k.count(),
-            "docs": docs_k.count(),
-            "vecs": vecs_k.count(),
-            "feed_rows": feed_k.count(),
-            "triangle_census_sec": timed(lambda: triangle_census(edges_k).count()),
-            "minhash_lsh_sec": timed(
-                lambda: minhash_lsh_candidates(
-                    docs_k, n=5, num_hashes=8, bands=4
-                ).count()
-            ),
+        docs_k = (
+            materialize(replicate(docs, ["doc_id"], k, text_col="text"), f"docs_{k}")
+            if need_docs else None
+        )
+        vecs_k = (
+            materialize(replicate(vecs, ["vec_id"], k), f"vecs_{k}")
+            if need_vecs else None
+        )
+        feed_k = materialize(replicate_feed(k), f"feed_{k}") if need_feed else None
+        probes = {
+            "triangle_census_sec": lambda: triangle_census(edges_k).count(),
+            "minhash_lsh_sec": lambda: minhash_lsh_candidates(
+                docs_k, n=5, num_hashes=8, bands=4
+            ).count(),
             # |Q| held constant: query_mod scales with K so the scan is
             # corpus-linear, the regime the serving path actually runs
-            "bruteforce_fixedQ_sec": timed(
-                lambda: brute_force_topk(vecs_k, 100 * k, 5).count()
-            ),
+            "bruteforce_fixedQ_sec": lambda: brute_force_topk(
+                vecs_k, 100 * k, 5
+            ).count(),
             # the CDC core: rollback/commit resolution + partial-rollback
             # pairing + PK dedup + delete-drop — all keyed shuffles
-            "cdc_apply_sec": timed(lambda: apply_changes(feed_k).count()),
+            "cdc_apply_sec": lambda: apply_changes(feed_k).count(),
+            # df_max FIXED at the default while every term's df inflates
+            # ×K — sub-quadratic wall growth is the cap working
+            "tfidf_fixed_dfmax_sec": lambda: tfidf_cosine_pairs(docs_k).count(),
+            # |Q| held constant (query_mod ×K): unpruned ADC is
+            # corpus-linear like brute force
+            "pq_topk_fixedQ_sec": lambda: pq_topk(vecs_k, 100 * k, 5).count(),
         }
+        row = {}
+        if need_edges:
+            row["edges"] = edges_k.count()
+        if need_docs:
+            row["docs"] = docs_k.count()
+        if need_vecs:
+            row["vecs"] = vecs_k.count()
+        if need_feed:
+            row["feed_rows"] = feed_k.count()
+        for fam in families:
+            row[fam] = timed(probes[fam])
         results[str(k)] = row
         print(json.dumps({"k": k, **row}), flush=True)
 
@@ -165,12 +222,7 @@ def main() -> int:
             )
             for k in ks
         }
-        for fam in (
-            "triangle_census_sec",
-            "minhash_lsh_sec",
-            "bruteforce_fixedQ_sec",
-            "cdc_apply_sec",
-        )
+        for fam in families
     }
     print(json.dumps({"growth_vs_k1": summary, "ks": ks}))
     shutil.rmtree(tmp, ignore_errors=True)
