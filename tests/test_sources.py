@@ -23,6 +23,26 @@ class TestMvlog:
         nxt = poll_mvlog(log, last_seq=max(r.seq for r in batch), batch_size=50).collect()
         assert min(r.seq for r in nxt) > max(r.seq for r in batch)
 
+    def test_consumption_deletes_exactly_the_committed_prefix(self, spark):
+        """S8 offset-commit semantics: after committing offset =
+        max(seq) of the batch, the observable log is every row STRICTLY
+        above the offset — the committed boundary row itself is gone
+        (DELETE ... WHERE SEQUENCE$$ <= :committed).  r12 mutation
+        audit: no pytest leg covered mvlog_consumption at all (only the
+        DuckDB oracle), so `> commit_seq` → `>=` survived the suite."""
+        from oracdc_spark.sources.mvlog import mvlog_consumption
+
+        out = mvlog_consumption(spark, SF, last_seq=1000, batch_size=50)
+        rows = out.collect()
+        assert rows, "fixture log must extend past the committed batch"
+        commit_seq = rows[0].commit_seq
+        assert all(r.commit_seq == commit_seq for r in rows)
+        assert min(r.seq for r in rows) > commit_seq
+        # exact set: everything above the offset survives, nothing below
+        log = simulated_mvlog(spark, SF)
+        want = {r.seq for r in log.filter(F.col("seq") > commit_seq).collect()}
+        assert {r.seq for r in rows} == want
+
     def test_lookup_join_delete_has_null_value(self, spark):
         out = mvlog_batch(spark, SF, last_seq=0, batch_size=100)
         deletes = out.filter(F.col("op") == "d").collect()
@@ -32,14 +52,25 @@ class TestMvlog:
 
 
 class TestInitialLoad:
+    # sf0.001 has 150 customers (scn base+10..base+1500); DEFAULT_CUT
+    # (base+7500) sits ABOVE the whole range at this scale, so boundary
+    # behavior is only observable with a cut ALIGNED to a row scn —
+    # base+750 = customer 75's exact scn (r12 mutation audit: with the
+    # old `min(strm.scn) >= cut` assertion, tightening the stream cut
+    # from at-or-after to strictly-after dropped the exact-cut change
+    # and every test still passed; the sf0.01 driver oracle would catch
+    # it but the pytest leg was blind at sf0.001)
+    CUT = DEFAULT_CUT - 6_750  # == cust_scn_base + 750, customer 75's scn
+
     def test_cut_partitions_rows(self, spark):
-        # sf0.001 has 150 customers (scn base+10..base+1500) → cut mid-range
-        cut = DEFAULT_CUT - 6_750
-        snap = snapshot_at_cut(spark, SF, cut)
-        strm = stream_after_cut(spark, SF, cut)
+        snap = snapshot_at_cut(spark, SF, self.CUT)
+        strm = stream_after_cut(spark, SF, self.CUT)
         assert snap.count() > 0 and strm.count() > 0
-        assert snap.agg(F.max("scn")).first()[0] < cut
-        assert strm.agg(F.min("scn")).first()[0] >= cut
+        assert snap.agg(F.max("scn")).first()[0] < self.CUT
+        # the EXACT-cut change belongs to the stream half (at-or-after
+        # contract) — assert equality, not just >=
+        assert strm.agg(F.min("scn")).first()[0] == self.CUT
+        assert strm.filter(F.col("scn") == self.CUT).count() == 1
 
     def test_union_covers_every_key_once(self, spark):
         out = initial_load_union(spark, SF)
@@ -49,6 +80,17 @@ class TestInitialLoad:
         from oracdc_spark.catalog import load_table
 
         assert total == load_table(spark, SF, "customer").count()
+
+    def test_union_at_aligned_cut_keeps_the_boundary_key(self, spark):
+        """With the cut aligned to customer 75's scn, that key's only
+        row is the exact-cut stream change — a boundary error on EITHER
+        half (snapshot < cut, stream >= cut) loses or duplicates pk 75."""
+        out = initial_load_union(spark, SF, self.CUT)
+        from oracdc_spark.catalog import load_table
+
+        assert out.count() == load_table(spark, SF, "customer").count()
+        boundary = out.filter(F.col("pk") == 75).collect()
+        assert len(boundary) == 1 and boundary[0].src == "stream"
 
 
 def test_archived_log_discovery_overlap_and_order(spark):
