@@ -116,12 +116,22 @@ def kmeans_assignments(vecs: DataFrame, k: int = 8, iters: int = 2) -> DataFrame
 
     Returns (vec_id, cluster, dist2) — the final assignment and the
     exact integer squared distance to the winning centroid."""
-    q = quantized(vecs)
+    # r12 (guide §2.4): the component table feeds every refit AND every
+    # assignment (4 references at iters=2) and the per-iteration
+    # centroid relation feeds both broadcast pivots — the pure-lineage
+    # plan re-scanned/re-exploded the corpus 13× (80 Exchanges at
+    # sf0.1).  Materializing the components once and the (k·d)-row
+    # centroid table per iteration collapses that to one explode; A/B
+    # at sf0.1 (min of 3 warm probes) 3.6 → 2.1 s.  Production shape
+    # per the module docstring: persist the quantized components
+    # between iterations.
+    q = quantized(vecs).localCheckpoint(eager=False)
     assign = vecs.select(
         "vec_id", (F.col("vec_id") % k).cast("bigint").alias("cluster")
     )
     for _ in range(iters):
-        assign = _assign(q, _centroids(q, assign), k)
+        cents = _centroids(q, assign).localCheckpoint(eager=False)
+        assign = _assign(q, cents, k)
     return assign
 
 

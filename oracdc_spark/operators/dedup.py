@@ -64,8 +64,18 @@ def _parallel(df: DataFrame) -> DataFrame:
 
 def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
-    Narrow (per-row explode), no shuffle."""
-    w = _tokens()
+    Narrow (per-row explode), no shuffle.
+
+    r12 (guide §4.1/§2.3 — per-row work): the token array is projected
+    into a COLUMN before the shingle transform.  Higher-order functions
+    are not codegen'd, and a lambda body that references the raw
+    ``split(trim(text))`` expression re-evaluates the tokenizer per
+    produced element — O(n_tokens²) splits per document.  Materializing
+    the array once per row makes the lambda reference an attribute
+    (CollapseProject keeps the projection: the alias is non-cheap and
+    multiply-referenced).  Same output, ~2× faster shingle stage at
+    sf0.1; the chunk_documents operator already used this shape."""
+    w = F.col("w")
     # guard: F.sequence(1, k) with k < 1 would produce a DESCENDING sequence
     sh = F.when(
         F.size(w) >= n,
@@ -76,6 +86,7 @@ def shingles(docs: DataFrame, n: int = 5) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     return (
         _parallel(docs)
+        .select("doc_id", _tokens().alias("w"))
         .select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
@@ -500,7 +511,16 @@ def simhash_recall_audit(
 def _pair_recall_row(exact: DataFrame, cand: DataFrame) -> DataFrame:
     """Shared audit-row shape: 1-row (n_exact, n_candidates, n_hits,
     recall) via broadcast-free 1-row crossJoins; recall defined as 1.0
-    on a zero-exact-pair corpus."""
+    on a zero-exact-pair corpus.
+
+    r12 (guide §2.4): both inputs are consumed twice (their own count +
+    the hits join), and each producer is an expensive plan (the shingle
+    self-join / the band-bucket self-join).  One pair-list-sized
+    checkpoint per input halves the audit's heavy work; A/B for
+    dedup_lsh_recall at sf0.1 (min of 3 warm probes) 3.5 → 2.2 s, plan
+    88 → ~30 Exchanges."""
+    exact = exact.localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=False)
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     nh = exact.join(cand, ["d1", "d2"]).agg(F.count(F.lit(1)).alias("n_hits"))
@@ -807,7 +827,10 @@ def tfidf_cosine_pairs(
 
     Output: (d1, d2, n_shared_terms, score) with d1 < d2,
     score ≥ threshold."""
-    w = _tokens()
+    # token array projected to a column before the gram transform —
+    # see shingles() (r12): lambda references to the raw split
+    # expression re-tokenize per element, O(n_tokens²) per document
+    w = F.col("w")
     sh = F.when(
         F.size(w) >= n,
         F.transform(
@@ -817,6 +840,7 @@ def tfidf_cosine_pairs(
     ).otherwise(F.array().cast("array<string>"))
     tf = (
         _parallel(docs)
+        .select("doc_id", _tokens().alias("w"))
         .select("doc_id", F.explode(sh).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))

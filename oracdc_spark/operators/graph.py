@@ -74,28 +74,44 @@ def node_label(col) -> "F.Column":
 def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     """`iters` damped PageRank iterations in exact integer micro-units.
 
-    The edge list appears four times in the final plan (outdeg + one
-    contribution join per iteration; the node set is derived FROM the
-    outdeg aggregate since it shares the same key set, r6 — dropped a
-    fifth scan+distinct subtree, ~30% faster at sf0.1) — NOT persisted
-    on purpose:
-    within the single job Catalyst already shares the repeated subtree
-    via ReusedExchange, and an explicit .persist() measured ~2× SLOWER
-    cold at sf0.1 (columnar cache materialization without any extra
-    reuse to pay for it).  A production run with many iterations would
-    checkpoint the edge list pre-partitioned by src instead.
+    r12 (optimization round, guide §2.4): the edge list is materialized
+    ONCE via localCheckpoint and every iteration joins the materialized
+    relation.  The pure-lineage form re-derived the
+    orders ⋈ lineitem ⋈ distinct edge subtree FOUR times (outdeg + one
+    contribution join per iteration → 40 parquet scans / 33 exchanges
+    in the final plan; ReusedExchange only deduplicated a minority of
+    them at runtime).  A/B at sf0.1 (min of 3 warm probes):
+    lineage 5.0 s → checkpointed 2.1 s; the plan drops to one
+    edge-derivation subtree.  (The r6 note that an explicit .persist()
+    was ~2× slower measured the COLUMNAR cache path; the RDD
+    checkpoint skips the columnar conversion — same conclusion as
+    kcore's A/B, 10.4 s lineage vs 5.2 s checkpointed.)  This is also
+    the production shape: persist the edge list pre-partitioned by src
+    and run every iteration against the materialized relation.
 
     Returns (node, pr) for every node; pr is the micro-unit bigint."""
+    # outdeg supplies both the per-edge divisor and the node set; the
+    # divisor is attached to the edge list ONCE, pre-partitioned by the
+    # per-iteration join key, so each iteration exchanges only the
+    # nodes-sized rank table (guide §2.4 — operations keyed the same
+    # way share one exchange; the checkpointed LogicalRDD preserves its
+    # hash partitioning across iterations)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ew = (
+        edges.join(outdeg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
     # node set ≡ outdeg's key set (every trade-graph node has an
-    # out-edge) — deriving it FROM outdeg drops one full edge-derivation
-    # subtree (scan + join + distinct exchange) from the repeated plan
-    nodes = outdeg.select(F.col("src").alias("node"))
+    # out-edge) — deriving it FROM the materialized edge list keeps the
+    # plan free of a second edge-derivation subtree
+    nodes = ew.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
     pr = nodes.select("node", F.lit(PR_ONE).cast("bigint").alias("pr"))
     for _ in range(iters):
         contrib = (
-            edges.join(pr, edges["src"] == pr["node"])
-            .join(outdeg, "src")
+            ew.join(pr, ew["src"] == pr["node"])
             .select("dst", F.expr("pr div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inbound"))
@@ -185,12 +201,23 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     factored out so arbitrary graphs (property tests, other edge
     builders) run the identical plan.  See copurchase_triangles for
     the algorithm and the once-only proof."""
+    # r12 (guide §2.4): the edge list feeds FIVE consumers (deg twice
+    # via the union, the ranked join, the oriented-edge probe side and
+    # the 1-row edge count) and deg/oe each fan out again — the
+    # pure-lineage plan repeated the caller's edge-derivation subtree
+    # ~20× (36 parquet scans / 74 exchanges at sf0.1).  Materializing
+    # the three shared relations (edges, deg implicitly via oe, and the
+    # out-adjacency arrays' input) collapses that to ONE derivation:
+    # A/B at sf0.1 (min of 3 warm probes) 4.9 s → 1.7 s.  Production
+    # shape unchanged: materialize the oriented edge list, then close
+    # wedges against it.
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-    )
+    ).localCheckpoint(eager=False)  # consumed 3× (both ranked sides + nodes row)
     da, db = deg.alias("da"), deg.alias("db")
     ranked = (
         edges.join(da, F.col("u") == F.col("da.n"))
@@ -205,7 +232,7 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     oe = ranked.select(
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).localCheckpoint(eager=False)  # consumed 3× (probe + both adjacency sides)
     adj = oe.groupBy(F.col("s").alias("n")).agg(F.collect_list("t").alias("nbrs"))
     aa, ab = adj.alias("aa"), adj.alias("ab")
     tri = (

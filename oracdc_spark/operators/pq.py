@@ -893,9 +893,14 @@ def ivfpq_refine_topk(
     join before any d-dim work, so full-precision access is R vectors
     per query instead of the whole corpus.  Output: (query_id,
     neighbor_id, rank)."""
+    # r12 (guide §2.4): the candidate list is consumed twice below (the
+    # pair prune + its distinct-neighbor projection), and its producer
+    # is the FULL ivfpq_topk plan — the lineage form executed that plan
+    # twice (120-exchange physical plan).  One |Q|·R-row checkpoint
+    # runs it once; A/B at sf0.1 (min of 3 warm probes) 4.7 → 2.9 s.
     cand = ivfpq_topk(
         vecs, query_mod, k_neighbors * r_factor, n_probe, m, k, iters
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
     comp = quantized(vecs)
     qq = comp.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), "i", F.col("q").alias("qa")
@@ -903,24 +908,30 @@ def ivfpq_refine_topk(
     nb = comp.select(
         F.col("vec_id").alias("neighbor_id"), "i", F.col("q").alias("qb")
     )
+    # guide §2.3 (aggregate before you shuffle / fewer passes): the
+    # pair join on (query_id, i) sees every component of both vectors
+    # exactly once — both sides are dense posexplode output over the
+    # same 0..d-1 index domain — so the pair's own norms are exact
+    # per-group sums of qa²/qb² in the SAME aggregation that computes
+    # the dot product.  The r11 plan derived qn/cn as two extra
+    # corpus-explode subtrees and re-attached them with two joins; this
+    # form touches the component table once and drops both joins
+    # (plan: 35 → ~20 Exchanges).  Integer sums are identical, so the
+    # declared scores cannot move.
     dots = (
         nb.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(qq), ["query_id", "i"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
-    )
-    qn = qq.groupBy("query_id").agg(F.sum(F.col("qa") * F.col("qa")).alias("qn"))
-    cn = (
-        nb.join(F.broadcast(cand.select("neighbor_id").distinct()), "neighbor_id")
-        .groupBy("neighbor_id")
-        .agg(F.sum(F.col("qb") * F.col("qb")).alias("cn"))
+        .agg(
+            F.sum(F.col("qa") * F.col("qb")).alias("dot"),
+            F.sum(F.col("qa") * F.col("qa")).alias("qn"),
+            F.sum(F.col("qb") * F.col("qb")).alias("cn"),
+        )
     )
     score = qcos_score()
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
     return (
-        dots.join(F.broadcast(qn), "query_id")
-        .join(F.broadcast(cn), "neighbor_id")
-        .select("query_id", "neighbor_id", score.alias("score"))
+        dots.select("query_id", "neighbor_id", score.alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_neighbors)
         .select(

@@ -216,7 +216,10 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     screening primitive.  Explode is narrow; one partial-aggregated
     count shuffle; top-k via a single ordered limit (no global sort of
     the full n-gram table — TakeOrderedAndProject)."""
-    w = _tokens()
+    # token array projected to a column before the gram transform —
+    # see dedup.shingles() (r12): lambda references to the raw split
+    # expression re-tokenize per element, O(n_tokens²) per document
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -228,6 +231,7 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     ).otherwise(F.array())
     return (
         _parallel(docs)
+        .select(_tokens().alias("w"))
         .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -275,7 +279,10 @@ def repetition_scores(
         "text",
     )
 
-    w = _tokens()
+    # token array projected to a column before the bigram transform —
+    # see dedup.shingles() (r12): lambda references to the raw split
+    # expression re-tokenize per element, O(n_tokens²) per document
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -286,7 +293,8 @@ def repetition_scores(
         ),
     ).otherwise(F.array())
     per_gram = (
-        base.select("doc_id", F.explode(grams).alias("bigram"))
+        base.select("doc_id", _tokens().alias("w"))
+        .select("doc_id", F.explode(grams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -440,20 +448,26 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     text, AQE decides.  Docs with < 2 tokens have no bigram positions
     and are absent from the output (mirrored in the oracle).
     Output: (doc_id, n_bigrams, mean_logprob)."""
-    w = _tokens()
-    low = F.transform(w, lambda x: F.lower(x))
+    # lowered token array projected to a column before the pair
+    # transform — see dedup.shingles() (r12): a lambda referencing the
+    # raw split/lower expressions re-evaluates them per element,
+    # O(n_tokens²) per document
+    low = F.col("w")
     pairs = F.when(
-        F.size(w) >= 2,
+        F.size(low) >= 2,
         F.transform(
-            F.sequence(F.lit(2), F.size(w)),
+            F.sequence(F.lit(2), F.size(low)),
             lambda i: F.struct(
                 F.element_at(low, i - 1).alias("w1"),
                 F.element_at(low, i).alias("w2"),
             ),
         ),
     ).otherwise(F.array())
-    bi = _parallel(docs).select("doc_id", F.explode(pairs).alias("b")).select(
-        "doc_id", "b.w1", "b.w2"
+    bi = (
+        _parallel(docs)
+        .select("doc_id", F.transform(_tokens(), lambda x: F.lower(x)).alias("w"))
+        .select("doc_id", F.explode(pairs).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
     )
     toks = _parallel(docs).select(F.explode(_tokens()).alias("tok")).select(
         F.lower("tok").alias("w2")
@@ -461,10 +475,13 @@ def bigram_logprob(docs: DataFrame) -> DataFrame:
     uni = toks.groupBy("w2").agg(F.count(F.lit(1)).alias("c_uni"))
     total = uni.agg(F.sum("c_uni").alias("n_total"))
     # ONE wide shuffle of the position stream; everything below it is
-    # vocab²-bounded or smaller
+    # vocab²-bounded or smaller.  The aggregate feeds the LM side
+    # (bic→ctx) AND the per-doc scoring join — materialized once
+    # (guide §2.4; the r11 lineage plan ran the explode+aggregate
+    # twice, 38 Exchanges)
     doc_pairs = bi.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     bic = doc_pairs.groupBy("w1", "w2").agg(F.sum("cnt").alias("c_bi"))
     ctx = bic.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
     p = F.lit(0.75) * (F.col("c_bi").cast("double") / F.col("c_ctx")) + F.lit(
@@ -586,7 +603,8 @@ def cms_sketch(docs: DataFrame, n: int = 2) -> DataFrame:
     partial-aggregated groupBy on (d, bucket): the sketch is the
     mergeable, fixed-memory answer to "frequencies over 100 TB" — cells
     union across partitions/days by addition, no vocabulary state."""
-    w = _tokens()
+    # token array projected to a column first (see dedup.shingles, r12)
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -596,9 +614,9 @@ def cms_sketch(docs: DataFrame, n: int = 2) -> DataFrame:
             ),
         ),
     ).otherwise(F.array())
-    g = _parallel(docs).select(F.explode(grams).alias("ngram")).select(
-        _gram_hash(F.col("ngram")).alias("h")
-    )
+    g = _parallel(docs).select(_tokens().alias("w")).select(
+        F.explode(grams).alias("ngram")
+    ).select(_gram_hash(F.col("ngram")).alias("h"))
     # ONE corpus pass: all DEPTH cells per gram from a single explode (a
     # per-depth union would re-derive the gram explode DEPTH times)
     cells = F.explode(
@@ -2258,7 +2276,8 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     Docs with fewer than n words have no n-grams: novelty NULL.
 
     Output: (doc_id, n_ngrams, n_novel, novelty) rounded 6."""
-    w = _tokens()
+    # token array projected to a column first (see dedup.shingles, r12)
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -2268,6 +2287,7 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     dg = (
         _parallel(docs)
+        .select("doc_id", _tokens().alias("w"))
         .select("doc_id", F.explode(grams).alias("g"))
         .distinct()
     )

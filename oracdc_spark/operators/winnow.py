@@ -39,7 +39,10 @@ WINNOW_W = 4  # window length in positions
 def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
     """Distinct winnowing-selected fingerprints per document:
     (doc_id, fp).  Documents shorter than k tokens select nothing."""
-    toks = _tokens()
+    # token array projected to a column before the gram transform —
+    # see dedup.shingles() (r12): lambda references to the raw split
+    # expression re-tokenize per element, O(n_tokens²) per document
+    toks = F.col("w")
     grams = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -51,6 +54,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -
     ).otherwise(F.array())
     pos = (
         _parallel(docs)
+        .select("doc_id", _tokens().alias("w"))
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
         .select("doc_id", "pos", _gram_hash(F.col("gram")).alias("h"))
     )
@@ -85,7 +89,8 @@ def dup_span_fraction(docs: DataFrame, span: int = 8) -> DataFrame:
     corpus-positions-sized but narrow (doc_id, hash), and both shuffles
     key on the gram hash — uniform by construction.
     Output: (doc_id, n_spans, n_dup_spans, dup_fraction)."""
-    toks = _tokens()
+    # token array projected to a column first (see dedup.shingles, r12)
+    toks = F.col("w")
     grams = F.when(
         F.size(toks) >= span,
         F.transform(
@@ -95,10 +100,15 @@ def dup_span_fraction(docs: DataFrame, span: int = 8) -> DataFrame:
             ),
         ),
     ).otherwise(F.array())
+    # the gram table feeds the distinct-doc count AND the join back —
+    # materialized once (guide §2.4); the narrow (doc_id, h) layout
+    # keeps the checkpoint metadata-cheap relative to re-tokenizing
     g = (
         _parallel(docs)
+        .select("doc_id", _tokens().alias("w"))
         .select("doc_id", F.explode(grams).alias("gram"))
         .select("doc_id", _gram_hash(F.col("gram")).alias("h"))
+        .localCheckpoint(eager=False)
     )
     docs_per_gram = g.groupBy("h").agg(
         F.count_distinct("doc_id").alias("n_docs")
@@ -126,7 +136,10 @@ def winnow_candidates(docs: DataFrame, max_df: int = 50) -> DataFrame:
     more than `max_df` documents are dropped before the self-join (the
     stop-gram guard — they carry no discrimination and would square
     their bucket)."""
-    fps = winnow_fingerprints(docs)
+    # the fingerprint relation feeds the df guard AND the bucket join —
+    # materialized once (guide §2.4; it is also the persisted index
+    # artifact at production scale)
+    fps = winnow_fingerprints(docs).localCheckpoint(eager=False)
     df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     rare = fps.join(df_counts.filter(F.col("df") <= max_df), "fp").select("doc_id", "fp")
     a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
@@ -166,7 +179,10 @@ def exact_substr_trim(docs: DataFrame, span: int = 8) -> DataFrame:
     O(n_tokens * n_removed) worst case, bounded by document length,
     never corpus-sized.  Output: (doc_id, n_tokens, n_removed,
     cleaned_text)."""
-    toks = _tokens()
+    # token array projected to a column first (see dedup.shingles, r12);
+    # the gram table feeds the dup-hash aggregate AND the covered-
+    # position join — materialized once (guide §2.4)
+    toks = F.col("w")
     grams = F.when(
         F.size(toks) >= span,
         F.transform(
@@ -178,12 +194,14 @@ def exact_substr_trim(docs: DataFrame, span: int = 8) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     g = (
         _parallel(docs)
+        .select("doc_id", _tokens().alias("w"))
         .select("doc_id", F.posexplode(grams).alias("p0", "gram"))
         .select(
             "doc_id",
             (F.col("p0") + 1).alias("p"),
             _gram_hash(F.col("gram")).alias("h"),
         )
+        .localCheckpoint(eager=False)
     )
     dupg = (
         g.groupBy("h")
@@ -205,7 +223,7 @@ def exact_substr_trim(docs: DataFrame, span: int = 8) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_removed"),
         F.collect_set("t").alias("rl"),
     )
-    base = _parallel(docs).select("doc_id", toks.alias("w"))
+    base = _parallel(docs).select("doc_id", _tokens().alias("w"))
     keep_tok = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.size("w")),

@@ -66,6 +66,30 @@ ALLOWED_BUILD_JOBS = {
     # dedup_clusters_fast; r8 added the output-identical early-exit
     # counts — cheap jobs on materialized lists)
     "graph_kcore": 18,
+    # r12 optimization: pagerank/triangles materialize their shared
+    # edge relations via localCheckpoint (guide §2.4 — the lineage
+    # plans re-derived the orders⋈lineitem / co-purchase self-join
+    # subtree 4×/~20×; A/B 5.0→2.1 s / 4.9→1.7 s at sf0.1).  Under AQE
+    # even a LAZY localCheckpoint materializes the intermediate query
+    # stages at build — same iterative/multi-consumer exception class
+    # as graph_kcore/dedup_clusters_fast.
+    "graph_pagerank": 25,
+    "graph_triangles": 25,
+    # r12 optimization: multi-consumer relations materialized via
+    # localCheckpoint (guide §2.4) — pair-recall audit inputs, the
+    # ivfpq refine candidate list (its producer is the full ivfpq
+    # plan), k-means components/centroids, the bigram doc-pair
+    # aggregate, and the winnow/gram tables.  Each checkpointed
+    # relation is consumed 2-3× in the same plan; under AQE the lazy
+    # checkpoint still materializes intermediate stages at build.
+    "dedup_lsh_recall": 25,
+    "dedup_simhash_recall": 40,   # one exact + two rotation-count cand legs
+    "similarity_ivfpq_refine": 40,  # cand checkpoint runs the ivfpq plan
+    "similarity_kmeans_cells": 30,  # components + per-iteration centroids
+    "text_bigram_logprob": 15,
+    "text_winnow_candidates": 20,
+    "text_dup_span_fraction": 15,
+    "text_exact_substr_trim": 15,
     # PMI topic clusters: eager edge/label localCheckpoints per
     # hook+shortcut round over the VOCAB-sized graph (iterative
     # exception; the corpus is scanned only by the PMI scorer)
