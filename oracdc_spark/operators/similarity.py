@@ -380,9 +380,14 @@ def embedding_near_dups(vecs: DataFrame, threshold_score: float = 0.16) -> DataF
     0.16 ≈ |cos| ≥ 0.4.  Output: (v1, v2, score), v1 < v2, score exact
     (candidates are re-scored with the full quantized cosine).
     """
-    q = quantized(vecs)
+    # r12 (guide §2.4): the component table feeds the signature
+    # aggregate AND both rescoring sides (3 corpus explodes), and the
+    # signature relation feeds both sides of every band bucket join
+    # (2·bands references) — materialized once each; A/B at sf0.1
+    # (min of 3 warm probes) 3.9 → 2.2 s for similarity_near_dups.
+    q = quantized(vecs).localCheckpoint(eager=False)
     lab = vecs.select("vec_id", F.col("label").alias("cell"))
-    sig = lsh_signatures(q).join(lab, "vec_id")
+    sig = lsh_signatures(q).join(lab, "vec_id").localCheckpoint(eager=False)
 
     cands = None
     for k in range(LSH_BANDS):

@@ -344,9 +344,12 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     per-doc sum, so the aggregation is an exact integer sum —
     float-summation order never matters (same contract as the cosine
     scoring).  Output: (doc_id, n_tokens, mean_logprob)."""
+    # r12 (guide §2.4): the token stream feeds the vocabulary count AND
+    # the score join-back — materialized once instead of re-exploding
+    # the corpus per consumer
     toks = _parallel(docs).select("doc_id", F.explode(_tokens()).alias("tok")).select(
         "doc_id", F.lower("tok").alias("tok")
-    )
+    ).localCheckpoint(eager=False)
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     total = counts.agg(F.sum("n_tok").alias("n_total"))
     q_lp = F.round(
@@ -1294,9 +1297,12 @@ def perplexity_buckets(docs: DataFrame, bin_div: int = 10000) -> DataFrame:
 
     Output: (doc_id, q_mean_lp, rn, bucket) for every doc with >= 1
     token; bucket in ('head', 'middle', 'tail')."""
+    # r12 (guide §2.4): the token stream feeds the vocabulary count and
+    # the score join; the per-doc score table feeds the bin histogram,
+    # the doc count and the rank join — each materialized once
     toks = _parallel(docs).select(
         "doc_id", F.explode(_tokens()).alias("tok")
-    ).select("doc_id", F.lower("tok").alias("tok"))
+    ).select("doc_id", F.lower("tok").alias("tok")).localCheckpoint(eager=False)
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     total = counts.agg(F.sum("n_tok").alias("n_total"))
     q_lp = F.round(
@@ -1316,6 +1322,7 @@ def perplexity_buckets(docs: DataFrame, bin_div: int = 10000) -> DataFrame:
             "bin",
             F.floor(F.col("q_mean_lp").cast("double") / bin_div).cast("bigint"),
         )
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy("bin").agg(F.count(F.lit(1)).alias("bin_cnt"))
     wb = Window.orderBy(F.col("bin").desc()).rowsBetween(

@@ -87,6 +87,14 @@ ALLOWED_BUILD_JOBS = {
     "similarity_ivfpq_refine": 40,  # cand checkpoint runs the ivfpq plan
     "similarity_kmeans_cells": 30,  # components + per-iteration centroids
     "text_bigram_logprob": 15,
+    "similarity_near_dups": 20,   # component + signature checkpoints
+    "dedup_semantic": 20,         # composes embedding_near_dups
+    "text_unigram_logprob": 15,   # token-stream checkpoint
+    "text_perplexity_buckets": 20,  # token stream + per-doc score table
+    # curation v4/v5 and the funnel compose perplexity_buckets' stages
+    "pipeline_curation_v4": 25,
+    "pipeline_curation_v5": 30,
+    "pipeline_curation_funnel": 30,
     "text_winnow_candidates": 20,
     "text_dup_span_fraction": 15,
     "text_exact_substr_trim": 15,
