@@ -282,7 +282,12 @@ def simhash_candidates(
     output deduplicated on (d1, d2)."""
     if rotations < 1:
         raise ValueError(f"rotations must be >= 1, got {rotations}")
-    sig = simhash(docs)
+    # r12 (guide §2.4/§5): the signature relation feeds every rotation's
+    # bucket projection on BOTH sides of the self-join (2*rotations
+    # consumers), and its producer is the token-explode × 60-bit
+    # majority aggregate — the candidate plan re-derived that lineage
+    # per consumer.  One doc-count-sized materialization runs it once.
+    sig = simhash(docs).localCheckpoint(eager=False)
     parts = []
     for r in range(rotations):
         s = (r * 60) // rotations

@@ -67,6 +67,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from oracdc_spark.operators.similarity import brute_force_topk, qcos_score, quantized
+from oracdc_spark.plans.literal import local_df
 
 PQ_M = 16       # subspaces (interleaved by i % m): 4-dim sub-vectors at
                 # d=64 — 16 one-byte codes = 16x compression vs float32.
@@ -143,7 +144,7 @@ def _rotate_components(comps: DataFrame, m: int = PQ_M, d: int = OPQ_D) -> DataF
         for o in range(d)
         for j in range(d)
     ]
-    H = spark.createDataFrame(h_rows, "io long, j long, sgn long")
+    H = local_df(spark, h_rows, "io long, j long, sgn long")
     return (
         comps.withColumnRenamed("i", "j")
         .join(F.broadcast(H), "j")
@@ -464,12 +465,14 @@ def _literal_assign_tables(spark, cb_rows, k: int):
     for sub, cluster, i, cq in cb_rows:
         by_si.setdefault((sub, i), [None] * k)[cluster] = cq
         cc2[(sub, cluster)] = cc2.get((sub, cluster), 0) + cq * cq
-    cb_arr = spark.createDataFrame(
+    cb_arr = local_df(
+        spark,
         [(s, i, v) for (s, i), v in sorted(by_si.items())],
         "sub long, i long, cqs array<long>",
     )
     subs = sorted({s for (s, _) in by_si})
-    cc2_arr = spark.createDataFrame(
+    cc2_arr = local_df(
+        spark,
         [(s, [cc2.get((s, c)) for c in range(k)]) for s in subs],
         "sub long, cc2s array<long>",
     )
@@ -580,8 +583,8 @@ def _train_encode(
             {"vec_id": r["vec_id"], "i": r["i"], "q": r["q"], "sub": alloc[r["i"]]}
             for r in raw
         ]
-        alloc_df = spark.createDataFrame(
-            sorted(alloc.items()), "i long, sub long"
+        alloc_df = local_df(
+            spark, sorted(alloc.items()), "i long, sub long"
         )
 
         def comp_fn(v: DataFrame, m: int = m) -> DataFrame:
@@ -601,7 +604,8 @@ def _train_encode(
             for n, v in enumerate(ids)
             for o in range(d)
         ]
-        r_df = spark.createDataFrame(
+        r_df = local_df(
+            spark,
             [
                 (j, o, int(R_int[j, o]))
                 for j in range(d)
@@ -636,8 +640,8 @@ def _train_encode(
     cb_rows = _lloyd_train(sample_rows, k, iters, sample_mod)
     cb_arr, cc2_arr = _literal_assign_tables(spark, cb_rows, k)
     codes = _assigned(comp_fn(vecs, m), cb_arr, cc2_arr, k)
-    cb = spark.createDataFrame(
-        sorted(cb_rows), "sub long, cluster long, i long, cq long"
+    cb = local_df(
+        spark, sorted(cb_rows), "sub long, cluster long, i long, cq long"
     )
     if key is not None:
         codes = codes.persist()

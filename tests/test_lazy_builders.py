@@ -98,6 +98,13 @@ ALLOWED_BUILD_JOBS = {
     "text_winnow_candidates": 20,
     "text_dup_span_fraction": 15,
     "text_exact_substr_trim": 15,
+    # r12 optimization: the simhash signature relation feeds every
+    # rotation's bucket projection on both sides of the candidate
+    # self-join (2*rotations consumers) — materialized once (plan: 38
+    # Exchanges -> 4).  Same lazy-localCheckpoint-under-AQE class as
+    # above; method_matrix composes the 3-rotation candidates.
+    "dedup_simhash": 10,
+    "dedup_method_matrix": 10,
     # PMI topic clusters: eager edge/label localCheckpoints per
     # hook+shortcut round over the VOCAB-sized graph (iterative
     # exception; the corpus is scanned only by the PMI scorer)
