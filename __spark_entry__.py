@@ -2650,14 +2650,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #       optimization commit — results identical by construction; the
 #       fingerprint gate mechanically verifies this list is exactly
 #       the changed set), grouped by optimization wave;
-#   (b) 1 slot for the documented r11 queue, oldest first:
-#       text_hll_distinct.
+#   (b) the 50th slot: dedup_content_chunks, the late-round wave-4
+#       re-entry (its chunk-digest materialization changed the plan
+#       after the first 49 slots were already forced, consuming the
+#       slot initially reserved for the r11-queue row
+#       text_hll_distinct — which returns to the head of the r13
+#       queue below).
 # The r6-queue burn-down planned by r11 verdict item 3 is therefore
 # displaced to r13 by the forced re-entries (re-entry has priority
 # over staleness — a changed plan MUST be re-checked; a stale green
 # row was checked as-is before).  Residual after this window
 # (documented r13 queue, oldest first, all green in the r12
-# full-catalog three-scale sweeps): the 23 remaining r6 rows —
+# full-catalog three-scale sweeps): text_hll_distinct (r11 queue
+# head), then the 23 remaining r6 rows —
 # cdc_pseudo_named, cdc_pseudo_columns, kafka_records, ora_tde_gcm,
 # smt_header_to_field, smt_key_to_value, lob_plugin_transform,
 # pipeline_doc_chunks, pipeline_pack_efficiency, dedup_chunk_passages,
@@ -2722,8 +2727,10 @@ _R12_WINDOW = [
     "similarity_ann_purity",
     "dedup_simhash",
     "dedup_simhash_recall",
-    # (b) documented r11 queue, oldest first (1 remaining slot)
-    "text_hll_distinct",
+    # -- wave 4: content-defined chunk-digest relation materialized
+    #    (the r13-queue item 1 taken once its A/B proved out: idle-host
+    #    warm min 2.24 -> 1.90 s, plan 12 -> 8 Exchanges)
+    "dedup_content_chunks",
 ]
 
 

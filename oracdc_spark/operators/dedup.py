@@ -771,6 +771,15 @@ def content_chunk_dedup_stats(
             )
         ).alias("dig")
     )
+    # r12 (guide §2.4/§5): the chunk-digest relation feeds TWO consumers
+    # — the df-count aggregate and the join-back — and its producer is
+    # the full tokenize→posexplode→lag/prefix-sum windows→collect_list
+    # reassembly chain; only the doc_id Exchange of that chain is
+    # runtime-reused across the branches, so the window evaluation and
+    # the reassembly aggregate ran twice.  One chunk-count-sized
+    # materialization runs the chunker once (same multi-consumer
+    # pattern as the wave-1 gram/posting tables).
+    ch = ch.localCheckpoint(eager=False)
     counts = ch.groupBy("dig").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         ch.join(counts, "dig")
