@@ -35,6 +35,12 @@ from oracdc_spark.operators import (
     textops,
 )
 from oracdc_spark.operators.filters import table_list_column, table_list_sql
+# every driver-literal fixture table (decoder goldens, registry DDL
+# replays, TDE vectors) builds as a LocalRelation, not a Python-RDD
+# Scan ExistingRDD — guide §4: the RDD path launches a Python-worker
+# stage per materialization for rows that never needed to cross the
+# JVM↔Python boundary at all (r12 wave 3 pattern, extended r13)
+from oracdc_spark.plans.literal import local_df as _ldf
 from oracdc_spark.sources import initial_load, mvlog
 
 # ---------------------------------------------------------------------------
@@ -387,7 +393,7 @@ def _q_registry_key_guard(spark, sf_dir):
                 ",".join(sorted(f.name for f in td.schema.fields)),
             )
         )
-    return spark.createDataFrame(
+    return _ldf(spark, 
         rows,
         "owner string, table_name string, key_kind string, "
         "key_cols string, columns string",
@@ -488,7 +494,7 @@ def _q_jdbc_autocreate(spark, sf_dir):
         ("PK", "SKEY"),
     )
     rows = [(d, create_table_sql(t, d)) for d in DIALECTS]
-    return spark.createDataFrame(rows, "dialect string, ddl string")
+    return _ldf(spark, rows, "dialect string, ddl string")
 
 
 def _q_registry_evolution(spark, sf_dir):
@@ -538,7 +544,7 @@ def _q_registry_evolution(spark, sf_dir):
                 ",".join(sorted(f.name for f in td.schema.fields)),
             )
         )
-    return spark.createDataFrame(
+    return _ldf(spark, 
         rows, "owner string, table_name string, version long, columns string"
     )
 
@@ -958,7 +964,7 @@ def _q_ora_number_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    df = spark.createDataFrame(
+    df = _ldf(spark, 
         [(i, h) for i, h, _ in _NUMBER_GOLDENS], "id bigint, hex string"
     )
     return df.select("id", ora_number_to_double(F.col("hex")).alias("val"))
@@ -974,7 +980,7 @@ def _q_ora_interval_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    df = spark.createDataFrame(
+    df = _ldf(spark, 
         [(i, k, h) for i, k, h, _ in _INTERVAL_GOLDENS],
         "id bigint, kind string, hex string",
     )
@@ -992,7 +998,7 @@ def _q_ora_binary_fp_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    df = spark.createDataFrame(
+    df = _ldf(spark, 
         [(i, bf, bd) for i, bf, bd in _BF_BD_GOLDENS], "id bigint, bf string, bd string"
     )
     return df.select(
@@ -1027,7 +1033,7 @@ def _q_ora_datetime_decode(spark, sf_dir):
     ship_package(spark)
     def _frame(kind):
         rows = [(i, h) for i, h, k, _ in _DATETIME_GOLDENS if k == kind]
-        return spark.createDataFrame(rows, "id bigint, hex string")
+        return _ldf(spark, rows, "id bigint, hex string")
 
     # one frame per kind: when() would evaluate every decode UDF on every
     # row (a 7-byte DATE decoder on interval bytes raises)
@@ -1079,10 +1085,10 @@ def _q_ora_tstz_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    tstz = spark.createDataFrame(
+    tstz = _ldf(spark, 
         [(i, h) for i, h, _ in _TSTZ_GOLDENS], "id bigint, hex string"
     )
-    ltz = spark.createDataFrame(
+    ltz = _ldf(spark, 
         [(i, h) for i, h, _ in _TSLTZ_GOLDENS], "id bigint, hex string"
     )
     return tstz.select("id", ora_timestamp_tz_str(F.col("hex")).alias("s")).unionAll(
@@ -1160,7 +1166,7 @@ def _q_ora_tde_decrypt(spark, sf_dir):
     ship_package(spark)
     rows = [(i, blob, enc, intg, salt, ct)
             for i, blob, enc, intg, salt, ct, _ in _TDE_GOLDENS]
-    df = spark.createDataFrame(
+    df = _ldf(spark, 
         rows, "id bigint, blob string, enc int, intg int, salted boolean, ct string"
     )
 
@@ -1211,7 +1217,7 @@ def _q_ora_tde_gcm(spark, sf_dir):
     ship_package(spark)
     rows = [(i, blob, enc, intg, salt, ct)
             for i, blob, enc, intg, salt, ct, _ in _TDE_GCM_GOLDENS]
-    df = spark.createDataFrame(
+    df = _ldf(spark, 
         rows, "id bigint, blob string, enc int, intg int, salted boolean, ct string"
     )
 
@@ -1235,7 +1241,7 @@ def _q_ora_charset_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    df = spark.createDataFrame(
+    df = _ldf(spark, 
         [(i, h) for i, h, _ in _CHARSET_GOLDENS], "id bigint, hex string"
     )
     return df.select("id", ora_charset_decode("utf-8")(F.unhex(F.col("hex"))).alias("s"))
@@ -1321,7 +1327,7 @@ def _q_ora_charset_id_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    df = spark.createDataFrame(
+    df = _ldf(spark, 
         [(i, cs, h) for i, cs, h, _ in _CHARSET_ID_GOLDENS],
         "id bigint, cs_id bigint, hex string",
     )
@@ -1337,7 +1343,7 @@ def _q_oson_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    df = spark.createDataFrame(
+    df = _ldf(spark, 
         [(1, _OSON_GOLDEN_HEX)], "id bigint, hex string"
     )
     return df.select("id", ora_oson_to_json(F.unhex(F.col("hex"))).alias("s"))
@@ -1348,7 +1354,7 @@ def _q_ora_vector_decode(spark, sf_dir):
     from oracdc_spark.session import ship_package
 
     ship_package(spark)
-    df = spark.createDataFrame([(1, _VECTOR_F32_HEX)], "id bigint, hex string")
+    df = _ldf(spark, [(1, _VECTOR_F32_HEX)], "id bigint, hex string")
     return df.select(
         "id", F.posexplode(ora_vector(F.col("hex"))).alias("i", "val")
     ).select("id", F.col("i").cast("bigint").alias("i"), "val")
@@ -2631,106 +2637,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
     }
-    rest = [k for k in q if k not in set(_R12_WINDOW)]
-    return {k: q[k] for k in list(_R12_WINDOW) + rest}
+    rest = [k for k in q if k not in set(_R13_WINDOW)]
+    return {k: q[k] for k in list(_R13_WINDOW) + rest}
 
 
-# ROUND-12 window (the 50 entries the driver's gate checks this round).
-# r12 is OPTIMIZATION round 1 of 2: the round's product diff is the
-# guide-driven optimization waves (multi-consumer subtree
-# materialization, tokenize-once before gram transforms, shared
-# token/signature/score relations, LocalRelation literal tables in the
-# PQ/OPQ family, simhash signature materialization).  Those waves
-# changed the PLAN of 49 declared queries (the full list below — the
-# plan-fingerprint gate's CHANGED set), and the window discipline
-# (r9/r10 verdicts) makes every changed plan re-enter the window, so
-# this round's window is:
-#   (a) ALL 49 changed-this-round queries (every one parity-checked
-#       vs the DuckDB oracle at sf0.001 + sf0.01 before its
-#       optimization commit — results identical by construction; the
-#       fingerprint gate mechanically verifies this list is exactly
-#       the changed set), grouped by optimization wave;
-#   (b) the 50th slot: dedup_content_chunks, the late-round wave-4
-#       re-entry (its chunk-digest materialization changed the plan
-#       after the first 49 slots were already forced, consuming the
-#       slot initially reserved for the r11-queue row
-#       text_hll_distinct — which returns to the head of the r13
-#       queue below).
-# The r6-queue burn-down planned by r11 verdict item 3 is therefore
-# displaced to r13 by the forced re-entries (re-entry has priority
-# over staleness — a changed plan MUST be re-checked; a stale green
-# row was checked as-is before).  Residual after this window
-# (documented r13 queue, oldest first, all green in the r12
-# full-catalog three-scale sweeps): text_hll_distinct (r11 queue
-# head), then the 23 remaining r6 rows —
-# cdc_pseudo_named, cdc_pseudo_columns, kafka_records, ora_tde_gcm,
-# smt_header_to_field, smt_key_to_value, lob_plugin_transform,
-# pipeline_doc_chunks, pipeline_pack_efficiency, dedup_chunk_passages,
-# text_c4_lines, pipeline_token_budget, archived_log_discovery,
-# cdc_committed, cdc_partial_rollback, cdc_commit_order,
-# q2_min_cost_supplier, q11_important_stock, q12_shipping_lag,
-# q16_parts_supplier_count, q20_excess_supply, q21_waiting_suppliers,
-# mvlog_consumption — then the r7 cohort continues the ~3-round
-# re-check cadence.
-_R12_WINDOW = [
-    # (a) the 49 changed-this-round plans (optimization re-entries)
-    # -- wave 1/2: materialized multi-consumer subtrees + tokenize-once
-    #    (graph, near-dup scorers, LM scorers, gram/winnow tables)
-    "graph_pagerank",
-    "graph_triangles",
-    "dedup_tfidf_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "dedup_minhash_estimate",
-    "dedup_lsh_recall",
-    "dedup_lsh_incremental",
-    "dedup_semantic",
-    "dedup_containment",
-    "dedup_decisions",
-    "dedup_canonical",
-    "dedup_canonical_quality",
-    "dedup_clusters",
-    "dedup_method_matrix",
-    "similarity_kmeans_cells",
-    "similarity_near_dups",
-    "similarity_ivfpq_refine",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_perplexity_buckets",
-    "text_winnow_candidates",
-    "text_dup_span_fraction",
-    "text_exact_substr_trim",
-    "text_ngram_novelty",
-    "text_cms_topk",
-    "text_repetition",
-    "text_contamination",
-    "text_top_ngrams",
-    "hybrid_retrieval",
-    "pipeline_curation_v2",
-    "pipeline_curation_v3",
-    "pipeline_curation_v4",
-    "pipeline_curation_v5",
-    "pipeline_curation_funnel",
-    "pipeline_split_leakage",
-    # -- wave 3: LocalRelation literal tables (PQ/OPQ/hyperplane
-    #    family) + simhash signature materialization
-    "similarity_pq_topk",
-    "similarity_ivfpq_topk",
-    "similarity_pq_recall",
-    "similarity_opq_recall",
-    "similarity_opq_balanced_recall",
-    "similarity_opq_learned_audit",
-    "similarity_hyperplane_lsh",
-    "similarity_hyperplane_recall",
-    "similarity_hyperplane_planted",
-    "similarity_ann_purity",
-    "dedup_simhash",
-    "dedup_simhash_recall",
-    # -- wave 4: content-defined chunk-digest relation materialized
-    #    (the r13-queue item 1 taken once its A/B proved out: idle-host
-    #    warm min 2.24 -> 1.90 s, plan 12 -> 8 Exchanges)
-    "dedup_content_chunks",
+# ROUND-13 window (the 50 entries the driver's gate checks this round).
+# r13 is OPTIMIZATION round 2 of 2.  The round's product diff is the
+# completion of the wave-3 LocalRelation pattern (r12 verdict item 3,
+# extended): every remaining driver-literal table — the sampling
+# target/arm tables in operators/sampling.py AND the 13 decoder/registry
+# fixture tables built inline in this file — now builds as a
+# LocalRelation instead of a Python-RDD Scan ExistingRDD (guide §4:
+# zero Python-worker stages for rows that never needed to cross the
+# boundary; warm min-of-3 A/B: ora_tde_decrypt 0.461->0.135 s,
+# ora_tde_gcm 0.380->0.116 s, registry_evolution 0.511->0.239 s,
+# pipeline_mixture_rebalance 1.250->0.928 s, pipeline_ab_assign
+# 0.716->0.383 s).  That changed the PLAN of exactly 16 declared
+# queries (the plan-fingerprint gate's CHANGED set), and the window
+# discipline (r9/r10 verdicts) makes every changed plan re-enter, so:
+#   (a) the 16 changed-this-round queries (each parity-checked vs the
+#       DuckDB oracle at sf0.001 + sf0.01 before commit — results
+#       identical by construction);
+#   (b) the FULL displaced r6 re-check queue (r12 verdict item 1):
+#       text_hll_distinct (queue head) + the 23 remaining r6 rows
+#       (ora_tde_gcm, the 24th, is already in via its plan change);
+#   (c) the 11 stalest r7-cohort rows (alphabetical; ora_number_decode,
+#       also r7, enters via its plan change).
+# After this window ZERO rows are older than r7 and the documented
+# residual queue (oldest first, all green in the r12 three-scale
+# sweeps) is the remaining r7 cohort — cdc_restart_scn,
+# cdc_row_fusion,
+# cdc_scd2_history, cdc_scn_window, cdc_single_mode,
+# cdc_suppress_unchanged, cdc_tombstones, dedup_url_canonical,
+# events_asof_join, events_hourly, events_sessionize,
+# initial_load_union, lob_inflate, lob_reassembly, multimodal_decode,
+# mvlog_batch, ora_number_roundtrip, pipeline_curation,
+# pipeline_token_budget_global, text_c4_badwords, text_url_domains —
+# then the r8 cohort continues the ~3-round re-check cadence.
+_R13_WINDOW = [
+    # (a) the 16 changed-this-round plans (LocalRelation re-entries)
+    "pipeline_mixture_rebalance",
+    "pipeline_ab_assign",
+    "ora_tde_decrypt",
+    "ora_tde_gcm",
+    "registry_evolution",
+    "registry_key_guard",
+    "jdbc_autocreate",
+    "ora_number_decode",
+    "ora_interval_decode",
+    "ora_binary_fp_decode",
+    "ora_datetime_decode",
+    "ora_tstz_decode",
+    "ora_charset_decode",
+    "ora_charset_id_decode",
+    "oson_decode",
+    "ora_vector_decode",
+    # (b) the displaced r6 re-check queue, burned down in full
+    "text_hll_distinct",
+    "archived_log_discovery",
+    "cdc_commit_order",
+    "cdc_committed",
+    "cdc_partial_rollback",
+    "cdc_pseudo_columns",
+    "cdc_pseudo_named",
+    "dedup_chunk_passages",
+    "kafka_records",
+    "lob_plugin_transform",
+    "mvlog_consumption",
+    "pipeline_doc_chunks",
+    "pipeline_pack_efficiency",
+    "pipeline_token_budget",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_shipping_lag",
+    "q16_parts_supplier_count",
+    "q20_excess_supply",
+    "q21_waiting_suppliers",
+    "smt_header_to_field",
+    "smt_key_to_value",
+    "text_c4_lines",
+    # (c) the stalest r7-cohort rows (alphabetical)
+    "cdc_batch_dedup",
+    "cdc_chained_fusion",
+    "cdc_chained_incomplete",
+    "cdc_change_vector",
+    "cdc_completeness_rejects",
+    "cdc_container_filter",
+    "cdc_debezium",
+    "cdc_delete_all_cols",
+    "cdc_direct_load",
+    "cdc_multirow_expansion",
+    "cdc_op_filter",
 ]
 
 

@@ -396,6 +396,15 @@ def main() -> None:
     # separate per-query regressions from whole-suite contention;
     # a comma-list runs exactly those queries
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    # Core-count self-identification (r12 verdict item 4 / "What's wrong"
+    # item 2): the driver also runs the suite at a LOW core count to
+    # measure scaling, and that run used to overwrite the committed
+    # 32-core BENCH_DETAIL.json with numbers indistinguishable from a
+    # full-core artifact.  Resolve the effective core count here, stamp
+    # it into every artifact, and route non-default-core full-suite runs
+    # to their own BENCH_DETAIL.c{N}.json.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_cpus = os.cpu_count() if cpus_env in ("", "*") else int(cpus_env)
 
     # Isolated longitudinal number (r7 verdict item 4): the in-suite
     # r1_comparable_sec drifts with suite growth (~11% contention at 81
@@ -595,7 +604,14 @@ def main() -> None:
     # committed full-suite detail file is only ever produced by a
     # full-suite run, and a partial artifact self-identifies via its
     # filename AND its recorded "only" selector.
-    detail_name = "BENCH_DETAIL.partial.json" if only else "BENCH_DETAIL.json"
+    if only:
+        detail_name = "BENCH_DETAIL.partial.json"
+    elif n_cpus != os.cpu_count():
+        # a deliberate low-core scaling run: its own artifact, so it can
+        # never masquerade as (or clobber) the committed full-core record
+        detail_name = f"BENCH_DETAIL.c{n_cpus}.json"
+    else:
+        detail_name = "BENCH_DETAIL.json"
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
@@ -614,6 +630,7 @@ def main() -> None:
                     "n_queries": len(timings),
                     "suite_total_sec": round(sum(timings.values()), 3),
                     "only": only or None,
+                    "cpus": n_cpus,
                     # contention self-identification (r11 verdict item
                     # 2): clean run = ratio ~1.2-1.5x, loadavg ~<= 32
                     "loadavg_before": load_before,
@@ -651,6 +668,7 @@ def main() -> None:
                     else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": n_cpus,
                 # contention self-identification (r11 verdict item 2):
                 # a clean suite run reads insuite_isolated_ratio
                 # ~1.2-1.5x (r10/r11 idle band) with loadavg near the

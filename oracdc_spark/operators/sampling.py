@@ -495,8 +495,13 @@ def mixture_rebalance(
     spark = docs.sparkSession
     from oracdc_spark.plans.parallel import ensure_parallelism
 
-    tgt = spark.createDataFrame(
-        sorted(targets_ppm.items()), f"{group_col} string, w long"
+    from oracdc_spark.plans.literal import local_df
+
+    # driver-literal target table → LocalRelation (guide §4: the
+    # Python-RDD createDataFrame path would launch a Python-worker
+    # stage for every materialization of this |groups|-row constant)
+    tgt = local_df(
+        spark, sorted(targets_ppm.items()), f"{group_col} string, w long"
     )
     toks = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
@@ -562,9 +567,11 @@ def ab_assign(
     for arm, w in zip(arms, weights):
         bounds.append((arm, acc, acc + w, w))
         acc += w
-    arm_df = spark.createDataFrame(
-        bounds, "arm string, lo long, hi long, w long"
-    )
+    from oracdc_spark.plans.literal import local_df
+
+    # |arms|-row literal boundary table → LocalRelation, not a
+    # Python-RDD scan (guide §4; same as the PQ codebook literals)
+    arm_df = local_df(spark, bounds, "arm string, lo long, hi long, w long")
     coin = _hash32(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
     assigned = docs.select((coin % total_w).alias("bucket"))
     observed = (
