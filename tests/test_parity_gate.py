@@ -56,7 +56,15 @@ def test_driver_window_composition():
     (r12: similarity_opq_learned_audit rode the wave-3 LocalRelation
     change).  So the invariant is: every window entry without an oracle
     must be one of the catalog's declared rows-only queries (never a
-    typo), and those can never crowd out the hash-checked majority."""
+    typo), and those can never crowd out the hash-checked majority.
+
+    The <=1 cap below encodes the catalog's CURRENT state: exactly one
+    declared rows-only query exists (similarity_opq_learned_audit), so
+    one slot is the most the re-entry rule can ever force.  If a second
+    rows-only query is ever declared AND both change plans in one
+    round, the mandatory re-entry rule outranks this cap — raise the
+    cap deliberately in that commit (and say so in the round notes)
+    rather than dropping a forced re-entry."""
     window = list(QUERIES)[:50]
     import re as _re
 

@@ -67,11 +67,12 @@ def main() -> int:
     from oracdc_spark.feed import change_feed
     from oracdc_spark.operators.cdc import apply_changes
     from oracdc_spark.operators.dedup import (
+        content_chunk_dedup_stats,
         minhash_lsh_candidates,
         tfidf_cosine_pairs,
     )
     from oracdc_spark.operators.pq import pq_topk
-    from oracdc_spark.operators.graph import triangle_census
+    from oracdc_spark.operators.graph import pagerank, triangle_census
     from oracdc_spark.operators.similarity import brute_force_topk
     from oracdc_spark.session import get_spark
 
@@ -151,6 +152,15 @@ def main() -> int:
         "cdc_apply_sec",
         "tfidf_fixed_dfmax_sec",
         "pq_topk_fixedQ_sec",
+        # r13 (r12 verdict item 6): the r12 localCheckpoint
+        # materializations are O(edges)/O(chunks)-sized — these two
+        # families measure that the post-checkpoint operators keep
+        # wall growth ~K x instead of resting on sizing arguments.
+        # (triangle_census_sec and tfidf_fixed_dfmax_sec already run
+        # their post-checkpoint forms — the checkpoint lives inside
+        # the operator core.)
+        "pagerank_sec",
+        "content_chunks_sec",
     )
     sel = os.environ.get("SPARK_GRAFT_STRESS_FAMILIES", "")
     families = [f.strip() for f in sel.split(",") if f.strip()] or list(all_families)
@@ -163,8 +173,10 @@ def main() -> int:
     results: dict[str, dict] = {}
     for k in ks:
         # inputs materialized lazily — only for the selected families
-        need_edges = "triangle_census_sec" in families
-        need_docs = {"minhash_lsh_sec", "tfidf_fixed_dfmax_sec"} & set(families)
+        need_edges = {"triangle_census_sec", "pagerank_sec"} & set(families)
+        need_docs = {
+            "minhash_lsh_sec", "tfidf_fixed_dfmax_sec", "content_chunks_sec"
+        } & set(families)
         need_vecs = {"bruteforce_fixedQ_sec", "pq_topk_fixedQ_sec"} & set(families)
         need_feed = "cdc_apply_sec" in families
         edges_k = (
@@ -199,6 +211,19 @@ def main() -> int:
             # |Q| held constant (query_mod ×K): unpruned ADC is
             # corpus-linear like brute force
             "pq_topk_fixedQ_sec": lambda: pq_topk(vecs_k, 100 * k, 5).count(),
+            # disjoint graph copies (OFFSET is even, so the even=customer
+            # / odd=supplier id parity survives replication): the r12
+            # checkpointed edge list is O(edges·K), each of the 3
+            # iterations shuffles the O(nodes·K) rank table — wall must
+            # stay ~K x
+            "pagerank_sec": lambda: pagerank(
+                edges_k.select("u", "v").toDF("src", "dst"), iters=3
+            ).count(),
+            # content-defined chunking over near-distinct replicas: the
+            # r12 chunk-digest checkpoint is O(chunks·K)
+            "content_chunks_sec": lambda: content_chunk_dedup_stats(
+                docs_k
+            ).count(),
         }
         row = {}
         if need_edges:
