@@ -24,6 +24,8 @@ All roundings replay Spark's F.round-on-double semantics
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import math
 from decimal import ROUND_HALF_UP, Decimal
@@ -97,6 +99,7 @@ def _by_user(rows):
 
 @given(rows=_EVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_attribution_matches_backward_scan_replay(spark, rows, tmp_path_factory):
     sf = str(tmp_path_factory.mktemp("attr"))
     _write(spark, sf, rows)
@@ -123,6 +126,7 @@ def test_attribution_matches_backward_scan_replay(spark, rows, tmp_path_factory)
 
 @given(rows=_EVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_retention_cohorts_match_distinct_user_day_replay(
     spark, rows, tmp_path_factory
 ):
@@ -149,6 +153,7 @@ def test_retention_cohorts_match_distinct_user_day_replay(
 
 @given(rows=_EVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_cohort_ltv_matches_per_user_replay(spark, rows, tmp_path_factory):
     sf = str(tmp_path_factory.mktemp("ltv"))
     _write(spark, sf, rows)
@@ -196,6 +201,7 @@ def test_cohort_ltv_matches_per_user_replay(spark, rows, tmp_path_factory):
 
 @given(rows=_EVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_time_to_convert_matches_rank_quantile_replay(
     spark, rows, tmp_path_factory
 ):
@@ -236,6 +242,7 @@ _QEVENTS = st.lists(
 
 @given(vis=_QEVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_quantile_sketch_matches_rank_and_bin_replay(
     spark, vis, tmp_path_factory
 ):
@@ -293,6 +300,7 @@ def test_quantile_sketch_matches_rank_and_bin_replay(
 
 @given(rows=_EVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_transitions_match_per_user_replay(spark, rows, tmp_path_factory):
     """events_transitions equals a per-user lag replay in (ts, event_id)
     order: first events excluded, (prev -> next) counts and the
@@ -322,6 +330,7 @@ def test_transitions_match_per_user_replay(spark, rows, tmp_path_factory):
 
 @given(rows=_EVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_zscore_outliers_match_moment_replay(spark, rows, tmp_path_factory):
     """events_zscore_outliers equals the scalar moment replay: per-type
     exact integer (n, sum, sumsq), z = (qv - S/n)/sqrt(Q/n - (S/n)^2) in
@@ -357,6 +366,7 @@ def test_zscore_outliers_match_moment_replay(spark, rows, tmp_path_factory):
 
 @given(rows=_EVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_mad_outliers_match_median_replay(spark, rows, tmp_path_factory):
     """events_mad_outliers equals the scalar Iglewicz-Hoaglin replay:
     lower medians via k = ceil(n/2) ranks for both the value and the
@@ -404,6 +414,7 @@ _SIM_EVENTS = st.lists(
 
 @given(rows=_SIM_EVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_user_similarity_matches_profile_cosine_model(
     spark, rows, tmp_path_factory
 ):
@@ -474,6 +485,7 @@ def test_user_similarity_matches_profile_cosine_model(
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_copurchase_lift_matches_basket_replay(spark, baskets, tmp_path_factory):
     """copurchase_lift equals the scalar association replay: distinct
     (order, brand) baskets, per-order pair counts, lift =
@@ -531,6 +543,7 @@ def _ntile4_model(rn, n):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_rfm_segments_match_ntile_rank_replay(spark, orders, tmp_path_factory):
     """rfm_segments equals the scalar replay: per-customer recency/
     frequency/exact-cents monetary, global ranks over (metric asc-or-

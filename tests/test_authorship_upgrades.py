@@ -12,6 +12,8 @@ tests/oracle_authorship.py).
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 import struct
@@ -39,6 +41,7 @@ from tests.test_cdc_properties import _FEED, _SETTINGS, SCHEMA, _rows
 @example(txns=[([(3, 1), (3, 1)], 7)])           # U..U  -> UPDATE
 @example(txns=[([(1, 1)], 7), ([(2, 1)], 7)])    # I..D across txns
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_net_effect_matches_scalar_reduction_rule(spark, txns):
     """batch_net_effect must equal a pure-Python application of the
     public event-reduction truth table (Debezium's "event reduction" /
@@ -194,6 +197,7 @@ _WEXAMPLES = [
 @example(txns=_WEXAMPLES[2])
 @example(txns=_WEXAMPLES[3])
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_wrapped_apply_matches_sequential_sink_replay(spark, txns):
     """The wrapped batch collapse (newest PRESENT value per column, row
     survives iff newest change isn't DELETE — envelope.wrapped_apply)
@@ -222,6 +226,7 @@ def test_wrapped_apply_matches_sequential_sink_replay(spark, txns):
 @example(txns=_WEXAMPLES[2])
 @example(txns=_WEXAMPLES[3])
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_wrapped_flat_presence_matches_statement_mask(spark, txns):
     """The tri-state flattening's presence bits (cdc_wrapped_flat /
     envelope.col_present) must equal the public wrapped-envelope rule
@@ -280,6 +285,7 @@ def test_wrapped_flat_presence_matches_statement_mask(spark, txns):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_dedup_gate_fold_matches_scalar_first_occurrence(spark, texts, cut):
     """The streaming exact-dedup gate folded over an arbitrary
     micro-batch split must emit exactly the scalar first-occurrence

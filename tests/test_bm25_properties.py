@@ -10,6 +10,8 @@ requires the full ranked output to match.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -71,6 +73,7 @@ def _model(docs, terms, k):
 
 @given(docs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_bm25_matches_scalar_model(spark, docs):
     df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
     got = {}

@@ -18,6 +18,8 @@ when a step finds no pairs.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -76,6 +78,7 @@ def _model(docs, steps):
 
 @given(docs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_bpe_merges_equal_scalar_sennrich_model(spark, docs):
     df = spark.createDataFrame(
         list(enumerate(docs)), "doc_id long, text string"
@@ -131,6 +134,7 @@ def _compression_model(docs, steps):
 
 @given(docs=_MIXED_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_bpe_compression_equals_scalar_model(spark, docs):
     df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
     [r] = bpe_compression(df, steps=3).collect()

@@ -18,6 +18,8 @@ scenarios instantiate are asserted directly:
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -86,6 +88,7 @@ def _committed(spark, rows):
 
 @given(txns=_FEED, redeliver=st.data())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_redelivery_idempotent_apply(spark, txns, redeliver):
     """Re-emitting ANY subset of the feed (a restarted miner re-reading
     from the restart SCN, G9's at-least-once contract) must leave the
@@ -97,6 +100,7 @@ def test_redelivery_idempotent_apply(spark, txns, redeliver):
 
 @given(txns=_FEED)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_partial_rollback_pair_annihilates(spark, txns):
     """Appending an original + its rollback marker (same pair key,
     marker after original) to any transaction leaves committed_changes
@@ -116,6 +120,7 @@ def test_partial_rollback_pair_annihilates(spark, txns):
 
 @given(txns=_FEED)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_unpaired_marker_cancels_nothing(spark, txns):
     """A marker with no preceding original in its pair key — including
     marker-BEFORE-original within the key — drops itself and nothing
@@ -149,6 +154,7 @@ def test_unpaired_marker_cancels_nothing(spark, txns):
 
 @given(txns=_FEED)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_commit_ordered_is_sorted_same_multiset(spark, txns):
     rows = _rows(txns)
     ordered = cdc.commit_ordered(_df(spark, rows)).collect()
@@ -195,6 +201,7 @@ def test_partial_rollback_closed_form_equals_backward_scan(spark, seq):
 
 @given(txns=_FEED)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_replica_equals_sequential_replay(spark, txns):
     """End-to-end theorem for the replica path (G2 commit resolution +
     G3 commit order + K6 last-write-wins dedup + K2/K3 apply): the
@@ -233,6 +240,7 @@ def test_replica_equals_sequential_replay(spark, txns):
 
 @given(txns=_FEED)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_scd2_history_chains_correctly(spark, txns):
     """SCD2 structural theorem on every committed stream: per key the
     versions are numbered 1..n contiguously in commit order, each
@@ -261,6 +269,7 @@ def test_scd2_history_chains_correctly(spark, txns):
 
 @given(txns=_FEED, fraction=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_scd2_as_of_equals_log_replay_at_any_cut(spark, txns, fraction):
     """Serving a point-in-time snapshot FROM the SCD2 interval table
     must equal re-replaying the log to the same cut — at every cut
@@ -354,6 +363,7 @@ def test_suppress_unchanged_matches_nullsafe_scalar_model(spark, rows):
     controls=st.dictionaries(st.integers(0, 5), st.sampled_from([7, 36]), max_size=6),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_restart_scn_matches_min_open_scalar_model(spark, txns, controls):
     """G9's safe restart watermark (r10 authorship upgrade): equals the
     scalar min(scn) over DML of transactions with NO control record —
@@ -381,6 +391,7 @@ def test_restart_scn_matches_min_open_scalar_model(spark, txns, controls):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_completeness_split_matches_scalar_rule(spark, rows):
     """F7's completeness split (r10 authorship upgrade): equals the
     scalar rule — a row is REJECTED iff it is a non-rollback

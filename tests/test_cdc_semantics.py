@@ -256,6 +256,7 @@ def test_batch_pk_dedup_keeps_newest(spark):
     assert len(out) == 1 and out[0].totalprice == 2.0
 
 
+@pytest.mark.slow
 def test_replica_as_of_semantics(spark):
     """AS OF max(commit_scn) == current replica; AS OF before the first
     commit == empty; intermediate cuts reflect only earlier commits."""

@@ -19,6 +19,8 @@ replay-only ANN family without an independent model property.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -95,6 +97,7 @@ def test_kmeans_assignments_match_scalar_lloyd_model(spark, vecs):
 
 @given(vecs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_kmeans_profile_matches_model_aggregate(spark, vecs):
     k, iters = 3, 2
     model = _model(vecs, k, iters)

@@ -38,6 +38,7 @@ def test_strict_mode_fails_on_partial_updates(spark):
         OraCdcConnector({}).filtered_feed(spark, SF)
 
 
+@pytest.mark.slow
 def test_include_exclude_and_first_change(spark):
     import pyspark.sql.functions as F
 
@@ -79,6 +80,7 @@ def test_topic_naming_styles():
     assert s.topic_for(None, "SCOTT", "ORDERS") == "all-changes"
 
 
+@pytest.mark.slow
 def test_delete_image_mode(spark):
     import pyspark.sql.functions as F
 

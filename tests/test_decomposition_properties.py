@@ -6,6 +6,8 @@ ties everywhere, empty docs, constant scores)."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -25,6 +27,7 @@ _SETTINGS = dict(
 
 @given(docs=CORPUS, budget=st.integers(min_value=0, max_value=120))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_token_budget_global_equals_global_sort(spark, docs, budget):
     from oracdc_spark.operators.sampling import token_budget_global
 
@@ -68,6 +71,7 @@ def test_token_budget_global_equals_global_sort(spark, docs, budget):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_perplexity_bucket_ranks_are_bin_div_invariant(spark, docs):
     from oracdc_spark.operators.textops import perplexity_buckets
 

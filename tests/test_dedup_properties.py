@@ -5,6 +5,8 @@ cross-operator theorems the fixed-corpus oracles cannot exercise."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
@@ -30,6 +32,7 @@ def _df(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_clusters_fast_equals_plain_propagation(spark, docs):
     """Pointer-jumping min-label CC must be output-identical to the
     plain O(diameter) propagation on every graph the pair stage can
@@ -46,6 +49,7 @@ def test_clusters_fast_equals_plain_propagation(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_containment_dominates_jaccard(spark, docs):
     """For every pair, max-containment ≥ Jaccard (|A∩B|/min ≥ |A∩B|/|A∪B|):
     any pair the symmetric operator surfaces at threshold t must appear
@@ -66,6 +70,7 @@ def test_containment_dominates_jaccard(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_canonical_quality_partitions_the_corpus(spark, docs):
     """Canonical selection is a partition: every doc belongs to exactly
     one cluster, exactly one canonical row per cluster, member counts
@@ -93,6 +98,7 @@ def _model_shingles(doc, n=2):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_jaccard_pairs_match_bruteforce(spark, docs):
     """The shingle-self-join Jaccard must equal a literal all-pairs
     set computation (the quadratic form the distributed plan exists to
@@ -155,6 +161,7 @@ def _r4(x):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_containment_pairs_match_bruteforce(spark, docs):
     """containment_pairs equals the literal Broder containment on
     brute-force shingle sets: common = |A∩B|, c(A→B) = common/|A|
@@ -197,6 +204,7 @@ def _model_simhash(text, bits=60):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_simhash_matches_scalar_majority_model(spark, docs):
     """simhash equals the scalar per-bit token-majority model (token
     multiplicity counted, strict majority, md5 15-hex-char hashes);
@@ -212,6 +220,7 @@ def test_simhash_matches_scalar_majority_model(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_simhash_candidates_match_rotation_model(spark, docs):
     """simhash_candidates equals the scalar rotate-and-prefix model:
     d1 < d2 pairs sharing the top prefix_bits of the 60-bit fingerprint
@@ -248,6 +257,7 @@ def test_simhash_candidates_match_rotation_model(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_tfidf_cosine_pairs_match_bruteforce(spark, docs):
     """tfidf_cosine_pairs equals the literal sparse model: n-gram terms
     WITH multiplicity, df-window [df_min, df_max] keeps the term, weight
@@ -316,6 +326,7 @@ def _r6(x):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_lsh_candidates_match_banding_model(spark, docs):
     """minhash_lsh_candidates equals the scalar banding model on top of
     the (already theorem-pinned) hashlib signatures: band_sig is the
@@ -355,6 +366,7 @@ def test_lsh_candidates_match_banding_model(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_clusters_match_union_find_model(spark, docs):
     """r10 (oracle-authorship audit): `dedup_clusters`' min-label
     propagation — and, via test_clusters_fast_equals_plain_propagation,
@@ -400,6 +412,7 @@ def test_clusters_match_union_find_model(spark, docs):
 
 @given(docs=CORPUS, bench=st.lists(DOC, min_size=0, max_size=5))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_contamination_check_matches_scalar_set_model(spark, docs, bench):
     """r10 (oracle-authorship audit): `textops.contamination_check`'s
     broadcast shingle screen equals the literal per-document set
@@ -430,6 +443,7 @@ def test_contamination_check_matches_scalar_set_model(spark, docs, bench):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_content_chunks_match_scalar_cdc_model(spark, docs):
     """r10 (oracle-authorship audit): `content_chunk_dedup_stats`'
     window-function chunking equals a literal scalar replay of the
@@ -485,6 +499,7 @@ def test_content_chunks_match_scalar_cdc_model(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_doc_fingerprint_matches_hashlib_model(spark, docs):
     """r10 (oracle-authorship audit): `textops.fingerprint`'s token-set
     digest equals a literal hashlib replay — md5 over the
@@ -520,6 +535,7 @@ def test_doc_fingerprint_matches_hashlib_model(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_ngram_novelty_matches_scalar_model(spark, docs):
     """r10 (oracle-authorship audit): `textops.ngram_novelty` equals
     the literal per-document set computation — fraction of a doc's
@@ -598,6 +614,7 @@ def _uf_components(docs, threshold=0.3):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_canonical_matches_argmax_model(spark, docs):
     """r10 (oracle-authorship audit): `dedup_canonical`'s window
     selection equals the scalar argmax over union-find components —
@@ -622,6 +639,7 @@ def test_canonical_matches_argmax_model(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_canonical_quality_matches_argmax_model(spark, docs):
     """Same theorem for the quality-ranked variant: argmax on
     (distinct whitespace tokens, then chars, then lowest id)."""
@@ -643,6 +661,7 @@ def test_canonical_quality_matches_argmax_model(spark, docs):
 
 @given(docs=CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_decisions_match_min_keeper_model(spark, docs):
     """r10 (oracle-authorship audit): the keep/drop delete-list equals
     the scalar rule over the brute-force pair relation — a doc appears

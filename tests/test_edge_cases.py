@@ -1,5 +1,7 @@
 """Robustness: empty feeds, single-row groups, null-heavy inputs."""
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from oracdc_spark.operators import cdc
@@ -93,6 +95,7 @@ def test_near_dups_candidates_bounded_by_lsh_buckets(spark):
         assert r.score >= 0.05
 
 
+@pytest.mark.slow
 def test_dedup_clusters_transitive(spark):
     """Connected components must be transitive: A~B and B~C put all three
     in one cluster even when A and C share nothing directly."""
@@ -164,6 +167,7 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r_multi >= r_single
 
 
+@pytest.mark.slow
 def test_simhash_recall_audit_zero_guard_and_bounds(spark):
     """Audit emits one row PER rotation count (r6 contract); each row
     is defined (1.0) on a corpus with no exact near-dup pairs, and hits
@@ -197,6 +201,7 @@ def test_simhash_recall_audit_zero_guard_and_bounds(spark):
 
 
 class TestDedupClustersFast:
+    @pytest.mark.slow
     def test_matches_label_propagation_on_corpus(self, spark):
         from oracdc_spark.catalog import load_table
         from oracdc_spark.operators import dedup
@@ -209,6 +214,7 @@ class TestDedupClustersFast:
         }
         assert a == b
 
+    @pytest.mark.slow
     def test_deep_chain_converges_in_log_rounds(self, spark):
         """A 24-doc chain (diameter 23) needs ~23 plain-propagation
         rounds; the pointer-jumping variant must finish the whole

@@ -13,6 +13,8 @@ cross-multiplied gate inequalities.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -192,6 +194,7 @@ _BP_DOC = st.lists(_BP_LINE, min_size=0, max_size=6).map("\n".join)
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_boilerplate_strip_matches_scalar_model(spark, docs):
     """`boilerplate_strip` equals the literal two-pass scalar model: a
     byte-exact line occurring in >= min_docs DISTINCT documents of the

@@ -10,6 +10,8 @@ Python replay.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from hypothesis import HealthCheck, example, given, settings
@@ -95,6 +97,7 @@ def test_funnel_matches_per_user_replay(spark, rows, tmp_path_factory):
 @example(rows=[(0, 0, 0), (0, 1, 3), (0, 2, 4)])
 @example(rows=[(0, 0, 0), (0, 1, 4), (0, 2, 5)])
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_windowed_funnel_matches_per_user_replay(spark, rows, tmp_path_factory):
     """Windowed variant: each step must land strictly after AND within
     `window` of the previous step's first occurrence — the half-open

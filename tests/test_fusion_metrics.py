@@ -1,5 +1,7 @@
 """G5 fusion / G6 expansion semantics + metrics observation."""
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from oracdc_spark.metrics import CdcQueryListener, observe_emission
@@ -137,6 +139,7 @@ class TestMetrics:
         assert vals["LastCommitScn"] >= vals["LastScn"] - 10**6
         assert vals["ParsePerSecond"] > 0
 
+    @pytest.mark.slow
     def test_streaming_listener(self, spark):
         import tempfile
 

@@ -20,6 +20,8 @@ matrix encodes directly against a literal Python model of the rules:
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from hypothesis import HealthCheck, given, settings
@@ -103,6 +105,7 @@ def _model_fuse(pieces):
 
 @given(groups=_GROUPS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_fuse_pieces_matches_reference_model(spark, groups):
     df = spark.createDataFrame(_rows(groups), PIECE_SCHEMA)
     got = {
@@ -125,6 +128,7 @@ def test_fuse_pieces_matches_reference_model(spark, groups):
 
 @given(groups=_GROUPS, seed=st.integers(min_value=0, max_value=2**31))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_fuse_pieces_layout_invariant(spark, groups, seed):
     """Fusion is a pure function of the piece SET: shuffling arrival
     order and forcing a different partition layout cannot change any

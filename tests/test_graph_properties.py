@@ -14,6 +14,8 @@ trade-graph fixtures instantiate:
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 
 import pyspark.sql.functions as F
@@ -69,6 +71,7 @@ def test_kcore_converged_is_exact_core(spark, pairs, k):
 
 @given(pairs=_EDGES)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_pagerank_mass_bounded_and_total(spark, pairs):
     df = _sym_df(spark, pairs)
     out = graph.pagerank(df, iters=2).collect()
@@ -83,6 +86,7 @@ def test_pagerank_mass_bounded_and_total(spark, pairs):
 
 @given(pairs=_EDGES)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_triangle_census_matches_bruteforce(spark, pairs):
     nodes = sorted({u for e in pairs for u in e})
     eset = set(pairs)
@@ -106,6 +110,7 @@ def test_triangle_census_matches_bruteforce(spark, pairs):
 
 @given(pairs=_EDGES, iters=st.integers(min_value=1, max_value=3))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_pagerank_matches_integer_model(spark, pairs, iters):
     """Value-exact equivalence (stronger than the mass bound above):
     the distributed iteration equals a literal Python power iteration

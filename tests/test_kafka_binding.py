@@ -1,5 +1,7 @@
 """K1 writer binding shape (broker-free)."""
 
+import pytest
+
 import json
 
 import pyspark.sql.functions as F
@@ -44,6 +46,7 @@ def test_kafka_headers_carry_commit_scn(spark):
     assert hdrs["commit_scn"].isdigit()
 
 
+@pytest.mark.slow
 def test_topic_partition_pinned(spark):
     """a2.topic.partition pins every record to one partition
     (KafkaSourceConnectorConfig.java:90,1027)."""

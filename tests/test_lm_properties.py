@@ -14,6 +14,8 @@ documents.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import Counter
 from decimal import ROUND_HALF_UP, Decimal
@@ -63,6 +65,7 @@ def _counts(docs):
 
 @given(docs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_bigram_logprob_matches_scalar_model(spark, docs):
     got = {
         (r.doc_id, r.n_bigrams, r.mean_logprob)
@@ -88,6 +91,7 @@ def test_bigram_logprob_matches_scalar_model(spark, docs):
 
 @given(docs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_stupid_backoff_matches_scalar_model(spark, docs):
     prune_min, alpha = 2, 0.4
     got = {
@@ -127,6 +131,7 @@ def _unigram_counts(docs):
 
 @given(docs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_unigram_logprob_matches_scalar_model(spark, docs):
     from oracdc_spark.operators.textops import unigram_logprob
 
@@ -146,6 +151,7 @@ def test_unigram_logprob_matches_scalar_model(spark, docs):
 
 @given(docs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_perplexity_buckets_match_global_sort_replay(spark, docs):
     """The histogram-decomposed CCNet tertile split equals the literal
     global sort: floor-mean quantized scores, (score desc, doc_id)

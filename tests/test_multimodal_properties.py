@@ -20,6 +20,8 @@ generated-theorem treatment as the text operators:
 
 from __future__ import annotations
 
+import pytest
+
 import struct
 
 from hypothesis import HealthCheck, given, settings
@@ -169,6 +171,7 @@ def _model_dhash(payload, grid=4):
 
 @given(imgs=st.lists(_IMG, min_size=1, max_size=6))
 @settings(**_SPARK)
+@pytest.mark.slow
 def test_dhash_matches_scalar_model(spark, imgs):
     from oracdc_spark.operators.multimodal import image_dhash
 
@@ -228,6 +231,7 @@ def _model_zcr(samples, segments=8):
 
 @given(clips=st.lists(_SAMPLES, min_size=1, max_size=5))
 @settings(**_SPARK)
+@pytest.mark.slow
 def test_ehash_and_zcr_match_scalar_models(spark, clips):
     from oracdc_spark.operators.multimodal import _audio_hashes, audio_zcr_hash
 

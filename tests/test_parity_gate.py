@@ -29,6 +29,7 @@ def test_entry_runs(spark):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.slow
 def test_parity(spark, duck_views, name):
     r = compare(spark, duck_views, QUERIES[name], ORACLES[name], SF)
     assert r["values_match"], r

@@ -53,7 +53,6 @@ def _lineitem_scans(df):
     ]
 
 
-@pytest.mark.slow
 def test_q6_scan_prunes_columns_and_pushes_filters(spark):
     """Column pruning + scan-level filtering on the flagship shapes —
     the two properties SCALING.md's Scans section promises.  q6 must
@@ -85,7 +84,6 @@ def test_q6_scan_prunes_columns_and_pushes_filters(spark):
     assert "isnotnull(l_shipdate" in scan1
 
 
-@pytest.mark.slow
 def test_scn_window_pushes_to_parquet_scan(spark, tmp_path):
     """F4's 100 TB claim (r9 verdict item 5): when the change feed is a
     materialized parquet table with a real `scn` column — the
@@ -112,7 +110,6 @@ def test_scn_window_pushes_to_parquet_scan(spark, tmp_path):
     assert "LessThanOrEqual(scn,200)" in scan
 
 
-@pytest.mark.slow
 def test_cdc_feed_scans_carry_window_constraints(spark):
     """The sandbox form of the same claim: `cdc_scn_window`'s
     synthesized feed derives scn from the TPC-H keys, and Catalyst must
@@ -135,7 +132,6 @@ def test_cdc_feed_scans_carry_window_constraints(spark):
     assert any("1000000000" in ln and "DataFilters: [" in ln for ln in scans)
 
 
-@pytest.mark.slow
 def test_mvlog_scan_pushes_sequence_filter(spark):
     """S6's scan claim: the mview-log poll (last_seq watermark) must
     reach the parquet reader as a pushed range predicate — at 100 TB

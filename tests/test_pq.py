@@ -1,5 +1,7 @@
 """Product quantization (operators/pq.py) invariants."""
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from oracdc_spark.catalog import load_table
@@ -86,6 +88,7 @@ def test_lloyd_iterations_do_not_increase_distortion(spark):
     assert distortion(trained) <= distortion(seed)
 
 
+@pytest.mark.slow
 def test_ivfpq_neighbors_come_from_probed_cells(spark):
     """Every IVF-PQ result must lie in one of its query's n_probe
     nearest coarse cells — the pruning contract of the composed index."""
@@ -121,6 +124,7 @@ def test_ivfpq_neighbors_come_from_probed_cells(spark):
     assert out.count() > 0
 
 
+@pytest.mark.slow
 def test_refine_recall_at_least_adc_recall(spark):
     """The refine stage re-scores ADC candidates with full-precision
     vectors: its top-5 must overlap the exact top-5 at least as much as
@@ -255,6 +259,7 @@ def test_split_mode_validation():
         pq._split_mode(False, "pca")
 
 
+@pytest.mark.slow
 def test_balanced_split_codes_partition_by_alloc(spark):
     """Under split='balanced' every vector still gets exactly m codes
     (one per subspace) and the recall audit shares the raw exact ground
@@ -284,6 +289,7 @@ def test_balanced_split_codes_partition_by_alloc(spark):
     assert all(0.0 <= v <= 1.0 for v in bal.values())
 
 
+@pytest.mark.slow
 def test_opq_learned_audit_curve_contract(spark):
     """The learned-rotation audit must emit exactly one row per
     alternation count, with sample MSE monotone NON-INCREASING in
@@ -341,6 +347,7 @@ def test_hyperplane_candidates_ordered_and_bounded(spark):
         pq.hyperplane_lsh_buckets(vecs, n_bits=16, n_tables=8).collect()
 
 
+@pytest.mark.slow
 def test_hyperplane_audit_counts_consistent(spark):
     vecs = load_table(spark, SF, "embeddings")
     rows = pq.hyperplane_recall_audit(vecs, 100).collect()
@@ -350,6 +357,7 @@ def test_hyperplane_audit_counts_consistent(spark):
         assert abs(r.capture - r.n_hits / r.n_pairs) < 1e-6
 
 
+@pytest.mark.slow
 def test_ann_label_purity_rows_and_bounds(spark):
     vecs = load_table(spark, SF, "embeddings")
     rows = {r.method: r for r in pq.ann_label_purity(vecs, 100, 5).collect()}
@@ -422,6 +430,7 @@ def test_hard_negatives_cross_label_only(spark):
         assert got1 == [best.neighbor_id]
 
 
+@pytest.mark.slow
 def test_mmr_rerank_diversity_and_contract(spark):
     """On a handcrafted corpus where the two most relevant docs are
     near-identical, MMR must pick the diverse third doc at position 2

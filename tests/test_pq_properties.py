@@ -28,6 +28,8 @@ this family is the LLM-pipeline extension mandated by the build spec.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -101,6 +103,7 @@ def _model_codes(vecs, cb_rows, m=_M, k=_K):
 
 @given(vecs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_pq_encode_equals_argmin_model(spark, vecs):
     codes, cb = pq_train_encode(_df(spark, vecs), m=_M, k=_K, iters=1, sample_mod=1)
     cb_rows = [(r["sub"], r["cluster"], r["i"], r["cq"]) for r in cb.collect()]
@@ -110,6 +113,7 @@ def test_pq_encode_equals_argmin_model(spark, vecs):
 
 @given(vecs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_pq_topk_equals_scalar_adc_model(spark, vecs):
     k_nb = 3
     got = {

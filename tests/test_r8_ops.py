@@ -155,6 +155,7 @@ class TestContainment:
 
 
 class TestMethodMatrix:
+    @pytest.mark.slow
     def test_id_collision_guard_raises(self, spark):
         from oracdc_spark.operators.dedup import PLANT_OFFSET, method_capture_matrix
 
@@ -206,6 +207,7 @@ class TestCohortLtv:
 
 
 class TestCanonicalQuality:
+    @pytest.mark.slow
     def test_richness_beats_length(self, spark):
         from oracdc_spark.operators.dedup import dedup_canonical_quality
 
@@ -253,6 +255,7 @@ class TestMatryoshkaRecall:
         # truncating at the full width IS the exact search
         assert out and all(r.recall == 1.0 for r in out)
 
+    @pytest.mark.slow
     def test_misleading_prefix_drops_recall(self, spark):
         from oracdc_spark.operators.similarity import matryoshka_recall
 
@@ -353,6 +356,7 @@ class TestAbAssign:
 
 
 class TestNprobeCurve:
+    @pytest.mark.slow
     def test_full_probe_is_exact(self, spark):
         from oracdc_spark.operators.similarity import ivf_nprobe_curve
 
@@ -573,6 +577,7 @@ class TestEmptyCorpusPreconditions:
         with _pytest.raises(Exception, match="audit precondition"):
             hyperplane_planted_audit(self._empty_embeddings(spark)).collect()
 
+    @pytest.mark.slow
     def test_sax_planted_empty_corpus_precondition(self, spark):
         import pytest as _pytest
 

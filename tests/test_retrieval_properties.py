@@ -18,6 +18,8 @@ replays on random (text, embedding) corpora pin:
 
 from __future__ import annotations
 
+import pytest
+
 from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
@@ -116,6 +118,7 @@ def test_lexical_topk_matches_intersection_model(spark, corpus):
 
 @given(corpus=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_hybrid_rrf_matches_fusion_model(spark, corpus):
     k, k_sem, k_lex, rrf_k = 4, 3, 3, 60
     got = {
@@ -153,6 +156,7 @@ def test_hybrid_rrf_matches_fusion_model(spark, corpus):
 
 @given(corpus=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_mmr_matches_greedy_scalar_replay(spark, corpus):
     n_cand, k = 4, 3
     got = {

@@ -11,6 +11,8 @@ corpus; the tests vary the layout.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -44,6 +46,7 @@ def _df(spark, docs, n_parts):
 
 @given(docs=_DOCS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_train_split_partitions_corpus_and_is_layout_invariant(spark, docs):
     """Every doc lands in exactly one split, and the assignment is
     identical under different physical partitionings."""
@@ -59,6 +62,7 @@ def test_train_split_partitions_corpus_and_is_layout_invariant(spark, docs):
 
 @given(docs=_DOCS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_quota_sample_layout_invariant_and_within_quota(spark, docs):
     quota = 3
     outs = []
@@ -86,6 +90,7 @@ def test_weighted_sample_size_and_membership(spark, docs):
 
 @given(docs=_DOCS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_ab_assign_audit_total_and_layout_invariant(spark, docs):
     """The SRM audit (one row per arm) is a pure function of the data:
     identical under different layouts, counts sum to the corpus, and
@@ -150,6 +155,7 @@ def test_pack_sequences_conserves_tokens_and_bounds_overflow(spark):
 
 @given(docs=_DOCS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_temperature_mix_equals_cross_multiplied_model(spark, docs):
     """temperature_mix membership is the exact DECIMAL inequality
     hash32(doc) * W_tot * n_l < w_l * N_tot * 2^32 with w_l =

@@ -14,6 +14,8 @@ input, ties and duplicate timestamps included.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 import pyspark.sql.functions as F  # noqa: F401  (parity with sibling files)
@@ -98,6 +100,7 @@ _GAP_EXAMPLES = (
 @example(rows=_GAP_EXAMPLES[1])
 @example(rows=_GAP_EXAMPLES[2])
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_batch_sessionize_matches_gap_fold(spark, rows, tmp_path_factory):
     sf = str(tmp_path_factory.mktemp("sess"))
     _evdf(spark, rows).write.mode("overwrite").parquet(f"{sf}/events.parquet")

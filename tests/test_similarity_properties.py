@@ -16,6 +16,8 @@ every approximate structure.  Scalar replays on random corpora pin:
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -76,6 +78,7 @@ def _key(score):
 
 @given(vecs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_cosine_scores_match_scalar_model(spark, vecs):
     df = _df(spark, vecs)
     queries = df.filter("vec_id % 2 = 0")
@@ -94,6 +97,7 @@ def test_cosine_scores_match_scalar_model(spark, vecs):
 
 @given(vecs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_brute_force_topk_matches_ranked_model(spark, vecs):
     k = 3
     got = {
@@ -112,6 +116,7 @@ def test_brute_force_topk_matches_ranked_model(spark, vecs):
 
 @given(vecs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_decontamination_screen_matches_argmax_model(spark, vecs):
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -141,6 +146,7 @@ def test_decontamination_screen_matches_argmax_model(spark, vecs):
 
 @given(vecs=_CORPUS, labels=st.lists(st.integers(0, 2), min_size=8, max_size=8))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_hard_negatives_match_label_filtered_ranking(spark, vecs, labels):
     from oracdc_spark.operators.similarity import hard_negatives
 
@@ -168,6 +174,7 @@ def test_hard_negatives_match_label_filtered_ranking(spark, vecs, labels):
 
 @given(vecs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_norm_outliers_match_global_rank_model(spark, vecs):
     """norm_outliers' bin-decomposed global rank equals a literal
     (norm2, vec_id) sort: low iff 100*rn <= pct*n, high iff
@@ -270,6 +277,7 @@ def _half_up(v):
 
 @given(vecs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_sq8_topk_matches_scalar_codec_model(spark, vecs):
     """r10 (oracle-authorship audit): the full SQ8 serving chain —
     per-dim min/max train, HALF_UP affine byte codes (flat dim -> 0),
@@ -325,6 +333,7 @@ def test_sq8_topk_matches_scalar_codec_model(spark, vecs):
     labels=st.lists(st.integers(0, 2), min_size=8, max_size=8),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_ivf_topk_matches_cell_restricted_model(spark, vecs, labels):
     """r10 (oracle-authorship audit): single-cell IVF serving equals
     the scalar model — candidates are exactly the OTHER members of the
@@ -359,6 +368,7 @@ def test_ivf_topk_matches_cell_restricted_model(spark, vecs, labels):
     labels=st.lists(st.integers(0, 1), min_size=8, max_size=8),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_near_dups_match_scalar_banded_model(spark, vecs, labels):
     """r10 (oracle-authorship audit): `embedding_near_dups` equals a
     fully independent scalar replay — hyperplane r_b[i] =
@@ -412,6 +422,7 @@ def test_near_dups_match_scalar_banded_model(spark, vecs, labels):
 
 @given(vecs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_matryoshka_recall_matches_truncated_ranking_model(spark, vecs):
     """r10 (oracle-authorship audit): the MRL prefix-truncation audit
     equals the scalar model — for each prefix width d, rank neighbors
@@ -450,6 +461,7 @@ def test_matryoshka_recall_matches_truncated_ranking_model(spark, vecs):
     labels=st.lists(st.integers(0, 2), min_size=8, max_size=8),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_ivf_multiprobe_matches_scalar_model(spark, vecs, labels):
     """r10 (oracle-authorship audit): multi-probe IVF equals the scalar
     replay — integer centroids round-HALF-UP(sum/count) per occupied

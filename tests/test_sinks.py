@@ -102,6 +102,7 @@ def test_all_dialects_generate(dialect):
     assert delete_sql(DEPT, dialect)
 
 
+@pytest.mark.slow
 def test_merge_sink_converges(spark):
     """MERGE semantics: apply a batch twice → identical replica
     (replay idempotence), deletes drop rows."""
@@ -127,6 +128,7 @@ def test_merge_sink_converges(spark):
         assert first == expected
 
 
+@pytest.mark.slow
 def test_merge_touches_only_affected_buckets(spark):
     """Bucket-pruned MERGE (round-2 verdict item 3): a batch rewrites
     ONLY the bucket directories containing its keys; every other
@@ -237,6 +239,7 @@ def test_merge_adopts_legacy_hive_layout(spark):
         assert r == {1: 99.0, 2: 20.0}
 
 
+@pytest.mark.slow
 def test_merge_crash_before_manifest_commit_leaves_replica_intact(spark, monkeypatch):
     """Crash injection (round-3 ADVICE item 5): a merge that dies at any
     point BEFORE the atomic manifest replace must leave the replica
@@ -316,6 +319,7 @@ def test_merge_delete_empties_bucket(spark):
         assert _load_manifest(path)["buckets"] == {}
 
 
+@pytest.mark.slow
 def test_scd2_sink_converges_under_chunked_and_replayed_delivery(spark):
     """Incremental SCD2: chunked out-of-order delivery + a replayed
     chunk must converge to the batch scd2_history of the whole feed."""

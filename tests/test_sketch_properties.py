@@ -18,6 +18,8 @@ each asserted here on arbitrary random corpora, not fixtures:
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -61,6 +63,7 @@ def _bigram_counts(docs):
 
 @given(docs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_cms_one_sided_for_every_ngram(spark, docs):
     exact = _bigram_counts(docs)
     if not exact:
@@ -76,6 +79,7 @@ def test_cms_one_sided_for_every_ngram(spark, docs):
 
 @given(docs_a=_CORPUS, docs_b=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_cms_merges_by_cellwise_sum(spark, docs_a, docs_b):
     def cells(docs):
         return {
@@ -93,6 +97,7 @@ def test_cms_merges_by_cellwise_sum(spark, docs_a, docs_b):
 
 @given(docs_a=_CORPUS, docs_b=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_hll_merges_by_bucket_max(spark, docs_a, docs_b):
     def regs(docs):
         toks = (
@@ -110,6 +115,7 @@ def test_hll_merges_by_bucket_max(spark, docs_a, docs_b):
 
 @given(docs=_CORPUS, probes=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_bloom_no_false_negatives_and_lossless_prune(spark, docs, probes):
     toks = (
         _df(spark, docs)

@@ -25,7 +25,6 @@ def _write_one_file(df, out_dir, name):
 DDL_SCHEMA = "scn bigint, op int, owner string, table_name string, ddl_text string"
 
 
-@pytest.mark.slow
 def test_streaming_ddl_evolves_registry(spark):
     reg = SchemaRegistry()
     reg.register(

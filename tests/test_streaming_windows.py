@@ -227,6 +227,7 @@ def test_session_fold_exact_gap_tie(spark):
     assert [r[3] for r in folded] == [2, 1]  # n_events per session
 
 
+@pytest.mark.slow
 def test_interval_fold_matches_batch(spark):
     """Union of per-batch emissions of interval_join_fold_batch equals
     the batch interval join — each pair exactly once."""
@@ -262,6 +263,7 @@ def test_interval_fold_matches_batch(spark):
     assert len(got) == len(set(got))  # exactly-once
 
 
+@pytest.mark.slow
 def test_interval_fold_eviction_bounds_state(spark):
     """With a horizon set, state rows beyond the watermark are evicted
     after each trigger: a click older than (wm - window) and a purchase
@@ -347,6 +349,7 @@ def _evdf(spark, rows, types=("click",)):
 
 @given(rows=_EVENTS)
 @settings(**_PROP_SETTINGS)
+@pytest.mark.slow
 def test_session_fold_any_split(spark, rows):
     from oracdc_spark.streaming.windows import session_fold_batch, session_windows
     import tempfile
@@ -364,6 +367,7 @@ def test_session_fold_any_split(spark, rows):
 
 @given(rows=_EVENTS)
 @settings(**_PROP_SETTINGS)
+@pytest.mark.slow
 def test_interval_fold_any_split(spark, rows):
     from oracdc_spark.streaming.windows import interval_join, interval_join_fold_batch
     import tempfile
@@ -395,6 +399,7 @@ def test_interval_fold_any_split(spark, rows):
 
 @given(rows=_EVENTS)
 @settings(**_PROP_SETTINGS)
+@pytest.mark.slow
 def test_interval_join_matches_bruteforce(spark, rows):
     """Third leg of the interval-join triangle (fold==batch is above;
     this pins batch==model): the equality-plus-range join equals a

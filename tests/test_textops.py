@@ -2,6 +2,8 @@
 line-level rules can't be exercised by the synthetic corpus, which has
 no newlines — handcrafted docs here)."""
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from oracdc_spark.operators import textops
@@ -236,6 +238,7 @@ class TestBigramLm:
 
 
 class TestBloomPrune:
+    @pytest.mark.slow
     def test_prune_is_lossless_for_joins(self, spark):
         """join(pruned probe, build) == join(full probe, build): the
         no-false-negative guarantee makes pruning safe."""
@@ -753,6 +756,7 @@ class TestBoilerplateStrip:
 
 
 class TestDedupCanonical:
+    @pytest.mark.slow
     def test_one_representative_per_cluster_longest_wins(self, spark):
         from oracdc_spark.catalog import load_table
         from oracdc_spark.operators.dedup import dedup_canonical, dedup_clusters
@@ -921,6 +925,7 @@ class TestPmiCollocations:
 
 
 class TestTopicClusterIntLabels:
+    @pytest.mark.slow
     def test_int_labels_identical_output(self, spark):
         """The bigint-key CC rounds (order-preserving word ids) must
         produce byte-identical (word, cluster_id) rows to the string
@@ -933,6 +938,7 @@ class TestTopicClusterIntLabels:
         b = sorted(map(tuple, pmi_topic_clusters(docs, int_labels=True).collect()))
         assert a == b and a
 
+    @pytest.mark.slow
     def test_int_labels_chain_component(self, spark):
         """A chain a-b-c-d (diameter 3) must collapse to one cluster
         labeled by the lexicographic minimum under both label kinds."""

@@ -1,5 +1,7 @@
 """SAX time-series index (operators/tsindex.py) invariants."""
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from oracdc_spark.catalog import load_table
@@ -16,6 +18,7 @@ def test_words_in_range_one_per_user(spark):
     assert all(0 <= r.word < 4096 for r in rows)
 
 
+@pytest.mark.slow
 def test_candidates_are_bucket_pairs(spark):
     ev = load_table(spark, SF, "events")
     words = {r.user_id: r.word for r in tsindex.sax_words(ev).collect()}
@@ -25,6 +28,7 @@ def test_candidates_are_bucket_pairs(spark):
         assert (words[r.u1] & 255) == (words[r.u2] & 255) == r.bucket
 
 
+@pytest.mark.slow
 def test_words_scale_invariant(spark):
     """L1 normalization makes the symbols amplitude-blind: scaling every
     value by an exact constant must leave every SAX word unchanged
@@ -36,6 +40,7 @@ def test_words_scale_invariant(spark):
     assert base == got
 
 
+@pytest.mark.slow
 def test_audit_counts_consistent(spark):
     rows = tsindex.sax_recall_audit(spark, SF).collect()
     assert len(rows) > 0
@@ -44,6 +49,7 @@ def test_audit_counts_consistent(spark):
         assert abs(r.capture - r.n_hits / r.n_pairs) < 1e-6
 
 
+@pytest.mark.slow
 def test_sax_topk_serves_in_bucket_neighbors(spark):
     rows = tsindex.sax_topk(spark, SF).collect()
     ev = load_table(spark, SF, "events")
@@ -57,6 +63,7 @@ def test_sax_topk_serves_in_bucket_neighbors(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
 
 
+@pytest.mark.slow
 def test_planted_twins_mostly_captured(spark):
     """One-unit twins share the bucket unless a symbol sits exactly on
     a quartile breakpoint; at this 15-user smoke scale a couple of

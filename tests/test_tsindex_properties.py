@@ -14,6 +14,8 @@ then the low-prefix bucket pairing of those words.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import math
 
@@ -91,6 +93,7 @@ def test_sax_words_match_scalar_isax_model(spark, rows):
 
 @given(rows=_EVENTS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_sax_candidates_match_prefix_bucket_model(spark, rows):
     prefix_segs = 2
     got = {

@@ -84,6 +84,7 @@ class TestSqlRedo:
 
 
 class TestTde:
+    @pytest.mark.slow
     def test_roundtrip_then_decode(self, spark):
         from oracdc_spark.functions.decoders import encode_number
         from oracdc_spark.functions.tde import tde_decrypt, tde_encrypt

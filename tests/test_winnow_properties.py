@@ -14,6 +14,8 @@ collisions; the structural theorems must hold on all of them:
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -46,6 +48,7 @@ def _is_subsequence(small, big):
 
 @given(docs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_trim_output_is_subsequence_with_consistent_counts(spark, docs):
     out = {r.doc_id: r for r in exact_substr_trim(_df(spark, docs), span=SPAN).collect()}
     assert set(out) == set(range(len(docs)))
@@ -60,6 +63,7 @@ def test_trim_output_is_subsequence_with_consistent_counts(spark, docs):
 
 @given(doc=_DOC.filter(lambda t: len(t.split()) >= SPAN))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_whole_doc_duplicate_wipes_both_copies(spark, doc):
     out = exact_substr_trim(_df(spark, [doc, doc]), span=SPAN).collect()
     for r in out:
@@ -180,6 +184,7 @@ def test_dup_span_fraction_matches_full_replay(spark, docs):
 
 @given(docs=_CORPUS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_exact_substr_trim_matches_full_replay(spark, docs):
     got = {
         (r.doc_id, r.n_tokens, r.n_removed, r.cleaned_text)
