@@ -33,6 +33,7 @@ def get_spark(
       testdata.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    _allow_shj = os.environ.get("SPARK_GRAFT_ALLOW_SHJ", "0") == "1"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     builder = (
@@ -48,6 +49,27 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Joins (guide §3.1): SPARK_GRAFT_ALLOW_SHJ=1 lets the planner pick
+        # shuffled-hash join where the per-partition build side fits and
+        # lets AQE rewrite sort-merge to shuffled-hash below a 64 MB
+        # local-map threshold — the guide-§9 cluster baseline.  NOT the
+        # local default, on a measurement: at bench scale every declared
+        # join is broadcast (or the lone surviving SortMergeJoin is not
+        # rewritten), the executed plans are bit-identical under both
+        # settings at 8 AND 32 cores, and the apparent A/B "win" reproduced
+        # under a null test (both sides identical config) — it was
+        # second-position bias in the interleaved protocol, not the conf
+        # (r13 notes, "SHJ config A/B").  An effectless conf stays off so
+        # the bench remains comparable; flip it on for cluster joins whose
+        # post-shuffle partitions exceed the broadcast threshold.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "false" if _allow_shj else "true",
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m" if _allow_shj else "0",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
